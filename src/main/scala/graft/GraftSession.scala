@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory — the engine's single entry point.
+  *
+  * Mirrors the role of the reference's tiny `datalake.duckdb` handle
+  * (reference: scripts/create_unified_db.py): cheap to open, all data
+  * stays in parquet, only logical definitions live here.
+  *
+  * Settings are chosen for the 100 TB design point but parameterized so
+  * local[32] testing uses sane small values:
+  *  - AQE on (runtime coalesce + skew-join splitting),
+  *  - broadcast threshold generous (dimension tables are tiny relative
+  *    to facts at every scale factor),
+  *  - parquet filter/column pushdown on (default, asserted explicitly).
+  */
+object GraftSession {
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession =
+    configure(
+      SparkSession.builder().master(s"local[$cores]"),
+      shufflePartitions
+    ).getOrCreate()
+
+  /** Apply graft's conf to any builder (cluster submits included). */
+  def configure(
+      b: SparkSession.Builder,
+      shufflePartitions: Int
+  ): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+}

@@ -1,13 +1,189 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.catalog.Lake
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` entry has a DuckDB oracle in `oracleSql` unless the
+  * operator is not SQL-expressible (marked [rows-only] in SURVEY.md §2).
+  * Column names/types are aligned pairwise (the driver hash-compares
+  * after sorting columns by name); doubles are rounded to 4dp on both
+  * sides.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q05RegionVolume(Lake(spark, "/root/testdata/sf0.001"))
+
+  private def q(f: Lake => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Lake(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q(Relational.q01PricingSummary),
+    "q03_shipping_priority" -> q(Relational.q03ShippingPriority),
+    "q04_order_priority" -> q(Relational.q04OrderPriority),
+    "q05_region_volume" -> q(Relational.q05RegionVolume),
+    "q06_revenue_forecast" -> q(Relational.q06RevenueForecast),
+    "q07_top_parts" -> q(Relational.q07TopParts),
+    "q10_returned_items" -> q(Relational.q10ReturnedItems),
+    "rel01_running_total" -> q(Relational.rel01RunningTotal),
+    "rel02_topn_per_group" -> q(Relational.rel02TopNPerGroup),
+    "rel03_distinct_agg" -> q(Relational.rel03DistinctAgg),
+    "rel04_bucket_histogram" -> q(Relational.rel04BucketHistogram),
+    "rel05_corr_stats" -> q(Relational.rel05CorrStats),
+    "rel06_union_entities" -> q(Relational.rel06UnionEntities),
+    "rel07_anti_join" -> q(Relational.rel07AntiJoin),
+    "rel08_year_trend" -> q(Relational.rel08YearTrend)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q05_region_volume" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_revenue_forecast" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q07_top_parts" ->
+      """SELECT p_brand,
+        |  ROUND(SUM(l_quantity), 4) AS total_qty,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY revenue DESC, p_brand
+        |LIMIT 10""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "rel01_running_total" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  ROUND(SUM(o_totalprice) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS running_total
+        |FROM orders""".stripMargin,
+    "rel02_topn_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3""".stripMargin,
+    "rel03_distinct_agg" ->
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT c_nationkey) AS n_nations,
+        |  COUNT(*) AS n_customers,
+        |  ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "rel04_bucket_histogram" ->
+      """SELECT
+        |  CASE WHEN o_totalprice < 50000 THEN '0-50k'
+        |       WHEN o_totalprice < 150000 THEN '50k-150k'
+        |       WHEN o_totalprice < 300000 THEN '150k-300k'
+        |       ELSE '300k+' END AS price_bucket,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(AVG(o_totalprice), 4) AS avg_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY price_bucket""".stripMargin,
+    "rel05_corr_stats" ->
+      """SELECT
+        |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  ROUND(CORR(l_discount, l_extendedprice), 4) AS corr_disc_price,
+        |  ROUND(STDDEV_SAMP(l_extendedprice), 4) AS stddev_price,
+        |  ROUND(AVG(ABS(l_extendedprice - l_quantity * 1000)), 4) AS avg_abs_diff
+        |FROM lineitem""".stripMargin,
+    "rel06_union_entities" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS source, CAST(c_custkey AS BIGINT) AS entity_id,
+        |    LOWER(c_name) AS entity_name, CAST(c_nationkey AS BIGINT) AS nationkey
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS source, CAST(s_suppkey AS BIGINT) AS entity_id,
+        |    LOWER(s_name) AS entity_name, CAST(s_nationkey AS BIGINT) AS nationkey
+        |  FROM supplier) t
+        |ORDER BY source, entity_id""".stripMargin,
+    "rel07_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+        |ORDER BY c_custkey""".stripMargin,
+    "rel08_year_trend" ->
+      """SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_urgent,
+        |  ROUND(100.0 * SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END)
+        |    / COUNT(*), 4) AS pct_urgent,
+        |  ROUND(SUM(o_totalprice), 4) AS total_value
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY order_year""".stripMargin
+  )
 }

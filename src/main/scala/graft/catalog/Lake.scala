@@ -1,0 +1,41 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog over a directory of parquet tables — the Spark-native analog
+  * of the reference's view-only DuckDB file (reference:
+  * scripts/create_unified_db.py — 159 views over parquet globs; the db
+  * stores definitions, never data).
+  *
+  * `table(name)` is a lazy logical scan: Catalyst sees the parquet
+  * relation directly, so column pruning and predicate pushdown reach
+  * the file scan. `registerViews()` additionally exposes every table to
+  * `spark.sql(...)` by name, mirroring the reference's
+  * schema-namespaced SQL surface.
+  */
+final case class Lake(spark: SparkSession, dir: String) {
+
+  def table(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // The driver-generated star schema (TESTDATA.md).
+  def region: DataFrame = table("region")
+  def nation: DataFrame = table("nation")
+  def customer: DataFrame = table("customer")
+  def supplier: DataFrame = table("supplier")
+  def part: DataFrame = table("part")
+  def orders: DataFrame = table("orders")
+  def lineitem: DataFrame = table("lineitem")
+  def events: DataFrame = table("events")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings"
+  )
+
+  /** Register every table as a temp view so `spark.sql` works by name. */
+  def registerViews(): Unit =
+    tableNames.foreach(n => table(n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,276 @@
+package graft.operators
+
+import graft.catalog.Lake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational/analytical core — the reference's SQL-view + vignette
+  * query surface re-expressed as declarative DataFrame plans.
+  *
+  * Reference shapes covered: multi-agg group-bys with FILTERed counts
+  * (notebooks/vignette_*.ipynb), CASE bucketing (vignette_4), corr()
+  * stats (vignette_4), year trends with percentages (vignettes 1-3),
+  * top-N joins (vignette_3), UNION ALL source maps
+  * (scripts/create_unified_db.py:513-577).
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer)
+  * are broadcast; fact-side aggregations are partial-agg friendly
+  * (plain hash aggregates over codegen'd expressions); every top-N is a
+  * shuffle-then-take over already-aggregated (small) data.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-heavy multi-aggregate with pushed-down
+    * range filter. At 100 TB this is the pure-scan benchmark: filter +
+    * projection reach parquet, partial aggregation means the shuffle
+    * carries only |groups| rows. */
+  def q01PricingSummary(lake: Lake): DataFrame =
+    lake.lineitem
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(
+          sum(
+            col("l_extendedprice") * (lit(1) - col("l_discount")) *
+              (lit(1) + col("l_tax"))
+          ),
+          4
+        ).as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q3 shape: selective dim filter -> fact join -> top-N.
+    * customer is broadcast into orders; orders⋈lineitem shuffles on
+    * orderkey only. */
+  def q03ShippingPriority(lake: Lake): DataFrame = {
+    val cutoff = lit("1998-06-15").cast("timestamp")
+    val cust = lake.customer.filter(col("c_mktsegment") === "BUILDING")
+    val ord = lake.orders.filter(col("o_orderdate") < cutoff)
+    val li = lake.lineitem.filter(col("l_shipdate") > cutoff)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4 shape: EXISTS rewritten as a left-semi join (no
+    * row-multiplication, no distinct needed). */
+  def q04OrderPriority(lake: Lake): DataFrame = {
+    val late = lake.lineitem.select(col("l_orderkey"))
+    lake.orders
+      .filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      )
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q5 shape: star join — every dimension broadcast, single
+    * shuffle on the fact keys. */
+  def q05RegionVolume(lake: Lake): DataFrame =
+    lake.lineitem
+      .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(lake.customer), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(lake.supplier),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey")
+      )
+      .join(broadcast(lake.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(lake.region), col("n_regionkey") === col("r_regionkey"))
+      .filter(
+        col("r_name") === "EUROPE" &&
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      )
+      .groupBy("n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("n_name"))
+
+  /** TPC-H Q6 shape: the predicate-pushdown showcase — all three
+    * filters reach the parquet scan; result is a single partial-agg'd
+    * scalar. */
+  def q06RevenueForecast(lake: Lake): DataFrame =
+    lake.lineitem
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) &&
+          col("l_quantity") < 24
+      )
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+
+  /** Join + group + top-N on a broadcast dim (vignette_3 "top fields
+    * by patent impact" shape). */
+  def q07TopParts(lake: Lake): DataFrame =
+    lake.lineitem
+      .join(broadcast(lake.part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        round(sum("l_quantity"), 4).as("total_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+      .orderBy(col("revenue").desc, col("p_brand"))
+      .limit(10)
+
+  /** TPC-H Q10 shape: returned-items accounting, customer-level top-N. */
+  def q10ReturnedItems(lake: Lake): DataFrame =
+    lake.lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(lake.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(lake.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue")
+      )
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** Running total per customer — window scoped to the partition key,
+    * so the only shuffle is the hash-partition on o_custkey. */
+  def rel01RunningTotal(lake: Lake): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lake.orders.select(
+      col("o_custkey"),
+      col("o_orderkey"),
+      col("o_orderdate"),
+      round(sum("o_totalprice").over(w), 4).as("running_total")
+    )
+  }
+
+  /** Top-3 orders per customer via row_number — the reference's
+    * keep-best-per-group idiom (run_baseline_comparisons.py:154). */
+  def rel02TopNPerGroup(lake: Lake): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    lake.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(
+        col("o_custkey"),
+        col("rn").cast("long").as("rn"),
+        col("o_orderkey"),
+        col("o_totalprice")
+      )
+  }
+
+  /** Exact distinct aggregation per group (expand-based in Spark;
+    * at scale prefer approx_count_distinct — kept exact here to match
+    * the DuckDB oracle). */
+  def rel03DistinctAgg(lake: Lake): DataFrame =
+    lake.customer
+      .groupBy("c_mktsegment")
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"),
+        round(avg("c_acctbal"), 4).as("avg_acctbal")
+      )
+      .orderBy("c_mktsegment")
+
+  /** CASE bucketing histogram (vignette_4 "divergence by citation
+    * magnitude" shape). */
+  def rel04BucketHistogram(lake: Lake): DataFrame = {
+    val bucket = when(col("o_totalprice") < 50000, "0-50k")
+      .when(col("o_totalprice") < 150000, "50k-150k")
+      .when(col("o_totalprice") < 300000, "150k-300k")
+      .otherwise("300k+")
+    lake.orders
+      .groupBy(bucket.as("price_bucket"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(avg("o_totalprice"), 4).as("avg_price")
+      )
+      .orderBy("price_bucket")
+  }
+
+  /** Correlation / dispersion stats (vignette_4 citation-reliability
+    * shape: corr + avg abs diff between sources). */
+  def rel05CorrStats(lake: Lake): DataFrame =
+    lake.lineitem.agg(
+      round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+      round(corr("l_discount", "l_extendedprice"), 4).as("corr_disc_price"),
+      round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price"),
+      round(avg(abs(col("l_extendedprice") - col("l_quantity") * lit(1000))), 4)
+        .as("avg_abs_diff")
+    )
+
+  /** UNION ALL with a source tag — the xref.doi_map idiom
+    * (create_unified_db.py:523-576) on relational entities. */
+  def rel06UnionEntities(lake: Lake): DataFrame = {
+    val c = lake.customer.select(
+      lit("customer").as("source"),
+      col("c_custkey").cast("long").as("entity_id"),
+      lower(col("c_name")).as("entity_name"),
+      col("c_nationkey").cast("long").as("nationkey")
+    )
+    val s = lake.supplier.select(
+      lit("supplier").as("source"),
+      col("s_suppkey").cast("long").as("entity_id"),
+      lower(col("s_name")).as("entity_name"),
+      col("s_nationkey").cast("long").as("nationkey")
+    )
+    c.unionAll(s).orderBy("source", "entity_id")
+  }
+
+  /** Anti join: customers with no large order (sanity-check shape). */
+  def rel07AntiJoin(lake: Lake): DataFrame =
+    lake.customer
+      .join(
+        lake.orders.filter(col("o_totalprice") > 350000).select("o_custkey"),
+        col("c_custkey") === col("o_custkey"),
+        "left_anti"
+      )
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Year trend with percentage (vignette_1 "fraction of disruptive
+    * papers with code by year" shape). */
+  def rel08YearTrend(lake: Lake): DataFrame =
+    lake.orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("n_urgent"),
+        round(
+          lit(100.0) *
+            sum(when(col("o_orderpriority") === "1-URGENT", 1.0).otherwise(0.0)) /
+            count(lit(1)),
+          4
+        ).as("pct_urgent"),
+        round(sum("o_totalprice"), 4).as("total_value")
+      )
+      .orderBy("order_year")
+}
