@@ -37,8 +37,26 @@ object SparkEntry {
     "rel05_corr_stats" -> q(Relational.rel05CorrStats),
     "rel06_union_entities" -> q(Relational.rel06UnionEntities),
     "rel07_anti_join" -> q(Relational.rel07AntiJoin),
-    "rel08_year_trend" -> q(Relational.rel08YearTrend)
+    "rel08_year_trend" -> q(Relational.rel08YearTrend),
+    "xref01_id_map" -> q(Linkage.xref01IdMap),
+    "xref02_unified_entities" -> q(Linkage.xref02UnifiedEntities),
+    "xref03_coverage_stats" -> q(Linkage.xref03CoverageStats),
+    "xref04_priority_dedup" -> q(Linkage.xref04PriorityDedup),
+    "xref05_sanity_checks" -> q(Linkage.xref05SanityChecks),
+    "txt01_stats" -> q(TextAnalysis.txt01Stats),
+    "txt02_langid" -> q(TextAnalysis.txt02LangId),
+    "txt03_quality" -> q(TextAnalysis.txt03Quality),
+    "txt04_fingerprint" -> q(TextAnalysis.txt04Fingerprint),
+    "txt05_vocab_stats" -> q(TextAnalysis.txt05VocabStats),
+    "txt06_top_ngrams" -> q(TextAnalysis.txt06TopNgrams),
+    "txt07_exact_label_match" -> q(TextAnalysis.txt07ExactLabelMatch)
   )
+
+  /** DuckDB-side shared SQL fragments for the text oracles. */
+  private val dkToks =
+    "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
+  private val dkBagFp =
+    s"md5(array_to_string(list_sort(list_distinct($dkToks)), ' '))"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -184,6 +202,153 @@ object SparkEntry {
         |  ROUND(SUM(o_totalprice), 4) AS total_value
         |FROM orders
         |GROUP BY 1
-        |ORDER BY order_year""".stripMargin
+        |ORDER BY order_year""".stripMargin,
+    "xref01_id_map" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS source, LOWER(REPLACE(c_name, 'Customer#', '')) AS key,
+        |    CAST(c_custkey AS VARCHAR) AS source_id FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier' AS source, LOWER(REPLACE(s_name, 'Supplier#', '')) AS key,
+        |    CAST(s_suppkey AS VARCHAR) AS source_id FROM supplier
+        |  UNION ALL
+        |  SELECT 'part' AS source, LOWER(p_name) AS key,
+        |    CAST(p_partkey AS VARCHAR) AS source_id FROM part) t
+        |ORDER BY source, key""".stripMargin,
+    "xref02_unified_entities" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT entity_id FROM (
+        |    SELECT CAST(c_custkey AS BIGINT) AS entity_id FROM customer
+        |    UNION ALL SELECT CAST(o_custkey AS BIGINT) FROM orders
+        |    UNION ALL SELECT CAST(user_id AS BIGINT) FROM events) u),
+        |profile AS (SELECT CAST(c_custkey AS BIGINT) AS p_id, c_name, c_acctbal FROM customer),
+        |orderagg AS (SELECT CAST(o_custkey AS BIGINT) AS o_id, COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total_spent FROM orders GROUP BY 1),
+        |eventagg AS (SELECT CAST(user_id AS BIGINT) AS e_id, COUNT(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT entity_id,
+        |  COALESCE(c_name, 'unknown') AS entity_name,
+        |  p_id IS NOT NULL AS has_profile,
+        |  o_id IS NOT NULL AS has_orders,
+        |  e_id IS NOT NULL AS has_events,
+        |  COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(total_spent, 0.0) AS total_spent,
+        |  COALESCE(n_events, 0) AS n_events
+        |FROM spine
+        |LEFT JOIN profile ON entity_id = p_id
+        |LEFT JOIN orderagg ON entity_id = o_id
+        |LEFT JOIN eventagg ON entity_id = e_id
+        |ORDER BY entity_id""".stripMargin,
+    "xref03_coverage_stats" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT entity_id FROM (
+        |    SELECT CAST(c_custkey AS BIGINT) AS entity_id FROM customer
+        |    UNION ALL SELECT CAST(o_custkey AS BIGINT) FROM orders
+        |    UNION ALL SELECT CAST(user_id AS BIGINT) FROM events) u),
+        |profile AS (SELECT CAST(c_custkey AS BIGINT) AS p_id FROM customer),
+        |orderagg AS (SELECT CAST(o_custkey AS BIGINT) AS o_id,
+        |  ROUND(SUM(o_totalprice), 4) AS total_spent FROM orders GROUP BY 1),
+        |eventagg AS (SELECT CAST(user_id AS BIGINT) AS e_id FROM events GROUP BY 1),
+        |unified AS (
+        |  SELECT entity_id, p_id IS NOT NULL AS has_profile,
+        |    o_id IS NOT NULL AS has_orders, e_id IS NOT NULL AS has_events,
+        |    COALESCE(total_spent, 0.0) AS total_spent
+        |  FROM spine
+        |  LEFT JOIN profile ON entity_id = p_id
+        |  LEFT JOIN orderagg ON entity_id = o_id
+        |  LEFT JOIN eventagg ON entity_id = e_id)
+        |SELECT has_profile, has_orders, has_events,
+        |  COUNT(*) AS n_entities, ROUND(SUM(total_spent), 4) AS total_value
+        |FROM unified
+        |GROUP BY 1, 2, 3
+        |ORDER BY has_profile, has_orders, has_events""".stripMargin,
+    "xref04_priority_dedup" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $dkBagFp AS fp, source,
+         |    CAST(regexp_extract(source, '(\\d+)$$', 1) AS BIGINT) AS priority,
+         |    n_chars
+         |  FROM documents),
+         |r AS (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY fp ORDER BY priority, n_chars DESC, doc_id) AS rn FROM d)
+         |SELECT doc_id, fp, source, priority, n_chars FROM r WHERE rn = 1
+         |ORDER BY fp, doc_id""".stripMargin,
+    "xref05_sanity_checks" ->
+      """SELECT COUNT(*) AS total,
+        |  COUNT(*) FILTER (WHERE text IS NULL OR LENGTH(text) = 0) AS n_empty_text,
+        |  COUNT(*) FILTER (WHERE lang NOT IN ('en','de','es','fr','zh')) AS n_bad_lang,
+        |  COUNT(*) FILTER (WHERE n_chars != LENGTH(text)) AS n_len_mismatch,
+        |  COUNT(DISTINCT doc_id) AS n_distinct_ids
+        |FROM documents""".stripMargin,
+    "txt01_stats" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len($dkToks) AS BIGINT) AS n_tokens,
+         |  CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+         |  ROUND(CAST(list_aggregate(list_transform($dkToks, x -> LENGTH(x)), 'sum') AS DOUBLE)
+         |    / CAST(len($dkToks) AS DOUBLE), 4) AS avg_token_len,
+         |  ROUND(CAST(LENGTH(regexp_replace(LOWER(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |    / CAST(LENGTH(text) AS DOUBLE), 4) AS punct_ratio
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "txt02_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $dkToks AS w FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len(list_filter(w, x -> x IN ('the','a','of','and'))) AS s_en,
+         |  len(list_filter(w, x -> x IN ('der','die','das','und'))) AS s_de,
+         |  len(list_filter(w, x -> x IN ('el','la','los','que'))) AS s_es,
+         |  len(list_filter(w, x -> x IN ('le','les','des','et'))) AS s_fr
+         |FROM t)
+         |SELECT doc_id, lang AS labeled_lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+         |  CAST(s_en AS BIGINT) AS en_markers,
+         |  lang = (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) AS agrees
+         |FROM s
+         |ORDER BY doc_id""".stripMargin,
+    "txt03_quality" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |s AS (SELECT doc_id,
+         |  ROUND(0.5 * LEAST(CAST(len(w) AS DOUBLE) / 80.0, 1.0)
+         |      + 0.5 * LEAST(CAST(len(list_filter(w, x -> x IN ('the','a','of','and'))) AS DOUBLE)
+         |                    / CAST(len(w) AS DOUBLE) * 8.0, 1.0), 4) AS quality,
+         |  CAST(len(w) AS BIGINT) AS n_tokens
+         |FROM t)
+         |SELECT doc_id, quality, n_tokens FROM s
+         |WHERE quality >= 0.5
+         |ORDER BY doc_id""".stripMargin,
+    "txt04_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(LOWER(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+         |  $dkBagFp AS bag_fp,
+         |  COUNT(*) OVER (PARTITION BY $dkBagFp) AS bag_dup_count
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "txt05_vocab_stats" ->
+      s"""SELECT doc_id,
+         |  CAST(len($dkToks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct($dkToks)) AS BIGINT) AS n_distinct,
+         |  ROUND(CAST(len(list_distinct($dkToks)) AS DOUBLE)
+         |    / CAST(len($dkToks) AS DOUBLE), 4) AS type_token_ratio
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "txt06_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |b AS (SELECT doc_id,
+         |  UNNEST(list_distinct([w[i] || ' ' || w[i+1] FOR i IN RANGE(1, len(w))])) AS bigram
+         |FROM t WHERE len(w) >= 2)
+         |SELECT bigram, COUNT(*) AS n_docs
+         |FROM b
+         |GROUP BY bigram
+         |ORDER BY n_docs DESC, bigram
+         |LIMIT 20""".stripMargin,
+    "txt07_exact_label_match" ->
+      s"""WITH terms AS (SELECT UNNEST(['join','scan','filter','sort','merge','hash',
+         |  'window','stream','batch','query']) AS term),
+         |dt AS (SELECT doc_id, UNNEST(list_distinct($dkToks)) AS term FROM documents)
+         |SELECT dt.term, COUNT(DISTINCT dt.doc_id) AS n_docs
+         |FROM dt JOIN terms ON dt.term = terms.term
+         |GROUP BY dt.term
+         |ORDER BY dt.term""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 
 /** Catalog over a directory of parquet tables — the Spark-native analog
   * of the reference's view-only DuckDB file (reference:
@@ -26,7 +27,18 @@ final case class Lake(spark: SparkSession, dir: String) {
   def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
-  def events: DataFrame = table("events")
+
+  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
+    * schema converter rejects outright. Read it as raw nanos
+    * (legacy.parquet.nanosAsLong) and truncate to microseconds — the
+    * same truncation DuckDB applies when it loads ns timestamps. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn(
+      "ts",
+      timestamp_micros((col("ts") / 1000L).cast("long"))
+    )
+  }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 

@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text/ID functions — all built from codegen'd Spark
+  * functions (no UDFs), so they stay inside whole-stage codegen and
+  * push work to executors.
+  *
+  * Mirrors the reference's normalization + text-processing surface:
+  * DOI normalization (reference: scripts/create_unified_db.py:523-576),
+  * exact-label matching (scripts/run_baseline_comparisons.py:131-151),
+  * and the quality/langid heuristics a training-data pipeline needs.
+  */
+object text {
+
+  /** LOWER + strip a known prefix — the doi_map normalization idiom. */
+  def normalizeId(c: Column, prefix: String): Column =
+    lower(regexp_replace(c, "^" + java.util.regex.Pattern.quote(prefix), ""))
+
+  /** Whitespace-normalized form of a document. */
+  def normWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** Whitespace tokens (assumes normWs'd or single-spaced text). */
+  def tokens(c: Column): Column = split(normWs(c), " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Canonical content fingerprint: md5 of the whitespace-normalized,
+    * lowercased text (materialize_fulltext-style dedup key). */
+  def fingerprint(c: Column): Column = md5(lower(normWs(c)))
+
+  /** Order-insensitive bag-of-words fingerprint: md5 over the sorted
+    * distinct token set. Catches shuffled/reordered duplicates that a
+    * plain content hash misses. */
+  def bagFingerprint(c: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
+
+  /** Word n-gram shingles (order-sensitive), distinct. Documents with
+    * fewer than n tokens yield an empty shingle set. */
+  def wordShingles(toks: Column, n: Int): Column =
+    when(
+      size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)
+        )
+      )
+    ).otherwise(array().cast("array<string>"))
+
+  /** How many tokens fall in `words` (stopword/marker counting). */
+  def markerCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "es" -> Seq("el", "la", "los", "que"),
+    "fr" -> Seq("le", "les", "des", "et")
+  )
+
+  /** Marker-based language ID: argmax of per-language marker counts
+    * with a fixed precedence (en > de > es > fr) on ties. */
+  def langId(toks: Column): Column = {
+    val s = langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }
+    when(
+      s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr"),
+      "en"
+    ).when(s("de") >= s("es") && s("de") >= s("fr"), "de")
+      .when(s("es") >= s("fr"), "es")
+      .otherwise("fr")
+  }
+
+  /** Ratio of non-[a-z0-9 ] characters (punctuation-ish density). */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(lower(c), "[a-z0-9 ]", "")).cast("double") /
+      length(c).cast("double")
+
+  /** Heuristic quality score in [0,1]: length saturation + stopword
+    * density (the reference-style filter a pretraining pipeline runs
+    * before dedup). */
+  def qualityScore(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks).cast("double")
+    val stop = markerCount(toks, langMarkers("en")).cast("double")
+    round(
+      lit(0.5) * least(nTok / 80.0, lit(1.0)) +
+        lit(0.5) * least(stop / nTok * 8.0, lit(1.0)),
+      4
+    )
+  }
+}

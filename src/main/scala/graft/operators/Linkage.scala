@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.catalog.Lake
+import graft.functions.text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-dataset linkage — the reference's xref layer re-expressed.
+  *
+  * Reference shapes: xref.doi_map normalized UNION
+  * (create_unified_db.py:513-577), unified_papers N-way left join +
+  * COALESCE + has_* flags (materialize_unified_papers.py:270-430),
+  * coverage stats over flag combos (materialize_unified_papers.py:
+  * 449-507), per-key priority dedup (materialize_fulltext.py:87-118),
+  * sanity checks (notebooks/sanity_checks.ipynb).
+  *
+  * Scale notes: the spine-join is the one genuine fact-fact shuffle
+  * (all sides hash-partition on the normalized key once; AQE handles
+  * skewed keys). Aggregated side-tables are pre-shrunk before the
+  * join; flags are computed from join-hit nullness, never a second
+  * pass.
+  */
+object Linkage {
+
+  /** Normalized-key union map across entity sources (doi_map analog). */
+  def xref01IdMap(lake: Lake): DataFrame = {
+    val c = lake.customer.select(
+      lit("customer").as("source"),
+      text.normalizeId(col("c_name"), "Customer#").as("key"),
+      col("c_custkey").cast("string").as("source_id")
+    )
+    val s = lake.supplier.select(
+      lit("supplier").as("source"),
+      text.normalizeId(col("s_name"), "Supplier#").as("key"),
+      col("s_suppkey").cast("string").as("source_id")
+    )
+    val p = lake.part.select(
+      lit("part").as("source"),
+      lower(col("p_name")).as("key"),
+      col("p_partkey").cast("string").as("source_id")
+    )
+    c.unionAll(s).unionAll(p).orderBy("source", "key")
+  }
+
+  /** Unified entity table: spine of every id seen anywhere, one left
+    * join per source, COALESCE'd attributes + has_* coverage flags
+    * (unified_papers analog). */
+  def xref02UnifiedEntities(lake: Lake): DataFrame = {
+    val spine = lake.customer
+      .select(col("c_custkey").cast("long").as("entity_id"))
+      .unionAll(lake.orders.select(col("o_custkey").cast("long")))
+      .unionAll(lake.events.select(col("user_id").cast("long")))
+      .distinct()
+    val profile = lake.customer.select(
+      col("c_custkey").cast("long").as("p_id"),
+      col("c_name"),
+      col("c_acctbal")
+    )
+    val orderAgg = lake.orders
+      .groupBy(col("o_custkey").cast("long").as("o_id"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 4).as("total_spent")
+      )
+    val eventAgg = lake.events
+      .groupBy(col("user_id").cast("long").as("e_id"))
+      .agg(count(lit(1)).as("n_events"))
+    spine
+      .join(profile, col("entity_id") === col("p_id"), "left")
+      .join(orderAgg, col("entity_id") === col("o_id"), "left")
+      .join(eventAgg, col("entity_id") === col("e_id"), "left")
+      .select(
+        col("entity_id"),
+        coalesce(col("c_name"), lit("unknown")).as("entity_name"),
+        col("p_id").isNotNull.as("has_profile"),
+        col("o_id").isNotNull.as("has_orders"),
+        col("e_id").isNotNull.as("has_events"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+        coalesce(col("n_events"), lit(0L)).as("n_events")
+      )
+      .orderBy("entity_id")
+  }
+
+  /** Coverage stats: row counts per source-flag combination. */
+  def xref03CoverageStats(lake: Lake): DataFrame =
+    xref02UnifiedEntities(lake)
+      .groupBy("has_profile", "has_orders", "has_events")
+      .agg(
+        count(lit(1)).as("n_entities"),
+        round(sum("total_spent"), 4).as("total_value")
+      )
+      .orderBy("has_profile", "has_orders", "has_events")
+
+  /** Per-content-key keep-best-source dedup (materialize_fulltext
+    * analog: ROW_NUMBER by source priority then length). Priority is
+    * the numeric source suffix (src3 beats src17). */
+  def xref04PriorityDedup(lake: Lake): DataFrame = {
+    val priority = regexp_extract(col("source"), "(\\d+)$", 1).cast("long")
+    val w = Window
+      .partitionBy("fp")
+      .orderBy(col("priority"), col("n_chars").desc, col("doc_id"))
+    lake.documents
+      .select(
+        col("doc_id"),
+        text.bagFingerprint(col("text")).as("fp"),
+        col("source"),
+        priority.as("priority"),
+        col("n_chars")
+      )
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("doc_id", "fp", "source", "priority", "n_chars")
+      .orderBy("fp", "doc_id")
+  }
+
+  /** Data-quality probe: one row of COUNT-FILTER style checks
+    * (sanity_checks.ipynb analog). */
+  def xref05SanityChecks(lake: Lake): DataFrame =
+    lake.documents.agg(
+      count(lit(1)).as("total"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L).otherwise(0L))
+        .as("n_empty_text"),
+      sum(
+        when(!col("lang").isInCollection(Seq("en", "de", "es", "fr", "zh")), 1L)
+          .otherwise(0L)
+      ).as("n_bad_lang"),
+      sum(when(col("n_chars") =!= length(col("text")), 1L).otherwise(0L))
+        .as("n_len_mismatch"),
+      countDistinct(col("doc_id")).as("n_distinct_ids")
+    )
+}

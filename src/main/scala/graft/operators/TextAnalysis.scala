@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.catalog.Lake
+import graft.functions.text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the documents corpus — language ID, quality
+  * scoring, token statistics, fingerprints, n-gram frequencies, and
+  * exact-label linkage.
+  *
+  * Reference shapes: exact lowercase label matching
+  * (run_baseline_comparisons.py:131-151, build_ontology_linkage.py),
+  * text statistics / filtering as done before the reference's
+  * per-DOI fulltext dedup (materialize_fulltext.py).
+  *
+  * Scale notes: everything here is embarrassingly parallel per
+  * document (map-only until the final small aggregation); n-gram
+  * frequency is explode -> partial-agg'd count, so the shuffle
+  * carries (ngram, partial_count) pairs, not documents.
+  */
+object TextAnalysis {
+
+  /** Per-document token/char/punctuation statistics. */
+  def txt01Stats(lake: Lake): DataFrame = {
+    val toks = text.tokens(col("text"))
+    lake.documents
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(toks).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"),
+        round(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+            size(toks).cast("double"),
+          4
+        ).as("avg_token_len"),
+        round(text.punctRatio(col("text")), 4).as("punct_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Marker-heuristic language ID vs the labeled lang. */
+  def txt02LangId(lake: Lake): DataFrame = {
+    val toks = text.tokens(col("text"))
+    lake.documents
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        text.langId(toks).as("pred_lang"),
+        text.markerCount(toks, text.langMarkers("en")).cast("long")
+          .as("en_markers")
+      )
+      .withColumn("agrees", col("labeled_lang") === col("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring + threshold filter (pretraining-corpus gate). */
+  def txt03Quality(lake: Lake): DataFrame =
+    lake.documents
+      .select(
+        col("doc_id"),
+        text.qualityScore(col("text")).as("quality"),
+        text.tokenCount(col("text")).cast("long").as("n_tokens")
+      )
+      .filter(col("quality") >= 0.5)
+      .orderBy("doc_id")
+
+  /** Content fingerprints + per-fingerprint duplicate counts. */
+  def txt04Fingerprint(lake: Lake): DataFrame = {
+    val w = Window.partitionBy("fp")
+    lake.documents
+      .select(
+        col("doc_id"),
+        text.fingerprint(col("text")).as("fp"),
+        text.bagFingerprint(col("text")).as("bag_fp")
+      )
+      .withColumn("bag_dup_count", count(lit(1)).over(Window.partitionBy("bag_fp")))
+      .select("doc_id", "fp", "bag_fp", "bag_dup_count")
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary statistics: distinct tokens + type-token ratio. */
+  def txt05VocabStats(lake: Lake): DataFrame = {
+    val toks = text.tokens(col("text"))
+    lake.documents
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        round(
+          size(array_distinct(toks)).cast("double") / size(toks).cast("double"),
+          4
+        ).as("type_token_ratio")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-wide top-20 bigrams: explode + count (partial-agg'd). */
+  def txt06TopNgrams(lake: Lake): DataFrame = {
+    val toks = text.tokens(col("text"))
+    lake.documents
+      .select(explode(text.wordShingles(toks, 2)).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("bigram"))
+      .limit(20)
+  }
+
+  /** Exact lowercase label linkage: a small term lexicon (broadcast,
+    * like the reference's ontology term tables) matched against the
+    * corpus vocabulary. */
+  val lexicon: Seq[String] = Seq(
+    "join", "scan", "filter", "sort", "merge", "hash",
+    "window", "stream", "batch", "query"
+  )
+
+  def txt07ExactLabelMatch(lake: Lake): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val docTerms = lake.documents.select(
+      col("doc_id"),
+      explode(array_distinct(toks)).as("term")
+    )
+    val terms = lake.spark
+      .createDataFrame(lexicon.map(Tuple1(_)))
+      .toDF("term")
+    docTerms
+      .join(broadcast(terms), "term")
+      .groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy("term")
+  }
+}
