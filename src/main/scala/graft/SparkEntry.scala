@@ -49,7 +49,17 @@ object SparkEntry {
     "txt04_fingerprint" -> q(TextAnalysis.txt04Fingerprint),
     "txt05_vocab_stats" -> q(TextAnalysis.txt05VocabStats),
     "txt06_top_ngrams" -> q(TextAnalysis.txt06TopNgrams),
-    "txt07_exact_label_match" -> q(TextAnalysis.txt07ExactLabelMatch)
+    "txt07_exact_label_match" -> q(TextAnalysis.txt07ExactLabelMatch),
+    "dedup01_exact" -> q(Dedup.dedup01Exact),
+    "dedup02_keep_canonical" -> q(Dedup.dedup02KeepCanonical),
+    "dedup03_ngram_jaccard" -> q(Dedup.dedup03NgramJaccard(_)),
+    "dedup04_minhash_lsh" -> q(Dedup.dedup04MinhashLsh(_)),
+    "dedup05_simhash" -> q(Dedup.dedup05Simhash(_)),
+    "dedup06_embedding_neardup" -> q(Dedup.dedup06EmbeddingNearDup(_)),
+    "sim01_topk_bruteforce" -> q(Similarity.sim01TopKBruteForce(_)),
+    "sim02_threshold_join" -> q(Similarity.sim02ThresholdJoin(_)),
+    "sim03_lsh_ann" -> q(Similarity.sim03LshAnn(_)),
+    "sim04_label_centroids" -> q(Similarity.sim04LabelCentroids)
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -57,6 +67,15 @@ object SparkEntry {
     "string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')"
   private val dkBagFp =
     s"md5(array_to_string(list_sort(list_distinct($dkToks)), ' '))"
+  // Word-trigram shingles over dkToks (mirrors text.wordShingles(_, 3)).
+  private val dkShingles3 =
+    "list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN RANGE(1, len(w)-1)])"
+  // Exact trigram Jaccard between shingle sets a.s / b.s.
+  private val dkJac =
+    "ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4)"
+  // Double-precision cosine (mirrors graft.functions.vectors.cosine).
+  private def dkCos(a: String, b: String) =
+    s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -349,6 +368,69 @@ object SparkEntry {
          |SELECT dt.term, COUNT(DISTINCT dt.doc_id) AS n_docs
          |FROM dt JOIN terms ON dt.term = terms.term
          |GROUP BY dt.term
-         |ORDER BY dt.term""".stripMargin
+         |ORDER BY dt.term""".stripMargin,
+    "dedup01_exact" ->
+      s"""WITH d AS (SELECT doc_id, $dkBagFp AS fp FROM documents)
+         |SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id,
+         |  MAX(doc_id) AS max_id
+         |FROM d GROUP BY fp HAVING COUNT(*) > 1
+         |ORDER BY fp""".stripMargin,
+    "dedup02_keep_canonical" ->
+      s"""WITH d AS (SELECT doc_id, $dkBagFp AS fp FROM documents)
+         |SELECT MIN(doc_id) AS doc_id, fp, COUNT(*) AS group_size
+         |FROM d GROUP BY fp
+         |ORDER BY doc_id""".stripMargin,
+    "dedup03_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, n_chars, $dkShingles3 AS s FROM t)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $dkJac AS jaccard
+         |FROM sh a JOIN sh b
+         |  ON a.doc_id < b.doc_id AND ABS(a.n_chars - b.n_chars) <= 40
+         |WHERE $dkJac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup04_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $dkJac AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE $dkJac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup06_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         |  ROUND(${dkCos("a.v", "b.v")}, 4) AS cos
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ROUND(${dkCos("a.v", "b.v")}, 4) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim01_topk_bruteforce" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT query_id, vec_id, ${dkCos("qv", "v")} AS cos_raw
+         |      FROM q JOIN e ON vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "sim02_threshold_join" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |t AS (SELECT vec_id AS topic_id, v AS tv FROM e WHERE label < 2),
+         |m AS (SELECT vec_id AS term_id, v AS mv FROM e WHERE label >= 2)
+         |SELECT topic_id, term_id, ROUND(${dkCos("tv", "mv")}, 4) AS cos
+         |FROM m JOIN t ON TRUE
+         |WHERE ROUND(${dkCos("tv", "mv")}, 4) >= 0.25
+         |ORDER BY topic_id, term_id""".stripMargin,
+    "sim04_label_centroids" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |flat AS (SELECT label, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x FROM e),
+         |cpos AS (SELECT label, pos, AVG(x) AS c FROM flat GROUP BY 1, 2),
+         |cent AS (SELECT label, LIST(c ORDER BY pos) AS centroid FROM cpos GROUP BY label),
+         |j AS (SELECT e.label, ${dkCos("e.v", "centroid")} AS cos
+         |      FROM e JOIN cent ON e.label = cent.label)
+         |SELECT label, COUNT(*) AS n_vectors, ROUND(AVG(cos), 4) AS avg_cos,
+         |  ROUND(MIN(cos), 4) AS min_cos, ROUND(MAX(cos), 4) AS max_cos
+         |FROM j GROUP BY label
+         |ORDER BY label""".stripMargin
   )
 }

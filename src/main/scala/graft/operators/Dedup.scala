@@ -1,0 +1,257 @@
+package graft.operators
+
+import graft.catalog.Lake
+import graft.functions.{hashing, text}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for training-data pipelines: exact, blocked
+  * n-gram Jaccard, MinHash+LSH, and SimHash near-dup detection.
+  *
+  * Reference analog: per-DOI dedup in materialize_fulltext.py:87-118
+  * is the "exact key" case; the near-dup operators extend it to the
+  * fuzzy-content case a 100 TB pretraining corpus needs.
+  *
+  * Scale design: nothing here is O(n²) over the corpus. Candidate
+  * generation is equi-join based (length blocks, LSH band buckets,
+  * hamming bands); the quadratic exact check runs only inside small
+  * candidate buckets. All signatures are computed map-side in a single
+  * pass.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on the order-insensitive bag-of-words
+    * fingerprint: hash-groupBy, keep groups of size > 1. */
+  def dedup01Exact(lake: Lake): DataFrame =
+    lake.documents
+      .select(col("doc_id"), text.bagFingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min("doc_id").as("canonical_id"),
+        max("doc_id").as("max_id")
+      )
+      .filter(col("n_dups") > 1)
+      .orderBy("fp")
+
+  /** Exact dedup keeping the canonical (min doc_id) row per group —
+    * the "surviving corpus" after exact dedup. */
+  def dedup02KeepCanonical(lake: Lake): DataFrame =
+    lake.documents
+      .select(
+        col("doc_id"),
+        text.bagFingerprint(col("text")).as("fp"),
+        col("source"),
+        col("n_chars")
+      )
+      .groupBy("fp")
+      .agg(
+        min("doc_id").as("doc_id"),
+        count(lit(1)).as("group_size")
+      )
+      .select("doc_id", "fp", "group_size")
+      .orderBy("doc_id")
+
+  /** Exact word-trigram Jaccard near-dup pairs with length blocking.
+    *
+    * Blocking: |n_chars(a) - n_chars(b)| <= 40, implemented as an
+    * equi-join on length buckets (width 40, probe side expanded to
+    * bucket-1/bucket/bucket+1) — a superset of the predicate — then
+    * the exact distance + Jaccard filters. Equivalent to the naive
+    * O(n²) range join but shuffle-partitionable at scale. */
+  def dedup03NgramJaccard(
+      lake: Lake,
+      threshold: Double = 0.5,
+      lenWindow: Int = 40
+  ): DataFrame = {
+    val docs = lake.documents.select(
+      col("doc_id"),
+      col("n_chars"),
+      text.wordShingles(text.tokens(col("text")), 3).as("sh")
+    )
+    val right = docs
+      .withColumn("bucket", floor(col("n_chars") / lenWindow))
+      .select(
+        col("doc_id").as("doc_b"),
+        col("n_chars").as("chars_b"),
+        col("sh").as("sh_b"),
+        col("bucket")
+      )
+    val left = docs
+      .withColumn(
+        "bucket",
+        explode(
+          array(
+            floor(col("n_chars") / lenWindow) - 1,
+            floor(col("n_chars") / lenWindow),
+            floor(col("n_chars") / lenWindow) + 1
+          )
+        )
+      )
+      .select(
+        col("doc_id").as("doc_a"),
+        col("n_chars").as("chars_a"),
+        col("sh").as("sh_a"),
+        col("bucket")
+      )
+    val jac =
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    left
+      .join(right, Seq("bucket"))
+      .filter(
+        col("doc_a") < col("doc_b") &&
+          abs(col("chars_a") - col("chars_b")) <= lenWindow
+      )
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash + LSH banded near-dup detection with exact verification.
+    *
+    * 128 permutations, 64 bands x 2 rows: P[candidate | J=0.5] =
+    * 1-(1-0.25)^64 ≈ 1 - 1e-8 — so after the exact-Jaccard verify
+    * step the output equals the exhaustive pairwise result (which is
+    * what the DuckDB oracle computes) with near-certainty, while
+    * candidate generation stays linear: |docs| x 64 band rows
+    * shuffled by bucket, pairs enumerated only within buckets. */
+  def dedup04MinhashLsh(
+      lake: Lake,
+      threshold: Double = 0.5,
+      numPerm: Int = 128,
+      bands: Int = 64
+  ): DataFrame = {
+    val rows = numPerm / bands
+    val docs = lake.documents
+      .select(
+        col("doc_id"),
+        array_distinct(text.wordShingles(text.tokens(col("text")), 3)).as("sh")
+      )
+      .filter(size(col("sh")) > 0)
+    val sigs = docs.select(
+      col("doc_id"),
+      col("sh"),
+      hashing.minhashSignature(col("sh"), numPerm).as("sig")
+    )
+    val bandRows = sigs
+      .select(
+        col("doc_id"),
+        explode(hashing.bandKeys(col("sig"), bands, rows)).as("bk")
+      )
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val candidates = bandRows
+      .join(
+        bandRows.select(
+          col("doc_id").as("doc_b"),
+          col("band"),
+          col("bucket")
+        ),
+        Seq("band", "bucket")
+      )
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val jac =
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+    withSets
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 64-bit sign-vote fingerprint, candidate
+    * pairs from 16-bit hamming bands, verified hamming <= maxHamming.
+    * [rows-only: bit-mixing isn't expressible in the DuckDB oracle]
+    */
+  def dedup05Simhash(lake: Lake, maxHamming: Int = 6): DataFrame = {
+    val toks = lake.documents
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
+      .withColumn("h", hashing.simhashTokenBits(col("tok")))
+    // 64 sign-votes -> one long fingerprint, built in a single groupBy.
+    val votes = (0 until 64).map { j =>
+      sum(
+        when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)
+      ).as(s"v$j")
+    }
+    val fp = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val sims = toks
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+    // Hamming bands: 4 x 16 bits; near-dup pairs share >= 1 full band
+    // whenever hamming <= 3x16-boundary pigeonhole holds (h <= 3 bands
+    // differ). For maxHamming <= 15 this has recall 1 only when the
+    // differing bits hit <= 3 bands; with small maxHamming it is
+    // near-exhaustive in practice.
+    val banded = sims.select(
+      col("doc_id"),
+      col("simhash"),
+      explode(
+        array((0 until 4).map { b =>
+          struct(
+            lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xffffL)).as("key")
+          )
+        }: _*)
+      ).as("bk")
+    )
+    val l = banded.select(
+      col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"),
+      col("bk.band").as("band"),
+      col("bk.key").as("key")
+    )
+    val r = banded.select(
+      col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"),
+      col("bk.band").as("band"),
+      col("bk.key").as("key")
+    )
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+          .as("hamming")
+      )
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup pairs within a label block (cosine >= t). */
+  def dedup06EmbeddingNearDup(lake: Lake, threshold: Double = 0.4): DataFrame = {
+    import graft.functions.vectors
+    val e = lake.embeddings.select(
+      col("vec_id"),
+      col("label"),
+      vectors.toDouble(col("embedding")).as("v")
+    )
+    val a = e.select(
+      col("vec_id").as("vec_a"),
+      col("label"),
+      col("v").as("va")
+    )
+    val b = e.select(
+      col("vec_id").as("vec_b"),
+      col("label"),
+      col("v").as("vb")
+    )
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(vectors.cosine(col("va"), col("vb")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.catalog.Lake
+import graft.operators.{Dedup, Similarity}
+import org.scalatest.funsuite.AnyFunSuite
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val lake = Lake(spark, sfDir)
+
+  test("minhash LSH finds exactly the exhaustive-Jaccard pairs") {
+    val lsh = Dedup
+      .dedup04MinhashLsh(lake)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val exact = Dedup
+      .dedup03NgramJaccard(lake, lenWindow = 1000000)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("simhash banding finds most true near-dup pairs") {
+    val near = Dedup
+      .dedup03NgramJaccard(lake, threshold = 0.9)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val sim = Dedup
+      .dedup05Simhash(lake)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (near & sim).size.toDouble / near.size
+    assert(recall >= 0.8, s"simhash recall $recall too low")
+  }
+
+  test("LSH ANN recall vs brute force is usable on uniform data") {
+    val bf = Similarity
+      .sim01TopKBruteForce(lake)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val ann = Similarity
+      .sim03LshAnn(lake)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (bf & ann).size.toDouble / bf.size
+    info(s"LSH ANN recall = $recall")
+    assert(recall >= 0.25, s"ANN recall $recall below floor")
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.dedup06EmbeddingNearDup(lake).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(3) >= 0.4)
+    }
+  }
+}
