@@ -59,7 +59,14 @@ object SparkEntry {
     "sim01_topk_bruteforce" -> q(Similarity.sim01TopKBruteForce(_)),
     "sim02_threshold_join" -> q(Similarity.sim02ThresholdJoin(_)),
     "sim03_lsh_ann" -> q(Similarity.sim03LshAnn(_)),
-    "sim04_label_centroids" -> q(Similarity.sim04LabelCentroids)
+    "sim04_label_centroids" -> q(Similarity.sim04LabelCentroids),
+    "evt01_windowed_counts" -> q(Events.evt01WindowedCounts),
+    "evt02_sessionization" -> q(Events.evt02Sessionization(_)),
+    "evt03_json_extract" -> q(Events.evt03JsonExtract),
+    "evt04_funnel" -> q(Events.evt04Funnel),
+    "graph01_hierarchy_rollup" -> q(Graph.graph01HierarchyRollup),
+    "graph02_transitive_closure" -> q(Graph.graph02TransitiveClosure),
+    "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta)
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -431,6 +438,71 @@ object SparkEntry {
          |SELECT label, COUNT(*) AS n_vectors, ROUND(AVG(cos), 4) AS avg_cos,
          |  ROUND(MIN(cos), 4) AS min_cos, ROUND(MAX(cos), 4) AS max_cos
          |FROM j GROUP BY label
-         |ORDER BY label""".stripMargin
+         |ORDER BY label""".stripMargin,
+    "evt01_windowed_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
+    "evt02_sessionization" ->
+      """WITH x AS (
+        |  SELECT event_id, ts, user_id,
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (SELECT event_id, ts, user_id,
+        |  CASE WHEN prev IS NULL OR epoch_ms(ts) - epoch_ms(prev) > 1800000
+        |       THEN 1 ELSE 0 END AS is_new FROM x),
+        |s AS (SELECT user_id, ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        |  FROM m)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  ROUND(CAST(epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)) AS DOUBLE) / 1000.0, 4)
+        |    AS duration_secs
+        |FROM s
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "evt03_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "evt04_funnel" ->
+      """SELECT * FROM (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM events GROUP BY user_id) t
+        |WHERE first_view IS NOT NULL AND first_click IS NOT NULL
+        |  AND first_purchase IS NOT NULL
+        |  AND first_view < first_click AND first_click < first_purchase
+        |ORDER BY user_id""".stripMargin,
+    "graph01_hierarchy_rollup" ->
+      """SELECT r_name || ' > ' || n_name AS path, r_name, n_name,
+        |  COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 4) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY path""".stripMargin,
+    "graph02_transitive_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS src,
+        |    CAST((n_nationkey * 2 + 7) % 25 AS BIGINT) AS dst
+        |  FROM nation),
+        |r AS (
+        |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM edges
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN edges e ON r.dst = e.src
+        |  WHERE r.hops < 4)
+        |SELECT src, dst, MIN(hops) AS min_hops
+        |FROM r GROUP BY src, dst
+        |ORDER BY src, dst""".stripMargin
   )
 }

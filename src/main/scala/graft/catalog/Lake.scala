@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
 
 /** Catalog over a directory of parquet tables — the Spark-native analog
   * of the reference's view-only DuckDB file (reference:
@@ -34,10 +34,10 @@ final case class Lake(spark: SparkSession, dir: String) {
     * same truncation DuckDB applies when it loads ns timestamps. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn(
-      "ts",
-      timestamp_micros((col("ts") / 1000L).cast("long"))
-    )
+    // `ts div 1000`, NOT `ts / 1000`: Column./ is double division and
+    // 19-digit nano values exceed double's 2^53 mantissa — the float
+    // round-trip shifts timestamps by up to a microsecond.
+    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")

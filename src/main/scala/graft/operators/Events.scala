@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.catalog.Lake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event analytics over the events stream table — the batch halves of
+  * the streaming pipelines in graft.streaming (identical semantics,
+  * which is what makes them oracle-checkable).
+  *
+  * Reference analog: the vignettes' temporal aggregations
+  * (retractions-by-year, patent-citations-by-year) generalized to
+  * event-time windows, sessions, and funnels; JSON prop extraction
+  * mirrors the reference's JSONL ingestion (convert_*.py).
+  */
+object Events {
+
+  /** Tumbling 1h event-time windows per event type. In streaming form
+    * this is `withWatermark + window` (EventStreams.windowedCounts);
+    * grouping on the truncated hour keeps partial aggregation and the
+    * shuffle carries only |windows x types| rows. */
+  def evt01WindowedCounts(lake: Lake): DataFrame =
+    lake.events
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value")
+      )
+      .orderBy("window_start", "event_type")
+
+  /** Gap-based sessionization (30 min): lag + running sum of
+    * session-start markers, all inside one per-user window partition.
+    * The streaming twin is flatMapGroupsWithState
+    * (EventStreams.sessionize). */
+  def evt02Sessionization(lake: Lake, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapMs = gapMinutes * 60000L
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val isNew = when(
+      prevTs.isNull ||
+        (unix_millis(col("ts")) - unix_millis(prevTs)) > gapMs,
+      1L
+    ).otherwise(0L)
+    lake.events
+      .withColumn("session_id", sum(isNew).over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        round(
+          (unix_millis(max("ts")) - unix_millis(min("ts"))).cast("double") /
+            1000.0,
+          4
+        ).as("duration_secs")
+      )
+      .orderBy("user_id", "session_id")
+  }
+
+  /** JSON property extraction + aggregation (ingestion analog). */
+  def evt03JsonExtract(lake: Lake): DataFrame =
+    lake.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k")
+      )
+      .orderBy("event_type")
+
+  /** Ordered funnel: users whose first view precedes their first
+    * click precedes their first purchase. */
+  def evt04Funnel(lake: Lake): DataFrame =
+    lake.events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase")
+      )
+      .filter(
+        col("first_view").isNotNull &&
+          col("first_click").isNotNull &&
+          col("first_purchase").isNotNull &&
+          col("first_view") < col("first_click") &&
+          col("first_click") < col("first_purchase")
+      )
+      .orderBy("user_id")
+}

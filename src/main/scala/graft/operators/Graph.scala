@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.catalog.Lake
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Hierarchy / graph operators — the reference's ontology-hierarchy
+  * surface (4-level OpenAlex topic rollups, ontology parent-child
+  * traversal in sparql_query.py) re-expressed as joins + an
+  * iterative fixpoint loop.
+  *
+  * Scale notes: rollups are broadcast-dim joins; the closure loop is
+  * hop-bounded BFS where each iteration is one equi-join shuffled on
+  * the frontier key — the standard distributed pattern (no recursion
+  * in the engine, the driver only orchestrates plan construction).
+  */
+object Graph {
+
+  /** Child -> parent -> grandparent rollup with a path label
+    * (topic -> subfield -> field style). */
+  def graph01HierarchyRollup(lake: Lake): DataFrame =
+    lake.customer
+      .join(broadcast(lake.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(lake.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(
+        concat(col("r_name"), lit(" > "), col("n_name")).as("path"),
+        col("r_name"),
+        col("n_name")
+      )
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 4).as("total_acctbal")
+      )
+      .orderBy("path")
+
+  /** Generic hop-bounded transitive closure: (src, dst, min_hops)
+    * pairs reachable in <= maxHops. Each iteration joins the frontier
+    * to the edge list; termination is the hop bound (cycle-safe). */
+  def transitiveClosure(edges: DataFrame, maxHops: Int): DataFrame = {
+    // edges: (src: long, dst: long)
+    var frontier = edges.select(
+      col("src"),
+      col("dst"),
+      lit(1L).as("hops")
+    )
+    var all = frontier
+    for (h <- 2 to maxHops) {
+      frontier = frontier
+        .join(
+          edges.select(col("src").as("mid"), col("dst").as("next")),
+          col("dst") === col("mid")
+        )
+        .select(col("src"), col("next").as("dst"), lit(h.toLong).as("hops"))
+        .distinct()
+      all = all.unionAll(frontier)
+    }
+    all.groupBy("src", "dst").agg(min("hops").as("min_hops"))
+  }
+
+  /** Closure demo over a deterministic synthetic edge list derived
+    * from nation keys (src -> (2*src+7) mod 25) — the recursive-CTE
+    * analog, hop-bounded at 4. */
+  def graph02TransitiveClosure(lake: Lake): DataFrame = {
+    val edges = lake.nation.select(
+      col("n_nationkey").cast("long").as("src"),
+      pmod(col("n_nationkey") * 2 + 7, lit(25)).cast("long").as("dst")
+    )
+    transitiveClosure(edges, 4).orderBy("src", "dst")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events schema — the
+  * streaming twins of graft.operators.Events (identical semantics,
+  * verified against the batch forms in StreamingSpec).
+  *
+  * At scale: watermarks bound state; the windowed aggregation state is
+  * |windows x types|; session state is one small object per active
+  * user key, dropped on event-time timeout.
+  */
+object EventStreams extends Serializable {
+
+  /** Tumbling 1h windowed counts with a 2h watermark —
+    * streaming form of Events.evt01WindowedCounts. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("window_start"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value")
+      )
+
+  /** Instant keeps microsecond precision through the Encoder —
+    * java.sql.Timestamp.getTime would floor to milliseconds and
+    * diverge from the batch operator. */
+  case class Evt(event_id: Long, ts: Instant, user_id: Long,
+                 event_type: String, value: Double)
+
+  /** start/last are epoch MICROS. */
+  case class SessionState(start: Long, last: Long, n: Long)
+
+  case class Session(user_id: Long, session_start: Instant,
+                     session_end: Instant, n_events: Long,
+                     duration_secs: Double)
+
+  private def micros(i: Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  private def instant(us: Long): Instant =
+    Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L) * 1000L)
+
+  /** Gap-based sessionization via flatMapGroupsWithState with
+    * event-time timeout — streaming form of Events.evt02Sessionization.
+    * Emits a session when the gap elapses (timeout) or a new event
+    * arrives past the gap. Gap decisions use millisecond floors,
+    * matching the batch operator's unix_millis arithmetic. */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def finish(userId: Long, s: SessionState): Session =
+      Session(
+        userId,
+        instant(s.start),
+        instant(s.last),
+        s.n,
+        (s.last / 1000L - s.start / 1000L) / 1000.0
+      )
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout
+      ) { (userId: Long, rows: Iterator[Evt], state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(finish(userId, _))
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = micros(e.ts)
+            cur match {
+              case Some(s) if t / 1000L - s.last / 1000L <= gapMs =>
+                cur = Some(s.copy(last = t, n = s.n + 1))
+              case Some(s) =>
+                closed += finish(userId, s)
+                cur = Some(SessionState(t, t, 1))
+              case None =>
+                cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last / 1000L + gapMs)
+          }
+          closed.iterator
+        }
+      }
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.catalog.Lake
+import graft.operators.Events
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val lake = Lake(spark, sfDir)
+
+  test("streaming windowed counts match the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = lake.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Evt]
+      .collect()
+      .toSeq
+
+    val stream = MemoryStream[EventStreams.Evt]
+    stream.addData(evts)
+    val query = EventStreams
+      .windowedCounts(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("complete")
+      .start()
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark
+      .sql("SELECT * FROM win_counts")
+      .orderBy("window_start", "event_type")
+      .collect()
+      .map(_.toSeq)
+    val batch = Events.evt01WindowedCounts(lake).collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming sessionization matches the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = lake.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Evt]
+      .collect()
+      .sortBy(e => e.ts.toEpochMilli)
+      .toSeq
+
+    val stream = MemoryStream[EventStreams.Evt]
+    stream.addData(evts)
+    val query = EventStreams
+      .sessionize(stream.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("append")
+      .start()
+    query.processAllAvailable()
+    // push watermark past the last session so it closes
+    val last = evts.map(_.ts.toEpochMilli).max
+    stream.addData(
+      EventStreams.Evt(999999L,
+        java.time.Instant.ofEpochMilli(last + 24L * 3600 * 1000),
+        -1L, "flush", 0.0)
+    )
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark
+      .sql("SELECT user_id, session_start, session_end, n_events FROM sessions WHERE user_id >= 0")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(_.toSeq)
+    val batch = Events
+      .evt02Sessionization(lake)
+      .select("user_id", "session_start", "session_end", "n_events")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
