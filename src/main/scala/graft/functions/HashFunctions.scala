@@ -28,19 +28,15 @@ object hashing {
   def tokenHash(t: Column): Column = pmod(xxhash64(t), lit(P))
 
   /** MinHash signature (array of numPerm longs) over a token-set
-    * column. One pass builds the base hashes; each permutation is an
-    * affine map + array_min — all inside whole-stage codegen, no
-    * shuffle, linear in corpus size (the scale path vs naive O(n²)
-    * pairwise Jaccard). */
+    * column. One pass builds the base hashes; all numPerm affine
+    * permutation minima are computed by the fused
+    * graft.plans.MinHashSig expression (single pass, no per-perm
+    * array allocation) — no shuffle, linear in corpus size (the scale
+    * path vs naive O(n²) pairwise Jaccard). */
   def minhashSignature(tokenSet: Column, numPerm: Int): Column = {
-    val base = transform(tokenSet, tokenHash(_))
-    array(
-      (0 until numPerm).map { i =>
-        val a = coef(i, 0x5DEECE66DL)
-        val b = coef(i, 0x2545F4914F6CDD1DL)
-        array_min(transform(base, h => pmod(h * a + b, lit(P))))
-      }: _*
-    )
+    val as = (0 until numPerm).map(coef(_, 0x5DEECE66DL)).toArray
+    val bs = (0 until numPerm).map(coef(_, 0x2545F4914F6CDD1DL)).toArray
+    graft.plans.MinHashSig(transform(tokenSet, tokenHash(_)), numPerm, P, as, bs)
   }
 
   /** LSH band keys: hash each r-row slice of the signature into one

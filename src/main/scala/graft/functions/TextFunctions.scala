@@ -37,17 +37,24 @@ object text {
     md5(concat_ws(" ", array_sort(array_distinct(tokens(c)))))
 
   /** Word n-gram shingles (order-sensitive), distinct. Documents with
-    * fewer than n tokens yield an empty shingle set. */
-  def wordShingles(toks: Column, n: Int): Column =
-    when(
-      size(toks) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)
-        )
-      )
-    ).otherwise(array().cast("array<string>"))
+    * fewer than n tokens yield an empty shingle set.
+    *
+    * Built from slice + zip_with rather than
+    * `transform(sequence, i => element_at(toks, i+k))`: element_at
+    * inside a lambda re-evaluates the (tokenization) child expression
+    * once PER ELEMENT after projection collapse — measured 10x+
+    * slowdown on real corpora. slice evaluates the child once per
+    * row. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    require(n >= 2, "shingle order must be >= 2")
+    val m = size(toks) - (n - 1) // number of shingles
+    val shifted = (0 until n).map(k => slice(toks, lit(k + 1), m))
+    val joined = shifted.reduce((a, b) =>
+      zip_with(a, b, (x, y) => concat(x, lit(" "), y))
+    )
+    when(size(toks) >= n, array_distinct(joined))
+      .otherwise(array().cast("array<string>"))
+  }
 
   /** How many tokens fall in `words` (stopword/marker counting). */
   def markerCount(toks: Column, words: Seq[String]): Column =

@@ -17,9 +17,12 @@ object vectors {
   /** Cast an array<float> to array<double> (all math in f64). */
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential-fold dot product in double. */
+  /** Sequential-fold dot product in double — a fused-loop native
+    * Catalyst expression (graft.plans.VectorDot); bit-identical to
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but with no
+    * intermediate array allocation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+    graft.plans.VectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -52,13 +52,17 @@ object Dedup {
       .select("doc_id", "fp", "group_size")
       .orderBy("doc_id")
 
-  /** Exact word-trigram Jaccard near-dup pairs with length blocking.
-    *
-    * Blocking: |n_chars(a) - n_chars(b)| <= 40, implemented as an
-    * equi-join on length buckets (width 40, probe side expanded to
-    * bucket-1/bucket/bucket+1) — a superset of the predicate — then
-    * the exact distance + Jaccard filters. Equivalent to the naive
-    * O(n²) range join but shuffle-partitionable at scale. */
+  /** Exact word-trigram Jaccard near-dup pairs with length blocking
+    * (|n_chars(a) - n_chars(b)| <= lenWindow), via a shingle inverted
+    * index: explode (shingle_hash, doc), self-join on the shingle,
+    * count co-occurrences per pair. The join carries only narrow
+    * (doc_id, n_chars, set_size) rows — never shingle arrays — and
+    * its volume is sum(df²) over shingles, which is near-linear while
+    * shingle document frequencies stay bounded (at 100 TB, cap df by
+    * dropping boilerplate shingles or fall back to MinHash-LSH,
+    * dedup04). Pairs sharing zero shingles have Jaccard 0 and are
+    * below any useful threshold, so counting co-occurring pairs only
+    * is exact. */
   def dedup03NgramJaccard(
       lake: Lake,
       threshold: Double = 0.5,
@@ -67,43 +71,44 @@ object Dedup {
     val docs = lake.documents.select(
       col("doc_id"),
       col("n_chars"),
-      text.wordShingles(text.tokens(col("text")), 3).as("sh")
+      graft.plans.ShingleHashes(col("text"), 3).as("sh")
     )
-    val right = docs
-      .withColumn("bucket", floor(col("n_chars") / lenWindow))
+    val index = docs
       .select(
-        col("doc_id").as("doc_b"),
-        col("n_chars").as("chars_b"),
-        col("sh").as("sh_b"),
-        col("bucket")
+        col("doc_id"),
+        col("n_chars"),
+        size(col("sh")).as("nsh"),
+        explode(col("sh")).as("s")
       )
-    val left = docs
+    val coocc = index
+      .join(
+        index.select(
+          col("doc_id").as("doc_b"),
+          col("n_chars").as("chars_b"),
+          col("nsh").as("nsh_b"),
+          col("s")
+        ),
+        Seq("s")
+      )
+      .filter(
+        col("doc_id") < col("doc_b") &&
+          abs(col("n_chars") - col("chars_b")) <= lenWindow
+      )
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("ic"),
+        first(col("nsh")).as("na"),
+        first(col("nsh_b")).as("nb")
+      )
+    coocc
       .withColumn(
-        "bucket",
-        explode(
-          array(
-            floor(col("n_chars") / lenWindow) - 1,
-            floor(col("n_chars") / lenWindow),
-            floor(col("n_chars") / lenWindow) + 1
-          )
+        "jaccard",
+        round(
+          col("ic").cast("double") /
+            (col("na") + col("nb") - col("ic")).cast("double"),
+          4
         )
       )
-      .select(
-        col("doc_id").as("doc_a"),
-        col("n_chars").as("chars_a"),
-        col("sh").as("sh_a"),
-        col("bucket")
-      )
-    val jac =
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
-    left
-      .join(right, Seq("bucket"))
-      .filter(
-        col("doc_a") < col("doc_b") &&
-          abs(col("chars_a") - col("chars_b")) <= lenWindow
-      )
-      .withColumn("jaccard", round(jac, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -124,15 +129,18 @@ object Dedup {
       bands: Int = 64
   ): DataFrame = {
     val rows = numPerm / bands
+    // Cache the per-doc shingle sets and band rows: both feed two
+    // branches of a self-join, and without persistence Spark would
+    // recompute the full shingle+signature pipeline once per branch.
     val docs = lake.documents
       .select(
         col("doc_id"),
-        array_distinct(text.wordShingles(text.tokens(col("text")), 3)).as("sh")
+        graft.plans.ShingleHashes(col("text"), 3).as("sh")
       )
       .filter(size(col("sh")) > 0)
+      .cache()
     val sigs = docs.select(
       col("doc_id"),
-      col("sh"),
       hashing.minhashSignature(col("sh"), numPerm).as("sig")
     )
     val bandRows = sigs
@@ -141,6 +149,7 @@ object Dedup {
         explode(hashing.bandKeys(col("sig"), bands, rows)).as("bk")
       )
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .cache()
     val candidates = bandRows
       .join(
         bandRows.select(
@@ -156,9 +165,10 @@ object Dedup {
     val withSets = candidates
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val ic = graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b"))
     val jac =
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double")
+      ic.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - ic).cast("double")
     withSets
       .withColumn("jaccard", round(jac, 4))
       .filter(col("jaccard") >= threshold)
@@ -236,20 +246,25 @@ object Dedup {
       col("vec_id"),
       col("label"),
       vectors.toDouble(col("embedding")).as("v")
-    )
+    ).withColumn("nrm", vectors.norm(col("v")))
     val a = e.select(
       col("vec_id").as("vec_a"),
       col("label"),
-      col("v").as("va")
+      col("v").as("va"),
+      col("nrm").as("na")
     )
     val b = e.select(
       col("vec_id").as("vec_b"),
       col("label"),
-      col("v").as("vb")
+      col("v").as("vb"),
+      col("nrm").as("nb")
     )
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(vectors.cosine(col("va"), col("vb")), 4))
+      .withColumn(
+        "cos",
+        round(vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+      )
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
       .orderBy("vec_a", "vec_b")

@@ -19,12 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Base projection with the L2 norm computed once per vector (not
+    * once per compared pair): cos(a,b) = dot(a,b)/(nrm_a*nrm_b) keeps
+    * the exact arithmetic of vectors.cosine while cutting the inner
+    * loop from 3 dot products to 1. */
   private def vecs(lake: Lake): DataFrame =
     lake.embeddings.select(
       col("vec_id"),
       col("label"),
       vectors.toDouble(col("embedding")).as("v")
-    )
+    ).withColumn("nrm", vectors.norm(col("v")))
 
   /** Exact cosine top-k for a set of query vectors (vec_id < nQueries),
     * brute force with a broadcast query side. */
@@ -32,13 +36,16 @@ object Similarity {
     val all = vecs(lake)
     val queries = all
       .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     val w = Window
       .partitionBy("query_id")
       .orderBy(col("cos_raw").desc, col("vec_id"))
     all
       .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos_raw", vectors.cosine(col("qv"), col("v")))
+      .withColumn(
+        "cos_raw",
+        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+      )
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(
@@ -57,13 +64,16 @@ object Similarity {
     val all = vecs(lake)
     val topics = all
       .filter(col("label") < 2)
-      .select(col("vec_id").as("topic_id"), col("v").as("tv"))
+      .select(col("vec_id").as("topic_id"), col("v").as("tv"), col("nrm").as("tnrm"))
     val terms = all
       .filter(col("label") >= 2)
-      .select(col("vec_id").as("term_id"), col("v").as("mv"))
+      .select(col("vec_id").as("term_id"), col("v").as("mv"), col("nrm").as("mnrm"))
     terms
       .join(broadcast(topics), lit(true))
-      .withColumn("cos", round(vectors.cosine(col("tv"), col("mv")), 4))
+      .withColumn(
+        "cos",
+        round(vectors.dot(col("tv"), col("mv")) / (col("tnrm") * col("mnrm")), 4)
+      )
       .filter(col("cos") >= threshold)
       .select("topic_id", "term_id", "cos")
       .orderBy("topic_id", "term_id")
@@ -125,6 +135,9 @@ object Similarity {
         ): _*)
       ).as("tb")
     ).select(col("vec_id"), col("v"), col("tb.table").as("tbl"), col("tb.sig").as("sig"))
+      // both the query side and the candidate side read this frame;
+      // caching avoids re-running the 2048-term signature expression
+      .cache()
 
     val queries = buckets
       .filter(col("vec_id") < nQueries)
