@@ -1,0 +1,61 @@
+package graft
+
+import graft.catalog.Lake
+import graft.operators._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions: the properties that make these operators
+  * survive a 100x scale-up. A regression here (a lost pushdown, a
+  * dim join degrading to shuffle, an accidental cartesian product)
+  * is a performance bug even while results stay correct.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val lake = Lake(spark, sfDir)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q01: range filter is pushed to the parquet scan") {
+    val p = plan(Relational.q01PricingSummary(lake))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("q06: all predicates pushed, projection pruned") {
+    val p = plan(Relational.q06RevenueForecast(lake))
+    assert(p.contains("PushedFilters:") && p.contains("l_discount"), p)
+    // projection pruning: untouched wide columns must not be read
+    assert(!p.contains("l_returnflag"), p)
+  }
+
+  test("q05: every dimension joins as broadcast, facts shuffle once") {
+    val p = plan(Relational.q05RegionVolume(lake))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$p")
+  }
+
+  test("dedup03: no cartesian/nested-loop join anywhere") {
+    val p = plan(Dedup.dedup03NgramJaccard(lake))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("dedup04: candidate generation is equi-join based") {
+    val p = plan(Dedup.dedup04MinhashLsh(lake))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim01: query side is broadcast, corpus is not shuffled") {
+    val p = plan(Similarity.sim01TopKBruteForce(lake))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("whole-stage codegen covers the q01 aggregate") {
+    // AQE plans materialize codegen stages only once executed
+    val df = Relational.q01PricingSummary(lake)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen stages print as "*(n) Operator" in the executed plan
+    assert(p.contains("*(1)") && p.contains("*(2) HashAggregate"), p)
+  }
+}
