@@ -102,42 +102,43 @@ object Similarity {
     val all = vecs(lake)
 
     // Deterministic pseudo-random hyperplanes: component (t, b, d) is
-    // a splitmix64-derived value in [-1, 1).
-    def plane(t: Int, b: Int): Seq[Double] = (0 until dim).map { d =>
-      var z = (t.toLong * 1000003L + b.toLong * 10007L + d.toLong + 1L) *
-        0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-    }
+    // a splitmix64-derived value in [-1, 1). Precomputed once on the
+    // driver and captured by the partition mapper — an expression-tree
+    // formulation here would be a (tables x nBits x dim)-term codegen
+    // unit whose Janino compile alone costs seconds.
+    val planes: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, nBits, dim) { (t, b, d) =>
+        var z = (t.toLong * 1000003L + b.toLong * 10007L + d.toLong + 1L) *
+          0x9e3779b97f4a7c15L
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
 
-    // Signature for table t: nBits sign bits packed into an int.
-    def signature(t: Int, v: org.apache.spark.sql.Column) =
-      (0 until nBits)
-        .map { b =>
-          val proj = (0 until dim)
-            .map(d => element_at(v, d + 1) * lit(plane(t, b)(d)))
-            .reduce(_ + _)
-          when(proj >= 0, lit(1 << b)).otherwise(lit(0))
+    val spark = lake.spark
+    import spark.implicits._
+    val nb = nBits
+    val buckets = all
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, v) =>
+          (0 until planes.length).iterator.map { t =>
+            var sig = 0
+            var b = 0
+            while (b < nb) {
+              val p = planes(t)(b)
+              var proj = 0.0
+              var d = 0
+              while (d < p.length) { proj += v(d) * p(d); d += 1 }
+              if (proj >= 0) sig |= (1 << b)
+              b += 1
+            }
+            (id, v, t, sig)
+          }
         }
-        .reduce(_ + _)
-
-    val withSigs = all.select(
-      col("vec_id") +: col("v") +:
-        (0 until tables).map(t => signature(t, col("v")).as(s"sig$t")): _*
-    )
-    val buckets = withSigs.select(
-      col("vec_id"),
-      col("v"),
-      explode(
-        array((0 until tables).map(t =>
-          struct(lit(t).as("table"), col(s"sig$t").as("sig"))
-        ): _*)
-      ).as("tb")
-    ).select(col("vec_id"), col("v"), col("tb.table").as("tbl"), col("tb.sig").as("sig"))
-      // both the query side and the candidate side read this frame;
-      // caching avoids re-running the 2048-term signature expression
-      .cache()
+      }
+      .toDF("vec_id", "v", "tbl", "sig")
 
     val queries = buckets
       .filter(col("vec_id") < nQueries)
