@@ -38,6 +38,10 @@ object SparkEntry {
     "rel06_union_entities" -> q(Relational.rel06UnionEntities),
     "rel07_anti_join" -> q(Relational.rel07AntiJoin),
     "rel08_year_trend" -> q(Relational.rel08YearTrend),
+    "rel09_rollup" -> q(Relational.rel09Rollup),
+    "rel10_percentiles" -> q(Relational.rel10Percentiles),
+    "q18_large_orders" -> q(Relational.q18LargeOrders(_)),
+    "evt05_retention" -> q(Events.evt05Retention),
     "xref01_id_map" -> q(Linkage.xref01IdMap),
     "xref02_unified_entities" -> q(Linkage.xref02UnifiedEntities),
     "xref03_coverage_stats" -> q(Linkage.xref03CoverageStats),
@@ -229,6 +233,46 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY order_year""".stripMargin,
+    "rel09_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  ROUND(SUM(c_acctbal), 4) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "rel10_percentiles" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        |  COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING ROUND(SUM(l_quantity), 4) > 300.0)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
+    "evt05_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id, CAST(weekofyear(ts) AS BIGINT) AS week
+        |  FROM events),
+        |nxt AS (SELECT user_id AS u2, week - 1 AS wk FROM weeks)
+        |SELECT week, COUNT(*) AS active_users,
+        |  COUNT(*) FILTER (WHERE u2 IS NOT NULL) AS retained_next_week,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE u2 IS NOT NULL) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 4) AS retention_rate
+        |FROM weeks
+        |LEFT JOIN nxt ON week = wk AND user_id = u2
+        |GROUP BY week
+        |ORDER BY week""".stripMargin,
     "xref01_id_map" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS source, LOWER(REPLACE(c_name, 'Customer#', '')) AS key,

@@ -47,7 +47,11 @@ final case class Lake(spark: SparkSession, dir: String) {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  /** Register every table as a temp view so `spark.sql` works by name. */
+  /** Register every table as a temp view so `spark.sql` works by name.
+    * events goes through the converting accessor (see above). */
   def registerViews(): Unit =
-    tableNames.foreach(n => table(n).createOrReplaceTempView(n))
+    tableNames.foreach {
+      case "events" => events.createOrReplaceTempView("events")
+      case n        => table(n).createOrReplaceTempView(n)
+    }
 }

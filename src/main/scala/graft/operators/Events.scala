@@ -73,6 +73,35 @@ object Events {
       )
       .orderBy("event_type")
 
+  /** Week-over-week retention: distinct active users per week joined
+    * to the following week (cohort-style). */
+  def evt05Retention(lake: Lake): DataFrame = {
+    val weeks = lake.events
+      .select(
+        col("user_id"),
+        weekofyear(col("ts")).cast("long").as("week")
+      )
+      .distinct()
+    // (u2, wk): user u2 was active in week wk+1
+    val next = weeks.select(
+      col("user_id").as("u2"),
+      (col("week") - 1).as("wk")
+    )
+    weeks
+      .join(next, col("week") === col("wk") && col("user_id") === col("u2"), "left")
+      .groupBy("week")
+      .agg(
+        count(lit(1)).as("active_users"),
+        sum(when(col("u2").isNotNull, 1L).otherwise(0L)).as("retained_next_week")
+      )
+      .withColumn(
+        "retention_rate",
+        round(col("retained_next_week").cast("double") /
+          col("active_users").cast("double"), 4)
+      )
+      .orderBy("week")
+  }
+
   /** Ordered funnel: users whose first view precedes their first
     * click precedes their first purchase. */
   def evt04Funnel(lake: Lake): DataFrame =

@@ -255,6 +255,59 @@ object Relational {
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
 
+  /** Hierarchical subtotals via ROLLUP — the multi-level coverage
+    * summary shape (region total -> nation -> grand total). */
+  def rel09Rollup(lake: Lake): DataFrame = {
+    // Expressed through the spark.sql surface (Lake.registerViews):
+    // the DataFrame rollup + orderBy formulation trips the analyzer's
+    // ambiguous-self-join heuristic on the nullable grouping output.
+    lake.registerViews()
+    lake.spark.sql(
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  ROUND(SUM(c_acctbal), 4) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+    )
+  }
+
+  /** Exact interpolated percentiles (DuckDB quantile_cont semantics =
+    * Spark `percentile`). At 100 TB switch to approx_percentile with
+    * a bounded error budget; exact is kept here to oracle-match. */
+  def rel10Percentiles(lake: Lake): DataFrame =
+    lake.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy("o_orderpriority")
+
+  /** TPC-H Q18 shape: large-volume orders via groupBy-HAVING then
+    * join back to customers. */
+  def q18LargeOrders(lake: Lake, minQty: Double = 300.0): DataFrame = {
+    val big = lake.lineitem
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 4).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    big
+      .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(lake.customer), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_custkey"),
+        col("c_name"),
+        col("o_orderkey"),
+        col("o_orderdate"),
+        col("o_totalprice"),
+        col("total_qty")
+      )
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
   /** Year trend with percentage (vignette_1 "fraction of disruptive
     * papers with code by year" shape). */
   def rel08YearTrend(lake: Lake): DataFrame =
