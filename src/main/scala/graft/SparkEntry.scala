@@ -54,6 +54,10 @@ object SparkEntry {
     "txt05_vocab_stats" -> q(TextAnalysis.txt05VocabStats),
     "txt06_top_ngrams" -> q(TextAnalysis.txt06TopNgrams),
     "txt07_exact_label_match" -> q(TextAnalysis.txt07ExactLabelMatch),
+    "txt08_bm25_search" -> q(TextAnalysis.txt08Bm25Search(_)),
+    "txt09_tfidf" -> q(TextAnalysis.txt09TfIdf),
+    "txt10_jaro_winkler" -> q(TextAnalysis.txt10JaroWinkler(_)),
+    "cat01_status" -> q(CatalogOps.cat01Status),
     "dedup01_exact" -> q(Dedup.dedup01Exact),
     "dedup02_keep_canonical" -> q(Dedup.dedup02KeepCanonical),
     "dedup03_ngram_jaccard" -> q(Dedup.dedup03NgramJaccard(_)),
@@ -420,6 +424,67 @@ object SparkEntry {
          |FROM dt JOIN terms ON dt.term = terms.term
          |GROUP BY dt.term
          |ORDER BY dt.term""".stripMargin,
+    "txt08_bm25_search" ->
+      s"""WITH docs AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM docs),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+         |qt AS (SELECT UNNEST(['join','filter','window','stream']) AS term),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, UNNEST(toks) AS term FROM docs) t
+         |  JOIN qt USING (term) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS term_score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats)
+         |SELECT doc_id, ROUND(SUM(term_score), 4) AS bm25
+         |FROM scored GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 20""".stripMargin,
+    "txt09_tfidf" ->
+      s"""WITH docs AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM docs),
+         |terms AS (SELECT UNNEST(['join','scan','filter','sort','merge','hash',
+         |  'window','stream','batch','query']) AS term),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+         |  FROM (SELECT doc_id, UNNEST(toks) AS term FROM docs) t
+         |  JOIN terms USING (term) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |wtd AS (
+         |  SELECT doc_id, term, tf * LN(n_docs / df) AS tfidf_raw,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * LN(n_docs / df) DESC, term) AS rank
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+         |SELECT doc_id, rank, term, ROUND(tfidf_raw, 4) AS tfidf
+         |FROM wtd WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+    "txt10_jaro_winkler" ->
+      """WITH probes AS (SELECT UNNEST(['cold widgets','big bolt','smal widget',
+        |  'larje nut','shiny gear']) AS probe),
+        |scored AS (
+        |  SELECT probe, p_partkey, p_name,
+        |    jaro_winkler_similarity(probe, p_name) AS score_raw
+        |  FROM part CROSS JOIN probes
+        |  WHERE jaro_winkler_similarity(probe, p_name) >= 0.7),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe
+        |    ORDER BY score_raw DESC, p_partkey) AS rank FROM scored)
+        |SELECT probe, p_partkey, p_name AS best_match, ROUND(score_raw, 4) AS score
+        |FROM ranked WHERE rank = 1
+        |ORDER BY probe""".stripMargin,
+    "cat01_status" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+        |  UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        |  UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+        |  UNION ALL SELECT 'events', COUNT(*) FROM events
+        |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'part', COUNT(*) FROM part
+        |  UNION ALL SELECT 'region', COUNT(*) FROM region
+        |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier) t
+        |ORDER BY table_name""".stripMargin,
     "dedup01_exact" ->
       s"""WITH d AS (SELECT doc_id, $dkBagFp AS fp FROM documents)
          |SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id,

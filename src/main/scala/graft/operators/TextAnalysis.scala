@@ -131,4 +131,112 @@ object TextAnalysis {
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .orderBy("term")
   }
+
+  /** BM25 document ranking for a fixed query (k1=1.2, b=0.75) — the
+    * reference's retrieval baseline (run_baseline_comparisons.py:231).
+    * idf and avgdl come from corpus-level aggregates (broadcast, tiny);
+    * per-doc term frequencies are one explode + groupBy — everything
+    * partial-aggregates, nothing is quadratic. */
+  val bm25Query: Seq[String] = Seq("join", "filter", "window", "stream")
+
+  def txt08Bm25Search(lake: Lake, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = lake.documents.select(
+      col("doc_id"),
+      text.tokens(col("text")).as("toks")
+    )
+    val dl = docs.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl")
+    )
+    val queryTerms = lake.spark
+      .createDataFrame(bm25Query.map(Tuple1(_)))
+      .toDF("term")
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(queryTerms), "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    tf.join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn(
+        "idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      )
+      .withColumn(
+        "term_score",
+        col("idf") * col("tf") * (k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+      )
+      .groupBy("doc_id")
+      .agg(round(sum("term_score"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  /** TF-IDF weights of lexicon terms per document, top-3 terms per doc
+    * (run_baseline_comparisons.py:164 TF-IDF baseline shape). */
+  def txt09TfIdf(lake: Lake): DataFrame = {
+    val docs = lake.documents.select(
+      col("doc_id"),
+      text.tokens(col("text")).as("toks")
+    )
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val terms = lake.spark
+      .createDataFrame(lexicon.map(Tuple1(_)))
+      .toDF("term")
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(terms), "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val w = Window
+      .partitionBy("doc_id")
+      .orderBy(col("tfidf_raw").desc, col("term"))
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf_raw", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(
+        col("doc_id"),
+        col("rank").cast("long").as("rank"),
+        col("term"),
+        round(col("tfidf_raw"), 4).as("tfidf")
+      )
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Fuzzy label linkage via the native JaroWinkler expression: each
+    * probe (misspelled label) matched to its best part name above a
+    * 0.7 threshold — the reference's Jaro-Winkler linkage baseline
+    * (run_baseline_comparisons.py:297, keep-best-per-group). */
+  val jwProbes: Seq[String] =
+    Seq("cold widgets", "big bolt", "smal widget", "larje nut", "shiny gear")
+
+  def txt10JaroWinkler(lake: Lake, threshold: Double = 0.7): DataFrame = {
+    val probes = lake.spark
+      .createDataFrame(jwProbes.map(Tuple1(_)))
+      .toDF("probe")
+    val w = Window
+      .partitionBy("probe")
+      .orderBy(col("score_raw").desc, col("p_partkey"))
+    lake.part
+      .select(col("p_partkey"), col("p_name"))
+      .crossJoin(broadcast(probes))
+      .withColumn("score_raw", graft.plans.JaroWinkler(col("probe"), col("p_name")))
+      .filter(col("score_raw") >= threshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(
+        col("probe"),
+        col("p_partkey"),
+        col("p_name").as("best_match"),
+        round(col("score_raw"), 4).as("score")
+      )
+      .orderBy("probe")
+  }
 }
