@@ -57,6 +57,8 @@ object SparkEntry {
     "txt08_bm25_search" -> q(TextAnalysis.txt08Bm25Search(_)),
     "txt09_tfidf" -> q(TextAnalysis.txt09TfIdf),
     "txt10_jaro_winkler" -> q(TextAnalysis.txt10JaroWinkler(_)),
+    "txt11_doc_chunks" -> q(TextAnalysis.txt11DocChunks(_)),
+    "txt12_bpe_tokens" -> q(TextAnalysis.txt12BpeTokens),
     "cat01_status" -> q(CatalogOps.cat01Status),
     "dedup01_exact" -> q(Dedup.dedup01Exact),
     "dedup02_keep_canonical" -> q(Dedup.dedup02KeepCanonical),
@@ -472,6 +474,27 @@ object SparkEntry {
         |SELECT probe, p_partkey, p_name AS best_match, ROUND(score_raw, 4) AS score
         |FROM ranked WHERE rank = 1
         |ORDER BY probe""".stripMargin,
+    "txt11_doc_chunks" ->
+      s"""WITH docs AS (SELECT doc_id, $dkToks AS toks FROM documents),
+         |st AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+         |  UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 40)) AS start
+         |  FROM docs)
+         |SELECT doc_id,
+         |  CAST(start / 40 AS BIGINT) AS chunk_id,
+         |  CAST(start AS BIGINT) AS start_token,
+         |  CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(list_slice(toks, start + 1, start + 50), ' ')) AS chunk_fp
+         |FROM st
+         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "txt12_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($dkToks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+         |    AS n_bpe_tokens,
+         |  ROUND(CAST(len(regexp_extract_all(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+         |    / CAST(len($dkToks) AS DOUBLE), 4) AS bpe_per_word
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
     "cat01_status" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer

@@ -210,6 +210,61 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Overlapping token-window chunking — the pretraining context-
+    * window splitter (chunk size 50 tokens, stride 40). Map-only:
+    * one posexplode per doc, chunk text rebuilt via slice +
+    * concat_ws; at 100 TB this is the embarrassingly parallel
+    * pre-tokenization pass. */
+  def txt11DocChunks(lake: Lake, chunkSize: Int = 50, stride: Int = 40): DataFrame = {
+    val docs = lake.documents.select(
+      col("doc_id"),
+      text.tokens(col("text")).as("toks")
+    )
+    // chunk starts: 0, stride, 2*stride, ... while start < n_tokens
+    docs
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn(
+        "start",
+        explode(
+          sequence(
+            lit(0),
+            greatest((col("n_tokens") - 1), lit(0)),
+            lit(stride)
+          )
+        )
+      )
+      .withColumn("chunk_toks", slice(col("toks"), col("start") + 1, lit(chunkSize)))
+      .select(
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_token"),
+        size(col("chunk_toks")).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", col("chunk_toks"))).as("chunk_fp")
+      )
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Whitespace + BPE-ish regex token counts (letter runs, digit
+    * runs, single punctuation — the pre-BPE pretokenizer shape). */
+  def txt12BpeTokens(lake: Lake): DataFrame = {
+    val bpe = regexp_extract_all(
+      lower(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
+      lit(0)
+    )
+    lake.documents
+      .select(
+        col("doc_id"),
+        text.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        size(bpe).cast("long").as("n_bpe_tokens"),
+        round(
+          size(bpe).cast("double") / text.tokenCount(col("text")).cast("double"),
+          4
+        ).as("bpe_per_word")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy label linkage via the native JaroWinkler expression: each
     * probe (misspelled label) matched to its best part name above a
     * 0.7 threshold — the reference's Jaro-Winkler linkage baseline
