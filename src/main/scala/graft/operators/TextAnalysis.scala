@@ -157,6 +157,8 @@ object TextAnalysis {
       .join(broadcast(queryTerms), "term")
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      // feeds both the df aggregate and the scoring join
+      .cache()
     val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df_), "term")
       .join(dl, "doc_id")
@@ -192,6 +194,8 @@ object TextAnalysis {
       .join(broadcast(terms), "term")
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).cast("double").as("tf"))
+      // feeds both the df aggregate and the scoring join
+      .cache()
     val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val w = Window
       .partitionBy("doc_id")

@@ -30,6 +30,15 @@ object EventStreams extends Serializable {
         round(sum("value"), 4).as("sum_value")
       )
 
+  /** Streaming exact dedup: watermark-bounded dropDuplicates on a
+    * content key — the streaming twin of Dedup.dedup01/02 (state
+    * holds one entry per distinct key inside the watermark horizon,
+    * then ages out). */
+  def dedupEvents(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Instant keeps microsecond precision through the Encoder —
     * java.sql.Timestamp.getTime would floor to milliseconds and
     * diverge from the batch operator. */

@@ -41,6 +41,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming dedup drops duplicate events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = lake.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Evt]
+      .collect()
+      .take(100)
+      .toSeq
+    val withDups = base ++ base.take(30) // replay 30 duplicates
+
+    val stream = MemoryStream[EventStreams.Evt]
+    stream.addData(withDups)
+    val query = EventStreams
+      .dedupEvents(stream.toDF(), Seq("user_id", "event_type", "value"))
+      .writeStream
+      .format("memory")
+      .queryName("deduped")
+      .outputMode("append")
+      .start()
+    query.processAllAvailable()
+    query.stop()
+
+    val n = spark.sql("SELECT count(*) FROM deduped").head().getLong(0)
+    assert(n == base.length, s"expected ${base.length} rows after dedup, got $n")
+  }
+
   test("streaming sessionization matches the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
