@@ -42,6 +42,8 @@ object SparkEntry {
     "rel10_percentiles" -> q(Relational.rel10Percentiles),
     "q18_large_orders" -> q(Relational.q18LargeOrders(_)),
     "evt05_retention" -> q(Events.evt05Retention),
+    "evt06_moving_avg" -> q(Events.evt06MovingAvg),
+    "samp01_stratified" -> q(TextAnalysis.samp01Stratified(_)),
     "xref01_id_map" -> q(Linkage.xref01IdMap),
     "xref02_unified_entities" -> q(Linkage.xref02UnifiedEntities),
     "xref03_coverage_stats" -> q(Linkage.xref03CoverageStats),
@@ -279,6 +281,22 @@ object SparkEntry {
         |LEFT JOIN nxt ON week = wk AND user_id = u2
         |GROUP BY week
         |ORDER BY week""".stripMargin,
+    "evt06_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    ROUND(SUM(value), 4) AS daily_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, daily_value,
+        |  ROUND(AVG(daily_value) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM daily
+        |ORDER BY event_type, day""".stripMargin,
+    "samp01_stratified" ->
+      """SELECT lang, COUNT(*) AS n_sampled, ROUND(AVG(n_chars), 4) AS avg_chars
+        |FROM documents
+        |WHERE doc_id % 100 < 30
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     "xref01_id_map" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS source, LOWER(REPLACE(c_name, 'Customer#', '')) AS key,

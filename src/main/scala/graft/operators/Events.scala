@@ -102,6 +102,24 @@ object Events {
       .orderBy("week")
   }
 
+  /** Sliding-window moving average: per event type, the 7-row moving
+    * mean of daily sums (rows-between window frame). */
+  def evt06MovingAvg(lake: Lake): DataFrame = {
+    val daily = lake.events
+      .groupBy(
+        col("event_type"),
+        date_trunc("day", col("ts")).as("day")
+      )
+      .agg(round(sum("value"), 4).as("daily_value"))
+    val w = Window
+      .partitionBy("event_type")
+      .orderBy("day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("ma7", round(avg("daily_value").over(w), 4))
+      .orderBy("event_type", "day")
+  }
+
   /** Ordered funnel: users whose first view precedes their first
     * click precedes their first purchase. */
   def evt04Funnel(lake: Lake): DataFrame =

@@ -214,6 +214,19 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** Deterministic stratified sampling: modulo split on the stable id
+    * keeps ~30% per language stratum — reproducible across runs and
+    * cluster sizes (the property random() sampling lacks at scale). */
+  def samp01Stratified(lake: Lake, pct: Int = 30): DataFrame =
+    lake.documents
+      .filter(pmod(col("doc_id"), lit(100)) < pct)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        round(avg("n_chars"), 4).as("avg_chars")
+      )
+      .orderBy("lang")
+
   /** Overlapping token-window chunking — the pretraining context-
     * window splitter (chunk size 50 tokens, stride 40). Map-only:
     * one posexplode per doc, chunk text rebuilt via slice +

@@ -30,6 +30,21 @@ object EventStreams extends Serializable {
         round(sum("value"), 4).as("sum_value")
       )
 
+  /** Stream-static enrichment: the event stream joined to a static
+    * dimension (broadcast per micro-batch — the standard pattern for
+    * dimension lookups in a streaming pipeline). */
+  def enrichWithDim(
+      events: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String
+  ): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim),
+      events(streamKey) === dim(dimKey),
+      "left"
+    )
+
   /** Streaming exact dedup: watermark-bounded dropDuplicates on a
     * content key — the streaming twin of Dedup.dedup01/02 (state
     * holds one entry per distinct key inside the watermark horizon,

@@ -68,6 +68,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == base.length, s"expected ${base.length} rows after dedup, got $n")
   }
 
+  test("stream-static dimension join enriches every event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = lake.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Evt]
+      .collect()
+      .take(200)
+      .toSeq
+    val stream = MemoryStream[EventStreams.Evt]
+    stream.addData(evts)
+    val query = EventStreams
+      .enrichWithDim(stream.toDF(), lake.customer, "user_id", "c_custkey")
+      .writeStream
+      .format("memory")
+      .queryName("enriched")
+      .outputMode("append")
+      .start()
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.sql(
+      "SELECT count(*) AS n, count(c_name) AS matched FROM enriched"
+    ).head()
+    assert(got.getLong(0) == 200)
+    assert(got.getLong(1) == 200) // every user_id (0-14) exists in customer
+  }
+
   test("streaming sessionization matches the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
