@@ -181,22 +181,10 @@ object Dedup {
     * [rows-only: bit-mixing isn't expressible in the DuckDB oracle]
     */
   def dedup05Simhash(lake: Lake, maxHamming: Int = 6): DataFrame = {
-    val toks = lake.documents
-      .select(col("doc_id"), explode(text.tokens(col("text"))).as("tok"))
-      .withColumn("h", hashing.simhashTokenBits(col("tok")))
-    // 64 sign-votes -> one long fingerprint, built in a single groupBy.
-    val votes = (0 until 64).map { j =>
-      sum(
-        when(col("h").bitwiseAND(lit(1L << j)) =!= 0L, 1L).otherwise(-1L)
-      ).as(s"v$j")
-    }
-    val fp = (0 until 64)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce((a, b) => a.bitwiseOR(b))
-    val sims = toks
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash"))
+    // Single-pass map-only fingerprints (graft.plans.SimHash64) — the
+    // explode+groupBy formulation shuffles every token of the corpus.
+    val sims = lake.documents
+      .select(col("doc_id"), graft.plans.SimHash64(col("text")).as("simhash"))
     // Hamming bands: 4 x 16 bits; near-dup pairs share >= 1 full band
     // whenever hamming <= 3x16-boundary pigeonhole holds (h <= 3 bands
     // differ). For maxHamming <= 15 this has recall 1 only when the

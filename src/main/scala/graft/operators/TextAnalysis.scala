@@ -139,6 +139,28 @@ object TextAnalysis {
     * partial-aggregates, nothing is quadratic. */
   val bm25Query: Seq[String] = Seq("join", "filter", "window", "stream")
 
+  /** Map-side term frequencies for a small term list: one
+    * array-filter pass per term, then an unpivot — no token explode,
+    * no shuffle until the (doc, term, tf) rows (|docs| x |terms| max,
+    * vs |corpus tokens| for the explode+join formulation). */
+  private def termFrequencies(lake: Lake, terms: Seq[String]): DataFrame = {
+    val toks = text.tokens(col("text"))
+    lake.documents
+      .select(
+        col("doc_id"),
+        explode(
+          array(terms.map { t =>
+            struct(
+              lit(t).as("term"),
+              size(filter(toks, x => x === t)).cast("double").as("tf")
+            )
+          }: _*)
+        ).as("e")
+      )
+      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+      .filter(col("tf") > 0)
+  }
+
   def txt08Bm25Search(lake: Lake, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val docs = lake.documents.select(
       col("doc_id"),
@@ -149,16 +171,7 @@ object TextAnalysis {
       count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl")
     )
-    val queryTerms = lake.spark
-      .createDataFrame(bm25Query.map(Tuple1(_)))
-      .toDF("term")
-    val tf = docs
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .join(broadcast(queryTerms), "term")
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      // feeds both the df aggregate and the scoring join
-      .cache()
+    val tf = termFrequencies(lake, bm25Query)
     val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df_), "term")
       .join(dl, "doc_id")
@@ -181,21 +194,8 @@ object TextAnalysis {
   /** TF-IDF weights of lexicon terms per document, top-3 terms per doc
     * (run_baseline_comparisons.py:164 TF-IDF baseline shape). */
   def txt09TfIdf(lake: Lake): DataFrame = {
-    val docs = lake.documents.select(
-      col("doc_id"),
-      text.tokens(col("text")).as("toks")
-    )
-    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val terms = lake.spark
-      .createDataFrame(lexicon.map(Tuple1(_)))
-      .toDF("term")
-    val tf = docs
-      .select(col("doc_id"), explode(col("toks")).as("term"))
-      .join(broadcast(terms), "term")
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"))
-      // feeds both the df aggregate and the scoring join
-      .cache()
+    val nDocs = lake.documents.agg(count(lit(1)).cast("double").as("n_docs"))
+    val tf = termFrequencies(lake, lexicon)
     val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val w = Window
       .partitionBy("doc_id")
