@@ -227,8 +227,30 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding near-dup pairs within a label block (cosine >= t). */
-  def dedup06EmbeddingNearDup(lake: Lake, threshold: Double = 0.4): DataFrame = {
+  /** Embedding near-dup pairs within a label block (cosine >= t).
+    *
+    * Scale design — chunked exact join, not LSH pruning. The output
+    * contract is EXACT (every pair at cos >= t), and at t = 0.4 the
+    * hyperplane-LSH per-bit collision probability for a qualifying
+    * pair is 1 - acos(0.4)/pi ~= 0.63, so recall ~1 needs ~36 2-bit
+    * tables whose candidate volume exceeds the within-label cross
+    * product — LSH candidate generation only wins at high thresholds
+    * (cos >= 0.8, the usual near-dup regime) or when misses are
+    * acceptable (the sim03 ANN path). The unavoidable O(n_label^2)
+    * compare is therefore distributed instead of pruned: the left
+    * side keeps one chunk id (vec_id mod chunks), the right side is
+    * replicated once per chunk, and the equi-join on (label, chunk)
+    * splits every label block into `chunks` bounded tasks — a giant
+    * label no longer has to fit one executor, and the plan is a pure
+    * shuffle join (no BroadcastNestedLoopJoin). Shuffle volume is
+    * n + chunks x n narrow vector rows. At cluster scale raise
+    * `chunks`; for high-threshold corpora switch the candidate step
+    * to the sim03 hyperplane buckets and keep the exact-cos verify. */
+  def dedup06EmbeddingNearDup(
+      lake: Lake,
+      threshold: Double = 0.4,
+      chunks: Int = 16
+  ): DataFrame = {
     import graft.functions.vectors
     val e = lake.embeddings.select(
       col("vec_id"),
@@ -240,14 +262,16 @@ object Dedup {
       col("label"),
       col("v").as("va"),
       col("nrm").as("na")
-    )
+    ).withColumn("chunk", pmod(col("vec_a"), lit(chunks)).cast("int"))
     val b = e.select(
       col("vec_id").as("vec_b"),
       col("label"),
       col("v").as("vb"),
       col("nrm").as("nb")
-    )
-    a.join(b, Seq("label"))
+    ).withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
+    // Build the hash table on the chunked side (n_label/chunks rows per
+    // task); the replicated side streams through it.
+    a.hint("shuffle_hash").join(b, Seq("label", "chunk"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn(
         "cos",

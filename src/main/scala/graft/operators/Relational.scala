@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   * top-N joins (vignette_3), UNION ALL source maps
   * (scripts/create_unified_db.py:513-577).
   *
-  * Scale notes: dimension tables (region/nation/supplier/part/customer)
-  * are broadcast; fact-side aggregations are partial-agg friendly
+  * Scale notes: fixed-size dimensions (region/nation) carry broadcast
+  * hints; SF-scaling dimensions (customer/supplier/part) are left to
+  * AQE so plans degrade to shuffle joins instead of OOMing at 100x;
+  * fact-side aggregations are partial-agg friendly
   * (plain hash aggregates over codegen'd expressions); every top-N is a
   * shuffle-then-take over already-aggregated (small) data.
   */
@@ -57,7 +59,10 @@ object Relational {
     val ord = lake.orders.filter(col("o_orderdate") < cutoff)
     val li = lake.lineitem.filter(col("l_shipdate") > cutoff)
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // customer grows with SF (150k x SF): no forced broadcast hint —
+      // AQE picks broadcast while the filtered dim fits, degrades to a
+      // shuffle join gracefully at 100x instead of OOMing the driver.
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
@@ -82,14 +87,17 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** TPC-H Q5 shape: star join — every dimension broadcast, single
-    * shuffle on the fact keys. */
+  /** TPC-H Q5 shape: star join — fixed-size dims (region/nation) are
+    * hint-broadcast; scaling dims (customer/supplier, 150k/10k x SF)
+    * are left to AQE, which broadcasts them while they fit and falls
+    * back to shuffle joins at scale factors where a forced hint would
+    * OOM. Facts shuffle on their join keys only. */
   def q05RegionVolume(lake: Lake): DataFrame =
     lake.lineitem
       .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(lake.customer), col("o_custkey") === col("c_custkey"))
+      .join(lake.customer, col("o_custkey") === col("c_custkey"))
       .join(
-        broadcast(lake.supplier),
+        lake.supplier,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey")
       )
@@ -128,7 +136,8 @@ object Relational {
     * by patent impact" shape). */
   def q07TopParts(lake: Lake): DataFrame =
     lake.lineitem
-      .join(broadcast(lake.part), col("l_partkey") === col("p_partkey"))
+      // part scales with SF (200k x SF): AQE decides broadcast vs shuffle
+      .join(lake.part, col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand")
       .agg(
         round(sum("l_quantity"), 4).as("total_qty"),
@@ -144,7 +153,7 @@ object Relational {
     lake.lineitem
       .filter(col("l_returnflag") === "R")
       .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(lake.customer), col("o_custkey") === col("c_custkey"))
+      .join(lake.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(lake.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy("c_custkey", "c_name", "n_name")
       .agg(
@@ -295,7 +304,7 @@ object Relational {
       .filter(col("total_qty") > minQty)
     big
       .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(lake.customer), col("o_custkey") === col("c_custkey"))
+      .join(lake.customer, col("o_custkey") === col("c_custkey"))
       .select(
         col("c_custkey"),
         col("c_name"),

@@ -56,7 +56,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .toSet
     val recall = (bf & ann).size.toDouble / bf.size
     info(s"LSH ANN recall = $recall")
-    assert(recall >= 0.25, s"ANN recall $recall below floor")
+    // 16 tables x 4 bits on near-uniform vectors (the hardest case):
+    // measured 0.91 at sf0.001.
+    assert(recall >= 0.8, s"ANN recall $recall below floor")
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {

@@ -28,10 +28,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("l_returnflag"), p)
   }
 
-  test("q05: every dimension joins as broadcast, facts shuffle once") {
-    val p = plan(Relational.q05RegionVolume(lake))
+  test("q05: dims join as broadcast (hinted or AQE-chosen), no cartesian") {
+    // Scaling dims (customer/supplier) carry no forced hint — AQE picks
+    // broadcast at this SF. AQE finalizes the physical join choice only
+    // on execution, so run the query before inspecting the plan.
+    val df = Relational.q05RegionVolume(lake)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
     val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim02/dedup06: exact similarity joins are equi-joins, no BNLJ") {
+    val p1 = plan(Similarity.sim02ThresholdJoin(lake))
+    assert(!p1.contains("BroadcastNestedLoop"), p1)
+    assert(!p1.contains("CartesianProduct"), p1)
+    val p2 = plan(Dedup.dedup06EmbeddingNearDup(lake))
+    assert(!p2.contains("BroadcastNestedLoop"), p2)
+    assert(!p2.contains("CartesianProduct"), p2)
   }
 
   test("dedup03: no cartesian/nested-loop join anywhere") {
