@@ -78,7 +78,11 @@ object SparkEntry {
     "evt04_funnel" -> q(Events.evt04Funnel),
     "graph01_hierarchy_rollup" -> q(Graph.graph01HierarchyRollup),
     "graph02_transitive_closure" -> q(Graph.graph02TransitiveClosure),
-    "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta)
+    "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
+    "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
+    "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),
+    "nst03_type_words_unnest" -> q(Nested.nst03TypeWordsUnnest),
+    "eval01_linkage_metrics" -> q(Evaluation.eval01LinkageMetrics(_))
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -641,6 +645,71 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2, 3
         |ORDER BY path""".stripMargin,
+    "nst01_order_history_unnest" ->
+      """WITH agg AS (
+        |  SELECT o_custkey,
+        |    list(struct_pack(ok := o_orderkey, tp := o_totalprice,
+        |                     op := o_orderpriority)
+        |         ORDER BY o_orderkey) AS history
+        |  FROM orders GROUP BY o_custkey),
+        |ex AS (SELECT o_custkey, UNNEST(history) AS rec,
+        |         UNNEST(range(1, len(history) + 1)) AS pos
+        |       FROM agg)
+        |SELECT o_custkey, pos, rec.ok AS o_orderkey, rec.tp AS o_totalprice,
+        |  rec.op AS o_orderpriority
+        |FROM ex WHERE pos <= 3
+        |ORDER BY o_custkey, pos""".stripMargin,
+    "nst02_struct_paths_trycast" ->
+      """WITH e AS (
+        |  SELECT c_custkey,
+        |    struct_pack(
+        |      cust := struct_pack(name := c_name, acctbal := c_acctbal,
+        |                          segment := c_mktsegment),
+        |      geo := struct_pack(nation := n_name, region := r_name)) AS rec,
+        |    CASE WHEN c_custkey % 3 = 0 THEN 'X' || CAST(c_custkey AS VARCHAR)
+        |         ELSE CAST(c_custkey AS VARCHAR) END AS id_str
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT c_custkey, rec.cust.name AS cust_name, rec.cust.acctbal AS acctbal,
+        |  rec.geo.region AS region_name, id_str,
+        |  TRY_CAST(id_str AS BIGINT) AS parsed_id
+        |FROM e ORDER BY c_custkey""".stripMargin,
+    "nst03_type_words_unnest" ->
+      """WITH w AS (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part),
+        |ex AS (SELECT p_partkey, UNNEST(words) AS word,
+        |         UNNEST(range(1, len(words) + 1)) AS pos
+        |       FROM w)
+        |SELECT pos, word, COUNT(*) AS n_parts
+        |FROM ex GROUP BY pos, word
+        |ORDER BY pos, word""".stripMargin,
+    "eval01_linkage_metrics" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t),
+         |pred AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $dkJac AS jaccard
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $dkJac >= 0.05),
+         |d AS (SELECT doc_id, $dkBagFp AS fp FROM documents),
+         |gold AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM d x JOIN d y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+         |ng AS (SELECT COUNT(*) AS n_gold FROM gold),
+         |j AS (SELECT p.jaccard, g.doc_a IS NOT NULL AS is_tp
+         |  FROM pred p LEFT JOIN gold g
+         |    ON p.doc_a = g.doc_a AND p.doc_b = g.doc_b)
+         |SELECT
+         |  CASE WHEN jaccard < 0.5 THEN 'j_005_050'
+         |       WHEN jaccard < 0.8 THEN 'j_050_080'
+         |       ELSE 'j_080_100' END AS stratum,
+         |  COUNT(*) AS n_pred,
+         |  COUNT(*) FILTER (WHERE is_tp) AS n_tp,
+         |  ROUND(CAST(COUNT(*) FILTER (WHERE is_tp) AS DOUBLE) / COUNT(*), 4)
+         |    AS precision,
+         |  ROUND(CAST(COUNT(*) FILTER (WHERE is_tp) AS DOUBLE) / n_gold, 4)
+         |    AS recall
+         |FROM j CROSS JOIN ng
+         |GROUP BY 1, n_gold
+         |ORDER BY stratum""".stripMargin,
     "graph02_transitive_closure" ->
       """WITH RECURSIVE edges AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS src,
