@@ -9,6 +9,7 @@ import graft.plans.GraftExtensions
   *
   * Usage:
   *   graft.Cli status <tableDir>
+  *   graft.Cli info <tableDir>
   *   graft.Cli query <tableDir> "<SQL over the registered views>"
   */
 object Cli {
@@ -16,6 +17,7 @@ object Cli {
     if (args.length < 2) {
       System.err.println(
         """usage: graft.Cli status <tableDir>
+          |       graft.Cli info <tableDir>
           |       graft.Cli query <tableDir> "<sql>"""".stripMargin
       )
       sys.exit(2)
@@ -30,6 +32,8 @@ object Cli {
     cmd match {
       case "status" =>
         CatalogOps.cat01Status(lake).show(100, truncate = false)
+      case "info" =>
+        println(CatalogOps.infoJson(lake))
       case "query" =>
         lake.registerViews()
         spark.sql(args(2)).show(100, truncate = false)

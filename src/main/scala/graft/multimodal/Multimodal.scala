@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side contract is real — schema (binary + metadata
   * struct), partition-parallel batch decode via mapPartitions with
-  * typed Encoders, fixed-width feature output — while the actual
-  * media decode is STUBBED (no image/audio libs in this container):
-  * `decodeStub` computes a deterministic byte histogram standing in
-  * for a pixel/spectrogram decoder. Swap `decodeStub` for a real
-  * decoder (JNI/FFmpeg/ImageIO) without touching the plumbing.
+  * typed Encoders, fixed-width feature output. The decode step is
+  * format-dispatched: image payloads go through a REAL pure-JVM
+  * decoder (javax.imageio reads PNG/JPEG/BMP/GIF into pixels,
+  * features = dimensions + mean channel intensities); everything else
+  * (audio/video would need codec libs this container lacks) falls
+  * back to `decodeStub`, a deterministic byte histogram with the same
+  * fixed-width signature. Swapping in an FFmpeg/JNI decoder touches
+  * only `decode`, never the plumbing.
   */
 object Multimodal {
 
@@ -46,10 +49,62 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decoder: deterministic 8-bucket byte histogram, normalized.
-    * Replace with a real media decoder; the signature (bytes ->
-    * fixed-width double vector) is what a resize/frame-sample/embed
-    * step produces. */
+  /** Feature width shared by every decoder so downstream columns are
+    * schema-stable regardless of format. */
+  val FeatureWidth = 8
+
+  /** Real image decode: javax.imageio (pure JVM, in every JRE) parses
+    * the payload; features = [width, height, aspect, meanR, meanG,
+    * meanB, meanLuma, 1.0], channel means normalized to [0,1].
+    * Returns None when ImageIO cannot parse the bytes (corrupt or
+    * unsupported payload) so callers can fall back instead of
+    * failing the partition. */
+  def decodeImage(payload: Array[Byte]): Option[Array[Double]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: java.io.IOException => null }
+    Option(img).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      var r, g, b = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = im.getRGB(x, y)
+          r += (p >>> 16) & 0xff
+          g += (p >>> 8) & 0xff
+          b += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble * 255.0
+      def r4(d: Double) = math.rint(d * 10000) / 10000
+      Array(
+        w.toDouble,
+        h.toDouble,
+        r4(w.toDouble / h),
+        r4(r / n),
+        r4(g / n),
+        r4(b / n),
+        r4((0.299 * r + 0.587 * g + 0.114 * b) / n),
+        1.0
+      )
+    }
+  }
+
+  /** Format-dispatched decode: real image path for "image/..."
+    * formats, byte histogram otherwise (and for undecodable image
+    * payloads). */
+  def decode(format: String, payload: Array[Byte]): Array[Double] =
+    if (format.startsWith("image/"))
+      decodeImage(payload).getOrElse(decodeStub(payload))
+    else decodeStub(payload)
+
+  /** Fallback decoder: deterministic 8-bucket byte histogram,
+    * normalized — the stand-in for formats whose codecs (audio,
+    * video) aren't available as pure JVM. */
   def decodeStub(payload: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](8)
     var i = 0
@@ -67,9 +122,10 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[FeatureRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition init for a real decoder would go here
+      // per-partition init for a heavier decoder (codec contexts,
+      // model weights) would go here
       rows.map { r =>
-        FeatureRow(r.doc_id, r.format, r.n_bytes, decodeStub(r.payload))
+        FeatureRow(r.doc_id, r.format, r.n_bytes, decode(r.format, r.payload))
       }
     }
   }

@@ -20,4 +20,31 @@ object CatalogOps {
       }
       .reduce(_.unionAll(_))
       .orderBy("table_name")
+
+  /** LLM-friendly dataset description: per-table row counts + column
+    * schema as one JSON document (datalake_cli.py:124-230 `info`, the
+    * datalake.json/SCHEMA.md analog). Counts are parquet-footer
+    * metadata scans; the schema comes from the file footers, never a
+    * data read. */
+  def infoJson(lake: Lake): String = {
+    def esc(s: String): String =
+      s.flatMap {
+        case '"'          => "\\\""
+        case '\\'         => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c            => c.toString
+      }
+    val tables = lake.tableNames.sorted.map { name =>
+      val df = if (name == "events") lake.events else lake.table(name)
+      val fields = df.schema.fields
+        .map(f =>
+          s"""{"name":"${esc(f.name)}","type":"${esc(f.dataType.simpleString)}","nullable":${f.nullable}}"""
+        )
+        .mkString("[", ",", "]")
+      val rows = df.count()
+      s"""{"table":"${esc(name)}","n_rows":$rows,"n_columns":${df.schema.size},"columns":$fields}"""
+    }
+    s"""{"dir":"${esc(lake.dir)}","n_tables":${tables.size},"tables":${tables
+        .mkString("[", ",", "]")}}"""
+  }
 }

@@ -43,6 +43,30 @@ object Ingest {
       .partitionBy(partitionBy: _*)
       .parquet(path)
 
+  /** Chunked JSONL -> parquet conversion where the schema drifts
+    * across chunks — the dump-over-dump reality the reference's
+    * converters handle (convert_openalex.py: chunked JSONL with fields
+    * appearing/disappearing between dumps). Each chunk is appended
+    * with its own explicit schema; the dataset stays readable under
+    * the union schema via `readMerged`. */
+  def convertChunked(
+      spark: SparkSession,
+      chunks: Seq[(String, StructType)],
+      outPath: String
+  ): Unit =
+    chunks.zipWithIndex.foreach { case ((path, schema), i) =>
+      val mode = if (i == 0) SaveMode.Overwrite else SaveMode.Append
+      readJsonl(spark, path, schema).write.mode(mode).parquet(outPath)
+    }
+
+  /** Read a parquet dataset written by drifting-schema chunks under
+    * the union schema: columns absent from older chunks come back
+    * null-filled. mergeSchema pays a footer read per file — right for
+    * ingestion-time discovery; steady-state readers should pin the
+    * catalog's declared schema instead. */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** Plain parquet write with a target file count. */
   def writeParquet(
       df: DataFrame,

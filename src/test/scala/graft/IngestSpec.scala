@@ -29,6 +29,32 @@ class IngestSpec extends AnyFunSuite {
     assert(!plan.contains("event_type=click") || plan.contains("PartitionFilters"))
   }
 
+  test("chunked jsonl with drifted schemas merges to the union schema") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val s1 = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val s2 = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType)))
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .write.mode("overwrite").json(s"$tmp/chunk1")
+    Seq((4L, "d", 0.4), (5L, "e", 0.5), (6L, "f", 0.6))
+      .toDF("id", "name", "score")
+      .write.mode("overwrite").json(s"$tmp/chunk2")
+    Ingest.convertChunked(
+      spark,
+      Seq(s"$tmp/chunk1" -> s1, s"$tmp/chunk2" -> s2),
+      s"$tmp/merged_parquet"
+    )
+    val merged = Ingest.readMerged(spark, s"$tmp/merged_parquet")
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    assert(merged.count() == 6)
+    // rows from the older chunk surface with the missing column null
+    assert(merged.filter(col("score").isNull).count() == 3)
+    assert(merged.filter(col("score").isNotNull).count() == 3)
+  }
+
   test("csv round trip with explicit schema") {
     val lake = Lake(spark, sfDir)
     val nation = lake.nation

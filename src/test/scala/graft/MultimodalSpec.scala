@@ -16,6 +16,42 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("image payloads decode through ImageIO to real pixel features") {
+    import java.awt.image.BufferedImage
+    import Multimodal.MediaRow
+    val sess = spark
+    import sess.implicits._
+    // Synthesize PNGs with known dimensions and a solid color.
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = png(8, 6, 0xff0000)
+    val gray = png(4, 4, 0x808080)
+    val media = Seq(
+      MediaRow(1L, red, "image/png", red.length.toLong),
+      MediaRow(2L, gray, "image/png", gray.length.toLong),
+      MediaRow(3L, "not an image".getBytes("UTF-8"), "image/png", 12L),
+      MediaRow(4L, "plain text".getBytes("UTF-8"), "text/plain", 10L)
+    ).toDS()
+    val feats = Multimodal.extractFeatures(media)
+      .collect().map(f => f.doc_id -> f.features).toMap
+    // red 8x6: dims + aspect + pure-red channel means
+    assert(feats(1L).take(3).sameElements(Array(8.0, 6.0, 1.3333)))
+    assert(feats(1L)(3) == 1.0 && feats(1L)(4) == 0.0 && feats(1L)(5) == 0.0)
+    // gray 4x4: all channels 128/255
+    assert(feats(2L).take(3).sameElements(Array(4.0, 4.0, 1.0)))
+    assert(feats(2L)(3) == 0.502 && feats(2L)(6) == 0.502)
+    // undecodable image payload falls back to the byte histogram
+    assert(math.abs(feats(3L).sum - 1.0) < 0.01)
+    // non-image formats keep the histogram path
+    assert(math.abs(feats(4L).sum - 1.0) < 0.01)
+    feats.values.foreach(f => assert(f.length == Multimodal.FeatureWidth))
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val a = Multimodal.extractFeatures(Multimodal.asMedia(lake))
       .collect().sortBy(_.doc_id)
