@@ -40,4 +40,6 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
+      // managed (bucketed) tables land under target/, not the repo root
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
 }

@@ -35,7 +35,15 @@ object Graph {
 
   /** Generic hop-bounded transitive closure: (src, dst, min_hops)
     * pairs reachable in <= maxHops. Each iteration joins the frontier
-    * to the edge list; termination is the hop bound (cycle-safe). */
+    * to the edge list; termination is the hop bound (cycle-safe).
+    *
+    * Lineage control: iterative DataFrame loops grow the logical plan
+    * exponentially (each frontier embeds the previous one twice —
+    * join + union), which stalls the optimizer and, at executor
+    * level, re-runs every prior hop on a task retry. Past a few hops
+    * the frontier is truncated via localCheckpoint, which caps both
+    * the plan size and the recovery cost; below that the per-iteration
+    * checkpoint overhead isn't worth paying. */
   def transitiveClosure(edges: DataFrame, maxHops: Int): DataFrame = {
     // edges: (src: long, dst: long)
     var frontier = edges.select(
@@ -52,6 +60,7 @@ object Graph {
         )
         .select(col("src"), col("next").as("dst"), lit(h.toLong).as("hops"))
         .distinct()
+      if (h >= 4 && h < maxHops) frontier = frontier.localCheckpoint()
       all = all.unionAll(frontier)
     }
     all.groupBy("src", "dst").agg(min("hops").as("min_hops"))

@@ -67,6 +67,29 @@ object Ingest {
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Write a bucketed, bucket-sorted managed parquet table (bucketing
+    * metadata requires saveAsTable). Tables bucketed identically on
+    * their join key co-locate that join: every downstream
+    * join/groupBy on the bucket columns reads pre-partitioned files
+    * and needs NO Exchange — at the 100 TB design point,
+    * pre-bucketing fact tables on their primary join key removes the
+    * biggest shuffle from every query that touches them. Bucket count
+    * is a layout decision: pick it so |table| / nBuckets is a
+    * comfortable task size (hundreds of MB), and keep it identical
+    * across tables meant to join. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      nBuckets: Int
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(tableName)
+
   /** Plain parquet write with a target file count. */
   def writeParquet(
       df: DataFrame,

@@ -55,6 +55,25 @@ class IngestSpec extends AnyFunSuite {
     assert(merged.filter(col("score").isNotNull).count() == 3)
   }
 
+  test("identically bucketed tables join with no shuffle exchange") {
+    val lake = Lake(spark, sfDir)
+    Ingest.writeBucketed(lake.orders, "orders_bkt", Seq("o_custkey"), 4)
+    Ingest.writeBucketed(
+      lake.customer.withColumnRenamed("c_custkey", "o_custkey"),
+      "customer_bkt", Seq("o_custkey"), 4)
+    // Force a non-broadcast join so the bucket co-location is what
+    // eliminates the shuffle, not a broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("orders_bkt")
+        .join(spark.table("customer_bkt"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() == lake.orders.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("csv round trip with explicit schema") {
     val lake = Lake(spark, sfDir)
     val nation = lake.nation
