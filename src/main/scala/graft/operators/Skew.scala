@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed —
+  * the hand-rolled fallback for engines/paths where AQE's runtime
+  * skew-join splitting can't see the skew (e.g. a join feeding an
+  * immediate aggregation, or a key whose hot rows exceed what AQE's
+  * partition-splitting handles).
+  *
+  * Mechanics: the fact side gets a uniform random-ish salt in
+  * [0, salts) derived deterministically from a stable column (so
+  * retries stay deterministic — no Math.random in distributed code);
+  * the dimension side is replicated once per salt value. The join key
+  * becomes (key, salt): a key carrying 10x the average volume now
+  * spreads over `salts` partitions instead of hot-spotting one task.
+  * Cost: dimension shuffle volume x salts — use for joins where the
+  * dimension is far smaller than the skewed fact (the usual case).
+  */
+object Skew {
+
+  /** Inner equi-join `fact ⋈ dim` on `key`, with the fact side salted
+    * into `salts` sub-partitions per key. `saltSource` must be a
+    * stable fact column (row id, primary key) so the salt is
+    * deterministic under task retry. Result equals the plain join. */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltSource: String,
+      salts: Int = 16
+  ): DataFrame = {
+    val saltedFact =
+      fact.withColumn("_salt", pmod(xxhash64(col(saltSource)), lit(salts)).cast("int"))
+    val repDim =
+      dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(repDim, Seq(key, "_salt")).drop("_salt")
+  }
+}

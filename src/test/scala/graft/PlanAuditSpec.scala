@@ -49,6 +49,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct"), p2)
   }
 
+  test("salted join equals the plain join and stays an equi-join") {
+    val fact = lake.orders
+    val dim = lake.customer.withColumnRenamed("c_custkey", "o_custkey")
+    val salted = Skew.saltedJoin(fact, dim, "o_custkey", "o_orderkey", salts = 8)
+    val plain = fact.join(dim, "o_custkey")
+    assert(salted.count() == plain.count())
+    val p = salted.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("dedup03: no cartesian/nested-loop join anywhere") {
     val p = plan(Dedup.dedup03NgramJaccard(lake))
     assert(!p.contains("CartesianProduct"), p)
