@@ -10,6 +10,7 @@ import graft.plans.GraftExtensions
   * Usage:
   *   graft.Cli status <tableDir>
   *   graft.Cli info <tableDir>
+  *   graft.Cli search <tableDir> <pattern>
   *   graft.Cli query <tableDir> "<SQL over the registered views>"
   */
 object Cli {
@@ -18,6 +19,7 @@ object Cli {
       System.err.println(
         """usage: graft.Cli status <tableDir>
           |       graft.Cli info <tableDir>
+          |       graft.Cli search <tableDir> <pattern>
           |       graft.Cli query <tableDir> "<sql>"""".stripMargin
       )
       sys.exit(2)
@@ -34,6 +36,12 @@ object Cli {
         CatalogOps.cat01Status(lake).show(100, truncate = false)
       case "info" =>
         println(CatalogOps.infoJson(lake))
+      case "search" =>
+        if (args.length < 3) {
+          System.err.println("usage: graft.Cli search <tableDir> <pattern>")
+          sys.exit(2)
+        }
+        CatalogOps.searchCatalog(lake, args(2)).show(200, truncate = false)
       case "query" =>
         lake.registerViews()
         spark.sql(args(2)).show(100, truncate = false)

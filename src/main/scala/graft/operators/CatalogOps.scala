@@ -21,11 +21,43 @@ object CatalogOps {
       .reduce(_.unionAll(_))
       .orderBy("table_name")
 
-  /** LLM-friendly dataset description: per-table row counts + column
-    * schema as one JSON document (datalake_cli.py:124-230 `info`, the
-    * datalake.json/SCHEMA.md analog). Counts are parquet-footer
-    * metadata scans; the schema comes from the file footers, never a
-    * data read. */
+  /** On-disk bytes for a table (file or directory of part files) —
+    * the `status` disk-usage figure, computed from filesystem
+    * metadata only. */
+  private def diskBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      else f.length()
+    walk(new java.io.File(path))
+  }
+
+  /** Catalog search (datalake_cli.py `search` analog): tables and
+    * columns whose name matches the pattern, case-insensitive. Pure
+    * schema metadata — no data read, result built driver-side. */
+  def searchCatalog(lake: Lake, pattern: String): DataFrame = {
+    val p = pattern.toLowerCase
+    val spark = lake.spark
+    import spark.implicits._
+    lake.tableNames.sorted
+      .flatMap { t =>
+        val df = if (t == "events") lake.events else lake.table(t)
+        val tableHit =
+          if (t.toLowerCase.contains(p))
+            Seq((t, "(table)", ""))
+          else Seq.empty
+        tableHit ++ df.schema.fields.collect {
+          case f if f.name.toLowerCase.contains(p) =>
+            (t, f.name, f.dataType.simpleString)
+        }
+      }
+      .toDF("table_name", "column_name", "data_type")
+  }
+
+  /** LLM-friendly dataset description: per-table row counts, on-disk
+    * bytes + column schema as one JSON document (datalake_cli.py:
+    * 124-230 `info`, the datalake.json/SCHEMA.md analog). Counts are
+    * parquet-footer metadata scans; the schema comes from the file
+    * footers, never a data read. */
   def infoJson(lake: Lake): String = {
     def esc(s: String): String =
       s.flatMap {
@@ -42,7 +74,8 @@ object CatalogOps {
         )
         .mkString("[", ",", "]")
       val rows = df.count()
-      s"""{"table":"${esc(name)}","n_rows":$rows,"n_columns":${df.schema.size},"columns":$fields}"""
+      val bytes = diskBytes(s"${lake.dir}/$name.parquet")
+      s"""{"table":"${esc(name)}","n_rows":$rows,"n_bytes":$bytes,"n_columns":${df.schema.size},"columns":$fields}"""
     }
     s"""{"dir":"${esc(lake.dir)}","n_tables":${tables.size},"tables":${tables
         .mkString("[", ",", "]")}}"""
