@@ -45,6 +45,39 @@ object EventStreams extends Serializable {
       "left"
     )
 
+  /** Stream-stream interval join with watermarks bounding BOTH
+    * sides' state: views matched to clicks by the same user where the
+    * click lands within `withinMinutes` after the view. The time-range
+    * predicate is what lets the engine age out join state — without
+    * it a stream-stream join buffers forever. State per side is the
+    * watermark horizon + interval, independent of stream length. */
+  def viewClickJoin(events: DataFrame, withinMinutes: Int = 60): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id"),
+        col("event_id").as("view_id"),
+        col("ts").as("view_ts")
+      )
+      .withWatermark("view_ts", "2 hours")
+    val clicks = events
+      .filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("click_user"),
+        col("event_id").as("click_id"),
+        col("ts").as("click_ts")
+      )
+      .withWatermark("click_ts", "2 hours")
+    views
+      .join(
+        clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("view_ts") &&
+          col("click_ts") <= col("view_ts") + expr(s"INTERVAL $withinMinutes MINUTES")
+      )
+      .select(col("user_id"), col("view_id"), col("view_ts"), col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedup: watermark-bounded dropDuplicates on a
     * content key — the streaming twin of Dedup.dedup01/02 (state
     * holds one entry per distinct key inside the watermark horizon,

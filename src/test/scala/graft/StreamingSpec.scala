@@ -95,6 +95,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.getLong(1) == 200) // every user_id (0-14) exists in customer
   }
 
+  test("stream-stream interval join matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = lake.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Evt]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[EventStreams.Evt]
+    stream.addData(evts)
+    val query = EventStreams
+      .viewClickJoin(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("vc_join")
+      .outputMode("append")
+      .start()
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark
+      .sql("SELECT user_id, view_id, click_id FROM vc_join")
+      .orderBy("user_id", "view_id", "click_id")
+      .collect()
+      .map(_.toSeq)
+    val batch = EventStreams
+      .viewClickJoin(lake.events)
+      .select("user_id", "view_id", "click_id")
+      .orderBy("user_id", "view_id", "click_id")
+      .collect()
+      .map(_.toSeq)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming sessionization matches the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
