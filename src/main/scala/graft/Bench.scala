@@ -13,7 +13,14 @@ object Bench {
     // query measured pays ~3-5s of one-time overhead.
     locally {
       val lake = graft.catalog.Lake(spark, sfDir)
-      lake.tableNames.foreach(n => lake.table(n).count())
+      // Full noop materialization, not count(): count() is answered
+      // from parquet metadata and never decodes the wide string/array
+      // columns, so whichever query touched documents/embeddings first
+      // was silently billed the one-time cold decompression.
+      lake.tableNames.foreach { n =>
+        val df = if (n == "events") lake.events else lake.table(n)
+        df.write.mode("overwrite").format("noop").save()
+      }
       spark.range(1000).selectExpr("sum(id)").collect()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>

@@ -139,26 +139,27 @@ object TextAnalysis {
     * partial-aggregates, nothing is quadratic. */
   val bm25Query: Seq[String] = Seq("join", "filter", "window", "stream")
 
-  /** Map-side term frequencies for a small term list: one
-    * array-filter pass per term, then an unpivot — no token explode,
-    * no shuffle until the (doc, term, tf) rows (|docs| x |terms| max,
-    * vs |corpus tokens| for the explode+join formulation). */
+  /** Term frequencies for a small term list: tokenize ONCE, explode,
+    * broadcast-join against the lexicon, count per (doc, term).
+    *
+    * Why not the per-term array-filter unpivot: referencing the
+    * tokenizer expression inside N filter lambdas re-evaluates the
+    * full regexp tokenize N times per row after projection collapse
+    * (measured 6.8 s vs 1.1 s at sf0.1 for 10 terms — the same trap
+    * as element_at-in-transform, see functions.text.wordShingles).
+    * Here the explode is map-side, the lexicon join is a broadcast
+    * that drops non-lexicon tokens before any exchange, and the
+    * shuffle carries only |matching tokens| rows — linear in corpus
+    * size with a tiny constant, and the tokenizer runs exactly once. */
   private def termFrequencies(lake: Lake, terms: Seq[String]): DataFrame = {
-    val toks = text.tokens(col("text"))
+    val lex = lake.spark
+      .createDataFrame(terms.map(Tuple1(_)))
+      .toDF("term")
     lake.documents
-      .select(
-        col("doc_id"),
-        explode(
-          array(terms.map { t =>
-            struct(
-              lit(t).as("term"),
-              size(filter(toks, x => x === t)).cast("double").as("tf")
-            )
-          }: _*)
-        ).as("e")
-      )
-      .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
-      .filter(col("tf") > 0)
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+      .join(broadcast(lex), "term")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
   }
 
   def txt08Bm25Search(lake: Lake, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -171,10 +172,16 @@ object TextAnalysis {
       count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl")
     )
+    // df via a window over the tf frame, not a groupBy+join back:
+    // the join formulation recomputes the whole tokenize+explode
+    // branch a second time, while the window reuses the one pass
+    // (its shuffle carries only the matched (doc, term) rows).
     val tf = termFrequencies(lake, bm25Query)
-    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    tf.join(broadcast(df_), "term")
-      .join(dl, "doc_id")
+      .withColumn(
+        "df",
+        count(lit(1)).over(Window.partitionBy("term")).cast("double")
+      )
+    tf.join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn(
         "idf",
@@ -195,13 +202,16 @@ object TextAnalysis {
     * (run_baseline_comparisons.py:164 TF-IDF baseline shape). */
   def txt09TfIdf(lake: Lake): DataFrame = {
     val nDocs = lake.documents.agg(count(lit(1)).cast("double").as("n_docs"))
+    // df via window (see txt08): one tokenize pass, not two.
     val tf = termFrequencies(lake, lexicon)
-    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+      .withColumn(
+        "df",
+        count(lit(1)).over(Window.partitionBy("term")).cast("double")
+      )
     val w = Window
       .partitionBy("doc_id")
       .orderBy(col("tfidf_raw").desc, col("term"))
-    tf.join(broadcast(df_), "term")
-      .crossJoin(broadcast(nDocs))
+    tf.crossJoin(broadcast(nDocs))
       .withColumn("tfidf_raw", col("tf") * log(col("n_docs") / col("df")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -269,13 +279,21 @@ object TextAnalysis {
       lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
       lit(0)
     )
+    // Two-stage projection: counts once, ratio from the count
+    // attributes — one select would evaluate the regex scan and the
+    // whitespace split twice per row.
     lake.documents
       .select(
         col("doc_id"),
         text.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
-        size(bpe).cast("long").as("n_bpe_tokens"),
+        size(bpe).cast("long").as("n_bpe_tokens")
+      )
+      .select(
+        col("doc_id"),
+        col("n_ws_tokens"),
+        col("n_bpe_tokens"),
         round(
-          size(bpe).cast("double") / text.tokenCount(col("text")).cast("double"),
+          col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"),
           4
         ).as("bpe_per_word")
       )

@@ -82,13 +82,18 @@ object Ingest {
       tableName: String,
       bucketCols: Seq[String],
       nBuckets: Int
-  ): Unit =
+  ): Unit = {
+    // Overwrite of a managed table requires the catalog entry to be
+    // dropped first; a stale entry (or its on-disk location) from an
+    // earlier session otherwise fails the save.
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$tableName`")
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(tableName)
+  }
 
   /** Plain parquet write with a target file count. */
   def writeParquet(
