@@ -79,6 +79,8 @@ object SparkEntry {
     "graph01_hierarchy_rollup" -> q(Graph.graph01HierarchyRollup),
     "graph02_transitive_closure" -> q(Graph.graph02TransitiveClosure),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
+    "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
+    "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
     "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
     "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),
     "nst03_type_words_unnest" -> q(Nested.nst03TypeWordsUnnest),
@@ -645,6 +647,23 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2, 3
         |ORDER BY path""".stripMargin,
+    "txt13_pii_redaction" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com or 555-' || CAST(doc_id AS VARCHAR) AS raw
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '555-[0-9]+')) AS BIGINT) AS n_phones,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[a-z0-9]+@[a-z]+\.[a-z]+', '[EMAIL]', 'g'),
+        |    '555-[0-9]+', '[PHONE]', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id, n_emails, n_phones,
+        |  CAST(LENGTH(redacted) AS BIGINT) AS redacted_len,
+        |  md5(redacted) AS redacted_fp
+        |FROM r ORDER BY doc_id""".stripMargin,
     "nst01_order_history_unnest" ->
       """WITH agg AS (
         |  SELECT o_custkey,

@@ -317,6 +317,23 @@ object Relational {
       .limit(20)
   }
 
+  /** Sketch-based approximate aggregates — the 100 TB form of
+    * rel03/rel10 (exact distinct and exact percentiles hold all
+    * values per group; HLL++ and the percentile sketch hold constant
+    * state per group regardless of cardinality). [rows-only: sketch
+    * internals differ engine to engine; RelationalSpec asserts the
+    * estimates land within tolerance of the exact operators.] */
+  def rel11ApproxStats(lake: Lake): DataFrame =
+    lake.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 10000)"), 4).as("p50_approx"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 10000)"), 4).as("p90_approx"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("n_cust_approx"),
+        count(lit(1)).as("n_orders")
+      )
+      .orderBy("o_orderpriority")
+
   /** Year trend with percentage (vignette_1 "fraction of disruptive
     * papers with code by year" shape). */
   def rel08YearTrend(lake: Lake): DataFrame =

@@ -329,4 +329,45 @@ object TextAnalysis {
       )
       .orderBy("probe")
   }
+
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before a corpus ships. The testdata corpus carries
+    * no PII, so the operator first plants deterministic synthetic
+    * contacts (email + phone derived from doc_id), then detects and
+    * redacts them — exercising the real regex machinery end-to-end
+    * with an oracle-checkable result (counts + redacted-text
+    * fingerprint must match DuckDB running the same patterns).
+    * Map-only per document; at 100 TB this is an embarrassingly
+    * parallel scan with no shuffle until the final dump. */
+  def txt13PiiRedaction(lake: Lake): DataFrame = {
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phonePat = "555-[0-9]+"
+    val planted = concat(
+      col("text"),
+      lit(" contact user"),
+      col("doc_id"),
+      lit("@example.com or 555-"),
+      col("doc_id")
+    )
+    lake.documents
+      .select(col("doc_id"), planted.as("raw"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("raw"), lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(phonePat)).cast("long").as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("raw"), emailPat, "[EMAIL]"),
+          phonePat,
+          "[PHONE]"
+        ).as("redacted")
+      )
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_phones"),
+        length(col("redacted")).cast("long").as("redacted_len"),
+        md5(col("redacted")).as("redacted_fp")
+      )
+      .orderBy("doc_id")
+  }
 }

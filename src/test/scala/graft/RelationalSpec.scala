@@ -36,6 +36,29 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("approx stats land within tolerance of the exact operators") {
+    import graft.catalog.Lake
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val lake = Lake(spark, sfDir)
+    val approx = Relational.rel11ApproxStats(lake).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    val exactPct = Relational.rel10Percentiles(lake).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exactDistinct = lake.orders
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactPct.foreach { case (k, (p50, p90)) =>
+      val (a50, a90, aDist) = approx(k)
+      assert(math.abs(a50 - p50) / p50 < 0.05, s"$k p50 $a50 vs $p50")
+      assert(math.abs(a90 - p90) / p90 < 0.05, s"$k p90 $a90 vs $p90")
+      val d = exactDistinct(k)
+      assert(math.abs(aDist - d).toDouble / d < 0.05, s"$k distinct $aDist vs $d")
+    }
+  }
+
   test("q01 pricing summary has expected shape") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
     assert(df.columns.toSet.contains("sum_qty"))
