@@ -59,6 +59,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("txt13/nst03: scans are column-pruned to the touched columns") {
+    val p1 = plan(TextAnalysis.txt13PiiRedaction(lake))
+    // documents is (doc_id, text, lang, source, n_chars): only the
+    // first two should reach the scan
+    assert(p1.contains("ReadSchema") && !p1.contains("n_chars"), p1)
+    val p2 = plan(Nested.nst03TypeWordsUnnest(lake))
+    assert(!p2.contains("p_retailprice"), p2)
+  }
+
   test("dedup03: no cartesian/nested-loop join anywhere") {
     val p = plan(Dedup.dedup03NgramJaccard(lake))
     assert(!p.contains("CartesianProduct"), p)
