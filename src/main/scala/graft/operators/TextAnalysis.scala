@@ -274,11 +274,10 @@ object TextAnalysis {
   /** Whitespace + BPE-ish regex token counts (letter runs, digit
     * runs, single punctuation — the pre-BPE pretokenizer shape). */
   def txt12BpeTokens(lake: Lake): DataFrame = {
-    val bpe = regexp_extract_all(
-      lower(col("text")),
-      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"),
-      lit(0)
-    )
+    // regexp_count, not size(regexp_extract_all(...)): the count needs
+    // no materialized array of every token (one fewer allocation pass
+    // over the whole corpus).
+    val bpe = regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
     // Two-stage projection: counts once, ratio from the count
     // attributes — one select would evaluate the regex scan and the
     // whitespace split twice per row.
@@ -286,7 +285,7 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         text.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
-        size(bpe).cast("long").as("n_bpe_tokens")
+        bpe.cast("long").as("n_bpe_tokens")
       )
       .select(
         col("doc_id"),
