@@ -71,6 +71,7 @@ object SparkEntry {
     "sim01_topk_bruteforce" -> q(Similarity.sim01TopKBruteForce(_)),
     "sim02_threshold_join" -> q(Similarity.sim02ThresholdJoin(_)),
     "sim03_lsh_ann" -> q(Similarity.sim03LshAnn(_)),
+    "sim05_ivf_ann" -> q(Similarity.sim05IvfAnn(_)),
     "sim04_label_centroids" -> q(Similarity.sim04LabelCentroids),
     "evt01_windowed_counts" -> q(Events.evt01WindowedCounts),
     "evt02_sessionization" -> q(Events.evt02Sessionization(_)),

@@ -214,13 +214,12 @@ object Similarity {
   /** Per-label centroids (posexplode + positional mean) and
     * nearest-centroid cohesion stats — the IVF coarse-quantizer
     * building block. */
-  def sim04LabelCentroids(lake: Lake): DataFrame = {
-    val all = vecs(lake)
-    val flat = all.select(
-      col("label"),
-      posexplode(col("v")).as(Seq("pos", "x"))
-    )
-    val centroids = flat
+  /** Per-label centroids (posexplode + positional mean) — the IVF
+    * coarse quantizer shared by sim04 (cohesion stats) and sim05
+    * (cell-probed ANN). */
+  private def labelCentroids(all: DataFrame): DataFrame =
+    all
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg(avg("x").as("c"))
       .groupBy("label")
@@ -230,6 +229,10 @@ object Similarity {
           s => s.getField("c")
         ).as("centroid")
       )
+
+  def sim04LabelCentroids(lake: Lake): DataFrame = {
+    val all = vecs(lake)
+    val centroids = labelCentroids(all)
     all
       .join(broadcast(centroids), "label")
       .withColumn("cos", vectors.cosine(col("v"), col("centroid")))
@@ -241,5 +244,63 @@ object Similarity {
         round(max("cos"), 4).as("max_cos")
       )
       .orderBy("label")
+  }
+
+  /** IVF-style ANN: the label centroids are the coarse quantizer; each
+    * query ranks all cells by centroid cosine, probes the `nprobe`
+    * nearest, and exhaustively searches only vectors in those cells —
+    * the FAISS IVF-flat shape. [rows-only — centroid arithmetic isn't
+    * robustly oracle-expressible; DedupSimilaritySpec asserts
+    * nprobe = nlist reproduces sim01 exactly and logs partial-probe
+    * recall.]
+    *
+    * Scale shape: the centroid table is nlist rows (tiny, broadcast
+    * twice); candidate generation is an equi-join on the cell id, so
+    * the scan side shuffles once on `label` and each cell's exhaustive
+    * kernel is the sim01 broadcast brute force at cell granularity.
+    * Candidate volume is nprobe/nlist of the corpus per query — the
+    * knob trades recall for compute exactly as in the reference's
+    * FAISS usage (build_embedding_linkage.py:246-273). */
+  def sim05IvfAnn(
+      lake: Lake,
+      k: Int = 10,
+      nQueries: Int = 10,
+      nprobe: Int = 3
+  ): DataFrame = {
+    val all = vecs(lake)
+    val centroids = labelCentroids(all)
+    val queries = all
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // Rank cells per query: |queries| x nlist rows — provably bounded,
+    // both sides broadcastable.
+    val cellRank = Window
+      .partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("label"))
+    val probed = queries
+      .crossJoin(broadcast(centroids))
+      .withColumn("ccos", vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(cellRank))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "qnrm", "label")
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    all
+      .join(broadcast(probed), Seq("label"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "cos_raw",
+        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos")
+      )
+      .orderBy("query_id", "rank")
   }
 }

@@ -61,6 +61,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall $recall below floor")
   }
 
+  test("IVF ANN with full probe reproduces brute force exactly; partial probe trades recall") {
+    val bf = Similarity
+      .sim01TopKBruteForce(lake)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // probing every cell = exhaustive search: results must be identical
+    val full = Similarity
+      .sim05IvfAnn(lake, nprobe = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(full == bf, s"full-probe IVF != brute force: missing ${bf -- full}")
+    // partial probe: a real recall/compute tradeoff, logged not pinned
+    // (near-uniform embeddings make cells nearly uninformative — the
+    // worst case for IVF)
+    val part = Similarity
+      .sim05IvfAnn(lake, nprobe = 3)
+      .select("query_id", "neighbor_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val bfPairs = bf.map(t => (t._1, t._3))
+    val recall = (bfPairs & part).size.toDouble / bfPairs.size
+    info(s"IVF nprobe=3/10 recall = $recall")
+    assert(recall >= 0.15, s"IVF recall $recall below sanity floor")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedup06EmbeddingNearDup(lake).collect()
     assert(rows.nonEmpty)
