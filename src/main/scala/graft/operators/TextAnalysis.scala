@@ -41,31 +41,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** Marker-heuristic language ID vs the labeled lang. */
+  /** Marker-heuristic language ID vs the labeled lang.
+    *
+    * Shape note: the langId CASE references each language's marker
+    * count several times, and markerCount's filter lambda embeds the
+    * tokenizer — inlined into one projection that re-tokenizes ~10x
+    * per row (lambda bodies are invisible to codegen's common-
+    * subexpression elimination). Instead: tokenize ONCE, explode,
+    * broadcast-join the 16 marker words, aggregate per-language
+    * counts, and build the CASE over the aggregated attributes. The
+    * shuffle carries only matched marker tokens. */
   def txt02LangId(lake: Lake): DataFrame = {
-    val toks = text.tokens(col("text"))
+    val markerRows = text.langMarkers.toSeq
+      .flatMap { case (l, ws) => ws.map(w => (w, l)) }
+    val lex = lake.spark.createDataFrame(markerRows).toDF("term", "mlang")
+    val counts = lake.documents
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+      .join(broadcast(lex), "term")
+      .groupBy("doc_id")
+      .agg(
+        count(when(col("mlang") === "en", 1)).as("s_en"),
+        count(when(col("mlang") === "de", 1)).as("s_de"),
+        count(when(col("mlang") === "es", 1)).as("s_es"),
+        count(when(col("mlang") === "fr", 1)).as("s_fr")
+      )
+    val pred = when(
+      col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+        col("s_en") >= col("s_fr"),
+      "en"
+    ).when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+      .when(col("s_es") >= col("s_fr"), "es")
+      .otherwise("fr")
     lake.documents
+      .select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(counts, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("s_en", "s_de", "s_es", "s_fr"))
+      .withColumn("pred_lang", pred)
       .select(
         col("doc_id"),
-        col("lang").as("labeled_lang"),
-        text.langId(toks).as("pred_lang"),
-        text.markerCount(toks, text.langMarkers("en")).cast("long")
-          .as("en_markers")
+        col("labeled_lang"),
+        col("pred_lang"),
+        col("s_en").cast("long").as("en_markers")
       )
       .withColumn("agrees", col("labeled_lang") === col("pred_lang"))
       .orderBy("doc_id")
   }
 
-  /** Quality scoring + threshold filter (pretraining-corpus gate). */
-  def txt03Quality(lake: Lake): DataFrame =
+  /** Quality scoring + threshold filter (pretraining-corpus gate).
+    * Same one-pass shape as txt02: explode once, aggregate token and
+    * stopword counts, score over the aggregated attributes (the
+    * direct qualityScore(text) projection re-tokenizes ~6x per row —
+    * the score references token counts repeatedly and the filter
+    * pushdown duplicates the whole expression). */
+  def txt03Quality(lake: Lake): DataFrame = {
+    val en = text.langMarkers("en")
     lake.documents
-      .select(
-        col("doc_id"),
-        text.qualityScore(col("text")).as("quality"),
-        text.tokenCount(col("text")).cast("long").as("n_tokens")
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count(when(col("term").isInCollection(en), 1)).as("n_stop")
+      )
+      .withColumn(
+        "quality",
+        round(
+          lit(0.5) * least(col("n_tokens").cast("double") / 80.0, lit(1.0)) +
+            lit(0.5) * least(
+              col("n_stop").cast("double") / col("n_tokens").cast("double") * 8.0,
+              lit(1.0)
+            ),
+          4
+        )
       )
       .filter(col("quality") >= 0.5)
+      .select(col("doc_id"), col("quality"), col("n_tokens"))
       .orderBy("doc_id")
+  }
 
   /** Content fingerprints + per-fingerprint duplicate counts. */
   def txt04Fingerprint(lake: Lake): DataFrame = {
