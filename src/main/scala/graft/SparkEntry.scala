@@ -79,6 +79,7 @@ object SparkEntry {
     "evt04_funnel" -> q(Events.evt04Funnel),
     "graph01_hierarchy_rollup" -> q(Graph.graph01HierarchyRollup),
     "graph02_transitive_closure" -> q(Graph.graph02TransitiveClosure),
+    "graph03_triple_patterns" -> q(Graph.graph03TriplePatterns),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
@@ -730,6 +731,24 @@ object SparkEntry {
          |FROM j CROSS JOIN ng
          |GROUP BY 1, n_gold
          |ORDER BY stratum""".stripMargin,
+    "graph03_triple_patterns" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region),
+        |p1 AS (SELECT s AS c, o AS n FROM triples WHERE p = 'in_nation'),
+        |p2 AS (SELECT s AS n, o AS r FROM triples WHERE p = 'in_region'),
+        |p3 AS (SELECT s AS r, o AS rl FROM triples WHERE p = 'label')
+        |SELECT rl AS region_label, COUNT(DISTINCT c) AS n_customers
+        |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r)
+        |GROUP BY rl
+        |ORDER BY region_label""".stripMargin,
     "graph02_transitive_closure" ->
       """WITH RECURSIVE edges AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS src,

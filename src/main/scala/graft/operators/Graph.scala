@@ -66,6 +66,63 @@ object Graph {
     all.groupBy("src", "dst").agg(min("hops").as("min_hops"))
   }
 
+  /** SPO triple table derived from the star schema — the relational
+    * form of the reference's oxigraph store (sparql_query.py). Every
+    * row is (subject, predicate, object) with typed-prefix IRIs. */
+  def triples(lake: Lake): DataFrame = {
+    val custNation = lake.customer.select(
+      concat(lit("cust:"), col("c_custkey")).as("s"),
+      lit("in_nation").as("p"),
+      concat(lit("nat:"), col("c_nationkey")).as("o")
+    )
+    val nationRegion = lake.nation.select(
+      concat(lit("nat:"), col("n_nationkey")).as("s"),
+      lit("in_region").as("p"),
+      concat(lit("reg:"), col("n_regionkey")).as("o")
+    )
+    val nationLabel = lake.nation.select(
+      concat(lit("nat:"), col("n_nationkey")).as("s"),
+      lit("label").as("p"),
+      col("n_name").as("o")
+    )
+    val regionLabel = lake.region.select(
+      concat(lit("reg:"), col("r_regionkey")).as("s"),
+      lit("label").as("p"),
+      col("r_name").as("o")
+    )
+    custNation.unionAll(nationRegion).unionAll(nationLabel).unionAll(regionLabel)
+  }
+
+  /** SPARQL basic-graph-pattern matching as predicate-filtered
+    * self-joins over the triple table — the re-expression of
+    * `?c in_nation ?n . ?n in_region ?r . ?r label ?rl` (the
+    * sparql_query.py query surface; each triple pattern is one
+    * filtered scan, each shared variable one equi-join).
+    *
+    * Scale notes: a 100 TB triple table is stored partitioned by
+    * predicate, so each pattern scan prunes to one predicate's
+    * partition; join order follows pattern selectivity (labels and
+    * schema-level predicates are tiny → broadcast), which is exactly
+    * how SPARQL engines plan BGPs. */
+  def graph03TriplePatterns(lake: Lake): DataFrame = {
+    val t = triples(lake)
+    val custOfNation = t
+      .filter(col("p") === "in_nation")
+      .select(col("s").as("c"), col("o").as("n"))
+    val nationOfRegion = t
+      .filter(col("p") === "in_region")
+      .select(col("s").as("n"), col("o").as("r"))
+    val labelOfRegion = t
+      .filter(col("p") === "label")
+      .select(col("s").as("r"), col("o").as("rl"))
+    custOfNation
+      .join(broadcast(nationOfRegion), "n")
+      .join(broadcast(labelOfRegion), "r")
+      .groupBy(col("rl").as("region_label"))
+      .agg(countDistinct(col("c")).as("n_customers"))
+      .orderBy("region_label")
+  }
+
   /** Closure demo over a deterministic synthetic edge list derived
     * from nation keys (src -> (2*src+7) mod 25) — the recursive-CTE
     * analog, hop-bounded at 4. */
