@@ -130,8 +130,9 @@ object Multimodal {
     }
   }
 
-  /** mm01: media metadata + stub features, flattened for the driver
-    * dump. [rows-only — stub decode is not oracle-expressible] */
+  /** mm01: media metadata + decoded features, flattened for the
+    * driver dump. [rows-only — the decode step (ImageIO pixels /
+    * byte histogram) is not oracle-expressible] */
   def mm01BinaryMeta(lake: Lake): DataFrame =
     extractFeatures(asMedia(lake))
       .toDF()
