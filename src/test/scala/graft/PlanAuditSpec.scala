@@ -54,7 +54,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val dim = lake.customer.withColumnRenamed("c_custkey", "o_custkey")
     val salted = Skew.saltedJoin(fact, dim, "o_custkey", "o_orderkey", salts = 8)
     val plain = fact.join(dim, "o_custkey")
-    assert(salted.count() == plain.count())
+    // full result-set equality, not just cardinality
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("o_orderkey"), r.getAs[String]("c_name"))
+    assert(salted.collect().map(key).sorted.toSeq ==
+      plain.collect().map(key).sorted.toSeq)
     val p = salted.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
