@@ -18,8 +18,7 @@ object Bench {
       // columns, so whichever query touched documents/embeddings first
       // was silently billed the one-time cold decompression.
       lake.tableNames.foreach { n =>
-        val df = if (n == "events") lake.events else lake.table(n)
-        df.write.mode("overwrite").format("noop").save()
+        lake.resolve(n).write.mode("overwrite").format("noop").save()
       }
       spark.range(1000).selectExpr("sum(id)").collect()
     }

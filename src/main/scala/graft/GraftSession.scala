@@ -40,6 +40,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
-      // managed (bucketed) tables land under target/, not the repo root
-      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      // managed (bucketed) tables land under an absolute target/ path —
+      // a relative warehouse dir would scatter tables across whatever
+      // the process cwd happens to be
+      .config(
+        "spark.sql.warehouse.dir",
+        new java.io.File("target/spark-warehouse").getAbsolutePath
+      )
 }

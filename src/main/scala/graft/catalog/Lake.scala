@@ -47,11 +47,14 @@ final case class Lake(spark: SparkSession, dir: String) {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
-  /** Register every table as a temp view so `spark.sql` works by name.
-    * events goes through the converting accessor (see above). */
+  /** Name-based accessor that routes through the type-converting
+    * reader where one exists — the ONE place that knows events needs
+    * the nanos conversion. Generic table iterators must use this, not
+    * `table(name)`, or they crash on the TIMESTAMP(NANOS) schema. */
+  def resolve(name: String): DataFrame =
+    if (name == "events") events else table(name)
+
+  /** Register every table as a temp view so `spark.sql` works by name. */
   def registerViews(): Unit =
-    tableNames.foreach {
-      case "events" => events.createOrReplaceTempView("events")
-      case n        => table(n).createOrReplaceTempView(n)
-    }
+    tableNames.foreach(n => resolve(n).createOrReplaceTempView(n))
 }

@@ -56,10 +56,14 @@ object text {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** How many tokens fall in `words` (stopword/marker counting). */
-  def markerCount(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isInCollection(words)))
-
+  /** Language marker lexicon shared by the langid / quality operators
+    * (TextAnalysis.txt02/txt03) and their DuckDB oracles. The scoring
+    * logic itself lives in the operators as single-pass explode +
+    * aggregate shapes — a Column-level CASE over per-language
+    * marker-count lambdas re-evaluates the tokenizer once per
+    * reference (lambda bodies are invisible to codegen's common-
+    * subexpression elimination), so no filter-lambda helpers are
+    * exposed here. */
   val langMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and"),
     "de" -> Seq("der", "die", "das", "und"),
@@ -67,34 +71,8 @@ object text {
     "fr" -> Seq("le", "les", "des", "et")
   )
 
-  /** Marker-based language ID: argmax of per-language marker counts
-    * with a fixed precedence (en > de > es > fr) on ties. */
-  def langId(toks: Column): Column = {
-    val s = langMarkers.map { case (l, ws) => l -> markerCount(toks, ws) }
-    when(
-      s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr"),
-      "en"
-    ).when(s("de") >= s("es") && s("de") >= s("fr"), "de")
-      .when(s("es") >= s("fr"), "es")
-      .otherwise("fr")
-  }
-
   /** Ratio of non-[a-z0-9 ] characters (punctuation-ish density). */
   def punctRatio(c: Column): Column =
     length(regexp_replace(lower(c), "[a-z0-9 ]", "")).cast("double") /
       length(c).cast("double")
-
-  /** Heuristic quality score in [0,1]: length saturation + stopword
-    * density (the reference-style filter a pretraining pipeline runs
-    * before dedup). */
-  def qualityScore(c: Column): Column = {
-    val toks = tokens(c)
-    val nTok = size(toks).cast("double")
-    val stop = markerCount(toks, langMarkers("en")).cast("double")
-    round(
-      lit(0.5) * least(nTok / 80.0, lit(1.0)) +
-        lit(0.5) * least(stop / nTok * 8.0, lit(1.0)),
-      4
-    )
-  }
 }

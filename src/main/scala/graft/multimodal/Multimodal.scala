@@ -60,9 +60,13 @@ object Multimodal {
     * unsupported payload) so callers can fall back instead of
     * failing the partition. */
   def decodeImage(payload: Array[Byte]): Option[Array[Double]] = {
+    // NonFatal, not just IOException: ImageIO throws RuntimeExceptions
+    // on corrupt payloads (CMMException for bad ICC profiles,
+    // IndexOutOfBounds on truncated GIF/PNG) — at corpus scale one
+    // adversarial image must degrade to the fallback, not kill the job.
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     Option(img).map { im =>
       val w = im.getWidth
       val h = im.getHeight

@@ -14,8 +14,8 @@ object CatalogOps {
   def cat01Status(lake: Lake): DataFrame =
     lake.tableNames
       .map { name =>
-        val df = if (name == "events") lake.events else lake.table(name)
-        df.agg(count(lit(1)).as("n_rows"))
+        lake.resolve(name)
+          .agg(count(lit(1)).as("n_rows"))
           .select(lit(name).as("table_name"), col("n_rows"))
       }
       .reduce(_.unionAll(_))
@@ -40,7 +40,7 @@ object CatalogOps {
     import spark.implicits._
     lake.tableNames.sorted
       .flatMap { t =>
-        val df = if (t == "events") lake.events else lake.table(t)
+        val df = lake.resolve(t)
         val tableHit =
           if (t.toLowerCase.contains(p))
             Seq((t, "(table)", ""))
@@ -67,7 +67,7 @@ object CatalogOps {
         case c            => c.toString
       }
     val tables = lake.tableNames.sorted.map { name =>
-      val df = if (name == "events") lake.events else lake.table(name)
+      val df = lake.resolve(name)
       val fields = df.schema.fields
         .map(f =>
           s"""{"name":"${esc(f.name)}","type":"${esc(f.dataType.simpleString)}","nullable":${f.nullable}}"""

@@ -118,11 +118,11 @@ object Similarity {
     * tune (tables, nBits) per corpus.
     *
     * Plan shape: the bucket frame is narrow (vec_id, tbl, sig — no
-    * vectors) and cached, so the signature pass runs once even though
-    * it feeds both the query and corpus branches; candidate dedup is
-    * on (query_id, vec_id) ids only; vectors are re-attached by one
-    * equi-join against the base scan plus one broadcast join for the
-    * bounded query side. */
+    * vectors); the corpus signature pass runs exactly once (the query
+    * side gets its own pass over <= nQueries rows, see below);
+    * candidate dedup is on (query_id, vec_id) ids only; vectors are
+    * re-attached by one equi-join against the base scan plus one
+    * broadcast join for the bounded query side. */
   def sim03LshAnn(
       lake: Lake,
       k: Int = 10,
@@ -151,33 +151,39 @@ object Similarity {
     import spark.implicits._
     val nb = nBits
     // Narrow signature frame: (vec_id, tbl, sig) only — tables x n
-    // 16-byte rows, cached so the one signature pass feeds both the
-    // query and the corpus branch of the bucket self-join.
-    val buckets = all
-      .select(col("vec_id"), col("v"))
-      .as[(Long, Array[Double])]
-      .mapPartitions { iter =>
-        iter.flatMap { case (id, v) =>
-          (0 until planes.length).iterator.map { t =>
-            var sig = 0
-            var b = 0
-            while (b < nb) {
-              val p = planes(t)(b)
-              var proj = 0.0
-              var d = 0
-              while (d < p.length) { proj += v(d) * p(d); d += 1 }
-              if (proj >= 0) sig |= (1 << b)
-              b += 1
+    // 16-byte rows. Signatures are computed as a local function
+    // applied to TWO frames (full corpus; the bounded query subset)
+    // rather than one cached frame feeding both branches: a filter
+    // can't push through the opaque mapPartitions lambda, and a
+    // DataFrame cache is never auto-evicted (CacheManager pins it),
+    // so the cached formulation leaks storage memory on every call
+    // in a long-lived session. The price is one extra signature pass
+    // over <= nQueries rows — bounded by contract.
+    def signatures(frame: DataFrame): DataFrame =
+      frame
+        .select(col("vec_id"), col("v"))
+        .as[(Long, Array[Double])]
+        .mapPartitions { iter =>
+          iter.flatMap { case (id, v) =>
+            (0 until planes.length).iterator.map { t =>
+              var sig = 0
+              var b = 0
+              while (b < nb) {
+                val p = planes(t)(b)
+                var proj = 0.0
+                var d = 0
+                while (d < p.length) { proj += v(d) * p(d); d += 1 }
+                if (proj >= 0) sig |= (1 << b)
+                b += 1
+              }
+              (id, t, sig)
             }
-            (id, t, sig)
           }
         }
-      }
-      .toDF("vec_id", "tbl", "sig")
-      .cache()
+        .toDF("vec_id", "tbl", "sig")
 
-    val querySigs = buckets
-      .filter(col("vec_id") < nQueries)
+    val buckets = signatures(all)
+    val querySigs = signatures(all.filter(col("vec_id") < nQueries))
       .select(col("vec_id").as("query_id"), col("tbl"), col("sig"))
     // Distinct on ids only — full vectors never ride the
     // candidate-dedup shuffle.

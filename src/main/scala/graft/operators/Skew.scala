@@ -24,6 +24,8 @@ object Skew {
     * into `salts` sub-partitions per key. `saltSource` must be a
     * stable fact column (row id, primary key) so the salt is
     * deterministic under task retry. Result equals the plain join. */
+  private val SaltCol = "__graft_salt"
+
   def saltedJoin(
       fact: DataFrame,
       dim: DataFrame,
@@ -31,10 +33,17 @@ object Skew {
       saltSource: String,
       salts: Int = 16
   ): DataFrame = {
+    require(salts > 0, s"salts must be positive, got $salts")
+    // The internal salt column must not collide with (and silently
+    // clobber) a caller's column of the same name.
+    require(
+      !fact.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
+      s"inputs must not already carry a '$SaltCol' column"
+    )
     val saltedFact =
-      fact.withColumn("_salt", pmod(xxhash64(col(saltSource)), lit(salts)).cast("int"))
+      fact.withColumn(SaltCol, pmod(xxhash64(col(saltSource)), lit(salts)).cast("int"))
     val repDim =
-      dim.withColumn("_salt", explode(sequence(lit(0), lit(salts - 1))))
-    saltedFact.join(repDim, Seq(key, "_salt")).drop("_salt")
+      dim.withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(repDim, Seq(key, SaltCol)).drop(SaltCol)
   }
 }

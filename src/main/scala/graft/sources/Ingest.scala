@@ -83,10 +83,22 @@ object Ingest {
       bucketCols: Seq[String],
       nBuckets: Int
   ): Unit = {
-    // Overwrite of a managed table requires the catalog entry to be
-    // dropped first; a stale entry (or its on-disk location) from an
-    // earlier session otherwise fails the save.
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    // Overwrite of a managed table needs two cleanups: the catalog
+    // entry (DROP TABLE), and — when a previous SESSION wrote the
+    // table — the orphan warehouse directory that the now-empty
+    // in-memory catalog no longer knows about, which would otherwise
+    // fail the save with LOCATION_ALREADY_EXISTS.
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val warehouse = spark.conf
+      .get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val orphan = new java.io.File(warehouse, tableName.toLowerCase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    if (orphan.exists()) rm(orphan)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -57,16 +57,8 @@ class IngestSpec extends AnyFunSuite {
 
   test("identically bucketed tables join with no shuffle exchange") {
     val lake = Lake(spark, sfDir)
-    // clear orphan managed-table locations left by earlier sessions
-    // (the in-memory catalog forgets them; the warehouse dir doesn't)
-    Seq("orders_bkt", "customer_bkt").foreach { t =>
-      val d = new java.io.File(s"target/spark-warehouse/$t")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      if (d.exists()) rm(d)
-    }
+    // orphan warehouse locations from earlier sessions are cleaned by
+    // writeBucketed itself — no manual rm needed here
     Ingest.writeBucketed(lake.orders, "orders_bkt", Seq("o_custkey"), 4)
     Ingest.writeBucketed(
       lake.customer.withColumnRenamed("c_custkey", "o_custkey"),
