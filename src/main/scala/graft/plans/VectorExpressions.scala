@@ -68,29 +68,61 @@ object VectorDot {
     Bridge.column(VectorDot(Bridge.expression(a), Bridge.expression(b)))
 }
 
-/** SparkSessionExtensions hook: makes `vector_dot` available to SQL
-  * users (`spark.sql("SELECT vector_dot(a, b) ...")`) when the
-  * session is built with
-  * `.withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** SparkSessionExtensions hook: exposes every graft native expression
+  * to SQL users (`spark.sql("SELECT vector_dot(a, b) ...")`) when the
+  * session is built with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Registered: vector_dot(arr, arr), jaro_winkler(str, str),
+  * simhash64(str), sorted_intersect_count(arr, arr),
+  * shingle_hashes(str, n) — n must be a constant (it shapes the
+  * kernel, like the width argument of substring). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.vectorDotDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  val vectorDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("vector_dot"),
-    new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-    (args: Seq[Expression]) => VectorDot(args(0), args(1))
+  private type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def d(
+      name: String,
+      clazz: Class[_],
+      build: Seq[Expression] => Expression
+  ): Descriptor =
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build)
+
+  private def constInt(e: Expression, arg: String): Int = e match {
+    case lit if lit.foldable => lit.eval() match {
+      case i: Int => i
+      case other =>
+        throw new IllegalArgumentException(s"$arg must be an int literal, got $other")
+    }
+    case _ =>
+      throw new IllegalArgumentException(s"$arg must be a constant")
+  }
+
+  val descriptors: Seq[Descriptor] = Seq(
+    d("vector_dot", classOf[VectorDot], args => VectorDot(args(0), args(1))),
+    d("jaro_winkler", classOf[JaroWinkler], args => JaroWinkler(args(0), args(1))),
+    d("simhash64", classOf[SimHash64], args => SimHash64(args(0))),
+    d(
+      "sorted_intersect_count",
+      classOf[SortedIntersectCount],
+      args => SortedIntersectCount(args(0), args(1))
+    ),
+    d(
+      "shingle_hashes",
+      classOf[ShingleHashes],
+      args => ShingleHashes(args(0), constInt(args(1), "shingle order"))
+    )
   )
 
   /** Idempotent runtime registration for sessions built without the
     * extensions conf (e.g. the driver's Verify/Bench sessions). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      vectorDotDescriptor._1,
-      vectorDotDescriptor._2,
-      vectorDotDescriptor._3
-    )
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface of the native expressions: every custom Catalyst
+  * expression must be reachable from spark.sql via GraftExtensions,
+  * so SQL-only users get the same kernels as the Scala API. */
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every native expression is callable from SQL") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark
+      .sql(
+        """SELECT
+          |  vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS vd,
+          |  jaro_winkler('martha', 'marhta') AS jw,
+          |  simhash64('hello world hello') AS sh,
+          |  sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
+          |  size(shingle_hashes('a b c d', 3)) AS nsh""".stripMargin
+      )
+      .head()
+    assert(r.getDouble(0) == 11.0)
+    assert(math.abs(r.getDouble(1) - 0.9611) < 0.001)
+    assert(r.getLong(2) != 0L) // simhash of non-empty text is non-trivial
+    assert(r.getLong(3) == 2L) // {2,3} intersect
+    assert(r.getInt(4) == 2)   // 4 tokens -> 2 word trigrams
+  }
+
+  test("shingle_hashes rejects a non-constant order argument") {
+    graft.plans.GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', cast(rand() * 3 AS INT))").head()
+    }
+    assert(e.getMessage.toLowerCase.contains("constant"))
+  }
+}
