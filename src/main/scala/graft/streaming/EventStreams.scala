@@ -45,6 +45,29 @@ object EventStreams extends Serializable {
       "left"
     )
 
+  /** Sliding (hopping) event-time windows: each event lands in
+    * window/slide overlapping windows — the smoothing shape between a
+    * tumbling aggregate (evt01) and a row-window moving average
+    * (evt06). Watermark bounds state to the horizon + window span;
+    * state size is |open windows x types|, independent of stream
+    * length. Works identically in batch for backfill (the spec runs
+    * both and asserts equality). */
+  def slidingCounts(
+      events: DataFrame,
+      windowLen: String = "2 hours",
+      slide: String = "1 hour"
+  ): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(
+        window(col("ts"), windowLen, slide).getField("start").as("window_start"),
+        col("event_type")
+      )
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value")
+      )
+
   /** Stream-stream interval join with watermarks bounding BOTH
     * sides' state: views matched to clicks by the same user where the
     * click lands within `withinMinutes` after the view. The time-range
