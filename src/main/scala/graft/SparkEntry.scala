@@ -82,6 +82,8 @@ object SparkEntry {
     "graph03_triple_patterns" -> q(Graph.graph03TriplePatterns),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
+    "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
+    "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
     "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
     "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),
@@ -649,6 +651,30 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2, 3
         |ORDER BY path""".stripMargin,
+    "samp02_source_mixture" ->
+      """WITH d AS (SELECT source, doc_id, n_chars,
+        |  doc_id % 100 < 90 - CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) * 20
+        |    AS kept
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE kept) AS n_sampled,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE kept) AS DOUBLE) / COUNT(*), 4)
+        |    AS sample_rate,
+        |  ROUND(AVG(n_chars) FILTER (WHERE kept), 4) AS avg_chars_sampled
+        |FROM d
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
+    "dedup07_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t),
+         |bench AS (SELECT DISTINCT UNNEST(s) AS s FROM sh WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id, UNNEST(s) AS s FROM sh WHERE doc_id >= 10)
+         |SELECT doc_id, COUNT(*) AS n_overlap
+         |FROM corpus JOIN bench USING (s)
+         |GROUP BY doc_id
+         |HAVING COUNT(*) >= 5
+         |ORDER BY doc_id""".stripMargin,
     "txt13_pii_redaction" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -227,6 +227,41 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Benchmark decontamination — the eval-set leakage scan every
+    * pretraining corpus needs: flag training documents sharing >=
+    * `minOverlap` word trigrams with any benchmark document (here the
+    * benchmark set is the first `nBench` docs, standing in for a
+    * held-out eval suite — near-duplicates of benchmark docs light up
+    * with 70+ overlapping trigrams, incidental phrase reuse with 1-3).
+    *
+    * Scale shape: the benchmark shingle set is tiny and broadcast;
+    * the corpus is one explode + broadcast-semi join + count — no
+    * pairwise comparison, linear in corpus tokens, exactly how
+    * decontamination runs over a 100 TB corpus against a fixed
+    * benchmark suite. */
+  def dedup07Decontaminate(
+      lake: Lake,
+      nBench: Int = 10,
+      minOverlap: Int = 5
+  ): DataFrame = {
+    val shingled = lake.documents.select(
+      col("doc_id"),
+      text.wordShingles(text.tokens(col("text")), 3).as("sh")
+    )
+    val benchShingles = shingled
+      .filter(col("doc_id") < nBench)
+      .select(explode(col("sh")).as("s"))
+      .distinct()
+    shingled
+      .filter(col("doc_id") >= nBench)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(benchShingles), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup pairs within a label block (cosine >= t).
     *
     * Scale design — chunked exact join, not LSH pruning. The output

@@ -288,6 +288,31 @@ object TextAnalysis {
       )
       .orderBy("lang")
 
+  /** Source-mixture sampling — pretraining corpus assembly: each
+    * source contributes at its own rate (here derived from the
+    * source's priority suffix: higher-priority sources keep more).
+    * The keep decision is a deterministic modulo on the stable doc id
+    * (same property as samp01: reproducible across runs and cluster
+    * sizes, no RNG). Map-only scan + small aggregate. */
+  def samp02SourceMixture(lake: Lake): DataFrame = {
+    val priority = regexp_extract(col("source"), "(\\d+)$", 1).cast("long")
+    val pct = lit(90) - priority * 20
+    val kept = pmod(col("doc_id"), lit(100)) < pct
+    lake.documents
+      .select(col("doc_id"), col("source"), col("n_chars"), kept.as("kept"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("kept"), 1)).as("n_sampled"),
+        round(
+          count(when(col("kept"), 1)).cast("double") / count(lit(1)),
+          4
+        ).as("sample_rate"),
+        round(avg(when(col("kept"), col("n_chars"))), 4).as("avg_chars_sampled")
+      )
+      .orderBy("source")
+  }
+
   /** Overlapping token-window chunking — the pretraining context-
     * window splitter (chunk size 50 tokens, stride 40). Map-only:
     * one posexplode per doc, chunk text rebuilt via slice +
