@@ -82,6 +82,8 @@ object SparkEntry {
     "graph03_triple_patterns" -> q(Graph.graph03TriplePatterns),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
+    "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
+    "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
@@ -651,6 +653,28 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2, 3
         |ORDER BY path""".stripMargin,
+    "txt14_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |bg AS (SELECT doc_id,
+         |  UNNEST([w[i] || ' ' || w[i+1] FOR i IN RANGE(1, len(w))]) AS b
+         |  FROM t WHERE len(w) >= 2),
+         |c AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+         |  CAST(MAX(n) AS BIGINT) AS top_bigram_n,
+         |  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS top_bigram_frac
+         |FROM c GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "txt15_unigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(w) AS w FROM t),
+         |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ROUND(AVG(-LN(c / total)), 4) AS avg_neg_logp
+         |FROM tok JOIN cnt USING (w) CROSS JOIN tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "samp02_source_mixture" ->
       """WITH d AS (SELECT source, doc_id, n_chars,
         |  doc_id % 100 < 90 - CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) * 20

@@ -405,6 +405,56 @@ object TextAnalysis {
       .orderBy("probe")
   }
 
+  /** Repetition scoring — the Gopher-style quality signal: fraction
+    * of a document's bigrams taken by its single most frequent bigram
+    * (repetitive boilerplate scores high, natural text low). Raw
+    * (non-distinct) bigrams are built inline — the shingle helper
+    * dedupes, which would erase exactly the signal measured here.
+    * One explode + two aggregations, linear in corpus tokens. */
+  def txt14Repetition(lake: Lake): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val m = size(toks) - 1
+    val rawBigrams = zip_with(
+      slice(toks, lit(1), m),
+      slice(toks, lit(2), m),
+      (a, b) => concat(a, lit(" "), b)
+    )
+    lake.documents
+      .select(col("doc_id"), explode(rawBigrams).as("bg"))
+      .groupBy("doc_id", "bg")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        sum("n").as("n_bigrams"),
+        max("n").as("top_bigram_n"),
+        round(max("n").cast("double") / sum("n"), 4).as("top_bigram_frac")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Unigram log-probability scoring — the CCNet-style perplexity
+    * proxy: score each document by the mean negative log corpus
+    * probability of its tokens (gibberish and rare-token soup score
+    * high, plain prose low). Corpus unigram counts are one
+    * explode+agg pass; scoring is a broadcast join back over the same
+    * exploded tokens — two linear passes, no per-document model. */
+  def txt15UnigramLogprob(lake: Lake): DataFrame = {
+    val toks = lake.documents
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    toks
+      .join(broadcast(counts), "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("c").cast("double") / col("total"))), 4)
+          .as("avg_neg_logp")
+      )
+      .orderBy("doc_id")
+  }
+
   /** PII detection + redaction — the scrub pass every training-data
     * pipeline runs before a corpus ships. The testdata corpus carries
     * no PII, so the operator first plants deterministic synthetic
