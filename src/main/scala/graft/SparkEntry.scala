@@ -83,6 +83,7 @@ object SparkEntry {
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
+    "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
     "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
@@ -665,6 +666,23 @@ object SparkEntry {
          |  ROUND(CAST(MAX(n) AS DOUBLE) / SUM(n), 4) AS top_bigram_frac
          |FROM c GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "txt16_sequence_packing" ->
+      s"""WITH docs AS (SELECT doc_id, source, $dkToks AS toks FROM documents),
+         |st AS (SELECT doc_id, source, toks,
+         |  UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 40)) AS start
+         |  FROM docs),
+         |ch AS (SELECT source, doc_id, CAST(start / 40 AS BIGINT) AS chunk_id,
+         |  CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT) AS chunk_len
+         |  FROM st),
+         |cum AS (SELECT source, chunk_len,
+         |  SUM(chunk_len) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM ch)
+         |SELECT source, CAST((cum - chunk_len) // 512 AS BIGINT) AS bin_id,
+         |  COUNT(*) AS n_chunks, CAST(SUM(chunk_len) AS BIGINT) AS bin_tokens
+         |FROM cum
+         |GROUP BY 1, 2
+         |ORDER BY source, bin_id""".stripMargin,
     "txt15_unigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
          |tok AS (SELECT doc_id, UNNEST(w) AS w FROM t),

@@ -347,6 +347,62 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Sequence packing — the step after chunking (txt11) in a
+    * pretraining pipeline: fill fixed-capacity context windows with
+    * consecutive chunks and report per-bin fill. Packing is done per
+    * source (window partitioned by source, ordered by doc/chunk id),
+    * so each shard packs independently and in parallel — a single
+    * global ordering would serialize the whole corpus through one
+    * partition. Bin assignment is cumulative-sum div capacity: a
+    * chunk whose cumsum straddles a boundary opens the next bin (the
+    * streaming-packer approximation; bins overshoot by at most one
+    * chunk). */
+  def txt16SequencePacking(
+      lake: Lake,
+      chunkSize: Int = 50,
+      stride: Int = 40,
+      capacity: Int = 512
+  ): DataFrame = {
+    val toks = text.tokens(col("text"))
+    val chunks = lake.documents
+      .select(
+        col("doc_id"),
+        col("source"),
+        toks.as("toks"),
+        size(toks).as("n_tokens")
+      )
+      .withColumn(
+        "start",
+        explode(
+          sequence(lit(0), greatest(col("n_tokens") - 1, lit(0)), lit(stride))
+        )
+      )
+      .select(
+        col("source"),
+        col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        size(slice(col("toks"), col("start") + 1, lit(chunkSize)))
+          .cast("long")
+          .as("chunk_len")
+      )
+    val w = Window
+      .partitionBy("source")
+      .orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum("chunk_len").over(w))
+      .withColumn(
+        "bin_id",
+        floor((col("cum") - col("chunk_len")) / lit(capacity))
+      )
+      .groupBy("source", "bin_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum("chunk_len").as("bin_tokens")
+      )
+      .orderBy("source", "bin_id")
+  }
+
   /** Whitespace + BPE-ish regex token counts (letter runs, digit
     * runs, single punctuation — the pre-BPE pretokenizer shape). */
   def txt12BpeTokens(lake: Lake): DataFrame = {
