@@ -244,9 +244,17 @@ object Dedup {
       nBench: Int = 10,
       minOverlap: Int = 5
   ): DataFrame = {
+    // Fused single-pass shingle hashes (same kernel as dedup03/04):
+    // the composable string-shingle form re-tokenizes once per slice
+    // inside its zip_with lambdas, and 64-bit hashes make the
+    // broadcast set and the join keys 8-byte longs instead of
+    // strings. Counts match the string-shingle oracle as long as no
+    // xxhash64 collision lands inside one document's shingle set —
+    // the same (negligible, data-verified) assumption dedup04's
+    // verify step already rests on.
     val shingled = lake.documents.select(
       col("doc_id"),
-      text.wordShingles(text.tokens(col("text")), 3).as("sh")
+      graft.plans.ShingleHashes(col("text"), 3).as("sh")
     )
     val benchShingles = shingled
       .filter(col("doc_id") < nBench)

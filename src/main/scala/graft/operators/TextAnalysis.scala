@@ -468,14 +468,18 @@ object TextAnalysis {
     * dedupes, which would erase exactly the signal measured here.
     * One explode + two aggregations, linear in corpus tokens. */
   def txt14Repetition(lake: Lake): DataFrame = {
-    val toks = text.tokens(col("text"))
-    val m = size(toks) - 1
+    // Tokenize into a materialized column first: building the bigrams
+    // directly from the tokenizer expression references it from both
+    // slice children (4+ evaluations per row once higher-order
+    // functions block common-subexpression elimination).
+    val m = size(col("toks")) - 1
     val rawBigrams = zip_with(
-      slice(toks, lit(1), m),
-      slice(toks, lit(2), m),
+      slice(col("toks"), lit(1), m),
+      slice(col("toks"), lit(2), m),
       (a, b) => concat(a, lit(" "), b)
     )
     lake.documents
+      .select(col("doc_id"), text.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(rawBigrams).as("bg"))
       .groupBy("doc_id", "bg")
       .agg(count(lit(1)).as("n"))

@@ -42,7 +42,9 @@ def main():
                 input=oracle[name], capture_output=True, text=True,
                 timeout=timeout)
             if r.returncode == 0:
-                times[name] = json.loads(r.stdout)["sec"]
+                # last stdout line is the timing JSON (duckdb may emit
+                # warnings/progress on stdout before it)
+                times[name] = json.loads(r.stdout.strip().splitlines()[-1])["sec"]
                 status[name] = "ok"
             else:
                 times[name] = None
