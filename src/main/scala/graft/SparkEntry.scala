@@ -695,7 +695,7 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "samp02_source_mixture" ->
       """WITH d AS (SELECT source, doc_id, n_chars,
-        |  doc_id % 100 < 90 - CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) * 20
+        |  doc_id % 100 < 95 - CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) * 4
         |    AS kept
         |  FROM documents)
         |SELECT source,

@@ -296,7 +296,10 @@ object TextAnalysis {
     * sizes, no RNG). Map-only scan + small aggregate. */
   def samp02SourceMixture(lake: Lake): DataFrame = {
     val priority = regexp_extract(col("source"), "(\\d+)$", 1).cast("long")
-    val pct = lit(90) - priority * 20
+    // 95 - 4p keeps every priority 0..19 at a positive rate (95%..19%)
+    // — a steeper slope zeroes out most sources and degenerates the
+    // mixture.
+    val pct = lit(95) - priority * 4
     val kept = pmod(col("doc_id"), lit(100)) < pct
     lake.documents
       .select(col("doc_id"), col("source"), col("n_chars"), kept.as("kept"))
@@ -363,14 +366,11 @@ object TextAnalysis {
       stride: Int = 40,
       capacity: Int = 512
   ): DataFrame = {
-    val toks = text.tokens(col("text"))
+    // Materialize the token array before sizing it — referencing the
+    // tokenizer expression twice in one select runs it twice per row.
     val chunks = lake.documents
-      .select(
-        col("doc_id"),
-        col("source"),
-        toks.as("toks"),
-        size(toks).as("n_tokens")
-      )
+      .select(col("doc_id"), col("source"), text.tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
       .withColumn(
         "start",
         explode(
@@ -502,9 +502,14 @@ object TextAnalysis {
     val toks = lake.documents
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
     val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val total = toks.agg(count(lit(1)).cast("double").as("total"))
+    // total token count derives from the vocabulary-sized counts
+    // table — re-aggregating `toks` would tokenize the corpus a third
+    // time. No broadcast hint on counts: the unigram vocabulary grows
+    // with the corpus; AQE broadcasts while it fits and falls back to
+    // a shuffle join instead of OOMing at scale.
+    val total = counts.agg(sum("c").cast("double").as("total"))
     toks
-      .join(broadcast(counts), "w")
+      .join(counts, "w")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(

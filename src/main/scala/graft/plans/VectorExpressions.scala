@@ -89,9 +89,18 @@ object GraftExtensions {
   private def d(
       name: String,
       clazz: Class[_],
+      arity: Int,
       build: Seq[Expression] => Expression
-  ): Descriptor =
-    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), build)
+  ): Descriptor = {
+    val checked: Seq[Expression] => Expression = { args =>
+      if (args.length != arity)
+        throw new IllegalArgumentException(
+          s"$name expects $arity argument(s), got ${args.length}"
+        )
+      build(args)
+    }
+    (FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), checked)
+  }
 
   private def constInt(e: Expression, arg: String): Int = e match {
     case lit if lit.foldable => lit.eval() match {
@@ -104,17 +113,19 @@ object GraftExtensions {
   }
 
   val descriptors: Seq[Descriptor] = Seq(
-    d("vector_dot", classOf[VectorDot], args => VectorDot(args(0), args(1))),
-    d("jaro_winkler", classOf[JaroWinkler], args => JaroWinkler(args(0), args(1))),
-    d("simhash64", classOf[SimHash64], args => SimHash64(args(0))),
+    d("vector_dot", classOf[VectorDot], 2, args => VectorDot(args(0), args(1))),
+    d("jaro_winkler", classOf[JaroWinkler], 2, args => JaroWinkler(args(0), args(1))),
+    d("simhash64", classOf[SimHash64], 1, args => SimHash64(args(0))),
     d(
       "sorted_intersect_count",
       classOf[SortedIntersectCount],
+      2,
       args => SortedIntersectCount(args(0), args(1))
     ),
     d(
       "shingle_hashes",
       classOf[ShingleHashes],
+      2,
       args => ShingleHashes(args(0), constInt(args(1), "shingle order"))
     )
   )

@@ -16,19 +16,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams extends Serializable {
 
-  /** Tumbling 1h windowed counts with a 2h watermark —
-    * streaming form of Events.evt01WindowedCounts. */
+  /** Tumbling 1h windowed counts with a 2h watermark — streaming form
+    * of Events.evt01WindowedCounts. A tumbling window IS a sliding
+    * window whose slide equals its length, so this delegates. */
   def windowedCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .groupBy(
-        window(col("ts"), "1 hour").getField("start").as("window_start"),
-        col("event_type")
-      )
-      .agg(
-        count(lit(1)).as("n_events"),
-        round(sum("value"), 4).as("sum_value")
-      )
+    slidingCounts(events, "1 hour", "1 hour")
 
   /** Stream-static enrichment: the event stream joined to a static
     * dimension (broadcast per micro-batch — the standard pattern for

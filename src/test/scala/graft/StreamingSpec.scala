@@ -149,7 +149,7 @@ class StreamingSpec extends AnyFunSuite {
     rm(new java.io.File("target/tmp/stream-sink"))
     val stream = MemoryStream[EventStreams.Evt]
     stream.addData(evts)
-    val query = stream
+    def startQuery() = stream
       .toDF()
       .writeStream
       .format("parquet")
@@ -157,10 +157,16 @@ class StreamingSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .outputMode("append")
       .start()
+    val query = startQuery()
     query.processAllAvailable()
-    // re-deliver the same micro-batch data: the checkpoint must keep
-    // the sink exactly-once (no duplicate rows on restart semantics)
     query.stop()
+    assert(spark.read.parquet(out).count() == 300)
+    // Restart from the same checkpoint with the source data still
+    // present: recovery must resume AFTER the committed offsets — a
+    // broken commit log would replay the batch and double the rows.
+    val query2 = startQuery()
+    query2.processAllAvailable()
+    query2.stop()
     assert(spark.read.parquet(out).count() == 300)
   }
 

@@ -41,10 +41,11 @@ def main():
                 [sys.executable, "-c", WORKER, sfdir],
                 input=oracle[name], capture_output=True, text=True,
                 timeout=timeout)
-            if r.returncode == 0:
+            out_lines = r.stdout.strip().splitlines()
+            if r.returncode == 0 and out_lines:
                 # last stdout line is the timing JSON (duckdb may emit
                 # warnings/progress on stdout before it)
-                times[name] = json.loads(r.stdout.strip().splitlines()[-1])["sec"]
+                times[name] = json.loads(out_lines[-1])["sec"]
                 status[name] = "ok"
             else:
                 times[name] = None
