@@ -501,12 +501,15 @@ object TextAnalysis {
   def txt15UnigramLogprob(lake: Lake): DataFrame = {
     val toks = lake.documents
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
-    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    // total token count derives from the vocabulary-sized counts
-    // table — re-aggregating `toks` would tokenize the corpus a third
-    // time. No broadcast hint on counts: the unigram vocabulary grows
-    // with the corpus; AQE broadcasts while it fits and falls back to
-    // a shuffle join instead of OOMing at scale.
+    // localCheckpoint materializes the vocabulary-sized counts table
+    // once: it feeds both the total aggregate and the scoring join,
+    // and unlike cache() its blocks are released when the frame is
+    // garbage collected (no CacheManager pinning across calls). The
+    // corpus is tokenized exactly twice (counts pass + scoring pass).
+    // No broadcast hint on counts: the unigram vocabulary grows with
+    // the corpus; AQE broadcasts while it fits and falls back to a
+    // shuffle join instead of OOMing at scale.
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
     val total = counts.agg(sum("c").cast("double").as("total"))
     toks
       .join(counts, "w")
