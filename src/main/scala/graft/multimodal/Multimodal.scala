@@ -98,6 +98,48 @@ object Multimodal {
     }
   }
 
+  /** Fixed-size grayscale thumbnail via box-average resize — the
+    * "resize" step of an image pipeline, pure JVM: every source pixel
+    * contributes to exactly one cell of the tw x th grid, cells
+    * average their pixels' luma in [0,1] (row-major output). Returns
+    * None when the payload doesn't decode. */
+  def thumbnail(
+      payload: Array[Byte],
+      tw: Int = 4,
+      th: Int = 4
+  ): Option[Array[Double]] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img).map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val sums = new Array[Double](tw * th)
+      val ns = new Array[Long](tw * th)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * th / h, th - 1)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * tw / w, tw - 1)
+          val p = im.getRGB(x, y)
+          val luma = (0.299 * ((p >>> 16) & 0xff) +
+            0.587 * ((p >>> 8) & 0xff) +
+            0.114 * (p & 0xff)) / 255.0
+          val cell = cy * tw + cx
+          sums(cell) += luma
+          ns(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(tw * th) { i =>
+        if (ns(i) == 0) 0.0
+        else math.rint(sums(i) / ns(i) * 10000) / 10000
+      }
+    }
+  }
+
   /** Format-dispatched decode: real image path for "image/..."
     * formats, byte histogram otherwise (and for undecodable image
     * payloads). */

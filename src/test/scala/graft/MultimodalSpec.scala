@@ -52,6 +52,23 @@ class MultimodalSpec extends AnyFunSuite {
     feats.values.foreach(f => assert(f.length == Multimodal.FeatureWidth))
   }
 
+  test("thumbnail resize box-averages pixels into the target grid") {
+    import java.awt.image.BufferedImage
+    // 8x8 image: left half pure red, right half pure blue
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val thumb = Multimodal.thumbnail(bos.toByteArray, tw = 2, th = 2).get
+    // left cells = red luma (0.299), right cells = blue luma (0.114)
+    assert(thumb.length == 4)
+    assert(thumb(0) == 0.299 && thumb(2) == 0.299)
+    assert(thumb(1) == 0.114 && thumb(3) == 0.114)
+    // undecodable payload yields None, not an exception
+    assert(Multimodal.thumbnail("junk".getBytes("UTF-8")).isEmpty)
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val a = Multimodal.extractFeatures(Multimodal.asMedia(lake))
       .collect().sortBy(_.doc_id)
