@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
     val spark = GraftSession
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
@@ -22,19 +23,50 @@ object Bench {
       }
       spark.range(1000).selectExpr("sum(id)").collect()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // >=2 sweeps, report the per-query MIN: this machine's background
+    // virtualization noise hits contiguous multi-second windows (r2's
+    // bench showed one stretch elevated ~4-6x vs a clean run of the
+    // same plans), and min-of-sweeps is robust to a spike landing on
+    // any single run. Failures are recorded per query, never swallowed
+    // into a plausible-looking elapsed time.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val best = collection.mutable.Map[String, Double]()
+    val errors = collection.mutable.Map[String, String]()
+    for (sweep <- 1 to sweeps; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Spark prune projections
       // and drop sorts, under-measuring map-heavy queries. The noop
       // write materializes every output row and column.
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (!best.contains(name) || dt < best(name)) best(name) = dt
+        errors.remove(name) // a transient failure cleared by a later sweep
+      } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)
+          errors(name) = msg
+          if (!best.contains(name)) best(name) = (System.nanoTime() - t0) / 1e9
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def esc(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+    val qs = names.map(n => s"\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    // A query that never succeeded appears in `errors` and is excluded
+    // from the headline total: a broken query must not look like a
+    // fast one.
+    val failed = names.filter(n => errors.contains(n))
+    val errJson = failed.map(n => s"\"${n}\":\"${esc(errors(n))}\"").mkString("{", ",", "}")
+    val total = names.filterNot(errors.contains).map(best(_)).sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    )
     spark.stop()
   }
 }

@@ -371,7 +371,7 @@ object SparkEntry {
     "xref04_priority_dedup" ->
       s"""WITH d AS (
          |  SELECT doc_id, $dkBagFp AS fp, source,
-         |    CAST(regexp_extract(source, '(\\d+)$$', 1) AS BIGINT) AS priority,
+         |    TRY_CAST(regexp_extract(source, '(\\d+)$$', 1) AS BIGINT) AS priority,
          |    n_chars
          |  FROM documents),
          |r AS (SELECT *, ROW_NUMBER() OVER (
@@ -695,7 +695,7 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "samp02_source_mixture" ->
       """WITH d AS (SELECT source, doc_id, n_chars,
-        |  doc_id % 100 < 95 - CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) * 4
+        |  doc_id % 100 < 95 - TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) * 4
         |    AS kept
         |  FROM documents)
         |SELECT source,
@@ -773,31 +773,41 @@ object SparkEntry {
         |FROM ex GROUP BY pos, word
         |ORDER BY pos, word""".stripMargin,
     "eval01_linkage_metrics" ->
-      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
-         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t),
+      s"""WITH t AS (SELECT doc_id, n_chars, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, n_chars, $dkShingles3 AS s FROM t),
          |pred AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $dkJac AS jaccard
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  FROM sh a JOIN sh b
+         |    ON a.doc_id < b.doc_id AND ABS(a.n_chars - b.n_chars) <= 40
          |  WHERE $dkJac >= 0.05),
+         |strat AS (SELECT doc_a, doc_b,
+         |  CASE WHEN jaccard < 0.5 THEN 'j_005_050'
+         |       WHEN jaccard < 0.8 THEN 'j_050_080'
+         |       ELSE 'j_080_100' END AS stratum,
+         |  ((doc_a % 1000003) * 2654435761 + doc_b % 1000003) % 1000003 AS h
+         |  FROM pred),
+         |samp AS (SELECT doc_a, doc_b, stratum FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY stratum ORDER BY h, doc_a, doc_b) AS rn
+         |  FROM strat) WHERE rn <= 200),
          |d AS (SELECT doc_id, $dkBagFp AS fp FROM documents),
          |gold AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM d x JOIN d y ON x.fp = y.fp AND x.doc_id < y.doc_id),
          |ng AS (SELECT COUNT(*) AS n_gold FROM gold),
-         |j AS (SELECT p.jaccard, g.doc_a IS NOT NULL AS is_tp
-         |  FROM pred p LEFT JOIN gold g
-         |    ON p.doc_a = g.doc_a AND p.doc_b = g.doc_b)
-         |SELECT
-         |  CASE WHEN jaccard < 0.5 THEN 'j_005_050'
-         |       WHEN jaccard < 0.8 THEN 'j_050_080'
-         |       ELSE 'j_080_100' END AS stratum,
-         |  COUNT(*) AS n_pred,
-         |  COUNT(*) FILTER (WHERE is_tp) AS n_tp,
-         |  ROUND(CAST(COUNT(*) FILTER (WHERE is_tp) AS DOUBLE) / COUNT(*), 4)
-         |    AS precision,
-         |  ROUND(CAST(COUNT(*) FILTER (WHERE is_tp) AS DOUBLE) / n_gold, 4)
-         |    AS recall
-         |FROM j CROSS JOIN ng
-         |GROUP BY 1, n_gold
+         |m AS (SELECT stratum, COUNT(*) AS n_pred,
+         |  COUNT(*) FILTER (WHERE g.doc_a IS NOT NULL) AS n_tp, n_gold
+         |  FROM samp s LEFT JOIN gold g
+         |    ON s.doc_a = g.doc_a AND s.doc_b = g.doc_b
+         |  CROSS JOIN ng
+         |  GROUP BY stratum, n_gold)
+         |SELECT stratum, n_pred, n_tp, n_gold,
+         |  ROUND(CAST(n_tp AS DOUBLE) / n_pred, 4) AS precision,
+         |  ROUND(CAST(n_tp AS DOUBLE) / n_gold, 4) AS recall,
+         |  CASE WHEN CAST(n_tp AS DOUBLE) / n_pred + CAST(n_tp AS DOUBLE) / n_gold > 0
+         |       THEN ROUND(2 * (CAST(n_tp AS DOUBLE) / n_pred) * (CAST(n_tp AS DOUBLE) / n_gold)
+         |                  / (CAST(n_tp AS DOUBLE) / n_pred + CAST(n_tp AS DOUBLE) / n_gold), 4)
+         |       ELSE 0.0 END AS f1
+         |FROM m
          |ORDER BY stratum""".stripMargin,
     "graph03_triple_patterns" ->
       """WITH triples AS (

@@ -8,17 +8,22 @@ import org.apache.spark.sql.functions._
   * row counts / table info) as queryable DataFrames. */
 object CatalogOps {
 
-  /** Row count per table (datalake_cli.py `status` analog). Parquet
-    * row counts come from footer metadata — each count is a
-    * metadata-only scan, no data read. */
+  /** Row count per table (datalake_cli.py `status` analog).
+    *
+    * One action, one shuffle: the per-table `agg(count)`-then-union
+    * formulation compiled to ~10 independent aggregate stages that
+    * AQE materialized as sequential job submissions — a pure
+    * scheduling-floor cost (1.5-7 s for a trivial query). Instead,
+    * union zero-column scans tagged with a table-name literal and run
+    * ONE groupBy: each parquet scan reads no columns (row counts come
+    * from row-group metadata, no data pages decoded), and the single
+    * aggregate shuffles 10 partial-count rows. */
   def cat01Status(lake: Lake): DataFrame =
     lake.tableNames
-      .map { name =>
-        lake.resolve(name)
-          .agg(count(lit(1)).as("n_rows"))
-          .select(lit(name).as("table_name"), col("n_rows"))
-      }
+      .map(name => lake.resolve(name).select(lit(name).as("table_name")))
       .reduce(_.unionAll(_))
+      .groupBy("table_name")
+      .agg(count(lit(1)).as("n_rows"))
       .orderBy("table_name")
 
   /** On-disk bytes for a table (file or directory of part files) —

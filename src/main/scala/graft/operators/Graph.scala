@@ -41,9 +41,14 @@ object Graph {
     * exponentially (each frontier embeds the previous one twice —
     * join + union), which stalls the optimizer and, at executor
     * level, re-runs every prior hop on a task retry. Past a few hops
-    * the frontier is truncated via localCheckpoint, which caps both
-    * the plan size and the recovery cost; below that the per-iteration
-    * checkpoint overhead isn't worth paying. */
+    * the frontier is truncated via localCheckpoint, which caps the
+    * plan size and the task-retry recompute cost. Tradeoff:
+    * localCheckpoint blocks are executor-local and unreplicated, so
+    * losing an executor loses the truncated lineage and fails the
+    * job — on a real cluster where executor loss is routine, set
+    * sparkContext.setCheckpointDir to reliable storage and swap in
+    * .checkpoint() for the deep-closure path; local-mode keeps the
+    * cheap variant. */
   def transitiveClosure(edges: DataFrame, maxHops: Int): DataFrame = {
     // edges: (src: long, dst: long)
     var frontier = edges.select(

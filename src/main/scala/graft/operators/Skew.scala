@@ -40,8 +40,15 @@ object Skew {
       !fact.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
       s"inputs must not already carry a '$SaltCol' column"
     )
+    // coalesce: xxhash64(null) is null, and a null salt would silently
+    // drop the fact row from the inner (key, salt) join even when the
+    // join key itself is non-null — null saltSource rows all land in
+    // salt 0 instead (slightly less spread, never lost).
     val saltedFact =
-      fact.withColumn(SaltCol, pmod(xxhash64(col(saltSource)), lit(salts)).cast("int"))
+      fact.withColumn(
+        SaltCol,
+        pmod(coalesce(xxhash64(col(saltSource)), lit(0L)), lit(salts)).cast("int")
+      )
     val repDim =
       dim.withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(repDim, Seq(key, SaltCol)).drop(SaltCol)

@@ -504,7 +504,11 @@ object TextAnalysis {
     // localCheckpoint materializes the vocabulary-sized counts table
     // once: it feeds both the total aggregate and the scoring join,
     // and unlike cache() its blocks are released when the frame is
-    // garbage collected (no CacheManager pinning across calls). The
+    // garbage collected (no CacheManager pinning across calls).
+    // (Blocks are executor-local and unreplicated: on a cluster an
+    // executor loss fails the job instead of recomputing — acceptable
+    // here because the counts table is one cheap agg to re-run; use
+    // reliable .checkpoint() if that tradeoff ever flips.) The
     // corpus is tokenized exactly twice (counts pass + scoring pass).
     // No broadcast hint on counts: the unigram vocabulary grows with
     // the corpus; AQE broadcasts while it fits and falls back to a
