@@ -32,6 +32,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = collection.mutable.Map[String, Double]()
     val errors = collection.mutable.Map[String, String]()
+    val succeeded = collection.mutable.Set[String]()
     for (sweep <- 1 to sweeps; name <- names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -42,7 +43,7 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         if (!best.contains(name) || dt < best(name)) best(name) = dt
-        errors.remove(name) // a transient failure cleared by a later sweep
+        succeeded += name
       } catch {
         case e: Throwable =>
           val msg = s"${e.getClass.getSimpleName}: " +
@@ -51,13 +52,24 @@ object Bench {
           if (!best.contains(name)) best(name) = (System.nanoTime() - t0) / 1e9
       }
     }
+    // A query counts as failed only if NO sweep succeeded: `errors`
+    // alone is asymmetric (succeed-then-fail would keep the error and
+    // discard a valid min-of-sweeps measurement).
+    errors.keys.toSeq.foreach(n => if (succeeded(n)) errors.remove(n))
     def esc(s: String): String = s.flatMap {
       case '"'          => "\\\""
       case '\\'         => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c            => c.toString
     }
-    val qs = names.map(n => s"\"" + n + "\":" + best(n)).mkString("{", ",", "}")
+    // 3-decimal (ms) precision: the full-precision doubles made the
+    // one JSON line long enough that the driver's tail capture cut off
+    // its head (BENCH_r03 arrived unparseable). 1 ms resolution is
+    // below this machine's run-to-run noise anyway.
+    def f3(d: Double): String = // Locale.ROOT: a comma decimal point is not JSON
+      "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    val qs =
+      names.map(n => s"\"" + n + "\":" + f3(best(n))).mkString("{", ",", "}")
     // A query that never succeeded appears in `errors` and is excluded
     // from the headline total: a broken query must not look like a
     // fast one.
@@ -65,7 +77,7 @@ object Bench {
     val errJson = failed.map(n => s"\"${n}\":\"${esc(errors(n))}\"").mkString("{", ",", "}")
     val total = names.filterNot(errors.contains).map(best(_)).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     )
     spark.stop()
   }

@@ -786,21 +786,24 @@ object SparkEntry {
          |       ELSE 'j_080_100' END AS stratum,
          |  ((doc_a % 1000003) * 2654435761 + doc_b % 1000003) % 1000003 AS h
          |  FROM pred),
-         |samp AS (SELECT doc_a, doc_b, stratum FROM (
+         |strat2 AS (SELECT *, COUNT(*) OVER (PARTITION BY stratum) AS n_pred_total
+         |  FROM strat),
+         |samp AS (SELECT doc_a, doc_b, stratum, n_pred_total FROM (
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY stratum ORDER BY h, doc_a, doc_b) AS rn
-         |  FROM strat) WHERE rn <= 200),
+         |  FROM strat2) WHERE rn <= 200),
          |d AS (SELECT doc_id, $dkBagFp AS fp FROM documents),
          |gold AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
          |  FROM d x JOIN d y ON x.fp = y.fp AND x.doc_id < y.doc_id),
          |ng AS (SELECT COUNT(*) AS n_gold FROM gold),
          |m AS (SELECT stratum, COUNT(*) AS n_pred,
+         |  MAX(n_pred_total) AS n_pred_total,
          |  COUNT(*) FILTER (WHERE g.doc_a IS NOT NULL) AS n_tp, n_gold
          |  FROM samp s LEFT JOIN gold g
          |    ON s.doc_a = g.doc_a AND s.doc_b = g.doc_b
          |  CROSS JOIN ng
          |  GROUP BY stratum, n_gold)
-         |SELECT stratum, n_pred, n_tp, n_gold,
+         |SELECT stratum, n_pred, n_pred_total, n_tp, n_gold,
          |  ROUND(CAST(n_tp AS DOUBLE) / n_pred, 4) AS precision,
          |  ROUND(CAST(n_tp AS DOUBLE) / n_gold, 4) AS recall,
          |  CASE WHEN CAST(n_tp AS DOUBLE) / n_pred + CAST(n_tp AS DOUBLE) / n_gold > 0

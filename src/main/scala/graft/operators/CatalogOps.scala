@@ -17,14 +17,26 @@ object CatalogOps {
     * union zero-column scans tagged with a table-name literal and run
     * ONE groupBy: each parquet scan reads no columns (row counts come
     * from row-group metadata, no data pages decoded), and the single
-    * aggregate shuffles 10 partial-count rows. */
-  def cat01Status(lake: Lake): DataFrame =
-    lake.tableNames
+    * aggregate shuffles 10 partial-count rows.
+    *
+    * An EMPTY table contributes no scan rows and hence no group, so the
+    * grouped counts are left-joined back onto the full catalog name
+    * list — a status listing must show `(table, 0)` for an empty table,
+    * not omit it. */
+  def cat01Status(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    import spark.implicits._
+    val counted = lake.tableNames
       .map(name => lake.resolve(name).select(lit(name).as("table_name")))
       .reduce(_.unionAll(_))
       .groupBy("table_name")
       .agg(count(lit(1)).as("n_rows"))
+    lake.tableNames
+      .toDF("table_name")
+      .join(broadcast(counted), Seq("table_name"), "left")
+      .select(col("table_name"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
       .orderBy("table_name")
+  }
 
   /** On-disk bytes for a table (file or directory of part files) —
     * the `status` disk-usage figure, computed from filesystem

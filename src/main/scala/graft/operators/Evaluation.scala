@@ -61,7 +61,16 @@ object Evaluation {
     val stratum = when(col("jaccard") < 0.5, "j_005_050")
       .when(col("jaccard") < 0.8, "j_050_080")
       .otherwise("j_080_100")
-    val strat = pred.withColumn("stratum", stratum)
+    // Pre-sample pair count per stratum, carried through the sample so
+    // the consumer can tell truncated recall (n_pred < n_pred_total)
+    // from true recall. Same window shuffle as the sampler — no second
+    // pass over the candidate join.
+    val strat = pred
+      .withColumn("stratum", stratum)
+      .withColumn(
+        "n_pred_total",
+        count(lit(1)).over(Window.partitionBy("stratum"))
+      )
     val sampled =
       if (fullCorpus) strat
       else {
@@ -98,11 +107,16 @@ object Evaluation {
     sampled
       .join(gold.withColumn("is_gold", lit(true)), Seq("doc_a", "doc_b"), "left")
       .groupBy("stratum")
-      .agg(count(lit(1)).as("n_pred"), tp.as("n_tp"))
+      .agg(
+        count(lit(1)).as("n_pred"),
+        max("n_pred_total").as("n_pred_total"),
+        tp.as("n_tp")
+      )
       .crossJoin(broadcast(goldTotal))
       .select(
         col("stratum"),
         col("n_pred"),
+        col("n_pred_total"),
         col("n_tp"),
         col("n_gold"),
         round(p, 4).as("precision"),

@@ -40,14 +40,15 @@ object Skew {
       !fact.columns.contains(SaltCol) && !dim.columns.contains(SaltCol),
       s"inputs must not already carry a '$SaltCol' column"
     )
-    // coalesce: xxhash64(null) is null, and a null salt would silently
-    // drop the fact row from the inner (key, salt) join even when the
-    // join key itself is non-null — null saltSource rows all land in
-    // salt 0 instead (slightly less spread, never lost).
+    // XxHash64 extends HashExpression, which is declared non-nullable:
+    // a null input is skipped and the seed (42) is returned, so a null
+    // saltSource never drops the fact row from the inner (key, salt)
+    // join. The mild caveat is spread, not loss — all-null saltSource
+    // rows share the single salt pmod(42, salts).
     val saltedFact =
       fact.withColumn(
         SaltCol,
-        pmod(coalesce(xxhash64(col(saltSource)), lit(0L)), lit(salts)).cast("int")
+        pmod(xxhash64(col(saltSource)), lit(salts)).cast("int")
       )
     val repDim =
       dim.withColumn(SaltCol, explode(sequence(lit(0), lit(salts - 1))))
