@@ -87,6 +87,7 @@ object SparkEntry {
     "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
+    "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
     "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
     "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),
@@ -565,6 +566,30 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE $dkJac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup08_cluster_resolve" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $dkJac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+         |m AS (SELECT c.cluster_id, c.doc_id, d.n_chars
+         |  FROM comp c JOIN documents d USING (doc_id))
+         |SELECT cluster_id, n_members, survivor_id FROM (
+         |  SELECT cluster_id,
+         |    COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |    doc_id AS survivor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM m) WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
     "dedup06_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

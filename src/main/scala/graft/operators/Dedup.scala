@@ -324,4 +324,96 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Cluster resolution — the missing end of the near-dup pipeline:
+    * pair lists (dedup04) to surviving documents. Connected components
+    * over the pair graph via iterative min-label propagation, then one
+    * canonical survivor per cluster by (longest n_chars, then smallest
+    * doc_id) — the fuzzy generalization of the reference's per-key
+    * ROW_NUMBER dedup (materialize_fulltext.py:87-118, which keeps one
+    * row per DOI by source priority; here the "key" is the discovered
+    * component).
+    *
+    * Scale design: each iteration is ONE equi-join of the edge list
+    * against the current labels plus a groupBy-min — the standard
+    * distributed CC shape, linear shuffle volume per hop. Labels only
+    * ever decrease, so the fixpoint test is "sum(label) unchanged" —
+    * a single scalar action per iteration, no change-detection join.
+    * Edges and per-iteration labels are localCheckpointed: the loop
+    * re-reads both every hop, and without truncation the lineage (and
+    * task-retry recompute) doubles per iteration (same discipline as
+    * Graph.transitiveClosure — on a real cluster swap in reliable
+    * .checkpoint()). Iterations needed = component diameter: near-dup
+    * clusters are cliques-ish (every copy resembles every other), so
+    * diameter is 1-3 in practice; `maxIters` bounds adversarial
+    * chains. For graphs with genuinely long chains at 100 TB, replace
+    * propagation with alternating large-star/small-star rounds
+    * (O(log n) convergence) — same join primitives.
+    */
+  /** Connected components over an undirected pair list (doc_a, doc_b):
+    * returns (u, lbl) where lbl is the smallest node id reachable from
+    * u. Iterative min-label propagation; labels only decrease, so the
+    * fixpoint test is a stable sum(lbl) — one scalar action per hop.
+    * Converges in component-diameter iterations, bounded by maxIters. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    var labels = edges
+      .select(col("u"))
+      .distinct()
+      .select(col("u"), col("u").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("u").as("v"), col("lbl").as("vlbl")), "v")
+        .groupBy("u")
+        .agg(min("vlbl").as("nlbl"))
+      labels = labels
+        .join(neighborMin, Seq("u"), "left")
+        .select(
+          col("u"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")
+        )
+        .localCheckpoint()
+      val s = labels.agg(sum("lbl")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels
+  }
+
+  def dedup08ClusterResolve(
+      lake: Lake,
+      threshold: Double = 0.5,
+      maxIters: Int = 20
+  ): DataFrame = {
+    // Materialize the pair list once: the label loop re-reads it every
+    // iteration, and recomputing the MinHash pipeline per hop would
+    // dominate the cost.
+    val pairs = dedup04MinhashLsh(lake, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val labels = connectedComponents(pairs, maxIters)
+    val members = labels
+      .join(
+        lake.documents.select(col("doc_id"), col("n_chars")),
+        col("u") === col("doc_id")
+      )
+      .select(col("lbl").as("cluster_id"), col("doc_id"), col("n_chars"))
+    members
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_members"),
+        // Survivor: longest document, ties to the smallest id — struct
+        // ordering is field-by-field, so max of (n_chars, -doc_id)
+        // realizes (n_chars DESC, doc_id ASC) in one pass.
+        expr("max_by(doc_id, struct(n_chars, -doc_id))").as("survivor_id")
+      )
+      .orderBy("cluster_id")
+  }
 }

@@ -24,6 +24,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("connected components resolve planted chains, triangles and singles") {
+    import spark.implicits._
+    // Components: a 5-node chain 10-11-12-13-14 (diameter 4 — forces
+    // several propagation hops), a triangle {20,21,22}, an isolated
+    // pair {30,31}.
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L)
+    ).toDF("doc_a", "doc_b")
+    val labels = Dedup
+      .connectedComponents(pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toMap
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(labels(_) == 10L))
+    assert(Seq(20L, 21L, 22L).forall(labels(_) == 20L))
+    assert(Seq(30L, 31L).forall(labels(_) == 30L))
+    assert(labels.size == 10)
+  }
+
+  test("dedup08 clusters cover exactly the minhash pair nodes, one survivor each") {
+    val pairs = Dedup
+      .dedup04MinhashLsh(lake)
+      .collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1)))
+      .toSet
+    val clusters = Dedup.dedup08ClusterResolve(lake).collect()
+    val nMembers = clusters.map(_.getAs[Long]("n_members")).sum
+    assert(nMembers == pairs.size, "every paired doc is in exactly one cluster")
+    assert(clusters.forall(_.getAs[Long]("n_members") >= 2))
+    val survivors = clusters.map(_.getAs[Long]("survivor_id"))
+    assert(survivors.distinct.length == survivors.length)
+    assert(survivors.forall(pairs.contains))
+  }
+
   test("simhash banding finds most true near-dup pairs") {
     val near = Dedup
       .dedup03NgramJaccard(lake, threshold = 0.9)
