@@ -88,6 +88,7 @@ object SparkEntry {
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
+    "txt17_tfidf_cosine_linkage" -> q(Linkage.txt17TfidfCosineLinkage(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
     "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
     "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),
@@ -566,6 +567,41 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE $dkJac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "txt17_tfidf_cosine_linkage" ->
+      """WITH lab AS (SELECT p_partkey AS lab_id, p_partkey % 2 = 0 AS is_probe,
+        |  lower(p_name) AS label FROM part),
+        |words AS (SELECT lab_id, is_probe, UNNEST(string_split(label, ' ')) AS w
+        |  FROM lab),
+        |pads AS (SELECT lab_id, is_probe, ' ' || w || ' ' AS pw
+        |  FROM words WHERE len(w) > 0),
+        |ns AS (SELECT lab_id, is_probe, pw, UNNEST([2, 3, 4]) AS n FROM pads),
+        |grams AS (SELECT lab_id, is_probe,
+        |    substr(pw, CAST(i AS INT), CAST(n AS INT)) AS g
+        |  FROM (SELECT lab_id, is_probe, pw, n,
+        |          UNNEST(range(1, len(pw) - n + 2)) AS i
+        |        FROM ns)),
+        |tf AS (SELECT lab_id, is_probe, g, CAST(COUNT(*) AS DOUBLE) AS tf
+        |  FROM grams GROUP BY ALL),
+        |dfx AS (SELECT g, COUNT(DISTINCT lab_id) AS df FROM grams GROUP BY g),
+        |nt AS (SELECT COUNT(*) AS n_labels FROM lab),
+        |w AS (SELECT lab_id, is_probe, g,
+        |    tf * (ln((1.0 + n_labels) / (1.0 + df)) + 1.0) AS wt
+        |  FROM tf JOIN dfx USING (g) CROSS JOIN nt),
+        |nrm AS (SELECT lab_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY lab_id),
+        |dots AS (SELECT a.lab_id AS probe_id, b.lab_id AS cand_id,
+        |    SUM(a.wt * b.wt) AS dot
+        |  FROM w a JOIN w b ON a.g = b.g AND a.is_probe AND NOT b.is_probe
+        |  GROUP BY 1, 2),
+        |coss AS (SELECT probe_id, cand_id,
+        |    ROUND(dot / (na.nrm * nb.nrm), 4) AS cosine
+        |  FROM dots JOIN nrm na ON na.lab_id = probe_id
+        |            JOIN nrm nb ON nb.lab_id = cand_id),
+        |best AS (SELECT probe_id, cand_id, cosine, ROW_NUMBER() OVER (
+        |    PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rn
+        |  FROM coss)
+        |SELECT probe_id, cand_id, cosine FROM best
+        |WHERE rn = 1 AND cosine >= 0.3
+        |ORDER BY probe_id""".stripMargin,
     "dedup08_cluster_resolve" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $dkToks AS w FROM documents),
          |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3),

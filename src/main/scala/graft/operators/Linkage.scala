@@ -23,6 +23,103 @@ import org.apache.spark.sql.functions._
   */
 object Linkage {
 
+  /** Character-n-gram TF-IDF cosine linkage — the reference's
+    * strongest string-linkage baseline (run_baseline_comparisons.py:
+    * 164-196: TfidfVectorizer(analyzer="char_wb", ngram_range=(2,4))
+    * over two label sets + cosine top-1). Here the two sets are the
+    * even-key part names (probes) vs the odd-key part names
+    * (candidates) — same shape as aligning two ontologies' labels.
+    *
+    * Semantics: per label, char 2/3/4-grams of each space-padded word
+    * (the char_wb contract — grams never cross word boundaries);
+    * tf x smoothed idf weights (idf = ln((1+N)/(1+df)) + 1, N over
+    * BOTH sets, sklearn's smooth_idf), L2-normalized; cosine via the
+    * shared-gram inverted index — an equi-join on the gram, never a
+    * cross join (the dedup03 discipline: join volume is sum(df^2)
+    * over grams, linear-ish while gram document frequencies stay
+    * bounded — at ontology scale label sets are small; for corpus-
+    * sized sets cap df by dropping stop-grams). Top-1 per probe at a
+    * cosine floor; ordering ties broken on the 4dp-rounded cosine
+    * then candidate id so both engines pick the same winner. */
+  def txt17TfidfCosineLinkage(
+      lake: Lake,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    val lab = lake.part.select(
+      col("p_partkey").as("lab_id"),
+      (col("p_partkey") % 2 === 0).as("is_probe"),
+      lower(col("p_name")).as("label")
+    )
+    val pads = lab
+      .select(
+        col("lab_id"),
+        col("is_probe"),
+        explode(split(col("label"), " ")).as("w")
+      )
+      .filter(length(col("w")) > 0)
+      .select(
+        col("lab_id"),
+        col("is_probe"),
+        concat(lit(" "), col("w"), lit(" ")).as("pw")
+      )
+    val grams = pads.select(
+      col("lab_id"),
+      col("is_probe"),
+      explode(
+        expr(
+          """flatten(transform(sequence(2, 4), n ->
+            |  CASE WHEN length(pw) >= n
+            |    THEN transform(sequence(1, length(pw) - n + 1),
+            |                   i -> substring(pw, i, n))
+            |    ELSE slice(array(pw), 1, 0) END))""".stripMargin
+        )
+      ).as("g")
+    )
+    val tf = grams
+      .groupBy("lab_id", "is_probe", "g")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfx = grams.groupBy("g").agg(countDistinct("lab_id").as("df"))
+    val nTotal = lab.agg(count(lit(1)).as("n_labels"))
+    val wt = tf
+      .join(dfx, "g")
+      .crossJoin(broadcast(nTotal))
+      .withColumn(
+        "wt",
+        col("tf") *
+          (log((lit(1.0) + col("n_labels")) / (lit(1.0) + col("df"))) + 1.0)
+      )
+      .select("lab_id", "is_probe", "g", "wt")
+    val nrm = wt
+      .groupBy("lab_id")
+      .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
+    val dots = wt
+      .filter(col("is_probe"))
+      .select(col("lab_id").as("probe_id"), col("g"), col("wt").as("wa"))
+      .join(
+        wt.filter(!col("is_probe"))
+          .select(col("lab_id").as("cand_id"), col("g"), col("wt").as("wb")),
+        "g"
+      )
+      .groupBy("probe_id", "cand_id")
+      .agg(sum(col("wa") * col("wb")).as("dot"))
+    val cosed = dots
+      .join(nrm.select(col("lab_id").as("probe_id"), col("nrm").as("na")), "probe_id")
+      .join(nrm.select(col("lab_id").as("cand_id"), col("nrm").as("nb")), "cand_id")
+      .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 4))
+    cosed
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy("probe_id")
+            .orderBy(col("cosine").desc, col("cand_id"))
+        )
+      )
+      .filter(col("rn") === 1 && col("cosine") >= threshold)
+      .select("probe_id", "cand_id", "cosine")
+      .orderBy("probe_id")
+  }
+
   /** Normalized-key union map across entity sources (doi_map analog). */
   def xref01IdMap(lake: Lake): DataFrame = {
     val c = lake.customer.select(
