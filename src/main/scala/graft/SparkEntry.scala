@@ -80,6 +80,7 @@ object SparkEntry {
     "graph01_hierarchy_rollup" -> q(Graph.graph01HierarchyRollup),
     "graph02_transitive_closure" -> q(Graph.graph02TransitiveClosure),
     "graph03_triple_patterns" -> q(Graph.graph03TriplePatterns),
+    "graph04_bgp_nation_counts" -> q(Graph.graph04BgpNationCounts),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
@@ -891,6 +892,25 @@ object SparkEntry {
         |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r)
         |GROUP BY rl
         |ORDER BY region_label""".stripMargin,
+    "graph04_bgp_nation_counts" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region),
+        |p1 AS (SELECT s AS c, o AS n FROM triples WHERE p = 'in_nation'),
+        |p2 AS (SELECT s AS n, o AS r FROM triples WHERE p = 'in_region'),
+        |p3 AS (SELECT s AS r FROM triples WHERE p = 'label' AND o = 'ASIA'),
+        |p4 AS (SELECT s AS n, o AS nl FROM triples WHERE p = 'label')
+        |SELECT nl AS nation_label, COUNT(DISTINCT c) AS n_customers
+        |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r) JOIN p4 USING (n)
+        |GROUP BY nl
+        |ORDER BY nation_label""".stripMargin,
     "graph02_transitive_closure" ->
       """WITH RECURSIVE edges AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS src,

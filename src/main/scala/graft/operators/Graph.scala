@@ -98,35 +98,89 @@ object Graph {
     custNation.unionAll(nationRegion).unionAll(nationLabel).unionAll(regionLabel)
   }
 
-  /** SPARQL basic-graph-pattern matching as predicate-filtered
-    * self-joins over the triple table — the re-expression of
-    * `?c in_nation ?n . ?n in_region ?r . ?r label ?rl` (the
-    * sparql_query.py query surface; each triple pattern is one
-    * filtered scan, each shared variable one equi-join).
+  /** Generic SPARQL basic-graph-pattern matcher — patterns as DATA,
+    * not code (the sparql_query.py:89 `run_query` surface: arbitrary
+    * (s, p, o) patterns with named variables). Terms starting with
+    * `?` are variables; anything else is a constant. Each pattern
+    * compiles to one constant-filtered scan of the triple table
+    * projected to its variable bindings; patterns then join on their
+    * shared variables (a cross join only when a pattern shares no
+    * variable — the SPARQL cartesian semantics). A variable repeated
+    * WITHIN one pattern becomes an equality filter on that scan.
     *
-    * Scale notes: a 100 TB triple table is stored partitioned by
-    * predicate, so each pattern scan prunes to one predicate's
-    * partition; join order follows pattern selectivity (labels and
-    * schema-level predicates are tiny → broadcast), which is exactly
-    * how SPARQL engines plan BGPs. */
-  def graph03TriplePatterns(lake: Lake): DataFrame = {
-    val t = triples(lake)
-    val custOfNation = t
-      .filter(col("p") === "in_nation")
-      .select(col("s").as("c"), col("o").as("n"))
-    val nationOfRegion = t
-      .filter(col("p") === "in_region")
-      .select(col("s").as("n"), col("o").as("r"))
-    val labelOfRegion = t
-      .filter(col("p") === "label")
-      .select(col("s").as("r"), col("o").as("rl"))
-    custOfNation
-      .join(broadcast(nationOfRegion), "n")
-      .join(broadcast(labelOfRegion), "r")
+    * Scale notes: a 100 TB triple store is partitioned by predicate,
+    * so a constant-predicate pattern prunes to one partition;
+    * `broadcastIdx` marks the patterns known small (label lookups,
+    * schema-level predicates) for broadcast joins — the caller-side
+    * analog of a SPARQL engine's selectivity-ordered BGP plan. Join
+    * order is the caller's pattern order. */
+  def bgpMatch(
+      triples: DataFrame,
+      patterns: Seq[(String, String, String)],
+      broadcastIdx: Set[Int] = Set.empty
+  ): DataFrame = {
+    require(patterns.nonEmpty, "BGP needs at least one pattern")
+    def scan(pat: (String, String, String)): DataFrame = {
+      val terms = Seq("s" -> pat._1, "p" -> pat._2, "o" -> pat._3)
+      var df = terms.foldLeft(triples) { case (acc, (c, t)) =>
+        if (t.startsWith("?")) acc else acc.filter(col(c) === t)
+      }
+      val varTerms = terms.filter(_._2.startsWith("?"))
+      // Repeated variable within one pattern => equality on the scan.
+      varTerms.groupBy(_._2).values.foreach { occ =>
+        occ.tail.foreach(o2 => df = df.filter(col(occ.head._1) === col(o2._1)))
+      }
+      val proj = varTerms
+        .map(_._2)
+        .distinct
+        .map(v => col(varTerms.find(_._2 == v).get._1).as(v.drop(1)))
+      df.select(proj: _*)
+    }
+    patterns.zipWithIndex.tail.foldLeft(scan(patterns.head)) {
+      case (acc, (pat, i)) =>
+        val f = scan(pat)
+        val fb = if (broadcastIdx.contains(i)) broadcast(f) else f
+        val shared = acc.columns.intersect(f.columns).toSeq
+        if (shared.nonEmpty) acc.join(fb, shared) else acc.crossJoin(fb)
+    }
+  }
+
+  /** `?c in_nation ?n . ?n in_region ?r . ?r label ?rl` — the original
+    * hard-coded 3-pattern query, now expressed through bgpMatch (label
+    * and hierarchy patterns broadcast, as before). */
+  def graph03TriplePatterns(lake: Lake): DataFrame =
+    bgpMatch(
+      triples(lake),
+      Seq(
+        ("?c", "in_nation", "?n"),
+        ("?n", "in_region", "?r"),
+        ("?r", "label", "?rl")
+      ),
+      broadcastIdx = Set(1, 2)
+    )
       .groupBy(col("rl").as("region_label"))
       .agg(countDistinct(col("c")).as("n_customers"))
       .orderBy("region_label")
-  }
+
+  /** Multi-variable BGP with a constant object binding — `?c
+    * in_nation ?n . ?n in_region ?r . ?r label "ASIA" . ?n label ?nl`:
+    * customers per nation label within one named region. Exercises
+    * constant filtering on the OBJECT position and two label patterns
+    * over the same variable graph. */
+  def graph04BgpNationCounts(lake: Lake): DataFrame =
+    bgpMatch(
+      triples(lake),
+      Seq(
+        ("?c", "in_nation", "?n"),
+        ("?n", "in_region", "?r"),
+        ("?r", "label", "ASIA"),
+        ("?n", "label", "?nl")
+      ),
+      broadcastIdx = Set(1, 2, 3)
+    )
+      .groupBy(col("nl").as("nation_label"))
+      .agg(countDistinct(col("c")).as("n_customers"))
+      .orderBy("nation_label")
 
   /** Closure demo over a deterministic synthetic edge list derived
     * from nation keys (src -> (2*src+7) mod 25) — the recursive-CTE
