@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "txt17_tfidf_cosine_linkage" -> q(Linkage.txt17TfidfCosineLinkage(_)),
+    "txt18_bpe_encode" -> q(TextAnalysis.txt18BpeEncode(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
     "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
     "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),

@@ -431,6 +431,75 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Learn a BPE merge table + vocab from a bounded corpus sample —
+    * the driver-side half of txt18. Word counts are aggregated
+    * distributed and only the top `maxWords` distinct words are
+    * collected (a bounded table at any corpus size); merge learning
+    * runs driver-side on that table, exactly how production
+    * tokenizers are trained (on a sample, once, then shipped). */
+  def learnBpe(
+      lake: Lake,
+      sampleDocs: Int = 200,
+      maxWords: Int = 2000,
+      numMerges: Int = 200
+  ): (Map[(String, String), Int], Map[String, Int]) = {
+    import graft.functions.Bpe
+    val wc = lake.documents
+      .filter(col("doc_id") < sampleDocs)
+      .select(explode(text.tokens(lower(col("text")))).as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val merges = Bpe.learnMerges(wc, numMerges)
+    (merges.zipWithIndex.toMap, Bpe.vocab(wc, merges))
+  }
+
+  /** Real subword tokenization — greedy BPE merge application with
+    * dense token IDS (what txt12's pretokenizer stats stop short of;
+    * a pretraining pipeline feeds models ids, not counts).
+    * [rows-only: learned merge tables are not SQL-expressible]
+    *
+    * Scale shape: the learned (ranks, vocab) table is a broadcast of
+    * a few hundred KB; encoding is mapPartitions with a per-partition
+    * word->ids memo (corpora repeat words heavily — the memo turns
+    * per-token merge loops into hash lookups). Map-only over the
+    * corpus: no shuffle at any size. Symbols outside the learned
+    * vocab emit id -1 (counted per doc in n_unk). */
+  def txt18BpeEncode(
+      lake: Lake,
+      sampleDocs: Int = 200,
+      maxWords: Int = 2000,
+      numMerges: Int = 200
+  ): DataFrame = {
+    import graft.functions.Bpe
+    val spark = lake.spark
+    import spark.implicits._
+    val (ranks, voc) = learnBpe(lake, sampleDocs, maxWords, numMerges)
+    val bc = spark.sparkContext.broadcast((ranks, voc))
+    lake.documents
+      .select(col("doc_id"), text.tokens(lower(col("text"))).as("ws"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val (rk, vc) = bc.value
+        val memo = collection.mutable.Map[String, Array[Int]]()
+        it.map { case (id, ws) =>
+          val ids = ws.iterator.flatMap { w =>
+            memo.getOrElseUpdate(
+              w,
+              Bpe.encodeWord(w, rk).map(s => vc.getOrElse(s, -1)).toArray
+            )
+          }.toArray
+          (id, ids, ids.length.toLong, ids.count(_ < 0).toLong)
+        }
+      }
+      .toDF("doc_id", "token_ids", "n_tokens", "n_unk")
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy label linkage via the native JaroWinkler expression: each
     * probe (misspelled label) matched to its best part name above a
     * 0.7 threshold — the reference's Jaro-Winkler linkage baseline
