@@ -81,6 +81,7 @@ object SparkEntry {
     "graph02_transitive_closure" -> q(Graph.graph02TransitiveClosure),
     "graph03_triple_patterns" -> q(Graph.graph03TriplePatterns),
     "graph04_bgp_nation_counts" -> q(Graph.graph04BgpNationCounts),
+    "graph05_hierarchy_rollup4" -> q(Graph.graph05HierarchyRollup4),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
@@ -893,6 +894,21 @@ object SparkEntry {
         |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r)
         |GROUP BY rl
         |ORDER BY region_label""".stripMargin,
+    "graph05_hierarchy_rollup4" ->
+      """SELECT
+        |  CAST(3 - GROUPING(r_name) - GROUPING(n_name)
+        |         - GROUPING(o_orderpriority) AS BIGINT) AS level,
+        |  COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(n_name, 'ALL') AS nation,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name, o_orderpriority)
+        |ORDER BY level, region, nation, priority""".stripMargin,
     "graph04_bgp_nation_counts" ->
       """WITH triples AS (
         |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,

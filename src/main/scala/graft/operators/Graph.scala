@@ -182,6 +182,38 @@ object Graph {
       .agg(countDistinct(col("c")).as("n_customers"))
       .orderBy("nation_label")
 
+  /** 4-level hierarchy rollup with per-level subtotals — the
+    * reference's actual ontology rollup depth (OpenAlex
+    * domain > field > subfield > topic): here the chain is
+    * ALL > region > nation > order-priority over the order fact
+    * table, with one subtotal row per node at EVERY level (SQL
+    * ROLLUP — grouping-set expansion happens map-side as partial
+    * aggregates; no extra pass per level). `level` is derived from
+    * GROUPING() flags: 0 = grand total ... 3 = leaf.
+    *
+    * Via the spark.sql surface: the DataFrame rollup + orderBy
+    * formulation trips the analyzer's ambiguous-self-join heuristic
+    * on the nullable grouping output (same as rel09). */
+  def graph05HierarchyRollup4(lake: Lake): DataFrame = {
+    lake.registerViews()
+    lake.spark.sql(
+      """SELECT
+        |  CAST(3 - GROUPING(r_name) - GROUPING(n_name)
+        |         - GROUPING(o_orderpriority) AS BIGINT) AS level,
+        |  COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(n_name, 'ALL') AS nation,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name, o_orderpriority)
+        |ORDER BY level, region, nation, priority""".stripMargin
+    )
+  }
+
   /** Closure demo over a deterministic synthetic edge list derived
     * from nation keys (src -> (2*src+7) mod 25) — the recursive-CTE
     * analog, hop-bounded at 4. */

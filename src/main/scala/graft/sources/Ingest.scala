@@ -107,6 +107,59 @@ object Ingest {
       .saveAsTable(tableName)
   }
 
+  /** Partitioned `{schema}/{table}` parquet export with a manifest —
+    * the publish/export surface (reference: prepare_hf_export.py,
+    * which lays out parquet per table and writes a dataset manifest
+    * describing rows/files/schema for the consumer).
+    *
+    * Each table is written under `outDir/{schema}/{table}/`;
+    * `outDir/manifest.json` lists every exported table with row
+    * count, file count, on-disk bytes and column schema. Counts come
+    * from re-reading the WRITTEN files (parquet footer metadata — no
+    * data pages, no recompute of the input plan), so the manifest
+    * describes what actually landed, not what was intended. Returns
+    * the manifest path. */
+  def exportLayout(
+      tables: Seq[(String, String, DataFrame)],
+      outDir: String,
+      targetPartitions: Int = 4
+  ): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"'          => "\\\""
+      case '\\'         => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c            => c.toString
+    }
+    val entries = tables.map { case (schema, table, df) =>
+      val path = s"$outDir/$schema/$table"
+      writeParquet(df, path, targetPartitions)
+      val spark = df.sparkSession
+      val written = spark.read.parquet(path)
+      val nRows = written.count() // parquet footer metadata only
+      val dir = new java.io.File(path)
+      val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val cols = written.schema.fields
+        .map(f =>
+          s"""{"name":"${esc(f.name)}","type":"${esc(f.dataType.simpleString)}","nullable":${f.nullable}}"""
+        )
+        .mkString("[", ",", "]")
+      s"""{"schema":"${esc(schema)}","table":"${esc(table)}",""" +
+        s""""path":"${esc(s"$schema/$table")}","n_rows":$nRows,""" +
+        s""""n_files":${parts.length},"n_bytes":${parts.map(_.length).sum},""" +
+        s""""columns":$cols}"""
+    }
+    val manifest =
+      s"""{"n_tables":${entries.size},"tables":${entries.mkString("[", ",", "]")}}"""
+    val mPath = java.nio.file.Paths.get(outDir, "manifest.json")
+    java.nio.file.Files.createDirectories(mPath.getParent)
+    java.nio.file.Files.write(
+      mPath,
+      manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    mPath.toString
+  }
+
   /** Plain parquet write with a target file count. */
   def writeParquet(
       df: DataFrame,

@@ -76,6 +76,33 @@ class IngestSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("exportLayout writes {schema}/{table} parquet plus an accurate manifest") {
+    val lake = Lake(spark, sfDir)
+    val out = s"$tmp/export"
+    val mPath = Ingest.exportLayout(
+      Seq(
+        ("core", "region", lake.region),
+        ("core", "nation", lake.nation),
+        ("text", "documents", lake.documents)
+      ),
+      out
+    )
+    // Round trip: every exported table reads back with original rows.
+    assert(spark.read.parquet(s"$out/core/region").count() == lake.region.count())
+    assert(
+      spark.read.parquet(s"$out/text/documents").count() == lake.documents.count()
+    )
+    // Manifest describes what landed.
+    val manifest = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(mPath)),
+      java.nio.charset.StandardCharsets.UTF_8
+    )
+    assert(manifest.contains("\"n_tables\":3"))
+    assert(manifest.contains(s""""path":"core/nation","n_rows":${lake.nation.count()}"""))
+    assert(manifest.contains(""""name":"doc_id""""))
+    assert(manifest.contains(""""table":"documents""""))
+  }
+
   test("csv round trip with explicit schema") {
     val lake = Lake(spark, sfDir)
     val nation = lake.nation
