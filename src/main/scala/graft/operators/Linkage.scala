@@ -78,8 +78,14 @@ object Linkage {
     val tf = grams
       .groupBy("lab_id", "is_probe", "g")
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfx = grams.groupBy("g").agg(countDistinct("lab_id").as("df"))
+    // df from tf, not a second pass over the gram explode: tf already
+    // holds one row per (label, gram).
+    val dfx = tf.groupBy("g").agg(count(lit(1)).as("df"))
     val nTotal = lab.agg(count(lit(1)).as("n_labels"))
+    // Materialize once: wt feeds FOUR plan branches (two norm lookups,
+    // two dot-product sides); without truncation each branch re-runs
+    // the explode+aggregate pipeline and re-instantiates the scalar-N
+    // cross join (4 BNLJ nodes in the executed plan).
     val wt = tf
       .join(dfx, "g")
       .crossJoin(broadcast(nTotal))
@@ -89,6 +95,7 @@ object Linkage {
           (log((lit(1.0) + col("n_labels")) / (lit(1.0) + col("df"))) + 1.0)
       )
       .select("lab_id", "is_probe", "g", "wt")
+      .localCheckpoint()
     val nrm = wt
       .groupBy("lab_id")
       .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))

@@ -83,6 +83,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("txt17: gram linkage is equi-join only downstream of the weight table") {
+    val p = plan(Linkage.txt17TfidfCosineLinkage(lake))
+    assert(!p.contains("CartesianProduct"), p)
+    // The scalar-N cross join lives inside the checkpointed weight
+    // table; the downstream norm/dot joins must all be equi-joins.
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("graph04: BGP pattern scans prune on predicate constants") {
+    val df = Graph.graph04BgpNationCounts(lake)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+  }
+
   test("sim01: query side is broadcast, corpus is not shuffled") {
     val p = plan(Similarity.sim01TopKBruteForce(lake))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
