@@ -40,7 +40,19 @@ object Linkage {
     * bounded — at ontology scale label sets are small; for corpus-
     * sized sets cap df by dropping stop-grams). Top-1 per probe at a
     * cosine floor; ordering ties broken on the 4dp-rounded cosine
-    * then candidate id so both engines pick the same winner. */
+    * then candidate id so both engines pick the same winner.
+    *
+    * Dedupe-before-vectorize — the load-bearing scale move: a TF-IDF
+    * vector is a property of the STRING, so vectorization, the
+    * shared-gram join and the top-1 ranking all run over DISTINCT
+    * labels, and winners broadcast-join back to ids at the end. With
+    * duplicated labels the id-level formulation explodes (at sf0.1
+    * the 20k part rows hold only 64 distinct names: Σdf² over the
+    * id-level gram index is 1.5e9 join rows and 1e8 candidate pairs;
+    * label-level it is a few thousand). idf keeps the id-level
+    * semantics exactly — df sums duplicate counts and N is total
+    * rows — so results are byte-identical to the naive form the
+    * DuckDB oracle runs. */
   def txt17TfidfCosineLinkage(
       lake: Lake,
       threshold: Double = 0.3
@@ -50,20 +62,27 @@ object Linkage {
       (col("p_partkey") % 2 === 0).as("is_probe"),
       lower(col("p_name")).as("label")
     )
-    val pads = lab
+    // One row per distinct (label, side): its duplicate count (for
+    // dup-weighted df / N) and representative id (min — realizes the
+    // min-cand_id tie-break at label level). Tiny; feeds 4 branches.
+    val labGroups = lab
+      .groupBy("label", "is_probe")
+      .agg(count(lit(1)).as("cnt"), min("lab_id").as("rep_id"))
+      .localCheckpoint()
+    val pads = labGroups
       .select(
-        col("lab_id"),
+        col("label"),
         col("is_probe"),
         explode(split(col("label"), " ")).as("w")
       )
       .filter(length(col("w")) > 0)
       .select(
-        col("lab_id"),
+        col("label"),
         col("is_probe"),
         concat(lit(" "), col("w"), lit(" ")).as("pw")
       )
     val grams = pads.select(
-      col("lab_id"),
+      col("label"),
       col("is_probe"),
       explode(
         expr(
@@ -76,16 +95,18 @@ object Linkage {
       ).as("g")
     )
     val tf = grams
-      .groupBy("lab_id", "is_probe", "g")
+      .groupBy("label", "is_probe", "g")
       .agg(count(lit(1)).cast("double").as("tf"))
-    // df from tf, not a second pass over the gram explode: tf already
-    // holds one row per (label, gram).
-    val dfx = tf.groupBy("g").agg(count(lit(1)).as("df"))
-    val nTotal = lab.agg(count(lit(1)).as("n_labels"))
-    // Materialize once: wt feeds FOUR plan branches (two norm lookups,
-    // two dot-product sides); without truncation each branch re-runs
-    // the explode+aggregate pipeline and re-instantiates the scalar-N
-    // cross join (4 BNLJ nodes in the executed plan).
+    // Dup-weighted document frequency: every id carrying the label
+    // counts once per gram — identical to the id-level df.
+    val dfx = tf
+      .join(labGroups.select("label", "is_probe", "cnt"), Seq("label", "is_probe"))
+      .groupBy("g")
+      .agg(sum("cnt").as("df"))
+    val nTotal = labGroups.agg(sum("cnt").as("n_labels"))
+    // Materialize once: wt feeds the norm and both dot-product sides;
+    // without truncation each branch re-runs the explode+aggregate
+    // pipeline and re-instantiates the scalar-N cross join.
     val wt = tf
       .join(dfx, "g")
       .crossJoin(broadcast(nTotal))
@@ -94,35 +115,56 @@ object Linkage {
         col("tf") *
           (log((lit(1.0) + col("n_labels")) / (lit(1.0) + col("df"))) + 1.0)
       )
-      .select("lab_id", "is_probe", "g", "wt")
+      .select("label", "is_probe", "g", "wt")
       .localCheckpoint()
     val nrm = wt
-      .groupBy("lab_id")
+      .groupBy("label", "is_probe")
       .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
     val dots = wt
       .filter(col("is_probe"))
-      .select(col("lab_id").as("probe_id"), col("g"), col("wt").as("wa"))
+      .select(col("label").as("probe_label"), col("g"), col("wt").as("wa"))
       .join(
         wt.filter(!col("is_probe"))
-          .select(col("lab_id").as("cand_id"), col("g"), col("wt").as("wb")),
+          .select(col("label").as("cand_label"), col("g"), col("wt").as("wb")),
         "g"
       )
-      .groupBy("probe_id", "cand_id")
+      .groupBy("probe_label", "cand_label")
       .agg(sum(col("wa") * col("wb")).as("dot"))
     val cosed = dots
-      .join(nrm.select(col("lab_id").as("probe_id"), col("nrm").as("na")), "probe_id")
-      .join(nrm.select(col("lab_id").as("cand_id"), col("nrm").as("nb")), "cand_id")
+      .join(
+        nrm
+          .filter(col("is_probe"))
+          .select(col("label").as("probe_label"), col("nrm").as("na")),
+        "probe_label"
+      )
+      .join(
+        nrm
+          .filter(!col("is_probe"))
+          .select(col("label").as("cand_label"), col("nrm").as("nb")),
+        "cand_label"
+      )
       .withColumn("cosine", round(col("dot") / (col("na") * col("nb")), 4))
-    cosed
+    val winners = cosed
+      .join(
+        labGroups
+          .filter(!col("is_probe"))
+          .select(col("label").as("cand_label"), col("rep_id").as("cand_id")),
+        "cand_label"
+      )
       .withColumn(
         "rn",
         row_number().over(
           Window
-            .partitionBy("probe_id")
+            .partitionBy("probe_label")
             .orderBy(col("cosine").desc, col("cand_id"))
         )
       )
       .filter(col("rn") === 1 && col("cosine") >= threshold)
+      .select("probe_label", "cand_id", "cosine")
+    lab
+      .filter(col("is_probe"))
+      .select(col("lab_id").as("probe_id"), col("label").as("probe_label"))
+      .join(broadcast(winners), "probe_label")
       .select("probe_id", "cand_id", "cosine")
       .orderBy("probe_id")
   }
