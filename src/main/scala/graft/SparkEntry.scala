@@ -77,6 +77,7 @@ object SparkEntry {
     "evt02_sessionization" -> q(Events.evt02Sessionization(_)),
     "evt03_json_extract" -> q(Events.evt03JsonExtract),
     "evt04_funnel" -> q(Events.evt04Funnel),
+    "evt07_asof_join" -> q(Events.evt07AsofJoin),
     "graph01_hierarchy_rollup" -> q(Graph.graph01HierarchyRollup),
     "graph02_transitive_closure" -> q(Graph.graph02TransitiveClosure),
     "graph03_triple_patterns" -> q(Graph.graph03TriplePatterns),
@@ -894,6 +895,27 @@ object SparkEntry {
         |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r)
         |GROUP BY rl
         |ORDER BY region_label""".stripMargin,
+    "evt07_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id, 0 AS kind,
+        |    event_id AS view_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts, event_id, 1 AS kind,
+        |    CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS view_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM v UNION ALL SELECT * FROM p),
+        |w AS (SELECT *,
+        |  LAST_VALUE(view_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view_id,
+        |  LAST_VALUE(view_ts IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ts, kind, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view_ts
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |  matched_view_id, matched_view_ts,
+        |  epoch_us(ts) - epoch_us(matched_view_ts) AS gap_us
+        |FROM w WHERE kind = 1
+        |ORDER BY purchase_id""".stripMargin,
     "graph05_hierarchy_rollup4" ->
       """SELECT
         |  CAST(3 - GROUPING(r_name) - GROUPING(n_name)

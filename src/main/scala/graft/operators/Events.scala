@@ -138,4 +138,62 @@ object Events {
           col("first_click") < col("first_purchase")
       )
       .orderBy("user_id")
+
+  /** As-of join — the temporal primitive Spark's join operators lack:
+    * for every purchase, the LATEST view by the same user at or
+    * before the purchase instant (attribution's "last touch").
+    *
+    * Formulation: no join at all. Both sides union into one stream
+    * tagged by kind, ONE shuffle on user_id, and a running
+    * `last(ignoreNulls)` window carries the most recent view forward
+    * onto each purchase row. This beats the per-key range-join
+    * formulation at any scale: the window is a single sort within
+    * partitions (no candidate blowup for hot users, no range-join
+    * fallback to BNLJ), and it is exactly how the streaming twin
+    * would run with mapGroupsWithState. Ordering (ts, kind, event_id)
+    * pins the contract deterministically: views sort before purchases
+    * at the same instant (>= semantics), equal-time views resolve to
+    * the highest event_id. */
+  def evt07AsofJoin(lake: Lake): DataFrame = {
+    val ev = lake.events.select("event_id", "user_id", "ts", "event_type")
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        lit(0).as("kind"),
+        col("event_id").as("view_id"),
+        col("ts").as("view_ts")
+      )
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        lit(1).as("kind"),
+        lit(null).cast("long").as("view_id"),
+        lit(null).cast("timestamp").as("view_ts")
+      )
+    val w = Window
+      .partitionBy("user_id")
+      .orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views
+      .unionAll(purchases)
+      .withColumn("matched_view_id", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("matched_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        col("user_id"),
+        col("ts").as("purchase_ts"),
+        col("matched_view_id"),
+        col("matched_view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("matched_view_ts")))
+          .as("gap_us")
+      )
+      .orderBy("purchase_id")
+  }
 }
