@@ -91,6 +91,7 @@ object SparkEntry {
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
+    "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
     "txt17_tfidf_cosine_linkage" -> q(Linkage.txt17TfidfCosineLinkage(_)),
     "txt18_bpe_encode" -> q(TextAnalysis.txt18BpeEncode(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
@@ -571,6 +572,19 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE $dkJac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup09_cross_source_overlap" ->
+      s"""WITH d AS (SELECT $dkBagFp AS fp, source, COUNT(*) AS c
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(SUM(CASE WHEN a.source = b.source
+         |      THEN CAST(a.c * (a.c - 1) / 2 AS BIGINT)
+         |      ELSE a.c * b.c END) AS BIGINT) AS n_dup_pairs
+         |FROM d a JOIN d b ON a.fp = b.fp AND a.source <= b.source
+         |GROUP BY 1, 2
+         |HAVING SUM(CASE WHEN a.source = b.source
+         |      THEN CAST(a.c * (a.c - 1) / 2 AS BIGINT)
+         |      ELSE a.c * b.c END) > 0
+         |ORDER BY source_a, source_b""".stripMargin,
     "txt17_tfidf_cosine_linkage" ->
       """WITH lab AS (SELECT p_partkey AS lab_id, p_partkey % 2 = 0 AS is_probe,
         |  lower(p_name) AS label FROM part),

@@ -350,6 +350,40 @@ object Dedup {
     * propagation with alternating large-star/small-star rounds
     * (O(log n) convergence) — same join primitives.
     */
+  /** Cross-source duplicate overlap matrix — per (source_a, source_b)
+    * pair, how many exact-duplicate DOCUMENT pairs span the two
+    * sources (plus the within-source diagonal). The pre-mixing audit
+    * a corpus curator runs before weighting sources: heavy off-
+    * diagonal mass means double-counting between feeds.
+    *
+    * Scale shape: pairs are counted ANALYTICALLY from per-
+    * (fingerprint, source) counts — the self-join runs on the
+    * aggregated fp-level table (one row per fp x source, bounded by
+    * the dup-group structure), never on documents, and cross/within
+    * pair counts are ca*cb / C(ca,2) products. Linear in corpus size
+    * plus sum over fps of (distinct sources)^2 — tiny. */
+  def dedup09CrossSourceOverlap(lake: Lake): DataFrame = {
+    val d = lake.documents
+      .select(text.bagFingerprint(col("text")).as("fp"), col("source"))
+      .groupBy("fp", "source")
+      .agg(count(lit(1)).as("c"))
+    val a = d.select(col("fp"), col("source").as("source_a"), col("c").as("ca"))
+    val b = d.select(col("fp"), col("source").as("source_b"), col("c").as("cb"))
+    a.join(b, "fp")
+      .filter(col("source_a") <= col("source_b"))
+      .withColumn(
+        "pairs",
+        when(
+          col("source_a") === col("source_b"),
+          (col("ca") * (col("ca") - 1) / 2).cast("long")
+        ).otherwise(col("ca") * col("cb"))
+      )
+      .groupBy("source_a", "source_b")
+      .agg(sum("pairs").as("n_dup_pairs"))
+      .filter(col("n_dup_pairs") > 0)
+      .orderBy("source_a", "source_b")
+  }
+
   /** Connected components over an undirected pair list (doc_a, doc_b):
     * returns (u, lbl) where lbl is the smallest node id reachable from
     * u. Iterative min-label propagation; labels only decrease, so the

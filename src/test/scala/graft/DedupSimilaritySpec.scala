@@ -60,6 +60,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(survivors.forall(pairs.contains))
   }
 
+  test("cross-source overlap pair counts sum to C(n,2) over dup groups") {
+    val matrixTotal = Dedup
+      .dedup09CrossSourceOverlap(lake)
+      .collect()
+      .map(_.getAs[Long]("n_dup_pairs"))
+      .sum
+    val groupTotal = Dedup
+      .dedup01Exact(lake)
+      .collect()
+      .map(r => { val n = r.getAs[Long]("n_dups"); n * (n - 1) / 2 })
+      .sum
+    assert(matrixTotal == groupTotal, s"$matrixTotal != $groupTotal")
+  }
+
   test("simhash banding finds most true near-dup pairs") {
     val near = Dedup
       .dedup03NgramJaccard(lake, threshold = 0.9)
