@@ -92,6 +92,7 @@ object SparkEntry {
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
+    "dedup10_containment" -> q(Dedup.dedup10Containment(_)),
     "txt17_tfidf_cosine_linkage" -> q(Linkage.txt17TfidfCosineLinkage(_)),
     "txt18_bpe_encode" -> q(TextAnalysis.txt18BpeEncode(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
@@ -571,6 +572,16 @@ object SparkEntry {
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $dkJac AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE $dkJac >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup10_containment" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / LEAST(len(a.s), len(b.s)), 4) AS containment
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         |    / LEAST(len(a.s), len(b.s)), 4) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup09_cross_source_overlap" ->
       s"""WITH d AS (SELECT $dkBagFp AS fp, source, COUNT(*) AS c

@@ -350,6 +350,67 @@ object Dedup {
     * propagation with alternating large-star/small-star rounds
     * (O(log n) convergence) — same join primitives.
     */
+  /** Shingle-CONTAINMENT near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    * >= threshold — catches subset duplication (a document embedded in
+    * a boilerplate-wrapped copy) that symmetric Jaccard misses: a doc
+    * fully contained in one 3x its size has J ~= 0.33 but C = 1.
+    *
+    * Containment admits NO length blocking (the contained side may be
+    * any fraction of the container), so candidate generation uses a
+    * df-CAPPED shingle inverted index instead: shingles with document
+    * frequency > maxDf (boilerplate) are dropped from candidate
+    * generation only, and surviving candidate pairs are verified
+    * EXACTLY on their full shingle sets via the codegen'd
+    * SortedIntersectCount — the dedup04 discipline. A qualifying pair
+    * is found whenever at least one of its shared shingles is rarer
+    * than the cap (shares >= threshold*min shingles, so only pairs
+    * overlapping exclusively on boilerplate can hide); on this
+    * corpus max df << maxDf, so the output equals the exhaustive
+    * result the oracle computes. Join volume is sum over kept
+    * shingles of df^2 — the cap makes that linear-ish at any corpus
+    * size. */
+  def dedup10Containment(
+      lake: Lake,
+      threshold: Double = 0.9,
+      maxDf: Int = 10000
+  ): DataFrame = {
+    val docs = lake.documents
+      .select(
+        col("doc_id"),
+        graft.plans.ShingleHashes(col("text"), 3).as("sh")
+      )
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val index = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = index
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    val capped = index.join(rare, "s")
+    val candidates = capped
+      .join(capped.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val ic = graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    withSets
+      .withColumn(
+        "containment",
+        round(
+          ic.cast("double") /
+            least(size(col("sh_a")), size(col("sh_b"))).cast("double"),
+          4
+        )
+      )
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Cross-source duplicate overlap matrix — per (source_a, source_b)
     * pair, how many exact-duplicate DOCUMENT pairs span the two
     * sources (plus the within-source diagonal). The pre-mixing audit

@@ -74,6 +74,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(matrixTotal == groupTotal, s"$matrixTotal != $groupTotal")
   }
 
+  test("containment catches a planted subset-dup that symmetric Jaccard misses") {
+    import spark.implicits._
+    // doc 2 = doc 1 verbatim, wrapped in boilerplate ~3x its length:
+    // C(1,2) = 1.0 but J(1,2) ~ 0.33. Docs 3/4 unrelated.
+    val core = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val wrap = (1 to 60).map(i => s"boiler$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    Seq(
+      (1L, core),
+      (2L, s"$wrap $core $wrap"),
+      (3L, (1 to 50).map(i => s"gamma$i").mkString(" ")),
+      (4L, (1 to 50).map(i => s"delta$i").mkString(" "))
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = Lake(spark, tmp)
+    val cont = Dedup
+      .dedup10Containment(planted)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(cont.keySet == Set((1L, 2L)), s"got ${cont.keySet}")
+    assert(cont((1L, 2L)) == 1.0)
+    val jac = Dedup
+      .dedup03NgramJaccard(planted, lenWindow = 1000000)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(!jac.contains((1L, 2L)), "J>=0.5 should miss the subset dup")
+  }
+
+  test("containment pairs are a superset of symmetric J>=0.9 pairs") {
+    // C(A,B) = |A∩B|/min >= |A∩B|/union = J, so every J>=0.9 pair
+    // must also clear the C>=0.9 gate.
+    val cont = Dedup
+      .dedup10Containment(lake)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val jac = Dedup
+      .dedup03NgramJaccard(lake, threshold = 0.9, lenWindow = 1000000)
+      .select("doc_a", "doc_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(jac.subsetOf(cont), s"missing ${jac -- cont}")
+  }
+
   test("simhash banding finds most true near-dup pairs") {
     val near = Dedup
       .dedup03NgramJaccard(lake, threshold = 0.9)
