@@ -89,6 +89,8 @@ object SparkEntry {
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
     "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
+    "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
+    "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
@@ -797,6 +799,33 @@ object SparkEntry {
         |FROM d
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "samp03_temperature_mixture" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, MAX(n_docs) AS n_max FROM c)
+        |SELECT source, n_docs,
+        |  ROUND(CAST(n_docs AS DOUBLE) / n_total, 6) AS natural_share,
+        |  ROUND(SQRT(CAST(n_docs AS DOUBLE)) / SQRT(CAST(n_max AS DOUBLE)), 6)
+        |    AS temp_weight_rel
+        |FROM c CROSS JOIN t
+        |ORDER BY source""".stripMargin,
+    "txt19_clean_text" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' {{cite:c' || CAST(doc_id AS VARCHAR)
+        |    || '}}  see  fig. {{figure:f' || CAST(doc_id AS VARCHAR)
+        |    || '}}' || chr(10) || chr(10) || chr(10) || chr(10)
+        |    || 'tail {{formula:eq' || CAST(doc_id AS VARCHAR) || '}} end  '
+        |    AS raw FROM documents),
+        |c AS (SELECT doc_id, raw,
+        |  TRIM(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '\{\{(cite|formula|figure|table):[^}]*\}\}', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g')) AS clean FROM r)
+        |SELECT doc_id,
+        |  CAST(LENGTH(raw) AS BIGINT) AS n_raw,
+        |  CAST(LENGTH(clean) AS BIGINT) AS n_clean,
+        |  md5(clean) AS clean_fp
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
     "dedup07_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
          |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t),

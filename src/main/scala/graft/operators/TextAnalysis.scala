@@ -316,6 +316,84 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Temperature-scaled source mixture weights — the standard
+    * pretraining rebalance w_i ∝ (n_i/N)^α with α = 0.5 (smaller
+    * sources upsampled relative to their natural share). α = 0.5 is
+    * computed via sqrt, which is IEEE-correctly-rounded in every
+    * engine; the weight is normalized to the LARGEST source (max is
+    * order-independent) rather than to Σ√n_i, because a cross-row
+    * double sum is addition-order-dependent and would flake the
+    * exactness gate — the two normalizations differ by one global
+    * constant, so the mixture they induce is identical.
+    *
+    * Scale: one count-by-source aggregate (map-side combined) + a
+    * broadcast of the 2-value totals row. Reference analog: the
+    * per-source balancing decisions in materialize_fulltext.py's
+    * priority dedup, generalized to the standard temperature form. */
+  def samp03TemperatureMixture(lake: Lake): DataFrame = {
+    val counts = lake.documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = counts.agg(
+      sum("n_docs").as("n_total"), // integer sum — exact
+      max("n_docs").as("n_max")
+    )
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("source"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6)
+          .as("natural_share"),
+        round(
+          sqrt(col("n_docs").cast("double")) /
+            sqrt(col("n_max").cast("double")),
+          6
+        ).as("temp_weight_rel")
+      )
+      .orderBy("source")
+  }
+
+  /** Ingestion text cleaning — the reference's convert-time
+    * normalization (convert_fulltext.py:67 clean_text +
+    * _clean_unarxive_text:636): strip {{cite:...}}/{{formula:...}}/
+    * {{figure:...}}/{{table:...}} markers, collapse runs of
+    * spaces/tabs, collapse 3+ newlines to 2, trim. Markers and
+    * whitespace artifacts are PLANTED deterministically per doc (the
+    * corpus has none) so the gate exercises every rule; output is
+    * length before/after + an md5 fingerprint of the cleaned text,
+    * not the text itself. Map-only — embarrassingly parallel at any
+    * scale. */
+  def txt19CleanText(lake: Lake): DataFrame = {
+    val raw = concat(
+      col("text"),
+      lit(" {{cite:c"), col("doc_id"),
+      lit("}}  see  fig. {{figure:f"), col("doc_id"),
+      lit("}}\n\n\n\ntail {{formula:eq"), col("doc_id"),
+      lit("}} end  ")
+    )
+    val stripped = regexp_replace(
+      col("raw"),
+      "\\{\\{(cite|formula|figure|table):[^}]*\\}\\}",
+      ""
+    )
+    val spaces = regexp_replace(stripped, "[ \\t]+", " ")
+    val clean = trim(regexp_replace(spaces, "\\n{3,}", "\n\n"))
+    // Staged selects: `clean` is referenced twice below (length + md5)
+    // — materializing it as a named column keeps CollapseProject from
+    // inlining (and thus doubling) the three-regex chain per use.
+    lake.documents
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"), col("raw"), clean.as("clean"))
+      .select(
+        col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("clean")).cast("long").as("n_clean"),
+        md5(col("clean")).as("clean_fp")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Overlapping token-window chunking — the pretraining context-
     * window splitter (chunk size 50 tokens, stride 40). Map-only:
     * one posexplode per doc, chunk text rebuilt via slice +

@@ -83,6 +83,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("dedup10: df-capped containment index joins are all equi-joins") {
+    val p = plan(Dedup.dedup10Containment(lake))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("txt17: gram linkage is equi-join only downstream of the weight table") {
     val p = plan(Linkage.txt17TfidfCosineLinkage(lake))
     assert(!p.contains("CartesianProduct"), p)
