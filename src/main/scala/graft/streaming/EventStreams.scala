@@ -175,4 +175,53 @@ object EventStreams extends Serializable {
         }
       }
   }
+
+  /** Per-user latest-view state (ts in epoch micros). */
+  case class LastView(view_id: Long, view_ts: Long)
+
+  case class AsofMatch(purchase_id: Long, user_id: Long,
+                       purchase_ts: Instant,
+                       matched_view_id: Option[Long],
+                       matched_view_ts: Option[Instant],
+                       gap_us: Option[Long])
+
+  /** Streaming as-of enrichment — the stateful twin of
+    * Events.evt07AsofJoin: each purchase is matched to the user's
+    * last view at-or-before it. State is ONE (view_id, ts) pair per
+    * user — constant per key, no retained event history — which is
+    * why the streaming form scales where a stream-stream interval
+    * join would buffer the whole view stream. Within a batch, events
+    * are sorted by (ts, kind, event_id) with views before purchases
+    * on ties, matching the batch window's ORDER BY exactly. */
+  def asofEnrich(events: Dataset[Evt]): Dataset[AsofMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout
+      ) { (userId: Long, rows: Iterator[Evt], state: GroupState[LastView]) =>
+        val sorted = rows.toSeq.sortBy { e =>
+          (micros(e.ts), if (e.event_type == "view") 0 else 1, e.event_id)
+        }
+        var cur = state.getOption
+        val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
+        sorted.foreach { e =>
+          if (e.event_type == "view")
+            cur = Some(LastView(e.event_id, micros(e.ts)))
+          else
+            out += AsofMatch(
+              e.event_id,
+              userId,
+              e.ts,
+              cur.map(_.view_id),
+              cur.map(v => instant(v.view_ts)),
+              cur.map(v => micros(e.ts) - v.view_ts)
+            )
+        }
+        cur.foreach(state.update)
+        out.iterator
+      }
+  }
 }

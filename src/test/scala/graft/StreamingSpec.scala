@@ -248,4 +248,47 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.toSeq)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("streaming as-of enrichment matches the batch as-of join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = lake.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Evt]
+      .collect()
+      .sortBy(e => (e.ts.toEpochMilli, e.event_id))
+      .toSeq
+    // two time-split batches: per-user last-view state must survive
+    // the batch boundary for purchases in the second half
+    val (first, second) = evts.splitAt(evts.length / 2)
+    val stream = MemoryStream[EventStreams.Evt]
+    val query = EventStreams
+      .asofEnrich(stream.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("asof")
+      .outputMode("append")
+      .start()
+    stream.addData(first)
+    query.processAllAvailable()
+    stream.addData(second)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark
+      .sql("""SELECT purchase_id, user_id, purchase_ts, matched_view_id,
+              matched_view_ts, gap_us FROM asof""")
+      .orderBy("purchase_id")
+      .collect()
+      .map(_.toSeq)
+    val batch = Events
+      .evt07AsofJoin(lake)
+      .select("purchase_id", "user_id", "purchase_ts", "matched_view_id",
+        "matched_view_ts", "gap_us")
+      .orderBy("purchase_id")
+      .collect()
+      .map(_.toSeq)
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
