@@ -84,6 +84,7 @@ object SparkEntry {
     "graph04_bgp_nation_counts" -> q(Graph.graph04BgpNationCounts),
     "graph05_hierarchy_rollup4" -> q(Graph.graph05HierarchyRollup4),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
+    "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
@@ -799,6 +800,19 @@ object SparkEntry {
         |FROM d
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    "mm02_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) AS n_frames
+        |  FROM documents),
+        |x AS (SELECT doc_id, text, n_frames,
+        |    UNNEST(range(0, GREATEST(n_frames, 1), 4)) AS frame_idx FROM f)
+        |SELECT doc_id, frame_idx, n_frames,
+        |  CAST(LENGTH(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
+        |    AS BIGINT) AS frame_len,
+        |  md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
+        |    AS frame_fp
+        |FROM x
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "samp03_temperature_mixture" ->
       """WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total, MAX(n_docs) AS n_max FROM c)

@@ -176,6 +176,96 @@ object Multimodal {
     }
   }
 
+  /** mm02: deterministic frame sampling over a binary payload — the
+    * "frame-sample" step of a video pipeline. The payload is treated
+    * as a container of fixed-size frames (frameBytes each); every
+    * `every`-th frame is sampled and fingerprinted. Pure expressions
+    * (sequence + explode + substring-on-binary + md5): the slicing
+    * never leaves Tungsten, rows out = sampled frames, and — unlike
+    * the decode step — the whole operator IS oracle-expressible, so
+    * the sampling arithmetic and slice boundaries are exactness-gated.
+    * Per-frame codec decode composes on top via `decodeFrames`.
+    *
+    * Scale: map-only (explode is per-row); a multi-GB video row would
+    * make one task decode all its frames — at real scale payloads
+    * arrive pre-chunked (the schema's n_bytes/metadata supports
+    * that), and sampled-frame rows re-balance across the cluster at
+    * the first shuffle. */
+  def mm02FrameSample(
+      lake: Lake,
+      frameBytes: Int = 64,
+      every: Int = 4
+  ): DataFrame =
+    lake.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn(
+        "n_frames",
+        ceil(length(col("payload")).cast("double") / frameBytes).cast("long")
+      )
+      .withColumn(
+        "frame_idx",
+        // greatest(n_frames, 1): an empty payload still yields frame 0
+        // (empty slice) instead of an illegal sequence(0, -1) bound —
+        // mirrored by decodeFrames' .max(1) and the oracle's GREATEST.
+        explode(
+          sequence(
+            lit(0L),
+            greatest(col("n_frames"), lit(1L)) - 1,
+            lit(every.toLong)
+          )
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        col("n_frames"),
+        expr(s"substring(payload, frame_idx * $frameBytes + 1, $frameBytes)")
+          .as("frame")
+      )
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        col("n_frames"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_fp")
+      )
+      .orderBy("doc_id", "frame_idx")
+
+  case class FrameFeatureRow(
+      doc_id: Long,
+      frame_idx: Long,
+      features: Array[Double]
+  )
+
+  /** Per-sampled-frame decode — same sampling contract as
+    * mm02FrameSample (asserted in MultimodalSpec), with the
+    * format-blind byte-histogram decoder standing in for a codec.
+    * mapPartitions so a real codec context initializes once per
+    * partition, not once per frame. */
+  def decodeFrames(
+      media: Dataset[MediaRow],
+      frameBytes: Int = 64,
+      every: Int = 4
+  ): Dataset[FrameFeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val n =
+          ((r.payload.length + frameBytes - 1) / frameBytes).max(1)
+        (0 until n by every).iterator.map { i =>
+          val end = math.min((i + 1) * frameBytes, r.payload.length)
+          FrameFeatureRow(
+            r.doc_id,
+            i.toLong,
+            decodeStub(
+              java.util.Arrays.copyOfRange(r.payload, i * frameBytes, end)
+            )
+          )
+        }
+      }
+    }
+  }
+
   /** mm01: media metadata + decoded features, flattened for the
     * driver dump. [rows-only — the decode step (ImageIO pixels /
     * byte histogram) is not oracle-expressible] */

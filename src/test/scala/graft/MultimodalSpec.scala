@@ -69,6 +69,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.thumbnail("junk".getBytes("UTF-8")).isEmpty)
   }
 
+  test("frame sampling: decodeFrames matches mm02's sampling contract exactly") {
+    import Multimodal.MediaRow
+    val sess = spark
+    import sess.implicits._
+    // synthetic 200-byte payload = frames [0..63][64..127][128..191][192..199];
+    // every=2 samples frames 0 and 2
+    val payload = Array.tabulate[Byte](200)(i => (i % 256).toByte)
+    val media = Seq(MediaRow(7L, payload, "video/raw", 200L)).toDS()
+    val frames = Multimodal
+      .decodeFrames(media, frameBytes = 64, every = 2)
+      .collect()
+      .sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0L, 2L))
+    // frame 0 = bytes 0..63: values 0..63 all fall in histogram
+    // buckets 0 (0..31) and 1 (32..63), half each
+    assert(frames(0).features.toSeq == Seq(0.5, 0.5, 0, 0, 0, 0, 0, 0))
+    // frame 2 = bytes 128..191 -> buckets 4 and 5
+    assert(frames(1).features.toSeq == Seq(0, 0, 0, 0, 0.5, 0.5, 0, 0))
+    // sampled (doc_id, frame_idx) sets agree between the expression
+    // path (mm02, oracle-gated) and the decode path on the corpus
+    val exprIdx = Multimodal
+      .mm02FrameSample(lake)
+      .select("doc_id", "frame_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val decodeIdx = Multimodal
+      .decodeFrames(Multimodal.asMedia(lake))
+      .collect()
+      .map(f => (f.doc_id, f.frame_idx))
+      .toSet
+    assert(exprIdx == decodeIdx)
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val a = Multimodal.extractFeatures(Multimodal.asMedia(lake))
       .collect().sortBy(_.doc_id)
