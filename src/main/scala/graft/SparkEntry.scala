@@ -62,6 +62,10 @@ object SparkEntry {
     "txt11_doc_chunks" -> q(TextAnalysis.txt11DocChunks(_)),
     "txt12_bpe_tokens" -> q(TextAnalysis.txt12BpeTokens),
     "cat01_status" -> q(CatalogOps.cat01Status),
+    "cat02_snapshot_diff" -> q(CatalogOps.cat02SnapshotDiff),
+    "ing01_upsert" -> q(CatalogOps.ing01Upsert),
+    "rel12_cube" -> q(Relational.rel12Cube),
+    "rel13_pivot" -> q(Relational.rel13Pivot),
     "dedup01_exact" -> q(Dedup.dedup01Exact),
     "dedup02_keep_canonical" -> q(Dedup.dedup02KeepCanonical),
     "dedup03_ngram_jaccard" -> q(Dedup.dedup03NgramJaccard(_)),
@@ -550,6 +554,67 @@ object SparkEntry {
         |  UNION ALL SELECT 'region', COUNT(*) FROM region
         |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier) t
         |ORDER BY table_name""".stripMargin,
+    "cat02_snapshot_diff" ->
+      """WITH before_t AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |after_t AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN ROUND(o_totalprice + 1.0, 4)
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM before_t WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_totalprice
+        |  FROM before_t WHERE o_orderkey % 13 = 0)
+        |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |            WHEN a.o_orderkey IS NULL THEN 'removed'
+        |            WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |              THEN 'changed'
+        |            ELSE 'unchanged' END AS change_type,
+        |  COUNT(*) AS n_keys
+        |FROM before_t b FULL OUTER JOIN after_t a
+        |  ON b.o_orderkey = a.o_orderkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "ing01_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    ROUND(o_totalprice + 1.0, 4) AS o_totalprice
+        |  FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice
+        |  FROM base WHERE o_orderkey % 13 = 0),
+        |merged AS (
+        |  SELECT o_orderpriority, o_totalprice, 0 AS src FROM upd
+        |  UNION ALL
+        |  SELECT b.o_orderpriority, b.o_totalprice, 1 AS src
+        |  FROM base b
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey))
+        |SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  COUNT(*) FILTER (WHERE src = 0) AS n_from_updates,
+        |  ROUND(SUM(o_totalprice), 4) AS total_price
+        |FROM merged
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "rel12_cube" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "rel13_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "dedup01_exact" ->
       s"""WITH d AS (SELECT doc_id, $dkBagFp AS fp FROM documents)
          |SELECT fp, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id,

@@ -38,6 +38,107 @@ object CatalogOps {
       .orderBy("table_name")
   }
 
+  /** MERGE-style keyed upsert: rows from `updates` replace base rows
+    * with the same key; unmatched update rows insert. One shuffle on
+    * the key (union + per-key row_number, updates win ties) — the
+    * Delta-MERGE shape without a transaction log. At 100 TB both
+    * sides shuffle-partition on the key; a bucketed base table makes
+    * the base side exchange-free (Ingest.writeBucketed). */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // merge_src is retained as provenance (0 = from updates, 1 = from
+    // base); callers that don't want it drop it. Keys duplicated
+    // WITHIN `updates` have no defined winner — same as SQL MERGE.
+    val tagged = updates
+      .withColumn("merge_src", lit(0))
+      .unionByName(base.withColumn("merge_src", lit(1)))
+    val w = Window.partitionBy(key).orderBy(col("merge_src"))
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Snapshot diff — classify every key as added / removed / changed /
+    * unchanged between two table versions (the audit a lake runs
+    * after re-materializing a table, materialize_unified_papers.py's
+    * refresh step). Full-outer shuffle join on the key; the compared
+    * column set is explicit so "changed" is well-defined. */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      key: String,
+      compare: Seq[String]
+  ): DataFrame = {
+    val b = before.select((key +: compare).map(col): _*).withColumnRenamed(key, "_kb")
+    val a = after
+      .select((key +: compare).map(col): _*)
+      .toDF(("_ka" +: compare.map(c => s"${c}_a")): _*)
+    val joined = b.join(a, col("_kb") === col("_ka"), "full_outer")
+    val changed = compare
+      .map(c => !(col(c) <=> col(s"${c}_a")))
+      .reduce(_ || _)
+    joined.withColumn(
+      "change_type",
+      when(col("_kb").isNull, "added")
+        .when(col("_ka").isNull, "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+  }
+
+  /** ing01: upsert semantics under the exactness gate. The update
+    * batch is synthesized deterministically from orders (price bump
+    * for keys ≡ 0 mod 7; brand-new keys shifted by 10^7 for keys ≡ 0
+    * mod 13); output aggregates the merged table per priority with a
+    * from-updates count so precedence errors are visible. */
+  def ing01Upsert(lake: Lake): DataFrame = {
+    val base = lake.orders.select(
+      "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    val updates = base
+      .filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", round(col("o_totalprice") + lit(1.0), 4))
+      .unionByName(
+        base
+          .filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      )
+    upsert(base, updates, "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("merge_src") === 0, 1)).as("n_from_updates"),
+        round(sum("o_totalprice"), 4).as("total_price")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  /** cat02: snapshot-diff summary between orders and a synthesized
+    * next version (10% of keys removed, every 7th price changed,
+    * every 13th key re-inserted under a new id). */
+  def cat02SnapshotDiff(lake: Lake): DataFrame = {
+    val before = lake.orders.select("o_orderkey", "o_totalprice")
+    val after = before
+      .filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(
+          col("o_orderkey") % 7 === 0,
+          round(col("o_totalprice") + lit(1.0), 4)
+        ).otherwise(col("o_totalprice"))
+      )
+      .unionByName(
+        before
+          .filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+      )
+    snapshotDiff(before, after, "o_orderkey", Seq("o_totalprice"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("change_type")
+  }
+
   /** On-disk bytes for a table (file or directory of part files) —
     * the `status` disk-usage figure, computed from filesystem
     * metadata only. */

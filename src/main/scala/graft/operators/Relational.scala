@@ -282,6 +282,44 @@ object Relational {
     )
   }
 
+  /** CUBE over (priority, status) with GROUPING flags — all four
+    * grouping sets in one pass. Like ROLLUP, the grouping-set
+    * expansion is map-side partial aggregation (4x the partial rows,
+    * one shuffle, no extra scan); expressed via spark.sql for the
+    * same analyzer reason as rel09. */
+  def rel12Cube(lake: Lake): DataFrame = {
+    lake.registerViews()
+    lake.spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 4) AS total_price
+        |FROM orders
+        |GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin
+    )
+  }
+
+  /** Status pivot: one row per priority, one count column per order
+    * status. Spark's `pivot` with EXPLICIT values — at scale an
+    * implicit pivot first runs a distinct-values job over the fact
+    * table; pinning the columns keeps it a single-pass groupBy whose
+    * output schema is known at plan time. */
+  def rel13Pivot(lake: Lake): DataFrame =
+    lake.orders
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("O"), lit(0L)).as("n_open"),
+        coalesce(col("F"), lit(0L)).as("n_filled"),
+        coalesce(col("P"), lit(0L)).as("n_pending")
+      )
+      .orderBy("o_orderpriority")
+
   /** Exact interpolated percentiles (DuckDB quantile_cont semantics =
     * Spark `percentile`). At 100 TB switch to approx_percentile with
     * a bounded error budget; exact is kept here to oracle-match. */

@@ -37,4 +37,42 @@ class CatalogSpec extends AnyFunSuite {
     assert(tableHits.contains(("nation", "(table)")))
     assert(tableHits.exists { case (t, c) => t == "customer" && c == "c_nationkey" })
   }
+
+  test("upsert: updates replace matched keys, unmatched keys insert, base keeps the rest") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val updates = Seq((2L, "b2", 25.0), (9L, "new", 90.0))
+      .toDF("k", "name", "v")
+    val merged = CatalogOps.upsert(base, updates, "k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(merged.toSeq == Seq(
+      (1L, "a", 10.0, 1),   // untouched base row
+      (2L, "b2", 25.0, 0),  // replaced by the update
+      (3L, "c", 30.0, 1),
+      (9L, "new", 90.0, 0)  // inserted
+    ))
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged per key") {
+    import spark.implicits._
+    val before = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val after = Seq((1L, 10.0), (2L, 21.0), (4L, 40.0)).toDF("k", "v")
+    val diff = CatalogOps.snapshotDiff(before, after, "k", Seq("v"))
+      .select(
+        org.apache.spark.sql.functions.coalesce($"_kb", $"_ka").as("k"),
+        $"change_type"
+      )
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toMap
+    assert(diff == Map(
+      1L -> "unchanged",
+      2L -> "changed",
+      3L -> "removed",
+      4L -> "added"
+    ))
+  }
 }
