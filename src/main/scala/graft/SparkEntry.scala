@@ -64,6 +64,8 @@ object SparkEntry {
     "cat01_status" -> q(CatalogOps.cat01Status),
     "cat02_snapshot_diff" -> q(CatalogOps.cat02SnapshotDiff),
     "ing01_upsert" -> q(CatalogOps.ing01Upsert),
+    "q12_late_shipments" -> q(Relational.q12LateShipments),
+    "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),
     "rel13_pivot" -> q(Relational.rel13Pivot),
     "dedup01_exact" -> q(Dedup.dedup01Exact),
@@ -595,6 +597,28 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE src = 0) AS n_from_updates,
         |  ROUND(SUM(o_totalprice), 4) AS total_price
         |FROM merged
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) AS n_lineitems,
+        |  COUNT(*) FILTER (WHERE
+        |    date_diff('day', o_orderdate, l_shipdate) > 90) AS n_late,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE
+        |      date_diff('day', o_orderdate, l_shipdate) > 90) AS DOUBLE)
+        |    * 100 / COUNT(*), 4) AS late_pct
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100
+        |    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)
+        |    AS total_revenue,
+        |  COUNT(*) AS n_lineitems
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
     "rel12_cube" ->

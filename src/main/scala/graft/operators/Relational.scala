@@ -282,6 +282,45 @@ object Relational {
     )
   }
 
+  /** TPC-H Q12 shape (adapted to this schema: priority instead of the
+    * absent shipmode): per order priority, lineitems shipped > 90
+    * days after the order date. Fact-fact equi-join on orderkey — at
+    * scale both sides shuffle-partition once on the key (bucketed
+    * ingest makes it exchange-free); the conditional count is a
+    * map-side partial aggregate. */
+  def q12LateShipments(lake: Lake): DataFrame = {
+    val late = datediff(col("l_shipdate"), col("o_orderdate")) > 90
+    lake.lineitem
+      .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        count(when(late, 1)).as("n_late"),
+        round(
+          count(when(late, 1)).cast("double") * 100 / count(lit(1)),
+          4
+        ).as("late_pct")
+      )
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q14 shape: promo revenue share per ship year. part is
+    * hint-broadcast (fixed-size dim); revenue sums are map-side
+    * partial. */
+  def q14PromoRevenue(lake: Lake): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val promoRev = when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))
+    lake.lineitem
+      .join(broadcast(lake.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"))
+      .agg(
+        round(sum(promoRev) * 100 / sum(rev), 4).as("promo_pct"),
+        round(sum(rev), 4).as("total_revenue"),
+        count(lit(1)).as("n_lineitems")
+      )
+      .orderBy("ship_year")
+  }
+
   /** CUBE over (priority, status) with GROUPING flags — all four
     * grouping sets in one pass. Like ROLLUP, the grouping-set
     * expansion is map-side partial aggregation (4x the partial rows,

@@ -45,6 +45,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(labels.size == 10)
   }
 
+  test("star CC labels equal min-label propagation on chains, triangles, and real pairs") {
+    import spark.implicits._
+    val planted = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L), (21L, 22L), (20L, 22L),
+      (30L, 31L),
+      // a star already rooted high: exercises the re-rooting path
+      (50L, 41L), (50L, 42L), (50L, 43L)
+    ).toDF("doc_a", "doc_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(
+      asMap(Dedup.connectedComponentsStar(planted)) ==
+        asMap(Dedup.connectedComponents(planted))
+    )
+    val real = Dedup
+      .dedup04MinhashLsh(lake)
+      .select("doc_a", "doc_b")
+      .localCheckpoint()
+    assert(
+      asMap(Dedup.connectedComponentsStar(real)) ==
+        asMap(Dedup.connectedComponents(real))
+    )
+  }
+
   test("dedup08 clusters cover exactly the minhash pair nodes, one survivor each") {
     val pairs = Dedup
       .dedup04MinhashLsh(lake)
