@@ -98,6 +98,8 @@ object SparkEntry {
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
+    "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
+    "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
@@ -556,6 +558,47 @@ object SparkEntry {
         |  UNION ALL SELECT 'region', COUNT(*) FROM region
         |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier) t
         |ORDER BY table_name""".stripMargin,
+    "txt20_gopher_filter" ->
+      s"""WITH tok AS (SELECT doc_id, UNNEST($dkToks) AS w FROM documents),
+         |a AS (SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(LENGTH(w)) AS BIGINT) AS sum_len,
+         |  COUNT(*) FILTER (WHERE NOT regexp_matches(w, '[A-Za-z0-9]'))
+         |    AS n_symbol,
+         |  COUNT(DISTINCT CASE WHEN w IN ('the','a','of','and') THEN w END)
+         |    AS n_stop_distinct
+         |  FROM tok GROUP BY 1),
+         |b AS (SELECT doc_id, n_tokens,
+         |  ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS mean_tok_len,
+         |  ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) AS symbol_ratio,
+         |  n_stop_distinct FROM a),
+         |c AS (SELECT *, concat_ws(',',
+         |    CASE WHEN n_tokens < 50 THEN 'too_short' END,
+         |    CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+         |    CASE WHEN mean_tok_len < 3 OR mean_tok_len > 10
+         |      THEN 'mean_len' END,
+         |    CASE WHEN symbol_ratio >= 0.1 THEN 'symbol' END,
+         |    CASE WHEN n_stop_distinct < 2 THEN 'stopword' END)
+         |  AS fail_reasons FROM b)
+         |SELECT doc_id, n_tokens, mean_tok_len, symbol_ratio,
+         |  n_stop_distinct, fail_reasons, fail_reasons = '' AS passes
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
+    "evt08_daily_anomalies" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type,
+        |    CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS mu
+        |  FROM daily GROUP BY 1),
+        |r AS (SELECT d.event_type, d.day, d.n_events, s.mu,
+        |    ROUND(d.n_events / s.mu, 4) AS ratio
+        |  FROM daily d JOIN s USING (event_type)),
+        |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ABS(ratio - 1) DESC, day) AS rn FROM r)
+        |SELECT event_type, day, n_events,
+        |  ROUND(mu, 4) AS mean_daily, ratio
+        |FROM k WHERE rn <= 3
+        |ORDER BY event_type, day""".stripMargin,
     "cat02_snapshot_diff" ->
       """WITH before_t AS (SELECT o_orderkey, o_totalprice FROM orders),
         |after_t AS (

@@ -196,4 +196,42 @@ object Events {
       )
       .orderBy("purchase_id")
   }
+
+  /** Most anomalous days per event type: top-k days ranked by
+    * |daily count / long-run daily mean - 1|. Ratio-to-mean rather
+    * than z-score by design: the mean is an exact integer sum over
+    * one division (bit-stable across engines and partition orders),
+    * where stddev accumulates doubles in merge order; ranking instead
+    * of a fixed threshold keeps the report meaningful at any volume
+    * (daily noise shrinks as 1/sqrt(n) with scale, so any fixed cut
+    * either floods or empties). Two map-side-partial aggregations, a
+    * broadcast of the tiny per-type stats frame, one |types|-way
+    * partitioned window. */
+  def evt08DailyAnomalies(lake: Lake, topK: Int = 3): DataFrame = {
+    val daily = lake.events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily
+      .groupBy("event_type")
+      .agg((sum("n_events").cast("double") / count(lit(1))).as("mu"))
+    val w = Window
+      .partitionBy("event_type")
+      // deviation is computed on the ROUNDED ratio so the ordering
+      // (and hence the top-k set) is identical in any engine; day
+      // breaks exact-deviation ties deterministically
+      .orderBy(abs(col("ratio") - 1).desc, col("day"))
+    daily
+      .join(broadcast(stats), "event_type")
+      .withColumn("ratio", round(col("n_events") / col("mu"), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(
+        col("event_type"),
+        col("day"),
+        col("n_events"),
+        round(col("mu"), 4).as("mean_daily"),
+        col("ratio")
+      )
+      .orderBy("event_type", "day")
+  }
 }

@@ -316,6 +316,60 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Gopher-style rule-based quality filter verdict (Rae et al. 2021,
+    * §A1.1 simplified to this corpus' lexicon): token-count bounds,
+    * mean-token-length window, symbol-token ratio, minimum distinct
+    * stopwords. Emits the signal values, a comma-joined fail-reason
+    * list, and the pass verdict — the form a curation pipeline
+    * actually materializes (filter + WHY). One explode + aggregate
+    * pass; every rule is integer arithmetic or a single division, so
+    * the verdict is bit-stable across engines and cluster sizes. */
+  def txt20GopherFilter(lake: Lake): DataFrame = {
+    val en = text.langMarkers("en")
+    lake.documents
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(col("term"))).as("sum_len"),
+        count(when(!col("term").rlike("[A-Za-z0-9]"), 1)).as("n_symbol"),
+        countDistinct(when(col("term").isInCollection(en), col("term")))
+          .as("n_stop_distinct")
+      )
+      .withColumn(
+        "mean_tok_len",
+        round(col("sum_len").cast("double") / col("n_tokens"), 4)
+      )
+      .withColumn(
+        "symbol_ratio",
+        round(col("n_symbol").cast("double") / col("n_tokens"), 4)
+      )
+      .withColumn(
+        "fail_reasons",
+        concat_ws(
+          ",",
+          when(col("n_tokens") < 50, "too_short"),
+          when(col("n_tokens") > 100000, "too_long"),
+          when(
+            col("mean_tok_len") < 3 || col("mean_tok_len") > 10,
+            "mean_len"
+          ),
+          when(col("symbol_ratio") >= 0.1, "symbol"),
+          when(col("n_stop_distinct") < 2, "stopword")
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        col("mean_tok_len"),
+        col("symbol_ratio"),
+        col("n_stop_distinct"),
+        col("fail_reasons"),
+        (col("fail_reasons") === "").as("passes")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Temperature-scaled source mixture weights — the standard
     * pretraining rebalance w_i ∝ (n_i/N)^α with α = 0.5 (smaller
     * sources upsampled relative to their natural share). α = 0.5 is
