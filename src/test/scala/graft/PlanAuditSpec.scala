@@ -89,6 +89,35 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q14: the part dim joins as broadcast") {
+    val p = plan(Relational.q14PromoRevenue(lake))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mm02: frame sampling reads only doc_id and text") {
+    val p = plan(graft.multimodal.Multimodal.mm02FrameSample(lake))
+    // documents is (doc_id, text, lang, source, n_chars): the frame
+    // slicer must not drag the untouched metadata columns into the scan
+    assert(p.contains("ReadSchema") && !p.contains("n_chars"), p)
+    assert(!p.contains("source"), p)
+  }
+
+  test("evt08: per-type stats join broadcasts; no cartesian") {
+    val p = plan(Events.evt08DailyAnomalies(lake))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ing01/cat02: merge and diff stay equi-joins end to end") {
+    val p1 = plan(CatalogOps.ing01Upsert(lake))
+    assert(!p1.contains("CartesianProduct"), p1)
+    assert(!p1.contains("BroadcastNestedLoop"), p1)
+    val p2 = plan(CatalogOps.cat02SnapshotDiff(lake))
+    assert(!p2.contains("CartesianProduct"), p2)
+    assert(!p2.contains("BroadcastNestedLoop"), p2)
+  }
+
   test("txt17: gram linkage is equi-join only downstream of the weight table") {
     val p = plan(Linkage.txt17TfidfCosineLinkage(lake))
     assert(!p.contains("CartesianProduct"), p)
