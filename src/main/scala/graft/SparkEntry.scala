@@ -99,6 +99,7 @@ object SparkEntry {
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
+    "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
@@ -558,6 +559,16 @@ object SparkEntry {
         |  UNION ALL SELECT 'region', COUNT(*) FROM region
         |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier) t
         |ORDER BY table_name""".stripMargin,
+    "xref06_total_mismatch" ->
+      """WITH lt AS (SELECT l_orderkey,
+        |    ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS line_total,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderkey, o_totalprice, line_total, n_lines,
+        |  ROUND(ABS(o_totalprice - line_total), 4) AS abs_diff
+        |FROM orders JOIN lt ON o_orderkey = l_orderkey
+        |ORDER BY abs_diff DESC, o_orderkey
+        |LIMIT 20""".stripMargin,
     "txt20_gopher_filter" ->
       s"""WITH tok AS (SELECT doc_id, UNNEST($dkToks) AS w FROM documents),
          |a AS (SELECT doc_id, COUNT(*) AS n_tokens,

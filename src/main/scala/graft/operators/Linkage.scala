@@ -276,4 +276,38 @@ object Linkage {
         .as("n_len_mismatch"),
       countDistinct(col("doc_id")).as("n_distinct_ids")
     )
+
+  /** Cross-source metric disagreement ranking — the reference app's
+    * "cross-source citation count comparison" (app.py:78-92: top-N
+    * |s2ag_citations - openalex_citations| over linked papers)
+    * re-expressed on this schema: order-header total vs the sum of
+    * its line items, ranked by absolute disagreement. The audit shape
+    * for any two sources reporting the same metric: inner equi-join,
+    * null-safe diff, global top-N (rank + limit pushes partial top-N
+    * to each partition — no full sort). */
+  def xref06TotalMismatch(lake: Lake, topN: Int = 20): DataFrame = {
+    val lineTotals = lake.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("line_total"),
+        count(lit(1)).as("n_lines")
+      )
+    lake.orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .join(lineTotals, col("o_orderkey") === col("l_orderkey"))
+      .withColumn(
+        "abs_diff",
+        round(abs(col("o_totalprice") - col("line_total")), 4)
+      )
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice"),
+        col("line_total"),
+        col("n_lines"),
+        col("abs_diff")
+      )
+      .orderBy(col("abs_diff").desc, col("o_orderkey"))
+      .limit(topN)
+  }
 }
