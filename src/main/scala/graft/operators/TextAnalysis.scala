@@ -317,24 +317,35 @@ object TextAnalysis {
   }
 
   /** Gopher-style rule-based quality filter verdict (Rae et al. 2021,
-    * §A1.1 simplified to this corpus' lexicon): token-count bounds,
-    * mean-token-length window, symbol-token ratio, minimum distinct
-    * stopwords. Emits the signal values, a comma-joined fail-reason
-    * list, and the pass verdict — the form a curation pipeline
-    * actually materializes (filter + WHY). One explode + aggregate
-    * pass; every rule is integer arithmetic or a single division, so
-    * the verdict is bit-stable across engines and cluster sizes. */
-  def txt20GopherFilter(lake: Lake): DataFrame = {
-    val en = text.langMarkers("en")
-    lake.documents
-      .select(col("doc_id"), explode(text.tokens(col("text"))).as("term"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(length(col("term"))).as("sum_len"),
-        count(when(!col("term").rlike("[A-Za-z0-9]"), 1)).as("n_symbol"),
-        countDistinct(when(col("term").isInCollection(en), col("term")))
-          .as("n_stop_distinct")
+    * §A1.1 simplified to this corpus' lexicon) over any
+    * (doc_id, text) frame: token-count bounds, mean-token-length
+    * window, symbol-token ratio, minimum distinct stopwords. Emits
+    * the signal values, a comma-joined fail-reason list, and the pass
+    * verdict — the form a curation pipeline actually materializes
+    * (filter + WHY).
+    *
+    * MAP-ONLY: signals come from higher-order array functions over
+    * the token array (size / aggregate / filter / array_intersect),
+    * so the operator performs ZERO shuffles — strictly better than
+    * the explode+groupBy formulation at any scale, and trivially
+    * streamable (append mode, no state). Every rule is integer
+    * arithmetic or a single division: bit-stable across engines and
+    * cluster sizes. The staged select keeps the token array evaluated
+    * once per row (CollapseProject will not inline a multi-referenced
+    * alias). */
+  def gopherVerdict(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_len"),
+        expr("size(filter(toks, t -> NOT t rlike '[A-Za-z0-9]'))")
+          .cast("long")
+          .as("n_symbol"),
+        expr(
+          "size(array_intersect(array_distinct(toks), array('the','a','of','and')))"
+        ).cast("long").as("n_stop_distinct")
       )
       .withColumn(
         "mean_tok_len",
@@ -367,8 +378,9 @@ object TextAnalysis {
         col("fail_reasons"),
         (col("fail_reasons") === "").as("passes")
       )
-      .orderBy("doc_id")
-  }
+
+  def txt20GopherFilter(lake: Lake): DataFrame =
+    gopherVerdict(lake.documents).orderBy("doc_id")
 
   /** Temperature-scaled source mixture weights — the standard
     * pretraining rebalance w_i ∝ (n_i/N)^α with α = 0.5 (smaller

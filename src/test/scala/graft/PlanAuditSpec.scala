@@ -103,6 +103,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("source"), p)
   }
 
+  test("txt20: the quality verdict plans ZERO exchanges") {
+    // map-only contract: higher-order functions over the token array,
+    // no explode+groupBy — a shuffle appearing here is a regression
+    val p = plan(TextAnalysis.gopherVerdict(lake.documents))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("evt08: per-type stats join broadcasts; no cartesian") {
     val p = plan(Events.evt08DailyAnomalies(lake))
     assert(p.contains("BroadcastHashJoin"), p)

@@ -249,6 +249,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming quality verdict over a document stream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gopherVerdict is map-only (no state, no watermark): it must run
+    // on a raw document stream in append mode unchanged
+    val docs = lake.documents
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.operators.TextAnalysis
+      .gopherVerdict(stream.toDS().toDF("doc_id", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("verdicts")
+      .outputMode("append")
+      .start()
+    stream.addData(first)
+    query.processAllAvailable()
+    stream.addData(second)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark
+      .sql("SELECT * FROM verdicts")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.toSeq)
+    val batch = graft.operators.TextAnalysis
+      .txt20GopherFilter(lake)
+      .collect()
+      .map(_.toSeq)
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming as-of enrichment matches the batch as-of join") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
