@@ -267,6 +267,133 @@ object Similarity {
     * Candidate volume is nprobe/nlist of the corpus per query — the
     * knob trades recall for compute exactly as in the reference's
     * FAISS usage (build_embedding_linkage.py:246-273). */
+  /** DataFrame-native spherical k-means (Lloyd iterations, cosine
+    * assignment, arithmetic-mean update — identical assignments to
+    * the normalized-mean update since cosine ignores scale, and the
+    * spherical objective Σ cos(v, c) is monotone non-decreasing).
+    * Deterministic: seeds are the k lowest vec_ids, ties in
+    * assignment break to the lowest cluster id, so the trained
+    * quantizer is reproducible across cluster sizes.
+    *
+    * Per iteration: one broadcast of the k centroids (crossJoin —
+    * the scalar-join idiom, k rows), one argmax window per vector,
+    * one (cluster, pos) mean shuffle of n x dim value rows. The
+    * centroid frame is localCheckpointed so iteration i+1 does not
+    * recompute iterations 1..i. This is the FAISS IVF *training*
+    * step (build_embedding_linkage.py's index build analog). */
+  def kmeans(all: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
+    val seedW = Window.orderBy("vec_id")
+    var cents = all
+      .orderBy("vec_id")
+      .limit(k)
+      .select(
+        (row_number().over(seedW) - 1).as("cluster"),
+        col("v").as("centroid")
+      )
+      .localCheckpoint()
+    val assignW = Window
+      .partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cluster"))
+    var i = 0
+    while (i < iters) {
+      val assigned = all
+        .crossJoin(broadcast(cents))
+        .withColumn("cos", vectors.cosine(col("v"), col("centroid")))
+        .withColumn("r", row_number().over(assignW))
+        .filter(col("r") === 1)
+        .select(col("cluster"), col("v"))
+      cents = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos")
+        .agg(avg("x").as("c"))
+        .groupBy("cluster")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            s => s.getField("c")
+          ).as("centroid")
+        )
+        .localCheckpoint()
+      i += 1
+    }
+    cents
+  }
+
+  /** Spherical k-means objective Σ cos(v, centroid of assigned cell)
+    * — the training-quality scalar a quantizer build reports. */
+  def kmeansObjective(all: DataFrame, cents: DataFrame): Double = {
+    val assignW = Window
+      .partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cluster"))
+    all
+      .crossJoin(broadcast(cents))
+      .withColumn("cos", vectors.cosine(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .agg(sum("cos"))
+      .head()
+      .getDouble(0)
+  }
+
+  /** IVF-flat ANN with a TRAINED coarse quantizer: k-means cells
+    * instead of sim05's label cells — the full FAISS IVF shape
+    * (train -> assign -> probe). Same probe machinery and the same
+    * guarantee: nprobe = nlist degenerates to exhaustive search
+    * (asserted == sim01 in spec) regardless of centroid quality;
+    * smaller nprobe trades recall for scanning only the probed
+    * cells' inverted lists. */
+  def sim06IvfTrained(
+      lake: Lake,
+      k: Int = 10,
+      nQueries: Int = 10,
+      nlist: Int = 10,
+      nprobe: Int = 3,
+      iters: Int = 3
+  ): DataFrame = {
+    val all = vecs(lake).localCheckpoint()
+    val cents = kmeans(all, nlist, iters)
+    val assignW = Window
+      .partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cluster"))
+    val cells = all
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", vectors.cosine(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+    val queries = all
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val cellRank = Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("cluster"))
+    val probed = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("qcos", vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(cellRank))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "qnrm", "cluster")
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    cells
+      .join(broadcast(probed), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "cos_raw",
+        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos")
+      )
+      .orderBy("query_id", "rank")
+  }
+
   def sim05IvfAnn(
       lake: Lake,
       k: Int = 10,

@@ -214,6 +214,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.15, s"IVF recall $recall below sanity floor")
   }
 
+  test("trained IVF: full probe == brute force; k-means objective improves with training") {
+    val bf = Similarity
+      .sim01TopKBruteForce(lake)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val full = Similarity
+      .sim06IvfTrained(lake, nprobe = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(full == bf, s"full-probe trained IVF != brute force: ${bf -- full}")
+    // spherical k-means: Σ cos(v, assigned centroid) is monotone
+    // non-decreasing over Lloyd iterations
+    import org.apache.spark.sql.functions.col
+    val withNrm = lake.embeddings
+      .select(
+        col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v")
+      )
+      .withColumn("nrm", graft.functions.vectors.norm(col("v")))
+    val o1 = Similarity.kmeansObjective(withNrm, Similarity.kmeans(withNrm, 10, 1))
+    val o3 = Similarity.kmeansObjective(withNrm, Similarity.kmeans(withNrm, 10, 3))
+    info(s"kmeans objective: 1 iter = $o1, 3 iters = $o3")
+    assert(o3 >= o1 - 1e-9, s"objective regressed: $o1 -> $o3")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedup06EmbeddingNearDup(lake).collect()
     assert(rows.nonEmpty)
