@@ -68,13 +68,24 @@ object Bench {
     // below this machine's run-to-run noise anyway.
     def f3(d: Double): String = // Locale.ROOT: a comma decimal point is not JSON
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    // The driver tail-captures only the LAST 2000 chars of stdout, and
+    // ~75 of those go to sbt's trailing "[success]" line: with 90+
+    // queries even 3-decimal timings under full names (~2.6 KB) lose
+    // their head. Key the per-query dict by each name's unique prefix
+    // before the first '_' ("dedup08_cluster_resolve" -> "dedup08");
+    // BASELINE.md documents the same short keys next to the full names.
+    def short(n: String): String = n.takeWhile(_ != '_')
+    require(
+      names.map(short).distinct.size == names.size,
+      "bench short keys must stay unique — rename the colliding query"
+    )
     val qs =
-      names.map(n => s"\"" + n + "\":" + f3(best(n))).mkString("{", ",", "}")
+      names.map(n => s"\"" + short(n) + "\":" + f3(best(n))).mkString("{", ",", "}")
     // A query that never succeeded appears in `errors` and is excluded
     // from the headline total: a broken query must not look like a
     // fast one.
     val failed = names.filter(n => errors.contains(n))
-    val errJson = failed.map(n => s"\"${n}\":\"${esc(errors(n))}\"").mkString("{", ",", "}")
+    val errJson = failed.map(n => s"\"${short(n)}\":\"${esc(errors(n))}\"").mkString("{", ",", "}")
     val total = names.filterNot(errors.contains).map(best(_)).sum
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
