@@ -112,7 +112,8 @@ object SparkEntry {
     "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
     "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),
     "nst03_type_words_unnest" -> q(Nested.nst03TypeWordsUnnest),
-    "eval01_linkage_metrics" -> q(Evaluation.eval01LinkageMetrics(_))
+    "eval01_linkage_metrics" -> q(Evaluation.eval01LinkageMetrics(_)),
+    "eval02_ann_recall" -> q(Evaluation.eval02AnnRecall(_))
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -1089,6 +1090,37 @@ object SparkEntry {
          |       ELSE 0.0 END AS f1
          |FROM m
          |ORDER BY stratum""".stripMargin,
+    "eval02_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |flat AS (SELECT label, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x FROM e),
+         |cpos AS (SELECT label, pos, AVG(x) AS c FROM flat GROUP BY 1, 2),
+         |cent AS (SELECT label, LIST(c ORDER BY pos) AS centroid FROM cpos GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |tr AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS t_rank
+         |  FROM (SELECT query_id, vec_id, ${dkCos("qv", "v")} AS cos_raw
+         |        FROM q JOIN e ON vec_id != query_id)),
+         |tt AS (SELECT query_id, vec_id, t_rank FROM tr WHERE t_rank <= 10),
+         |cellr AS (SELECT query_id, qv, label, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY ccos DESC, label) AS crank
+         |  FROM (SELECT query_id, qv, cent.label, ${dkCos("qv", "centroid")} AS ccos
+         |        FROM q CROSS JOIN cent)),
+         |pr AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS p_rank
+         |  FROM (SELECT c.query_id, e.vec_id, ${dkCos("c.qv", "e.v")} AS cos_raw
+         |        FROM cellr c JOIN e
+         |          ON e.label = c.label AND e.vec_id != c.query_id
+         |        WHERE c.crank <= 3)),
+         |pp AS (SELECT query_id, vec_id, p_rank FROM pr WHERE p_rank <= 10)
+         |SELECT t.query_id,
+         |  COUNT(p.p_rank) AS n_hits,
+         |  ROUND(CAST(COUNT(p.p_rank) AS DOUBLE) / 10, 4) AS recall_at_k,
+         |  ROUND(COALESCE(MAX(CASE WHEN t.t_rank = 1
+         |    THEN 1.0::DOUBLE / p.p_rank END), 0.0), 4) AS rr_top1
+         |FROM tt t LEFT JOIN pp p
+         |  ON t.query_id = p.query_id AND t.vec_id = p.vec_id
+         |GROUP BY t.query_id
+         |ORDER BY t.query_id""".stripMargin,
     "graph03_triple_patterns" ->
       """WITH triples AS (
         |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,

@@ -127,4 +127,51 @@ object Evaluation {
       )
       .orderBy("stratum")
   }
+
+  /** ANN retrieval quality: recall@k and top-1 reciprocal rank of the
+    * IVF index (sim05's label-cell coarse quantizer probing `nprobe`
+    * of the cells) measured against the exact brute-force top-k
+    * (sim01) — the evaluation loop a FAISS user runs after building an
+    * index (reference: build_embedding_linkage.py trains the index,
+    * then spot-checks hit rates before trusting the linkage).
+    *
+    * Both legs are existing operators, so the plan is two bounded
+    * ANN jobs plus a narrow (query_id, neighbor_id) equi-join and a
+    * |queries|-row aggregate: nothing here grows faster than the ANN
+    * legs themselves. Deterministic end to end — neighbor ranking uses
+    * raw-vector dot products (no cross-row float sums), and the one
+    * centroid-dependent decision (which cells to probe) has measured
+    * ranking margins >= 2e-4 at every SF, nine orders above
+    * cross-engine aggregation-order noise, which is why this is
+    * oracle-checkable while generic float k-means (sim06) is not. */
+  def eval02AnnRecall(
+      lake: Lake,
+      k: Int = 10,
+      nQueries: Int = 10,
+      nprobe: Int = 3
+  ): DataFrame = {
+    val truth = Similarity
+      .sim01TopKBruteForce(lake, k, nQueries)
+      .select(col("query_id"), col("rank").as("t_rank"), col("neighbor_id"))
+    val pred = Similarity
+      .sim05IvfAnn(lake, k, nQueries, nprobe)
+      .select(col("query_id"), col("rank").as("p_rank"), col("neighbor_id"))
+    // Left join keeps every truth neighbor; a missed one has null
+    // p_rank, so count(p_rank) is the hit count.
+    truth
+      .join(pred, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(
+        count(col("p_rank")).as("n_hits"),
+        round(count(col("p_rank")).cast("double") / k, 4).as("recall_at_k"),
+        round(
+          coalesce(
+            max(when(col("t_rank") === 1, lit(1.0) / col("p_rank"))),
+            lit(0.0)
+          ),
+          4
+        ).as("rr_top1")
+      )
+      .orderBy("query_id")
+  }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.Lake
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Evaluation, Similarity}
 import org.scalatest.funsuite.AnyFunSuite
 
 class DedupSimilaritySpec extends AnyFunSuite {
@@ -247,6 +247,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(3) >= 0.4)
+    }
+  }
+
+  test("ANN recall eval: full probe scores 1.0 everywhere; partial probe is internally consistent") {
+    // nprobe = nlist makes the IVF leg exhaustive, so against the
+    // brute-force truth every query must score perfect recall and the
+    // true top-1 must sit at predicted rank 1.
+    val full = Evaluation.eval02AnnRecall(lake, nprobe = 10).collect()
+    assert(full.length == 10)
+    full.foreach { r =>
+      assert(r.getAs[Double]("recall_at_k") == 1.0, s"full-probe recall != 1: $r")
+      assert(r.getAs[Double]("rr_top1") == 1.0, s"full-probe rr != 1: $r")
+    }
+    // Partial probe: hits are bounded by k, recall = n_hits/k exactly,
+    // and rr_top1 is either 0 (missed) or a reciprocal 1/r, r <= k.
+    val part = Evaluation.eval02AnnRecall(lake, nprobe = 3).collect()
+    part.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val recall = r.getAs[Double]("recall_at_k")
+      val rr = r.getAs[Double]("rr_top1")
+      assert(hits >= 0 && hits <= 10)
+      assert(math.abs(recall - hits / 10.0) < 1e-9)
+      val legalRr = 0.0 +: (1 to 10).map(rk => math.rint(1.0 / rk * 10000) / 10000)
+      assert(legalRr.contains(rr), s"rr_top1 $rr is not a reciprocal rank")
     }
   }
 }
