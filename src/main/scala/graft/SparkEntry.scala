@@ -113,7 +113,8 @@ object SparkEntry {
     "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),
     "nst03_type_words_unnest" -> q(Nested.nst03TypeWordsUnnest),
     "eval01_linkage_metrics" -> q(Evaluation.eval01LinkageMetrics(_)),
-    "eval02_ann_recall" -> q(Evaluation.eval02AnnRecall(_))
+    "eval02_ann_recall" -> q(Evaluation.eval02AnnRecall(_)),
+    "txt21_dsir_importance" -> q(TextAnalysis.txt21DsirImportance(_))
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -928,6 +929,20 @@ object SparkEntry {
          |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok)
          |SELECT doc_id, COUNT(*) AS n_tokens,
          |  ROUND(AVG(-LN(c / total)), 4) AS avg_neg_logp
+         |FROM tok JOIN cnt USING (w) CROSS JOIN tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+    "txt21_dsir_importance" ->
+      s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_tgt, $dkToks AS w FROM documents),
+         |tok AS (SELECT doc_id, is_tgt, UNNEST(w) AS w FROM t),
+         |cnt AS (SELECT w, COUNT(*) AS c_raw,
+         |  COUNT(*) FILTER (WHERE is_tgt) AS c_tgt FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(SUM(c_raw) AS DOUBLE) AS t_raw,
+         |  CAST(SUM(c_tgt) AS DOUBLE) AS t_tgt,
+         |  CAST(COUNT(*) AS DOUBLE) AS vocab FROM cnt)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  ROUND(AVG(LN((CAST(c_tgt AS DOUBLE) + 1.0) / (t_tgt + vocab))
+         |          - LN(CAST(c_raw AS DOUBLE) / t_raw)), 4) AS avg_llr
          |FROM tok JOIN cnt USING (w) CROSS JOIN tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,

@@ -780,4 +780,63 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** DSIR-style importance weights for target-domain data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by how much
+    * more likely its tokens are under a target-domain unigram model
+    * than under the raw-corpus model, avg_llr = avg over tokens of
+    * ln p_target(w) - ln p_raw(w). Docs resembling the target domain
+    * score high; selection is then top-k / gumbel resampling on this
+    * column. The target here is the `src0` slice (a realistically
+    * thin 5% of the corpus); p_target is add-one smoothed over the
+    * corpus vocabulary so unseen-in-target words keep finite weights,
+    * p_raw needs no smoothing (every scored token is in the corpus by
+    * construction).
+    *
+    * Scale shape = txt15's: one tokenize pass builds the vocabulary
+    * table with BOTH counts in a single groupBy (the target count is
+    * a conditional aggregate, not a second pass), localCheckpoint
+    * materializes it once for the totals aggregate + scoring join,
+    * and the per-doc result is a map-side-combinable avg. Linear in
+    * corpus tokens; the vocab join broadcasts while it fits and
+    * degrades to shuffle, never OOM. */
+  def txt21DsirImportance(
+      lake: Lake,
+      targetSource: String = "src0"
+  ): DataFrame = {
+    val toks = lake.documents
+      .select(
+        col("doc_id"),
+        (col("source") === targetSource).as("is_tgt"),
+        explode(text.tokens(col("text"))).as("w")
+      )
+    val counts = toks
+      .groupBy("w")
+      .agg(
+        count(lit(1)).as("c_raw"),
+        count(when(col("is_tgt"), 1)).as("c_tgt")
+      )
+      .localCheckpoint()
+    val totals = counts.agg(
+      sum("c_raw").cast("double").as("t_raw"),
+      sum("c_tgt").cast("double").as("t_tgt"),
+      count(lit(1)).cast("double").as("vocab")
+    )
+    toks
+      .join(counts, "w")
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(
+          avg(
+            log((col("c_tgt").cast("double") + 1.0) / (col("t_tgt") + col("vocab")))
+              - log(col("c_raw").cast("double") / col("t_raw"))
+          ),
+          4
+        ).as("avg_llr")
+      )
+      .orderBy("doc_id")
+  }
 }
