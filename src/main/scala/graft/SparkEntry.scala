@@ -106,6 +106,7 @@ object SparkEntry {
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
     "dedup10_containment" -> q(Dedup.dedup10Containment(_)),
+    "dedup11_semantic" -> q(Dedup.dedup11Semantic(_)),
     "txt17_tfidf_cosine_linkage" -> q(Linkage.txt17TfidfCosineLinkage(_)),
     "txt18_bpe_encode" -> q(TextAnalysis.txt18BpeEncode(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),

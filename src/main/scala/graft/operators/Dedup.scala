@@ -3,6 +3,7 @@ package graft.operators
 import graft.catalog.Lake
 import graft.functions.{hashing, text}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite for training-data pipelines: exact, blocked
@@ -588,5 +589,84 @@ object Dedup {
         expr("max_by(doc_id, struct(n_chars, -doc_id))").as("survivor_id")
       )
       .orderBy("cluster_id")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space with k-means, call two items semantic duplicates
+    * when their cosine inside a shared cluster exceeds `tau`, and keep
+    * one representative per duplicate group. Unlike MinHash (lexical
+    * overlap) this catches paraphrases — same meaning, different
+    * words — which is why it's the standard companion pass after
+    * exact + MinHash dedup in a pretraining pipeline.
+    *
+    * Scale design: the quadratic pair check runs only INSIDE k-means
+    * cells — k is chosen so |cell| ~ N/k stays bounded (the paper uses
+    * k ~ sqrt(N·avg_cell); here k is a parameter), and the cell join is
+    * a plain shuffle equi-join on the cluster id, so per-task memory
+    * holds one cell's vectors, not the corpus. Duplicate groups are
+    * resolved with the same O(log n)-round star CC as dedup08 — a
+    * chain a-b-c where only adjacent pairs clear `tau` still collapses
+    * to one survivor. Deterministic given the k-means seed frame
+    * (first k vectors by id): assignment and survivor choice both
+    * tie-break on ids. [rows-only]: the Lloyd iterations are not
+    * SQL-expressible; the planted-duplicate contract is spec-pinned
+    * instead (exact copies always collapse; survivors are component
+    * minima; verdict partitions the input).
+    */
+  def dedup11Semantic(
+      lake: Lake,
+      k: Int = 10,
+      iters: Int = 2,
+      tau: Double = 0.4
+  ): DataFrame =
+    semanticDedup(Similarity.vecs(lake), k, iters, tau)
+
+  /** Generic SemDeDup core over a (vec_id, v, nrm) frame. Returns one
+    * row per input vector: its cell, its duplicate-group id (own id if
+    * unique), whether it survives, and the group's survivor. */
+  def semanticDedup(
+      all0: DataFrame,
+      k: Int,
+      iters: Int,
+      tau: Double
+  ): DataFrame = {
+    // One materialization feeds the k-means loop, the assignment pass
+    // and the pair join — without it the upstream plan re-executes per
+    // consumer (and per Lloyd iteration).
+    val all = all0.localCheckpoint()
+    val cents = Similarity.kmeans(all, k, iters)
+    val assignW = Window
+      .partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cluster"))
+    val assigned = all
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.functions.vectors.cosine(col("v"), col("centroid")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val pairs = assigned
+      .select(col("cluster"), col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(
+        assigned.select(col("cluster"), col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("cluster")
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(
+        graft.functions.vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau
+      )
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val labels = connectedComponentsStar(pairs)
+    assigned
+      .join(labels, col("vec_id") === col("u"), "left")
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        coalesce(col("lbl"), col("vec_id")).as("group_id")
+      )
+      .withColumn("survivor", col("vec_id") === col("group_id"))
+      .orderBy("vec_id")
   }
 }

@@ -23,7 +23,7 @@ object Similarity {
     * once per compared pair): cos(a,b) = dot(a,b)/(nrm_a*nrm_b) keeps
     * the exact arithmetic of vectors.cosine while cutting the inner
     * loop from 3 dot products to 1. */
-  private def vecs(lake: Lake): DataFrame =
+  private[operators] def vecs(lake: Lake): DataFrame =
     lake.embeddings.select(
       col("vec_id"),
       col("label"),

@@ -250,6 +250,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("SemDeDup: planted exact copies collapse; survivors are component minima; verdict partitions input") {
+    import org.apache.spark.sql.functions._
+    val base = lake.embeddings
+      .select(
+        col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v")
+      )
+      .withColumn("nrm", graft.functions.vectors.norm(col("v")))
+    // Plant 5 exact copies under new ids: cos(copy, original) = 1,
+    // so each pair must land in one duplicate group with one survivor.
+    val copies = base.filter(col("vec_id") < 5).withColumn("vec_id", col("vec_id") + 100000L)
+    val out = Dedup
+      .semanticDedup(base.unionAll(copies), k = 10, iters = 2, tau = 0.9999)
+      .collect()
+    val n = base.count() + 5
+    assert(out.length == n, s"verdict must cover every input vector: ${out.length} != $n")
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    (0L until 5L).foreach { id =>
+      val (gOrig, sOrig) = byId(id)
+      val (gCopy, sCopy) = byId(id + 100000L)
+      assert(gOrig == gCopy, s"copy of $id not grouped with it")
+      assert(gOrig == id, s"group id must be the component minimum, got $gOrig for $id")
+      assert(sOrig && !sCopy, s"survivor must be the minimum id of group $id")
+    }
+    // Verdict partitions: every group's survivor is its minimum member.
+    out.groupBy(_.getLong(2)).foreach { case (g, members) =>
+      val ids = members.map(_.getLong(0))
+      val survivors = members.filter(_.getBoolean(3)).map(_.getLong(0))
+      assert(g == ids.min, s"group id $g is not its minimum member ${ids.min}")
+      assert(survivors.toSeq == Seq(g), s"group $g survivors ${survivors.toSeq}")
+    }
+  }
+
   test("ANN recall eval: full probe scores 1.0 everywhere; partial probe is internally consistent") {
     // nprobe = nlist makes the IVF leg exhaustive, so against the
     // brute-force truth every query must score perfect recall and the

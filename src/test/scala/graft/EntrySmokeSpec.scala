@@ -8,16 +8,16 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key has a query; rows-only queries are the documented six") {
+  test("every oracle key has a query; rows-only queries are the documented set") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // queries with no oracle get only the weaker rows-only gate — keep
     // that set explicit so a forgotten oracle entry fails loudly here
     val rowsOnly = Set(
-      "dedup05_simhash", "mm01_binary_meta", "rel11_approx_stats",
-      "sim03_lsh_ann", "sim05_ivf_ann", "sim06_ivf_trained",
-      "txt18_bpe_encode"
+      "dedup05_simhash", "dedup11_semantic", "mm01_binary_meta",
+      "rel11_approx_stats", "sim03_lsh_ann", "sim05_ivf_ann",
+      "sim06_ivf_trained", "txt18_bpe_encode"
     )
     assert(q -- o == rowsOnly, s"unexpected rows-only set: ${q -- o}")
   }
