@@ -64,6 +64,7 @@ object SparkEntry {
     "cat01_status" -> q(CatalogOps.cat01Status),
     "cat02_snapshot_diff" -> q(CatalogOps.cat02SnapshotDiff),
     "ing01_upsert" -> q(CatalogOps.ing01Upsert),
+    "ing02_scd2_history" -> q(CatalogOps.ing02Scd2History),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),
@@ -933,6 +934,18 @@ object SparkEntry {
          |FROM tok JOIN cnt USING (w) CROSS JOIN tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "ing02_scd2_history" ->
+      """SELECT o_custkey,
+        |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        |  o_orderkey,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate, 1) OVER w AS valid_to,
+        |  LEAD(o_orderdate, 1) OVER w IS NULL AS is_current,
+        |  o_totalprice
+        |FROM orders
+        |WHERE o_custkey % 50 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin,
     "txt21_dsir_importance" ->
       s"""WITH t AS (SELECT doc_id, source = 'src0' AS is_tgt, $dkToks AS w FROM documents),
          |tok AS (SELECT doc_id, is_tgt, UNNEST(w) AS w FROM t),

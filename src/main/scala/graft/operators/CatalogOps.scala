@@ -139,6 +139,58 @@ object CatalogOps {
       .orderBy("change_type")
   }
 
+  /** Slowly-changing-dimension type-2 history from a change log: each
+    * (key, effective_ts) change event becomes a versioned row with
+    * [valid_from, valid_to) interval semantics — valid_to is the next
+    * change's timestamp, null while current. The dimension-table shape
+    * every warehouse keeps for "what was this attribute worth when
+    * that fact happened" joins (the reference re-materializes
+    * unified_papers wholesale; SCD2 is the incremental form of the
+    * same audit trail).
+    *
+    * One shuffle on the key, then two window functions in a single
+    * pass (row_number + lead share the frame); map-only otherwise —
+    * the plan holds at any corpus size that can shuffle on the key.
+    * Ties on effective_ts are ordered by `tiebreak`, producing
+    * zero-length intervals rather than nondeterminism. */
+  def scd2FromChangeLog(
+      changes: DataFrame,
+      key: String,
+      ts: String,
+      tiebreak: String
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(key).orderBy(col(ts), col(tiebreak))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(ts))
+      .withColumn("valid_to", lead(col(ts), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** ing02: SCD2 under the exactness gate — orders as a change log of
+    * each customer's last order value (2% key sample keeps the dump
+    * bounded; the window shape is identical at any fraction). */
+  def ing02Scd2History(lake: Lake): DataFrame =
+    scd2FromChangeLog(
+      lake.orders
+        .filter(col("o_custkey") % 50 === 0)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+      key = "o_custkey",
+      ts = "o_orderdate",
+      tiebreak = "o_orderkey"
+    )
+      .select(
+        col("o_custkey"),
+        col("version"),
+        col("o_orderkey"),
+        col("valid_from"),
+        col("valid_to"),
+        col("is_current"),
+        col("o_totalprice")
+      )
+      .orderBy("o_custkey", "version")
+
   /** On-disk bytes for a table (file or directory of part files) —
     * the `status` disk-usage figure, computed from filesystem
     * metadata only. */

@@ -75,4 +75,26 @@ class CatalogSpec extends AnyFunSuite {
       4L -> "added"
     ))
   }
+
+  test("scd2: versions are contiguous, intervals tile, exactly one current row per key") {
+    val rows = CatalogOps
+      .ing02Scd2History(lake)
+      .select("o_custkey", "version", "valid_from", "valid_to", "is_current")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (key, hist) =>
+      val sorted = hist.sortBy(_.getLong(1))
+      // versions 1..n with no gaps
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, s"key $key")
+      // every non-final valid_to chains to the next valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Any](3) == b.getAs[Any](2), s"key $key interval gap")
+        case _ => ()
+      }
+      // exactly the final version is current (null valid_to)
+      assert(sorted.count(_.getBoolean(4)) == 1, s"key $key current count")
+      assert(sorted.last.getBoolean(4) && sorted.last.isNullAt(3), s"key $key last row")
+    }
+  }
 }
