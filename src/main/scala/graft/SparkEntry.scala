@@ -111,6 +111,7 @@ object SparkEntry {
     "txt17_tfidf_cosine_linkage" -> q(Linkage.txt17TfidfCosineLinkage(_)),
     "txt18_bpe_encode" -> q(TextAnalysis.txt18BpeEncode(_)),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
+    "rel14_heavy_hitters" -> q(Relational.rel14HeavyHitters(_)),
     "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
     "nst02_struct_paths_trycast" -> q(Nested.nst02StructPathsTryCast),
     "nst03_type_words_unnest" -> q(Nested.nst03TypeWordsUnnest),

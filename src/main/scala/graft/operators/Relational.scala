@@ -429,4 +429,33 @@ object Relational {
         round(sum("o_totalprice"), 4).as("total_value")
       )
       .orderBy("order_year")
+
+  /** rel14: corpus-wide frequent tokens via the mergeable Misra-Gries
+    * sketch (plans/FrequentItemsSketch) — the one-pass bounded-memory
+    * form of txt06's exact top-n-grams. Exact top-k needs a shuffle of
+    * every distinct token; the sketch ships `capacity` counters per
+    * partition and merges once, with deterministic per-item bounds
+    * [count_lb, count_ub] and a survival guarantee for anything above
+    * n/(capacity+1). [rows-only]: estimates depend on partition order
+    * by design; the bounds/containment contract is spec-pinned against
+    * exact counts instead. */
+  def rel14HeavyHitters(
+      lake: Lake,
+      capacity: Int = 256,
+      k: Int = 20
+  ): DataFrame = {
+    import graft.functions.text
+    val toks = lake.documents
+      .select(explode(text.tokens(col("text"))).as("w"))
+    toks
+      .agg(graft.plans.FrequentItemsSketch(col("w"), capacity, k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        (col("pos") + 1).cast("long").as("rank"),
+        col("entry.item").as("item"),
+        col("entry.count_lb").as("count_lb"),
+        col("entry.count_ub").as("count_ub")
+      )
+      .orderBy("rank")
+  }
 }

@@ -127,6 +127,20 @@ object GraftExtensions {
       classOf[ShingleHashes],
       2,
       args => ShingleHashes(args(0), constInt(args(1), "shingle order"))
+    ),
+    // Aggregate: the analyzer wraps a bare AggregateFunction in
+    // AggregateExpression during resolution, so the builder returns
+    // the function itself.
+    d(
+      "frequent_items_sketch",
+      classOf[FrequentItemsSketch],
+      3,
+      args =>
+        FrequentItemsSketch(
+          args(0),
+          constInt(args(1), "capacity"),
+          constInt(args(2), "k")
+        )
     )
   )
 
