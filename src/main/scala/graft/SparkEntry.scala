@@ -90,6 +90,7 @@ object SparkEntry {
     "graph03_triple_patterns" -> q(Graph.graph03TriplePatterns),
     "graph04_bgp_nation_counts" -> q(Graph.graph04BgpNationCounts),
     "graph05_hierarchy_rollup4" -> q(Graph.graph05HierarchyRollup4),
+    "graph06_pagerank" -> q(Graph.graph06Pagerank(_)),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1205,6 +1206,32 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name, o_orderpriority)
         |ORDER BY level, region, nation, priority""".stripMargin,
+    // 5 unrolled fixed-point PageRank iterations — generated, not
+    // hand-copied, so the Spark loop and the oracle stay in lockstep.
+    "graph06_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (SELECT e.dst AS node,
+           |  (15 * (1000000000000 // n.n)) // 100
+           |    + (85 * CAST(SUM(r.r // e.outdeg) AS BIGINT)) // 100 AS r
+           |  FROM e JOIN r${i - 1} r ON e.src = r.node CROSS JOIN n
+           |  GROUP BY e.dst, n.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT DISTINCT
+         |    'c' || CAST(o_custkey AS VARCHAR) AS a,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT a AS src, b AS dst FROM pairs
+         |       UNION ALL SELECT b, a FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS outdeg FROM ed GROUP BY src),
+         |e AS (SELECT ed.src, ed.dst, deg.outdeg
+         |      FROM ed JOIN deg ON ed.src = deg.src),
+         |n AS (SELECT COUNT(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, 1000000000000 // n AS r
+         |       FROM deg CROSS JOIN n),
+         |$iters
+         |SELECT node, r AS rank_micro FROM r5
+         |ORDER BY r DESC, node LIMIT 20""".stripMargin
+    },
     "graph04_bgp_nation_counts" ->
       """WITH triples AS (
         |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,

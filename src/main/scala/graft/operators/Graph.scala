@@ -224,4 +224,72 @@ object Graph {
     )
     transitiveClosure(edges, 4).orderBy("src", "dst")
   }
+
+  /** PageRank in fixed-point integer arithmetic: ranks are "micros"
+    * (total mass 10^12 split over N nodes), contributions use integer
+    * division, and the damping mix is (15·base + 85·Σ) div 100 — every
+    * engine computes bit-identical ranks in ANY aggregation order, so
+    * an iterative float algorithm becomes oracle-exact. (Float
+    * PageRank sums partial contributions in shuffle order; 5 nested
+    * iterations amplify last-bit differences into rank flips — the
+    * same reason sim06's k-means is rows-only.) The deliberate cost:
+    * each division floors, so up to outdeg-1 micros of mass leak per
+    * node per iteration — a ~1e-6 relative perturbation, far below
+    * rank gaps of interest, and identically reproduced everywhere.
+    *
+    * Scale: the canonical distributed PageRank loop — per iteration
+    * one equi-join of ranks to the (src-partitioned) edge list and one
+    * groupBy(dst) sum; localCheckpoint caps lineage growth exactly as
+    * in transitiveClosure. Edges live once; degree is precomputed and
+    * carried on the edge row so the loop body never re-joins it. */
+  def pagerankMicro(edges0: DataFrame, iters: Int): DataFrame = {
+    val totalMass = 1000000000000L
+    val deg = edges0.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val withDeg = edges0.join(deg, "src").localCheckpoint()
+    val nRow = deg.agg(count(lit(1)).as("n_nodes"))
+    var ranks = deg
+      .crossJoin(broadcast(nRow))
+      .select(col("src").as("node"), expr(s"$totalMass div n_nodes").as("r"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      ranks = withDeg
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst"), expr("r div outdeg").as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("s"))
+        .crossJoin(broadcast(nRow))
+        .select(
+          col("dst").as("node"),
+          expr(s"(15 * ($totalMass div n_nodes)) div 100 + (85 * s) div 100")
+            .as("r")
+        )
+        .localCheckpoint()
+      i += 1
+    }
+    ranks
+  }
+
+  /** graph06: rank customers and suppliers by PageRank on the
+    * bidirected trading graph (distinct customer-supplier pairs from
+    * lineitem x orders — the citation-graph centrality analog on the
+    * lake's own fact data). 5 iterations, top 20. */
+  def graph06Pagerank(lake: Lake, iters: Int = 5, topK: Int = 20): DataFrame = {
+    val pairs = lake.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(lake.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b")
+      )
+      .distinct()
+    val edges = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    pagerankMicro(edges, iters)
+      .orderBy(col("r").desc, col("node"))
+      .limit(topK)
+      .select(col("node"), col("r").as("rank_micro"))
+  }
 }

@@ -53,4 +53,36 @@ class GraphSpec extends AnyFunSuite {
       .count()
     assert(n == 2)
   }
+
+  test("fixed-point pagerank: symmetry, hub dominance, and mass conservation") {
+    import spark.implicits._
+    def bidirected(pairs: (String, String)*) = {
+      val df = pairs.toDF("src", "dst")
+      df.unionAll(df.select($"dst".as("src"), $"src".as("dst")))
+    }
+    // Symmetric pair: both nodes must hold identical rank at every
+    // iteration (integer arithmetic makes this exact, not approximate).
+    val pair = Graph
+      .pagerankMicro(bidirected(("a", "b")), iters = 5)
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(pair("a") == pair("b"), s"symmetric pair diverged: $pair")
+    // Star: the hub sees every leaf's full rank, each leaf sees 1/k of
+    // the hub's — hub must strictly dominate.
+    val star = Graph
+      .pagerankMicro(
+        bidirected(("hub", "l1"), ("hub", "l2"), ("hub", "l3"), ("hub", "l4")),
+        iters = 5
+      )
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(star("hub") > star("l1"), s"hub does not dominate: $star")
+    assert(Seq("l1", "l2", "l3", "l4").map(star).distinct.size == 1)
+    // Total mass stays within floor-leakage of the initial 10^12
+    // (each division floors away < 1 micro per edge per iteration).
+    val total = star.values.sum
+    assert(total <= 1000000000000L && total > 999999990000L, s"mass $total")
+  }
 }
