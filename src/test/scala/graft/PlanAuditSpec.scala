@@ -146,6 +146,37 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("dedup11: cell pair generation is an equi-join on the cluster id") {
+    val p = plan(Dedup.dedup11Semantic(lake))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop is the bounded broadcast of k centroids
+    // during assignment; the vector-pair join itself must be hashed
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("graph06: the rank loop body is equi-join plus aggregate only") {
+    val p = plan(Graph.graph06Pagerank(lake, iters = 2))
+    // scalar n_nodes rides a broadcast single-row cross join (the
+    // legitimate scalar idiom); anything else cartesian is a bug
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ing02: SCD2 is one shuffle on the key — no join at all") {
+    val p = plan(CatalogOps.ing02Scd2History(lake))
+    assert(!p.contains("Join"), p)
+    // both window functions share one sort+partition pass
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
+  test("rel14: the sketch aggregates with map-side partials") {
+    val p = plan(Relational.rel14HeavyHitters(lake))
+    // partial_frequent_items_sketch before the exchange, final after —
+    // the bounded-buffer contract that makes one pass possible
+    assert(p.contains("partial_frequent_items_sketch"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE plans materialize codegen stages only once executed
     val df = Relational.q01PricingSummary(lake)

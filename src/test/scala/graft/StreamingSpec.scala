@@ -328,4 +328,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("streaming heavy-hitters sketch matches batch when capacity covers the vocabulary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // At capacity >= |vocab| the Misra-Gries estimate is exact and
+    // therefore ORDER-INDEPENDENT, so the incrementally-merged stream
+    // state must equal the batch answer bit for bit. This also drives
+    // the buffer's serialize/deserialize through the state store —
+    // the one path batch execution never exercises.
+    val docs = lake.documents
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val vocab = lake.documents
+      .select(explode(graft.functions.text.tokens(col("text"))).as("w"))
+      .agg(countDistinct("w"))
+      .head()
+      .getLong(0)
+      .toInt
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val query = stream
+      .toDS()
+      .toDF("doc_id", "text")
+      .select(explode(graft.functions.text.tokens(col("text"))).as("w"))
+      .agg(graft.plans.FrequentItemsSketch(col("w"), vocab + 10, 20).as("top"))
+      .writeStream
+      .format("memory")
+      .queryName("hh")
+      .outputMode("complete")
+      .start()
+    stream.addData(first)
+    query.processAllAvailable()
+    stream.addData(second)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark
+      .sql("SELECT explode(top) AS e FROM hh")
+      .select("e.item", "e.count_lb", "e.count_ub")
+      .collect()
+      .map(_.toSeq)
+    val batch = graft.operators.Relational
+      .rel14HeavyHitters(lake, capacity = vocab + 10, k = 20)
+      .select("item", "count_lb", "count_ub")
+      .collect()
+      .map(_.toSeq)
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
