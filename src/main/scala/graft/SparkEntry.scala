@@ -118,7 +118,8 @@ object SparkEntry {
     "nst03_type_words_unnest" -> q(Nested.nst03TypeWordsUnnest),
     "eval01_linkage_metrics" -> q(Evaluation.eval01LinkageMetrics(_)),
     "eval02_ann_recall" -> q(Evaluation.eval02AnnRecall(_)),
-    "txt21_dsir_importance" -> q(TextAnalysis.txt21DsirImportance(_))
+    "txt21_dsir_importance" -> q(TextAnalysis.txt21DsirImportance(_)),
+    "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_))
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -936,6 +937,59 @@ object SparkEntry {
          |FROM tok JOIN cnt USING (w) CROSS JOIN tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // The full funnel: plant+clean (txt19) → Gopher pass (txt20) →
+    // bag-fp dedup keep-min (dedup02) → chunk (txt11) → pack (txt16),
+    // each stage the same fragment its standalone oracle uses.
+    "pipe01_pretrain_corpus" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  text || ' {{cite:c' || CAST(doc_id AS VARCHAR)
+        |    || '}}  see  fig. {{figure:f' || CAST(doc_id AS VARCHAR)
+        |    || '}}' || chr(10) || chr(10) || chr(10) || chr(10)
+        |    || 'tail {{formula:eq' || CAST(doc_id AS VARCHAR) || '}} end  '
+        |    AS raw FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  TRIM(regexp_replace(regexp_replace(regexp_replace(raw,
+        |    '\{\{(cite|formula|figure|table):[^}]*\}\}', '', 'g'),
+        |    '[ \t]+', ' ', 'g'),
+        |    '\n{3,}', chr(10) || chr(10), 'g')) AS text FROM r),
+        |tk AS (SELECT doc_id, source,
+        |  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM c),
+        |sig AS (SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  ROUND(CAST(list_aggregate(list_transform(toks, t -> LENGTH(t)), 'sum')
+        |    AS DOUBLE) / len(toks), 4) AS mean_tok_len,
+        |  ROUND(CAST(len(list_filter(toks,
+        |    t -> NOT regexp_matches(t, '[A-Za-z0-9]'))) AS DOUBLE)
+        |    / len(toks), 4) AS symbol_ratio,
+        |  len(list_intersect(list_distinct(toks),
+        |    ['the','a','of','and'])) AS n_stop_distinct
+        |  FROM tk),
+        |pass AS (SELECT doc_id FROM sig
+        |  WHERE n_tokens >= 50 AND n_tokens <= 100000
+        |    AND mean_tok_len >= 3 AND mean_tok_len <= 10
+        |    AND symbol_ratio < 0.1 AND n_stop_distinct >= 2),
+        |fp AS (SELECT tk.doc_id, source, toks,
+        |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        |  FROM tk JOIN pass ON tk.doc_id = pass.doc_id),
+        |surv AS (SELECT doc_id, source, toks FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fp) WHERE rn = 1),
+        |st AS (SELECT doc_id, source, toks,
+        |  UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 40)) AS start
+        |  FROM surv),
+        |ch AS (SELECT source, doc_id, CAST(start / 40 AS BIGINT) AS chunk_id,
+        |  CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT) AS chunk_len
+        |  FROM st),
+        |cum AS (SELECT source, chunk_len,
+        |  SUM(chunk_len) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM ch)
+        |SELECT source, CAST((cum - chunk_len) // 512 AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_chunks, CAST(SUM(chunk_len) AS BIGINT) AS bin_tokens
+        |FROM cum
+        |GROUP BY 1, 2
+        |ORDER BY source, bin_id""".stripMargin,
     "ing02_scd2_history" ->
       """SELECT o_custkey,
         |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,

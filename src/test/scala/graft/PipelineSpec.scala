@@ -1,0 +1,68 @@
+package graft
+
+import graft.catalog.Lake
+import graft.operators.Pipeline
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  private lazy val lake = Lake(spark, sfDir)
+
+  test("pretrain pipeline: bins are contiguous per source and overshoot by at most one chunk") {
+    val capacity = 512
+    val chunkSize = 50
+    val rows = Pipeline
+      .pipe01PretrainCorpus(lake, chunkSize = chunkSize, capacity = capacity)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (source, bins) =>
+      val ids = bins.map(_._2).sorted
+      // cumulative-sum binning can skip no ids: 0..max contiguous
+      assert(ids.toSeq == (0L to ids.max).toSeq, s"$source bins not contiguous")
+      // streaming-packer bound: a bin closes once cum >= capacity, so
+      // it can overshoot by at most one chunk's tokens
+      bins.foreach { case (_, bin, nChunks, tokens) =>
+        assert(nChunks >= 1)
+        assert(
+          tokens <= capacity + chunkSize - 1,
+          s"$source bin $bin holds $tokens tokens (cap $capacity + $chunkSize - 1)"
+        )
+      }
+    }
+  }
+
+  test("pretrain pipeline: packed chunk total equals an independent recount of the survivor set") {
+    import graft.functions.text
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Recompute the funnel front (filter -> dedup) with the standalone
+    // operators and the chunk count analytically: each survivor of n
+    // tokens yields floor((n-1)/stride)+1 chunks. The pipeline's total
+    // must match exactly — catches a broken stage join or a dedup that
+    // keeps the wrong cardinality.
+    val cleaned = Pipeline.cleanedDocs(lake)
+    val passing = graft.operators.TextAnalysis
+      .gopherVerdict(cleaned)
+      .filter(col("passes"))
+      .select("doc_id")
+    val expected = cleaned
+      .join(passing, "doc_id")
+      .withColumn("fp", text.bagFingerprint(col("text")))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+      )
+      .filter(col("rn") === 1)
+      .select(size(text.tokens(col("text"))).as("n"))
+      .agg(sum(floor((col("n") - 1) / 40) + 1))
+      .head()
+      .getAs[Long](0)
+    val actual = Pipeline
+      .pipe01PretrainCorpus(lake)
+      .agg(sum("n_chunks"))
+      .head()
+      .getAs[Long](0)
+    assert(actual == expected, s"pipeline packed $actual chunks, survivor recount says $expected")
+  }
+}
