@@ -103,6 +103,7 @@ object SparkEntry {
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
+    "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),

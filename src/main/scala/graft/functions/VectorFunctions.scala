@@ -36,4 +36,9 @@ object vectors {
     val n = norm(a)
     transform(a, x => x / n)
   }
+
+  /** Squared L2 distance via the polarization identity — three fused
+    * dots, no intermediate difference array. */
+  def dist2(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 }

@@ -394,6 +394,125 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** sim07: Product-quantization ANN — the remaining FAISS index
+    * family next to flat (sim01) and IVF (sim05/06). Vectors are
+    * L2-normalized (the reference's own convention,
+    * build_embedding_linkage.py:246-273, so dot == cosine), split
+    * into `m` subvectors, and each subspace gets a `ks`-centroid
+    * codebook; a database vector is stored as m one-byte codes and
+    * queries score by ADC (asymmetric distance computation): a
+    * per-query lookup table of partial dots against every codebook
+    * entry, summed along the code word.
+    *
+    * Spark-first training: all m subspace k-means runs train JOINTLY
+    * in one dataflow — the subvector frame carries (vec_id, sub_id,
+    * sv) and every Lloyd step is a single broadcast-join + window +
+    * aggregate over all subspaces at once, not m driver-side loops.
+    * The ADC scan is the PQ scale story: scoring joins the m·n code
+    * rows against a broadcast q·m·ks lookup table on (sub_id,
+    * cluster) — linear in codes, never touching the original vectors.
+    * [rows-only]: codebooks are k-means artifacts (same reason sim06
+    * is rows-only); recall floor, code-shape and determinism are
+    * spec-pinned. */
+  def sim07PqAnn(
+      lake: Lake,
+      m: Int = 8,
+      ks: Int = 16,
+      k: Int = 10,
+      nQueries: Int = 10,
+      iters: Int = 2
+  ): DataFrame = {
+    val all = vecs(lake)
+      .select(col("vec_id"), vectors.l2Normalize(col("v")).as("v"))
+      .localCheckpoint()
+    // Subvector dimension from the schema-carried first row is a
+    // driver scalar the planner needs anyway (slice lengths are
+    // literals); one tiny action on the checkpointed frame.
+    val dDim = all.select(size(col("v"))).first().getInt(0)
+    require(dDim % m == 0, s"dim $dDim not divisible by m=$m")
+    val sd = dDim / m
+    val subv = all
+      .withColumn("sub_id", explode(sequence(lit(0), lit(m - 1))))
+      .select(
+        col("vec_id"),
+        col("sub_id"),
+        slice(col("v"), col("sub_id") * sd + 1, lit(sd)).as("sv")
+      )
+      .localCheckpoint()
+    val assignW = Window
+      .partitionBy("vec_id", "sub_id")
+      .orderBy(col("d2").asc, col("cluster"))
+    // Seeds: the first ks vectors' subvectors, indexed per subspace.
+    var cents = subv
+      .withColumn(
+        "cluster",
+        row_number().over(Window.partitionBy("sub_id").orderBy("vec_id")) - 1
+      )
+      .filter(col("cluster") < ks)
+      .select(col("sub_id"), col("cluster"), col("sv").as("centroid"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      val assigned = subv
+        .join(broadcast(cents), Seq("sub_id"))
+        .withColumn("d2", vectors.dist2(col("sv"), col("centroid")))
+        .withColumn("r", row_number().over(assignW))
+        .filter(col("r") === 1)
+        .select(col("sub_id"), col("cluster"), col("sv"))
+      cents = assigned
+        .select(
+          col("sub_id"),
+          col("cluster"),
+          posexplode(col("sv")).as(Seq("pos", "x"))
+        )
+        .groupBy("sub_id", "cluster", "pos")
+        .agg(avg("x").as("c"))
+        .groupBy("sub_id", "cluster")
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            s => s.getField("c")
+          ).as("centroid")
+        )
+        .localCheckpoint()
+      i += 1
+    }
+    val codes = subv
+      .join(broadcast(cents), Seq("sub_id"))
+      .withColumn("d2", vectors.dist2(col("sv"), col("centroid")))
+      .withColumn("r", row_number().over(assignW))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("sub_id"), col("cluster"))
+    val queries = subv
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("sub_id"), col("sv").as("qsv"))
+    val lut = queries
+      .join(broadcast(cents), Seq("sub_id"))
+      .select(
+        col("query_id"),
+        col("sub_id"),
+        col("cluster"),
+        vectors.dot(col("qsv"), col("centroid")).as("pdot")
+      )
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    codes
+      .join(broadcast(lut), Seq("sub_id", "cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum("pdot").as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("score"), 4).as("adc_score")
+      )
+      .orderBy("query_id", "rank")
+  }
+
   def sim05IvfAnn(
       lake: Lake,
       k: Int = 10,

@@ -283,6 +283,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN: code shape, determinism, and a recall floor against brute force") {
+    val out = Similarity.sim07PqAnn(lake).collect()
+    // shape: 10 queries x top-10, ranks 1..10 per query
+    assert(out.length == 100)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 10L), s"query $q ranks")
+    }
+    // deterministic end to end (seeded codebooks, tie-broken windows)
+    val again = Similarity.sim07PqAnn(lake).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // ADC is lossy by design; on near-uniform random vectors (PQ's
+    // worst case) recall vs exact cosine still must clear a sanity
+    // floor. Measured 0.34 at sf0.001 with m=8, ks=16.
+    val bf = Similarity
+      .sim01TopKBruteForce(lake)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .toSet
+    val pq = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (bf & pq).size.toDouble / bf.size
+    info(s"PQ ADC recall@10 = $recall")
+    assert(recall >= 0.15, s"PQ recall $recall below sanity floor")
+  }
+
   test("ANN recall eval: full probe scores 1.0 everywhere; partial probe is internally consistent") {
     // nprobe = nlist makes the IVF leg exhaustive, so against the
     // brute-force truth every query must score perfect recall and the
