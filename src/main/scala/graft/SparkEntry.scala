@@ -120,6 +120,8 @@ object SparkEntry {
     "eval01_linkage_metrics" -> q(Evaluation.eval01LinkageMetrics(_)),
     "eval02_ann_recall" -> q(Evaluation.eval02AnnRecall(_)),
     "txt21_dsir_importance" -> q(TextAnalysis.txt21DsirImportance(_)),
+    "txt22_boilerplate" -> q(TextAnalysis.txt22Boilerplate(_)),
+    "eval03_langid_confusion" -> q(Evaluation.eval03LangidConfusion),
     "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_))
   )
 
@@ -938,6 +940,49 @@ object SparkEntry {
          |FROM tok JOIN cnt USING (w) CROSS JOIN tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    "txt22_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(
+         |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |      || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+         |      || ' ' || w[i+7] || ' ' || w[i+8] || ' ' || w[i+9]
+         |     FOR i IN RANGE(1, len(w) - 8)]) AS s FROM t),
+         |x AS (SELECT doc_id, UNNEST(s) AS g FROM sh),
+         |dfreq AS (SELECT g, COUNT(*) AS df FROM x GROUP BY g),
+         |pd AS (SELECT doc_id, COUNT(*) AS n_windows,
+         |  COUNT(*) FILTER (WHERE df >= 3) AS n_boiler
+         |  FROM x JOIN dfreq USING (g) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(n_windows, 0) AS n_windows,
+         |  COALESCE(n_boiler, 0) AS n_boiler,
+         |  COALESCE(ROUND(CAST(n_boiler AS DOUBLE) / n_windows, 4), 0.0)
+         |    AS boiler_frac
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "eval03_langid_confusion" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and'))) AS s_en,
+        |  len(list_filter(w, x -> x IN ('der','die','das','und'))) AS s_de,
+        |  len(list_filter(w, x -> x IN ('el','la','los','que'))) AS s_es,
+        |  len(list_filter(w, x -> x IN ('le','les','des','et'))) AS s_fr
+        |  FROM t),
+        |p AS (SELECT lang AS labeled_lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        |  FROM s),
+        |m AS (SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+        |  FROM p GROUP BY 1, 2)
+        |SELECT labeled_lang, pred_lang, n_docs,
+        |  CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT)
+        |    AS label_total,
+        |  ROUND(CAST(n_docs AS DOUBLE)
+        |    / SUM(n_docs) OVER (PARTITION BY labeled_lang), 4) AS frac_of_label
+        |FROM m
+        |ORDER BY labeled_lang, pred_lang""".stripMargin,
     // The full funnel: plant+clean (txt19) → Gopher pass (txt20) →
     // bag-fp dedup keep-min (dedup02) → chunk (txt11) → pack (txt16),
     // each stage the same fragment its standalone oracle uses.

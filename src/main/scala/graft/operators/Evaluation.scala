@@ -128,6 +128,29 @@ object Evaluation {
       .orderBy("stratum")
   }
 
+  /** Language-ID confusion matrix: txt02's heuristic predictions
+    * cross-tabulated against the labeled language, with each cell's
+    * share of its true-label row — the quality report a curation
+    * pipeline reads before trusting a classifier to route documents
+    * (the langid counterpart of eval01's linkage metrics). Reduces a
+    * corpus-sized prediction frame to |langs|² rows with map-side
+    * partial aggregation; the label-total is a window over those few
+    * rows, not a second corpus pass. */
+  def eval03LangidConfusion(lake: Lake): DataFrame =
+    TextAnalysis
+      .txt02LangId(lake)
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "label_total",
+        sum("n_docs").over(Window.partitionBy("labeled_lang"))
+      )
+      .withColumn(
+        "frac_of_label",
+        round(col("n_docs").cast("double") / col("label_total"), 4)
+      )
+      .orderBy("labeled_lang", "pred_lang")
+
   /** ANN retrieval quality: recall@k and top-1 reciprocal rank of the
     * IVF index (sim05's label-cell coarse quantizer probing `nprobe`
     * of the cells) measured against the exact brute-force top-k

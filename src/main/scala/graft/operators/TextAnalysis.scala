@@ -781,6 +781,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Boilerplate detection — the CCNet/C4-style pass that flags text
+    * repeated ACROSS documents (license headers, navigation chrome,
+    * template sentences): a document's boilerplate fraction is the
+    * share of its distinct 10-token windows that appear in at least
+    * `minDocs` documents. Duplicated and templated docs score near 1,
+    * organic text near 0 — the complement of dedup03's pair view, as
+    * a per-document signal.
+    *
+    * Scale: the fused ShingleHashes expression emits sorted distinct
+    * 8-byte window hashes in one pass (no string shingle
+    * materialization); document frequency is one hash-groupBy over
+    * the inverted index; the verdict joins each doc's hashes back to
+    * that df table and aggregates — txt09's linear shape, never
+    * pairwise. (64-bit hashing stands in for the window text on both
+    * sides of the gate, the same collision exposure dedup03 accepts.) */
+  def txt22Boilerplate(lake: Lake, minDocs: Int = 3): DataFrame = {
+    val sh = lake.documents
+      .select(
+        col("doc_id"),
+        explode(graft.plans.ShingleHashes(col("text"), 10)).as("h")
+      )
+      .localCheckpoint()
+    val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val perDoc = sh
+      .join(df, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("df") >= minDocs, 1)).as("n_boiler")
+      )
+    lake.documents
+      .select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(
+          round(col("n_boiler").cast("double") / col("n_windows"), 4),
+          lit(0.0)
+        ).as("boiler_frac")
+      )
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance weights for target-domain data selection
     * (Xie et al. 2023, "Data Selection for Language Models via
     * Importance Resampling"): score every raw document by how much

@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.Lake
-import graft.operators.TextAnalysis
+import graft.operators.{Evaluation, TextAnalysis}
 import org.apache.spark.sql.functions.{avg, col}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -28,5 +28,35 @@ class TextSelectionSpec extends AnyFunSuite {
     // Weights are finite everywhere (smoothing covers unseen-in-target
     // words): no nulls/NaN in the scored output.
     assert(scored.filter(col("avg_llr").isNull || col("avg_llr").isNaN).count() == 0)
+  }
+
+  test("boilerplate: fractions bounded, planted duplicate group scores high, organic text scores zero") {
+    val rows = TextAnalysis
+      .txt22Boilerplate(lake)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == lake.documents.count())
+    rows.foreach { case (id, nw, nb, frac) =>
+      assert(nb <= nw, s"doc $id boiler windows exceed total")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id frac $frac")
+    }
+    // the corpus plants an exact-duplicate group of >= minDocs docs:
+    // its members share every window, so at least one doc must flag
+    // as near-total boilerplate while the organic bulk stays at zero
+    assert(rows.exists(_._4 > 0.9), "no high-boilerplate doc found")
+    assert(rows.count(_._4 == 0.0) > rows.length / 2, "organic docs not at zero")
+  }
+
+  test("langid confusion: cells partition the corpus and label totals are consistent") {
+    val rows = Evaluation
+      .eval03LangidConfusion(lake)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._3).sum == lake.documents.count())
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      val total = cells.head._4
+      assert(cells.forall(_._4 == total), s"$lang label_total inconsistent")
+      assert(cells.map(_._3).sum == total, s"$lang cells do not sum to total")
+    }
   }
 }
