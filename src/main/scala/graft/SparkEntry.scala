@@ -121,6 +121,7 @@ object SparkEntry {
     "eval02_ann_recall" -> q(Evaluation.eval02AnnRecall(_)),
     "txt21_dsir_importance" -> q(TextAnalysis.txt21DsirImportance(_)),
     "txt22_boilerplate" -> q(TextAnalysis.txt22Boilerplate(_)),
+    "txt23_bigram_logprob" -> q(TextAnalysis.txt23BigramLogprob(_)),
     "eval03_langid_confusion" -> q(Evaluation.eval03LangidConfusion),
     "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_))
   )
@@ -959,6 +960,32 @@ object SparkEntry {
          |    AS boiler_frac
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "txt23_bigram_logprob" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |tok AS (SELECT doc_id,
+         |  UNNEST(w) AS w, UNNEST(range(1, len(w) + 1)) AS pos FROM t),
+         |bi AS (SELECT doc_id, w,
+         |  LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM tok),
+         |b AS (SELECT doc_id, prev, w FROM bi WHERE prev IS NOT NULL),
+         |cbig AS (SELECT prev, w, COUNT(*) AS c_big FROM b GROUP BY 1, 2),
+         |cprev AS (SELECT prev, CAST(SUM(c_big) AS BIGINT) AS c_prev
+         |  FROM cbig GROUP BY prev),
+         |cuni AS (SELECT w, COUNT(*) AS c_uni FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t_uni FROM tok)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(AVG(-LN(
+         |    0.7::DOUBLE * (CAST(c_big AS DOUBLE) / CAST(c_prev AS DOUBLE))
+         |    + (1.0::DOUBLE - 0.7::DOUBLE)
+         |      * (CAST(c_uni AS DOUBLE) / t_uni))), 4)
+         |    AS avg_neg_logp2
+         |FROM b
+         |JOIN cbig USING (prev, w)
+         |JOIN cprev USING (prev)
+         |JOIN cuni USING (w)
+         |CROSS JOIN tot
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
     "eval03_langid_confusion" ->
       """WITH t AS (SELECT doc_id, lang,
         |  string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w

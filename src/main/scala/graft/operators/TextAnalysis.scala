@@ -781,6 +781,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Bigram-LM perplexity proxy with Jelinek-Mercer interpolation —
+    * one step closer to CCNet's actual KenLM filter than txt15's
+    * unigram: per-doc avg of -ln( λ·p(w|prev) + (1-λ)·p(w) ), where
+    * both models are corpus-estimated. Low scores = fluent/typical
+    * text, high = disfluent or out-of-domain; the interpolation keeps
+    * unseen bigrams finite without discounting machinery.
+    *
+    * Scale shape: positions come from one posexplode, the previous
+    * token from a lag window (one shuffle on doc_id); the bigram count
+    * table is a single groupBy whose context marginal c(prev) is
+    * DERIVED from it (groupBy prev over the counts table — vocab²
+    * rows, not a second corpus pass); scoring is three vocab-table
+    * equi-joins that AQE broadcasts while they fit. Linear end to end. */
+  def txt23BigramLogprob(lake: Lake, lambda: Double = 0.7): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = lake.documents
+      .select(col("doc_id"), posexplode(text.tokens(col("text"))).as(Seq("pos", "w")))
+      .localCheckpoint()
+    val bi = toks
+      .withColumn("prev", lag("w", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .localCheckpoint()
+    val cbig = bi.groupBy("prev", "w").agg(count(lit(1)).as("c_big")).localCheckpoint()
+    val cprev = cbig.groupBy("prev").agg(sum("c_big").as("c_prev"))
+    val cuni = toks.groupBy("w").agg(count(lit(1)).as("c_uni"))
+    val total = toks.agg(count(lit(1)).cast("double").as("t_uni"))
+    // Both engines must form the complement as the SAME IEEE
+    // subtraction (1.0 - 0.7 = 0.30000000000000004): writing the
+    // decimal literal 0.3 in the oracle (a different double) flips
+    // the last bit against the gate.
+    val p =
+      lit(lambda) * (col("c_big").cast("double") / col("c_prev").cast("double")) +
+        (lit(1.0) - lit(lambda)) * (col("c_uni").cast("double") / col("t_uni"))
+    bi
+      .join(cbig, Seq("prev", "w"))
+      .join(cprev, Seq("prev"))
+      .join(cuni, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 4).as("avg_neg_logp2")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Boilerplate detection — the CCNet/C4-style pass that flags text
     * repeated ACROSS documents (license headers, navigation chrome,
     * template sentences): a document's boilerplate fraction is the
