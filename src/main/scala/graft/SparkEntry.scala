@@ -102,6 +102,7 @@ object SparkEntry {
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
+    "xref07_tiered_linkage" -> q(Linkage.xref07TieredLinkage(_)),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
@@ -960,6 +961,26 @@ object SparkEntry {
          |    AS boiler_frac
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "xref07_tiered_linkage" ->
+      s"""WITH topics AS (SELECT DISTINCT UNNEST(string_split(p_name, ' ')) AS topic
+         |  FROM part),
+         |vocab AS (SELECT DISTINCT UNNEST($dkToks) AS term FROM documents),
+         |lex(term) AS (VALUES ('join'), ('scan'), ('filter'), ('sort'),
+         |  ('merge'), ('hash'), ('window'), ('stream'), ('batch'), ('query')),
+         |exact AS (SELECT topic, 'corpus_vocab' AS ontology, term,
+         |    1.0::DOUBLE AS sim
+         |  FROM topics JOIN vocab ON LOWER(topic) = LOWER(term)),
+         |fuzzy AS (SELECT topic, 'lexicon' AS ontology, term,
+         |    jaro_winkler_similarity(LOWER(topic), LOWER(term)) AS sim
+         |  FROM topics CROSS JOIN lex
+         |  WHERE jaro_winkler_similarity(LOWER(topic), LOWER(term)) >= 0.65),
+         |u AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY topic
+         |    ORDER BY sim DESC, ontology, term) AS rn FROM u)
+         |SELECT topic, ontology, term AS matched_term,
+         |  ROUND(sim, 4) AS similarity
+         |FROM best WHERE rn = 1
+         |ORDER BY topic""".stripMargin,
     "txt23_bigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
          |tok AS (SELECT doc_id,

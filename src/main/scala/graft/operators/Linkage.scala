@@ -310,4 +310,68 @@ object Linkage {
       .orderBy(col("abs_diff").desc, col("o_orderkey"))
       .limit(topN)
   }
+
+  /** xref07: size-adaptive two-tier label alignment — the strategy
+    * selection at the heart of build_ontology_linkage.py:83-170
+    * (`build_topic_ontology_map`): against a LARGE term set only
+    * exact lowercase equality is allowed (a hash join; fuzzy scoring
+    * a scaling vocabulary is exactly what the reference's
+    * LARGE_ONTOLOGY_THRESHOLD rule forbids), while a SMALL term set
+    * is matched fuzzily with Jaro-Winkler above a threshold (a
+    * bounded |topics|×|lexicon| broadcast product). Tiers union and
+    * each topic keeps its best match by (similarity, ontology, term)
+    * — the reference's combined-matches dedup.
+    *
+    * Scale: the exact tier shuffles on the lowercased label (or
+    * broadcasts the topic side), the fuzzy tier's cross product is
+    * bounded by the SMALL set's size by construction, and keep-best
+    * is one window over match rows only. */
+  def xref07TieredLinkage(
+      lake: Lake,
+      // 0.65 rather than the reference's 0.80: the synthetic 16-word
+      // part vocabulary tops out at JW ~0.73 against the lexicon, and
+      // a gate that produces one row exercises nothing. The strategy,
+      // not the cutoff, is the contract.
+      threshold: Double = 0.65
+  ): DataFrame = {
+    val topics = lake.part
+      .select(explode(split(col("p_name"), " ")).as("topic"))
+      .distinct()
+    val vocab = lake.documents
+      .select(explode(array_distinct(text.tokens(col("text")))).as("term"))
+      .distinct()
+    val exact = topics
+      .join(vocab, lower(col("topic")) === lower(col("term")))
+      .select(
+        col("topic"),
+        lit("corpus_vocab").as("ontology"),
+        col("term"),
+        lit(1.0).as("sim")
+      )
+    val lex = lake.spark
+      .createDataFrame(TextAnalysis.lexicon.map(Tuple1(_)))
+      .toDF("term")
+    val fuzzy = topics
+      .crossJoin(broadcast(lex))
+      .withColumn(
+        "sim",
+        graft.plans.JaroWinkler(lower(col("topic")), lower(col("term")))
+      )
+      .filter(col("sim") >= threshold)
+      .select(col("topic"), lit("lexicon").as("ontology"), col("term"), col("sim"))
+    val w = Window
+      .partitionBy("topic")
+      .orderBy(col("sim").desc, col("ontology"), col("term"))
+    exact
+      .unionAll(fuzzy)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("topic"),
+        col("ontology"),
+        col("term").as("matched_term"),
+        round(col("sim"), 4).as("similarity")
+      )
+      .orderBy("topic")
+  }
 }
