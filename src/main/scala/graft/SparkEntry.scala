@@ -103,6 +103,7 @@ object SparkEntry {
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
     "xref07_tiered_linkage" -> q(Linkage.xref07TieredLinkage(_)),
+    "xref08_bridges" -> q(Linkage.xref08Bridges),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
@@ -961,6 +962,19 @@ object SparkEntry {
          |    AS boiler_frac
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "xref08_bridges" ->
+      """WITH ids AS (
+        |  SELECT 'customer' AS source, LOWER(REPLACE(c_name, 'Customer#', '')) AS key,
+        |    CAST(c_custkey AS VARCHAR) AS source_id FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier', LOWER(REPLACE(s_name, 'Supplier#', '')),
+        |    CAST(s_suppkey AS VARCHAR) FROM supplier
+        |  UNION ALL
+        |  SELECT 'part', LOWER(p_name), CAST(p_partkey AS VARCHAR) FROM part)
+        |SELECT a.source AS source_1, a.source_id AS id_1,
+        |  b.source AS source_2, b.source_id AS id_2, a.key AS bridge_id
+        |FROM ids a JOIN ids b ON a.key = b.key AND a.source < b.source
+        |ORDER BY source_1, source_2, bridge_id, id_1, id_2""".stripMargin,
     "xref07_tiered_linkage" ->
       s"""WITH topics AS (SELECT DISTINCT UNNEST(string_split(p_name, ' ')) AS topic
          |  FROM part),

@@ -311,6 +311,39 @@ object Linkage {
       .limit(topN)
   }
 
+  /** xref08: cross-source bridges via shared normalized external ids
+    * — tier 3 of the reference's linkage
+    * (build_ontology_linkage.py:283-340 `build_ontology_bridges`):
+    * for every PAIR of sources, an equi-join on the normalized id
+    * yields (source_1, id_1, source_2, id_2, bridge_id) rows. Here
+    * the id map is xref01's normalized-key union, and the
+    * customer/supplier numeric key spaces overlap by construction
+    * (the Customer#/Supplier# prefixes normalize away — the UMLS-CUI
+    * alias folding analog).
+    *
+    * Scale: one self-equi-join of the id map on the normalized key
+    * with a source-order predicate (a < b, so each bridge appears
+    * once) — shuffles once on the key; no pairwise-source loop is
+    * materialized because source is just a column. */
+  def xref08Bridges(lake: Lake): DataFrame = {
+    val ids = xref01IdMap(lake)
+    ids
+      .select(col("source").as("source_1"), col("key"), col("source_id").as("id_1"))
+      .join(
+        ids.select(col("source").as("source_2"), col("key"), col("source_id").as("id_2")),
+        Seq("key")
+      )
+      .filter(col("source_1") < col("source_2"))
+      .select(
+        col("source_1"),
+        col("id_1"),
+        col("source_2"),
+        col("id_2"),
+        col("key").as("bridge_id")
+      )
+      .orderBy("source_1", "source_2", "bridge_id", "id_1", "id_2")
+  }
+
   /** xref07: size-adaptive two-tier label alignment — the strategy
     * selection at the heart of build_ontology_linkage.py:83-170
     * (`build_topic_ontology_map`): against a LARGE term set only
