@@ -124,6 +124,7 @@ object SparkEntry {
     "txt21_dsir_importance" -> q(TextAnalysis.txt21DsirImportance(_)),
     "txt22_boilerplate" -> q(TextAnalysis.txt22Boilerplate(_)),
     "txt23_bigram_logprob" -> q(TextAnalysis.txt23BigramLogprob(_)),
+    "txt24_quality_panel" -> q(TextAnalysis.txt24QualityPanel),
     "eval03_langid_confusion" -> q(Evaluation.eval03LangidConfusion),
     "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_))
   )
@@ -962,6 +963,42 @@ object SparkEntry {
          |    AS boiler_frac
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    "txt24_quality_panel" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |s AS (SELECT doc_id, w,
+         |  [w[i] || ' ' || w[i+1] FOR i IN RANGE(1, len(w))] AS bgs,
+         |  len(w) AS n_tokens,
+         |  CAST(list_aggregate(list_transform(w, t -> LENGTH(t)), 'sum')
+         |    AS BIGINT) AS sum_len,
+         |  len(list_filter(w, t -> NOT regexp_matches(t, '[A-Za-z0-9]')))
+         |    AS n_symbol,
+         |  len(list_intersect(list_distinct(w), ['the','a','of','and']))
+         |    AS n_stop_distinct,
+         |  len(list_filter(w, x -> x IN ('the','a','of','and'))) AS s_en,
+         |  len(list_filter(w, x -> x IN ('der','die','das','und'))) AS s_de,
+         |  len(list_filter(w, x -> x IN ('el','la','los','que'))) AS s_es,
+         |  len(list_filter(w, x -> x IN ('le','les','des','et'))) AS s_fr
+         |  FROM t),
+         |p AS (SELECT doc_id,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS mean_tok_len,
+         |  ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) AS symbol_ratio,
+         |  CAST(n_stop_distinct AS BIGINT) AS n_stop_distinct,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+         |  CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         |  CASE WHEN len(bgs) > 0 THEN ROUND(
+         |    CAST(list_max(list_transform(list_distinct(bgs),
+         |      d -> len(list_filter(bgs, x -> x = d)))) AS DOUBLE)
+         |    / len(bgs), 4) ELSE 0.0 END AS top_bigram_frac
+         |  FROM s)
+         |SELECT *,
+         |  n_tokens >= 50 AND n_tokens <= 100000
+         |    AND mean_tok_len >= 3 AND mean_tok_len <= 10
+         |    AND symbol_ratio < 0.1 AND n_stop_distinct >= 2 AS passes
+         |FROM p
+         |ORDER BY doc_id""".stripMargin,
     "xref08_bridges" ->
       """WITH ids AS (
         |  SELECT 'customer' AS source, LOWER(REPLACE(c_name, 'Customer#', '')) AS key,

@@ -781,6 +781,95 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** txt24: the full per-document curation panel in ONE map-only scan
+    * — every signal a filtering pass consults (Gopher token stats,
+    * language-ID vote, repetition, the pass verdict) computed together
+    * with ZERO exchanges, the way a production pass actually runs at
+    * corpus scale: signals per scan, not scans per signal (txt01/02/
+    * 14/20 each re-read the corpus; this reads it once).
+    *
+    * The repetition signal (top-bigram fraction) is computed per row
+    * from the bigram array (distinct × occurrences count scan) rather
+    * than txt14's explode + groupBy: O(L²) string compares per doc in
+    * the worst case — the deliberate trade of per-row work bounded by
+    * document length for the removal of the one shuffle txt14 needs.
+    * Right for bounded-length docs (every pretraining corpus after
+    * chunking); for unbounded docs use txt14.
+    *
+    * Staged selects keep each multi-referenced array (toks, bgs) an
+    * attribute, never an inline expression — an expression referenced
+    * from N lambda positions re-evaluates N× per row (the element_at
+    * trap), and a bigram array rebuilt per distinct-bigram would be
+    * O(L³). */
+  def txt24QualityPanel(lake: Lake): DataFrame =
+    qualityPanel(lake.documents).orderBy("doc_id")
+
+  /** The map-only panel over any (doc_id, text) frame — exchange-free
+    * (plan-pinned) and therefore streamable in append mode, exactly
+    * like gopherVerdict. */
+  def qualityPanel(docs: DataFrame): DataFrame = {
+    val m = size(col("toks")) - 1
+    val bgs = zip_with(
+      slice(col("toks"), lit(1), m),
+      slice(col("toks"), lit(2), m),
+      (a, b) => concat(a, lit(" "), b)
+    )
+    val sEn = size(filter(col("toks"), x => x.isin("the", "a", "of", "and")))
+    val sDe = size(filter(col("toks"), x => x.isin("der", "die", "das", "und")))
+    val sEs = size(filter(col("toks"), x => x.isin("el", "la", "los", "que")))
+    val sFr = size(filter(col("toks"), x => x.isin("le", "les", "des", "et")))
+    val topN = array_max(
+      transform(
+        array_distinct(col("bgs")),
+        d => size(filter(col("bgs"), x => x === d))
+      )
+    )
+    docs
+      .select(col("doc_id"), text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        bgs.as("bgs"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_len"),
+        expr("size(filter(toks, t -> NOT t rlike '[A-Za-z0-9]'))")
+          .cast("long")
+          .as("n_symbol"),
+        expr(
+          "size(array_intersect(array_distinct(toks), array('the','a','of','and')))"
+        ).cast("long").as("n_stop_distinct"),
+        sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("sum_len").cast("double") / col("n_tokens"), 4)
+          .as("mean_tok_len"),
+        round(col("n_symbol").cast("double") / col("n_tokens"), 4)
+          .as("symbol_ratio"),
+        col("n_stop_distinct"),
+        when(
+          col("s_en") >= col("s_de") && col("s_en") >= col("s_es") &&
+            col("s_en") >= col("s_fr"),
+          "en"
+        ).when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr")
+          .as("pred_lang"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        when(
+          size(col("bgs")) > 0,
+          round(topN.cast("double") / size(col("bgs")), 4)
+        ).otherwise(0.0).as("top_bigram_frac")
+      )
+      .withColumn(
+        "passes",
+        col("n_tokens") >= 50 && col("n_tokens") <= 100000 &&
+          col("mean_tok_len") >= 3 && col("mean_tok_len") <= 10 &&
+          col("symbol_ratio") < 0.1 && col("n_stop_distinct") >= 2
+      )
+  }
+
   /** Bigram-LM perplexity proxy with Jelinek-Mercer interpolation —
     * one step closer to CCNet's actual KenLM filter than txt15's
     * unigram: per-doc avg of -ln( λ·p(w|prev) + (1-λ)·p(w) ), where

@@ -177,6 +177,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("txt24: the full quality panel plans ZERO exchanges") {
+    // one scan -> every curation signal; a shuffle appearing here
+    // means a signal regressed to an aggregate formulation
+    val p = plan(TextAnalysis.qualityPanel(lake.documents))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE plans materialize codegen stages only once executed
     val df = Relational.q01PricingSummary(lake)

@@ -47,6 +47,44 @@ class TextSelectionSpec extends AnyFunSuite {
     assert(rows.count(_._4 == 0.0) > rows.length / 2, "organic docs not at zero")
   }
 
+  test("quality panel: one-scan signals equal the standalone operators' values") {
+    // The map-only panel must agree signal-for-signal with the
+    // shuffle-based formulations it replaces: txt14's repetition,
+    // txt20's verdict and txt02's language vote.
+    val panel = TextAnalysis
+      .txt24QualityPanel(lake)
+      .collect()
+      .map(r =>
+        r.getLong(0) ->
+          (r.getDouble(7), r.getBoolean(8), r.getString(5))
+      )
+      .toMap
+    val rep = TextAnalysis
+      .txt14Repetition(lake)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(3))
+      .toMap
+    val verdict = TextAnalysis
+      .txt20GopherFilter(lake)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("passes"))
+      .toMap
+    val langs = TextAnalysis
+      .txt02LangId(lake)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("pred_lang"))
+      .toMap
+    rep.foreach { case (id, frac) =>
+      assert(panel(id)._1 == frac, s"doc $id repetition mismatch")
+    }
+    verdict.foreach { case (id, p) =>
+      assert(panel(id)._2 == p, s"doc $id verdict mismatch")
+    }
+    langs.foreach { case (id, l) =>
+      assert(panel(id)._3 == l, s"doc $id language mismatch")
+    }
+  }
+
   test("langid confusion: cells partition the corpus and label totals are consistent") {
     val rows = Evaluation
       .eval03LangidConfusion(lake)
