@@ -125,6 +125,7 @@ object SparkEntry {
     "txt22_boilerplate" -> q(TextAnalysis.txt22Boilerplate(_)),
     "txt23_bigram_logprob" -> q(TextAnalysis.txt23BigramLogprob(_)),
     "txt24_quality_panel" -> q(TextAnalysis.txt24QualityPanel),
+    "rep01_corpus_report" -> q(TextAnalysis.rep01CorpusReport),
     "eval03_langid_confusion" -> q(Evaluation.eval03LangidConfusion),
     "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_))
   )
@@ -999,6 +1000,52 @@ object SparkEntry {
          |    AND symbol_ratio < 0.1 AND n_stop_distinct >= 2 AS passes
          |FROM p
          |ORDER BY doc_id""".stripMargin,
+    "rep01_corpus_report" ->
+      s"""WITH t AS (SELECT doc_id, source, lang, $dkToks AS w FROM documents),
+         |s AS (SELECT doc_id, source, lang,
+         |  [w[i] || ' ' || w[i+1] FOR i IN RANGE(1, len(w))] AS bgs,
+         |  len(w) AS n_tokens,
+         |  CAST(list_aggregate(list_transform(w, t -> LENGTH(t)), 'sum')
+         |    AS BIGINT) AS sum_len,
+         |  len(list_filter(w, t -> NOT regexp_matches(t, '[A-Za-z0-9]')))
+         |    AS n_symbol,
+         |  len(list_intersect(list_distinct(w), ['the','a','of','and']))
+         |    AS n_stop_distinct,
+         |  len(list_filter(w, x -> x IN ('the','a','of','and'))) AS s_en,
+         |  len(list_filter(w, x -> x IN ('der','die','das','und'))) AS s_de,
+         |  len(list_filter(w, x -> x IN ('el','la','los','que'))) AS s_es,
+         |  len(list_filter(w, x -> x IN ('le','les','des','et'))) AS s_fr
+         |  FROM t),
+         |p AS (SELECT doc_id, source, lang,
+         |  n_tokens,
+         |  ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) AS mean_tok_len,
+         |  ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) AS symbol_ratio,
+         |  n_stop_distinct,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+         |  CASE WHEN len(bgs) > 0 THEN ROUND(
+         |    CAST(list_max(list_transform(list_distinct(bgs),
+         |      d -> len(list_filter(bgs, x -> x = d)))) AS DOUBLE)
+         |    / len(bgs), 4) ELSE 0.0 END AS top_bigram_frac
+         |  FROM s),
+         |v AS (SELECT *,
+         |  n_tokens >= 50 AND n_tokens <= 100000
+         |    AND mean_tok_len >= 3 AND mean_tok_len <= 10
+         |    AND symbol_ratio < 0.1 AND n_stop_distinct >= 2 AS passes
+         |  FROM p)
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  COUNT(*) FILTER (WHERE passes) AS n_pass,
+         |  ROUND(CAST(COUNT(*) FILTER (WHERE passes) AS DOUBLE)
+         |    / COUNT(*), 4) AS pass_rate,
+         |  COUNT(*) FILTER (WHERE pred_lang = lang) AS n_lang_agree,
+         |  ROUND(AVG(top_bigram_frac), 4) AS avg_repetition,
+         |  ROUND(AVG(mean_tok_len), 4) AS avg_tok_len,
+         |  ROUND(AVG(CAST(n_tokens AS DOUBLE)), 4) AS avg_tokens
+         |FROM v
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
     "xref08_bridges" ->
       """WITH ids AS (
         |  SELECT 'customer' AS source, LOWER(REPLACE(c_name, 'Customer#', '')) AS key,

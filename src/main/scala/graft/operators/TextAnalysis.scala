@@ -870,6 +870,29 @@ object TextAnalysis {
       )
   }
 
+  /** rep01: the per-source corpus report card — the aggregate view a
+    * curation run publishes (coverage_stats generalized from presence
+    * flags to quality signals): document counts, quality pass rate,
+    * language mix agreement, repetition and length averages, per
+    * source. One map-only panel scan + one |sources|-row aggregate;
+    * the label join is a broadcast of (doc_id, source, lang) pruned
+    * columns. */
+  def rep01CorpusReport(lake: Lake): DataFrame =
+    qualityPanel(lake.documents)
+      .join(lake.documents.select("doc_id", "source", "lang"), "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("passes"), 1)).as("n_pass"),
+        round(count(when(col("passes"), 1)).cast("double") / count(lit(1)), 4)
+          .as("pass_rate"),
+        count(when(col("pred_lang") === col("lang"), 1)).as("n_lang_agree"),
+        round(avg("top_bigram_frac"), 4).as("avg_repetition"),
+        round(avg("mean_tok_len"), 4).as("avg_tok_len"),
+        round(avg(col("n_tokens").cast("double")), 4).as("avg_tokens")
+      )
+      .orderBy("source")
+
   /** Bigram-LM perplexity proxy with Jelinek-Mercer interpolation —
     * one step closer to CCNet's actual KenLM filter than txt15's
     * unigram: per-doc avg of -ln( λ·p(w|prev) + (1-λ)·p(w) ), where

@@ -329,6 +329,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming quality panel over a document stream matches batch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // qualityPanel is exchange-free (plan-pinned), so it must run on a
+    // raw document stream in append mode with no watermark or state.
+    val docs = lake.documents
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.operators.TextAnalysis
+      .qualityPanel(stream.toDS().toDF("doc_id", "text"))
+      .writeStream
+      .format("memory")
+      .queryName("panel")
+      .outputMode("append")
+      .start()
+    stream.addData(first)
+    query.processAllAvailable()
+    stream.addData(second)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark
+      .sql("SELECT * FROM panel")
+      .orderBy("doc_id")
+      .collect()
+      .map(_.toSeq)
+    val batch = graft.operators.TextAnalysis
+      .txt24QualityPanel(lake)
+      .collect()
+      .map(_.toSeq)
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming heavy-hitters sketch matches batch when capacity covers the vocabulary") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
