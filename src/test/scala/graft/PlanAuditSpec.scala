@@ -177,6 +177,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("rel02: rank-limit pushes into WindowGroupLimit (bounded per-group heap, no full sort-rank)") {
+    // Spark 4's InferWindowGroupLimit turns row_number <= k into a
+    // partial+final WindowGroupLimit pair: each map task keeps a
+    // k-bounded group buffer instead of rank-scoring every row. Losing
+    // this (e.g. by filtering on a derived column the optimizer can't
+    // see through) silently reverts to the full window sort at scale.
+    val p = plan(Relational.rel02TopNPerGroup(lake))
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("txt24: the full quality panel plans ZERO exchanges") {
     // one scan -> every curation signal; a shuffle appearing here
     // means a signal regressed to an aggregate formulation
