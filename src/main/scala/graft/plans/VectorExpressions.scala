@@ -128,6 +128,12 @@ object GraftExtensions {
       2,
       args => ShingleHashes(args(0), constInt(args(1), "shingle order"))
     ),
+    d(
+      "top_bigram_count",
+      classOf[TopBigramCount],
+      1,
+      args => TopBigramCount(args(0))
+    ),
     // Aggregate: the analyzer wraps a bare AggregateFunction in
     // AggregateExpression during resolution, so the builder returns
     // the function itself.

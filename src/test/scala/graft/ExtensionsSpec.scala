@@ -17,7 +17,8 @@ class ExtensionsSpec extends AnyFunSuite {
           |  jaro_winkler('martha', 'marhta') AS jw,
           |  simhash64('hello world hello') AS sh,
           |  sorted_intersect_count(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS ic,
-          |  size(shingle_hashes('a b c d', 3)) AS nsh""".stripMargin
+          |  size(shingle_hashes('a b c d', 3)) AS nsh,
+          |  top_bigram_count(array('a', 'b', 'a', 'b', 'c')) AS tbc""".stripMargin
       )
       .head()
     assert(r.getDouble(0) == 11.0)
@@ -25,6 +26,7 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(2) != 0L) // simhash of non-empty text is non-trivial
     assert(r.getLong(3) == 2L) // {2,3} intersect
     assert(r.getInt(4) == 2)   // 4 tokens -> 2 word trigrams
+    assert(r.getLong(5) == 2L) // "a b" occurs twice; "b a"/"b c" once
   }
 
   test("shingle_hashes rejects a non-constant order argument") {
