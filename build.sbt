@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver parses the LAST stdout line of
+// `sbt "runMain graft.Bench"` as one JSON object. Two sbt decorations
+// break that: the logger's "[info] " prefix on forked output and the
+// "[success] Total time" trailer. Pass forked output through verbatim
+// and drop the success banner so the bare JSON line is last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,9 +31,15 @@ object Bench {
     // into a plausible-looking elapsed time.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = collection.mutable.Map[String, Double]()
+    val failedElapsed = collection.mutable.Map[String, Double]()
     val errors = collection.mutable.Map[String, String]()
     val succeeded = collection.mutable.Set[String]()
-    for (sweep <- 1 to sweeps; name <- names) {
+    // Alternate sweeps run in reverse order: this box's background
+    // noise arrives in contiguous multi-second windows, so two sweeps
+    // in the SAME order can land the same queries inside the window
+    // twice and min-of-sweeps never sees a clean run of them.
+    for (sweep <- 1 to sweeps;
+         name <- if (sweep % 2 == 0) names.reverse else names) {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Spark prune projections
@@ -49,7 +55,12 @@ object Bench {
           val msg = s"${e.getClass.getSimpleName}: " +
             Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)
           errors(name) = msg
-          if (!best.contains(name)) best(name) = (System.nanoTime() - t0) / 1e9
+          // A failed run's elapsed is kept OUT of `best`: an abort is
+          // often faster than the real query, and min-of-sweeps would
+          // otherwise report the abort as the measurement.
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (!failedElapsed.contains(name) || dt < failedElapsed(name))
+            failedElapsed(name) = dt
       }
     }
     // A query counts as failed only if NO sweep succeeded: `errors`
@@ -79,17 +90,28 @@ object Bench {
       names.map(short).distinct.size == names.size,
       "bench short keys must stay unique — rename the colliding query"
     )
-    val qs =
-      names.map(n => s"\"" + short(n) + "\":" + f3(best(n))).mkString("{", ",", "}")
+    val qs = names
+      .map(n =>
+        s"\"" + short(n) + "\":" + f3(
+          best.getOrElse(n, failedElapsed.getOrElse(n, 0.0))
+        )
+      )
+      .mkString("{", ",", "}")
     // A query that never succeeded appears in `errors` and is excluded
     // from the headline total: a broken query must not look like a
     // fast one.
     val failed = names.filter(n => errors.contains(n))
     val errJson = failed.map(n => s"\"${short(n)}\":\"${esc(errors(n))}\"").mkString("{", ",", "}")
     val total = names.filterNot(errors.contains).map(best(_)).sum
-    println(
+    val json =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
-    )
+    // The JSON line must be the LAST thing on stdout: silence every
+    // logger first (Spark's stop/shutdown hooks log at INFO/WARN and
+    // the driver may merge stderr into the captured stream), stop the
+    // session, THEN print.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

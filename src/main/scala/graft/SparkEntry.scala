@@ -113,7 +113,19 @@ object SparkEntry {
     "dedup10_containment" -> q(Dedup.dedup10Containment(_)),
     "dedup11_semantic" -> q(Dedup.dedup11Semantic(_)),
     "txt17_tfidf_cosine_linkage" -> q(Linkage.txt17TfidfCosineLinkage(_)),
-    "txt18_bpe_encode" -> q(TextAnalysis.txt18BpeEncode(_)),
+    // Driver-facing shape: the harness canonicalizes results with a
+    // pandas sort over every column, which cannot hash an array cell —
+    // ship the ids space-joined (same information, stable ordering);
+    // BpeSpec exercises the typed array API directly.
+    "txt18_bpe_encode" -> q(l =>
+      TextAnalysis
+        .txt18BpeEncode(l)
+        .withColumn(
+          "token_ids",
+          org.apache.spark.sql.functions
+            .concat_ws(" ", org.apache.spark.sql.functions.col("token_ids"))
+        )
+    ),
     "rel11_approx_stats" -> q(Relational.rel11ApproxStats),
     "rel14_heavy_hitters" -> q(Relational.rel14HeavyHitters(_)),
     "nst01_order_history_unnest" -> q(Nested.nst01OrderHistoryUnnest(_)),
