@@ -1,0 +1,36 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Local perf iteration: time a handful of queries by name without
+  * paying for the whole 105-query sweep. Same measurement discipline
+  * as Bench (noop sink, untimed warmup, min of N sweeps).
+  *
+  * usage: graft.BenchOne <query> [query ...]
+  * env:   SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_SWEEPS
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.BenchOne <query> [query ...]")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt
+    val spark = GraftSession
+      .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lake = graft.catalog.Lake(spark, sfDir)
+    lake.tableNames.foreach { n =>
+      lake.resolve(n).write.mode("overwrite").format("noop").save()
+    }
+    for (name <- args) {
+      val fn = SparkEntry.queries(name)
+      val times = (1 to sweeps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-30s min=${times.min}%.3f  all=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

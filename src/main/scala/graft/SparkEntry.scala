@@ -1234,16 +1234,21 @@ object SparkEntry {
         |FROM d
         |GROUP BY source
         |ORDER BY source""".stripMargin,
+    // Byte-based, not char-based: payload slicing happens on the UTF-8
+    // bytes (hex(encode(text)) = 2 hex chars per byte), so the oracle
+    // agrees with Spark's binary substring for ANY corpus, not just
+    // ASCII. md5 runs over the hex VARCHAR on both engines (DuckDB's
+    // md5/substring cannot take BLOBs).
     "mm02_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text,
-        |    CAST(CEIL(LENGTH(text) / 64.0) AS BIGINT) AS n_frames
+      """WITH f AS (SELECT doc_id, hex(encode(text)) AS h,
+        |    CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames
         |  FROM documents),
-        |x AS (SELECT doc_id, text, n_frames,
+        |x AS (SELECT doc_id, h, n_frames,
         |    UNNEST(range(0, GREATEST(n_frames, 1), 4)) AS frame_idx FROM f)
         |SELECT doc_id, frame_idx, n_frames,
-        |  CAST(LENGTH(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
+        |  CAST(LENGTH(substring(h, CAST(frame_idx * 128 + 1 AS INTEGER), 128)) // 2
         |    AS BIGINT) AS frame_len,
-        |  md5(substring(text, CAST(frame_idx * 64 + 1 AS INTEGER), 64))
+        |  md5(substring(h, CAST(frame_idx * 128 + 1 AS INTEGER), 128))
         |    AS frame_fp
         |FROM x
         |ORDER BY doc_id, frame_idx""".stripMargin,

@@ -227,7 +227,12 @@ object Multimodal {
         col("frame_idx"),
         col("n_frames"),
         length(col("frame")).cast("long").as("frame_len"),
-        md5(col("frame")).as("frame_fp")
+        // Fingerprint the HEX of the frame, not the raw bytes: DuckDB's
+        // md5/substring only accept VARCHAR, so the byte-exact oracle
+        // slices hex(encode(text)) — md5 over the (identical, uppercase
+        // both engines) hex string keeps the gate byte-based instead of
+        // silently assuming an all-ASCII corpus.
+        md5(hex(col("frame"))).as("frame_fp")
       )
       .orderBy("doc_id", "frame_idx")
 

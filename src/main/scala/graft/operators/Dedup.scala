@@ -460,8 +460,14 @@ object Dedup {
       .distinct()
       .select(col("u"), col("u").as("lbl"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum("lbl")).head().getLong(0)
-    var converged = false
+    // sum over ZERO rows is SQL null: an empty pair list must read as
+    // checksum 0, not NPE (the star variant's checksum already does).
+    def checksum(df: DataFrame): Long = {
+      val r = df.agg(sum("lbl")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var prevSum = checksum(labels)
+    var converged = labels.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
       val neighborMin = edges
@@ -475,7 +481,7 @@ object Dedup {
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")
         )
         .localCheckpoint()
-      val s = labels.agg(sum("lbl")).head().getLong(0)
+      val s = checksum(labels)
       converged = s == prevSum
       prevSum = s
       iter += 1

@@ -243,17 +243,26 @@ object Graph {
     * groupBy(dst) sum; localCheckpoint caps lineage growth exactly as
     * in transitiveClosure. Edges live once; degree is precomputed and
     * carried on the edge row so the loop body never re-joins it. */
+  /** PRECONDITION: the edge list must be SYMMETRIC (every (u,v) paired
+    * with (v,u) — graph06 bidirects its pairs before calling). The node
+    * universe is derived from `src` alone and each iteration rebuilds
+    * ranks from groupBy(dst), so on a general directed graph sinks
+    * would never be ranked and in-degree-0 nodes would drop after the
+    * first iteration. On a symmetric graph src-set == dst-set == node
+    * set and neither case exists. */
   def pagerankMicro(edges0: DataFrame, iters: Int): DataFrame = {
     val totalMass = 1000000000000L
     // Checkpoint the shared frames ONCE, in dependency order: edges0
     // (often an expensive fact join) feeds deg and the edge join; deg
-    // feeds the node count, the rank seed and the edge join; nRow is
-    // referenced by EVERY loop iteration. Left unmaterialized, each of
-    // those references re-executes the whole upstream pipeline — the
-    // first cut of this loop recomputed the edge build ~10x and ran
-    // 16 s at sf0.1 vs ~2 s with the checkpoints.
+    // feeds the node count, the rank seed and the edge join. Left
+    // unmaterialized, each of those references re-executes the whole
+    // upstream pipeline — the first cut of this loop recomputed the
+    // edge build ~10x and ran 16 s at sf0.1 vs ~2 s with checkpoints.
     // Degree rides the edge row via a window over the SAME partitioning
-    // the edge list already needs — one shuffle, no self-join.
+    // the edge list already needs — one shuffle, no self-join. (An
+    // aggregate-then-broadcast-join variant was measured SLOWER here:
+    // the blocking broadcast build costs more than the window's reuse
+    // of the single src shuffle.)
     val withDeg = edges0
       .withColumn(
         "outdeg",
@@ -261,28 +270,33 @@ object Graph {
       )
       .localCheckpoint()
     val nodes = withDeg.select(col("src").as("node")).distinct().localCheckpoint()
-    val nRow = nodes.agg(count(lit(1)).as("n_nodes")).localCheckpoint()
-    var ranks = nodes
-      .crossJoin(broadcast(nRow))
-      .select(col("node"), expr(s"$totalMass div n_nodes").as("r"))
-      .localCheckpoint()
+    // |V| is ONE scalar reused by every iteration: counting it on the
+    // driver (the count is answered from the checkpointed frame) and
+    // folding it into literal per-node/teleport constants deletes the
+    // crossJoin(broadcast(nRow)) from the seed AND from all `iters`
+    // loop bodies — each of those broadcast builds blocked the driver
+    // for a scheduling round-trip. Integer-exact vs the oracle: all
+    // operands are positive, so Scala Long division == SQL `div`/`//`.
+    val n = nodes.count()
+    val perNode = totalMass / n
+    val teleport = (15L * perNode) / 100L
+    // Seed is NOT checkpointed: it is a pure projection of the
+    // checkpointed `nodes`, referenced exactly once (iteration 1).
+    var ranks = nodes.select(col("node"), lit(perNode).as("r"))
     var i = 0
     while (i < iters) {
       // No forced broadcast on ranks: at this SF AQE broadcasts the
       // |V|-row side (the edge list never re-shuffles), while on a
       // billion-node graph the same plan degrades to a shuffle join
       // instead of OOMing the driver — the q05 scaling-dim discipline.
+      // Damping is folded into the aggregate projection so each
+      // iteration is exactly one join stage + one aggregate stage.
       ranks = withDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("contrib"))
         .groupBy("dst")
-        .agg(sum("contrib").as("s"))
-        .crossJoin(broadcast(nRow))
-        .select(
-          col("dst").as("node"),
-          expr(s"(15 * ($totalMass div n_nodes)) div 100 + (85 * s) div 100")
-            .as("r")
-        )
+        .agg(expr(s"$teleport + (85 * sum(contrib)) div 100").as("r"))
+        .withColumnRenamed("dst", "node")
         // Checkpoint each iterate even though the chain is linear:
         // measured 5.4 s vs 6.4-7.0 s for the lazy 5-deep nested plan
         // at sf0.1 — AQE re-optimizes every nested stage and each
@@ -300,19 +314,34 @@ object Graph {
     * lineitem x orders — the citation-graph centrality analog on the
     * lake's own fact data). 5 iterations, top 20. */
   def graph06Pagerank(lake: Lake, iters: Int = 5, topK: Int = 20): DataFrame = {
+    // The loop runs on LONG node ids (customer -> 2k, supplier -> 2k+1),
+    // not the display strings: 5 iterations of join+groupBy each hash,
+    // shuffle and compare the node key, and an 8-byte long beats a
+    // variable-length "c12345" string in every one of those. The
+    // 'c'/'s' labels are re-derived once, on the topK output.
     val pairs = lake.lineitem
       .select(col("l_orderkey"), col("l_suppkey"))
       .join(lake.orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(
-        concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b")
+        expr("o_custkey * 2L").as("a"),
+        expr("l_suppkey * 2L + 1L").as("b")
       )
       .distinct()
+      // Materialize before bidirecting: the union below references
+      // `pairs` twice, and without the checkpoint the fact join +
+      // distinct execute once per branch.
+      .localCheckpoint()
     val edges = pairs
       .select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
     pagerankMicro(edges, iters)
+      .select(
+        expr(
+          "IF(node % 2 = 0, concat('c', node div 2), concat('s', (node - 1) div 2))"
+        ).as("node"),
+        col("r")
+      )
       .orderBy(col("r").desc, col("node"))
       .limit(topK)
       .select(col("node"), col("r").as("rank_micro"))

@@ -208,9 +208,15 @@ object EventStreams extends Serializable {
         var cur = state.getOption
         val out = scala.collection.mutable.ArrayBuffer.empty[AsofMatch]
         sorted.foreach { e =>
-          if (e.event_type == "view")
-            cur = Some(LastView(e.event_id, micros(e.ts)))
-          else
+          if (e.event_type == "view") {
+            // Running MAX under out-of-order arrival: a view landing in
+            // a LATER batch with an OLDER (ts, event_id) than the stored
+            // state must not win, or the stream diverges from the batch
+            // evt07AsofJoin ordering it twins.
+            val k = (micros(e.ts), e.event_id)
+            if (cur.forall(v => Ordering[(Long, Long)].gteq(k, (v.view_ts, v.view_id))))
+              cur = Some(LastView(e.event_id, micros(e.ts)))
+          } else
             out += AsofMatch(
               e.event_id,
               userId,

@@ -329,6 +329,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("as-of state keeps the newest view under out-of-order arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def evt(id: Long, us: Long, kind: String) =
+      EventStreams.Evt(id, java.time.Instant.ofEpochSecond(0, us * 1000L),
+        1L, kind, 0.0)
+    val stream = MemoryStream[EventStreams.Evt]
+    val query = EventStreams
+      .asofEnrich(stream.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("asof_ooo")
+      .outputMode("append")
+      .start()
+    // batch 1: the NEWER view arrives first
+    stream.addData(Seq(evt(10L, 100L, "view")))
+    query.processAllAvailable()
+    // batch 2: a LATE view with an older timestamp, then a purchase —
+    // the purchase must still match view 10, as the batch operator
+    // (ORDER BY ts) would
+    stream.addData(Seq(evt(11L, 50L, "view"), evt(20L, 200L, "purchase")))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark
+      .sql("SELECT purchase_id, matched_view_id FROM asof_ooo")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((20L, 10L)))
+  }
+
   test("streaming quality panel over a document stream matches batch") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
