@@ -866,6 +866,122 @@ object SparkEntry {
          |  ROUND(MIN(cos), 4) AS min_cos, ROUND(MAX(cos), 4) AS max_cos
          |FROM j GROUP BY label
          |ORDER BY label""".stripMargin,
+    // sim05: the label-centroid coarse quantizer is sim04's oracle CTE
+    // verbatim; probe ranking and the per-cell exhaustive re-rank are
+    // plain window SQL. Float-safety: exact cosines are deterministic
+    // per pair (fixed fold order both engines); only the centroid AVG
+    // carries distributed-sum noise (~1e-16), and cell-ranking margins
+    // on this corpus are >= 2e-4 (the eval02 argument).
+    "sim05_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |flat AS (SELECT label, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x FROM e),
+         |cpos AS (SELECT label, pos, AVG(x) AS c FROM flat GROUP BY 1, 2),
+         |cent AS (SELECT label, LIST(c ORDER BY pos) AS centroid FROM cpos GROUP BY label),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |qc AS (SELECT query_id, qv, cent.label, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id
+         |    ORDER BY ${dkCos("qv", "centroid")} DESC, cent.label) AS crank
+         |  FROM q CROSS JOIN cent),
+         |p AS (SELECT query_id, qv, label FROM qc WHERE crank <= 3),
+         |s AS (SELECT p.query_id, e.vec_id, ${dkCos("p.qv", "e.v")} AS cos_raw
+         |      FROM e JOIN p ON e.label = p.label AND e.vec_id != p.query_id),
+         |r AS (SELECT query_id, vec_id, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    // sim06: the TRAINED quantizer, oracle-checked by UNROLLING the 3
+    // Lloyd iterations as CTE triples (seed -> assign -> positional
+    // mean), the graph06 unrolled-recursion trick. Deterministic on
+    // both sides: seeds are the nlist lowest vec_ids, assignment ties
+    // break to the lowest cluster id.
+    "sim06_ivf_trained" -> {
+      val iter = (1 to 3).map { i =>
+        s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+           |  FROM e CROSS JOIN c${i - 1} c),
+           |f$i AS (SELECT cluster, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x
+           |  FROM a$i WHERE r = 1),
+           |c$i AS (SELECT cluster, LIST(c ORDER BY pos) AS centroid FROM (
+           |    SELECT cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2)
+           |  GROUP BY cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
+         |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= 10),
+         |$iter,
+         |cells AS (SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+         |    FROM e CROSS JOIN c3 c) WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |p AS (SELECT query_id, qv, cluster FROM (
+         |    SELECT query_id, qv, c.cluster, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${dkCos("qv", "c.centroid")} DESC, c.cluster) AS crank
+         |    FROM q CROSS JOIN c3 c) WHERE crank <= 3),
+         |s AS (SELECT p.query_id, cells.vec_id, ${dkCos("p.qv", "cells.v")} AS cos_raw
+         |      FROM cells JOIN p ON cells.cluster = p.cluster
+         |        AND cells.vec_id != p.query_id),
+         |r AS (SELECT query_id, vec_id, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
+    // sim07: PQ oracle — all m=8 subspace codebooks train jointly in
+    // the same unrolled-CTE style (2 Lloyd iterations, squared-L2
+    // assignment ranked via list_distance, ties to the lowest cluster
+    // id), then codes + the per-query ADC lookup table + the summed
+    // partial-dot scoring are plain join/agg SQL.
+    "sim07_pq_ann" -> {
+      val iter = (1 to 2).map { i =>
+        s"""a$i AS (SELECT sub.vec_id, sub.sub_id, sub.sv, c.cluster,
+           |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.sub_id
+           |      ORDER BY list_distance(sub.sv, c.centroid) ASC, c.cluster) AS r
+           |  FROM sub JOIN c${i - 1} c ON sub.sub_id = c.sub_id),
+           |f$i AS (SELECT sub_id, cluster, generate_subscripts(sv, 1) AS pos,
+           |    UNNEST(sv) AS x FROM a$i WHERE r = 1),
+           |c$i AS (SELECT sub_id, cluster, LIST(c ORDER BY pos) AS centroid FROM (
+           |    SELECT sub_id, cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2, 3)
+           |  GROUP BY sub_id, cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+         |n AS (SELECT vec_id, list_transform(v0,
+         |    x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
+         |sub AS (SELECT vec_id, sub_id, list_slice(v, sub_id * 8 + 1, sub_id * 8 + 8) AS sv
+         |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 8)) AS sub_id)),
+         |c0 AS (SELECT sub_id, rn - 1 AS cluster, sv AS centroid FROM (
+         |    SELECT sub_id, sv, ROW_NUMBER() OVER (
+         |      PARTITION BY sub_id ORDER BY vec_id) AS rn FROM sub)
+         |  WHERE rn <= 16),
+         |$iter,
+         |codes AS (SELECT vec_id, sub_id, cluster FROM (
+         |    SELECT sub.vec_id, sub.sub_id, c.cluster, ROW_NUMBER() OVER (
+         |      PARTITION BY sub.vec_id, sub.sub_id
+         |      ORDER BY list_distance(sub.sv, c.centroid) ASC, c.cluster) AS r
+         |    FROM sub JOIN c2 c ON sub.sub_id = c.sub_id) WHERE r = 1),
+         |q AS (SELECT vec_id AS query_id, sub_id, sv AS qsv FROM sub WHERE vec_id < 10),
+         |lut AS (SELECT query_id, c.sub_id, c.cluster,
+         |    list_dot_product(qsv, c.centroid) AS pdot
+         |  FROM q JOIN c2 c ON q.sub_id = c.sub_id),
+         |s AS (SELECT lut.query_id, codes.vec_id, SUM(pdot) AS score
+         |      FROM codes JOIN lut ON codes.sub_id = lut.sub_id
+         |        AND codes.cluster = lut.cluster
+         |      WHERE codes.vec_id != lut.query_id
+         |      GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id, score, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(score, 4) AS adc_score
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "evt01_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

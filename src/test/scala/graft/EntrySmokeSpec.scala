@@ -17,7 +17,6 @@ class EntrySmokeSpec extends AnyFunSuite {
     val rowsOnly = Set(
       "dedup05_simhash", "dedup11_semantic", "mm01_binary_meta",
       "rel11_approx_stats", "rel14_heavy_hitters", "sim03_lsh_ann",
-      "sim05_ivf_ann", "sim06_ivf_trained", "sim07_pq_ann",
       "txt18_bpe_encode"
     )
     assert(q -- o == rowsOnly, s"unexpected rows-only set: ${q -- o}")
