@@ -91,6 +91,7 @@ object SparkEntry {
     "graph04_bgp_nation_counts" -> q(Graph.graph04BgpNationCounts),
     "graph05_hierarchy_rollup4" -> q(Graph.graph05HierarchyRollup4),
     "graph06_pagerank" -> q(Graph.graph06Pagerank(_)),
+    "graph07_optional_filter" -> q(Graph.graph07OptionalFilter),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -576,17 +577,17 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
     "cat01_status" ->
       """SELECT * FROM (
-        |  SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
-        |  UNION ALL SELECT 'documents', COUNT(*) FROM documents
-        |  UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
-        |  UNION ALL SELECT 'events', COUNT(*) FROM events
-        |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
-        |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
-        |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
-        |  UNION ALL SELECT 'part', COUNT(*) FROM part
-        |  UNION ALL SELECT 'region', COUNT(*) FROM region
-        |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier) t
-        |ORDER BY table_name""".stripMargin,
+        |  SELECT 'trade' AS schema_name, 'customer' AS table_name, COUNT(*) AS n_rows FROM customer
+        |  UNION ALL SELECT 'corpus', 'documents', COUNT(*) FROM documents
+        |  UNION ALL SELECT 'corpus', 'embeddings', COUNT(*) FROM embeddings
+        |  UNION ALL SELECT 'activity', 'events', COUNT(*) FROM events
+        |  UNION ALL SELECT 'trade', 'lineitem', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'trade', 'nation', COUNT(*) FROM nation
+        |  UNION ALL SELECT 'trade', 'orders', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'trade', 'part', COUNT(*) FROM part
+        |  UNION ALL SELECT 'trade', 'region', COUNT(*) FROM region
+        |  UNION ALL SELECT 'trade', 'supplier', COUNT(*) FROM supplier) t
+        |ORDER BY schema_name, table_name""".stripMargin,
     "xref06_total_mismatch" ->
       """WITH lt AS (SELECT l_orderkey,
         |    ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS line_total,
@@ -1630,6 +1631,22 @@ object SparkEntry {
         |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r) JOIN p4 USING (n)
         |GROUP BY nl
         |ORDER BY nation_label""".stripMargin,
+    "graph07_optional_filter" ->
+      """WITH triples AS (
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS s, 'in_region' AS p,
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) AS o FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0),
+        |p0 AS (SELECT s AS n, o AS r FROM triples WHERE p = 'in_region'),
+        |p1 AS (SELECT s AS r, o AS rl FROM triples WHERE p = 'label'),
+        |p2 AS (SELECT s AS n, o AS fl FROM triples WHERE p = 'flagged')
+        |SELECT p0.n AS nation_iri, rl AS region_label, fl AS flagged
+        |FROM p0 JOIN p1 ON p0.r = p1.r LEFT JOIN p2 ON p0.n = p2.n
+        |WHERE rl <> 'ASIA'
+        |ORDER BY nation_iri""".stripMargin,
     "graph02_transitive_closure" ->
       """WITH RECURSIVE edges AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS src,

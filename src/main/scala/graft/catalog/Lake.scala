@@ -47,14 +47,61 @@ final case class Lake(spark: SparkSession, dir: String) {
     "orders", "lineitem", "events", "documents", "embeddings"
   )
 
+  /** Two-level namespace, the reference's defining catalog idiom
+    * (reference: scripts/create_unified_db.py:513-577 — 159 views
+    * across 20+ schemas like `xref.doi_map`, `openalex.works`). Each
+    * table lives in a domain schema; `schema.table` resolves in
+    * spark.sql after registerViews(). */
+  val schemaOf: Map[String, String] = Map(
+    "region" -> "trade", "nation" -> "trade", "customer" -> "trade",
+    "supplier" -> "trade", "part" -> "trade", "orders" -> "trade",
+    "lineitem" -> "trade", "events" -> "activity",
+    "documents" -> "corpus", "embeddings" -> "corpus"
+  )
+
+  def qualified(name: String): String = s"${schemaOf(name)}.$name"
+
   /** Name-based accessor that routes through the type-converting
     * reader where one exists — the ONE place that knows events needs
     * the nanos conversion. Generic table iterators must use this, not
-    * `table(name)`, or they crash on the TIMESTAMP(NANOS) schema. */
-  def resolve(name: String): DataFrame =
-    if (name == "events") events else table(name)
+    * `table(name)`, or they crash on the TIMESTAMP(NANOS) schema.
+    * Accepts flat ("orders") or qualified ("trade.orders") names. */
+  def resolve(name: String): DataFrame = {
+    val flat = name.split('.').last
+    if (flat == "events") events else table(flat)
+  }
 
-  /** Register every table as a temp view so `spark.sql` works by name. */
-  def registerViews(): Unit =
+  /** Register every table for `spark.sql`: flat temp views (the
+    * historical surface) PLUS real `schema.table` databases + views
+    * mirroring the reference's two-level namespace. The databases use
+    * an explicit tmpdir LOCATION so a plain unconfigured session never
+    * drops a spark-warehouse directory into the caller's cwd; views
+    * inline the parquet path (a permanent view may not reference a
+    * temp view), with events' nanos->micros conversion baked into the
+    * view text. */
+  def registerViews(): Unit = {
+    // Session-sticky: view expansion happens at query time, so the
+    // nanos conf must hold for any later spark.sql over activity.events.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tableNames.foreach(n => resolve(n).createOrReplaceTempView(n))
+    val whBase =
+      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"
+    schemaOf.values.toSeq.distinct.sorted.foreach { db =>
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$whBase/$db.db'")
+    }
+    tableNames.foreach { n =>
+      val path = s"$dir/$n.parquet"
+      val sel =
+        if (n == "events") {
+          val cols = table("events").schema.fieldNames
+            .map {
+              case "ts" => "timestamp_micros(ts div 1000) AS ts"
+              case c    => s"`$c`"
+            }
+            .mkString(", ")
+          s"SELECT $cols FROM parquet.`$path`"
+        } else s"SELECT * FROM parquet.`$path`"
+      spark.sql(s"CREATE OR REPLACE VIEW ${qualified(n)} AS $sel")
+    }
+  }
 }

@@ -32,10 +32,15 @@ object CatalogOps {
       .groupBy("table_name")
       .agg(count(lit(1)).as("n_rows"))
     lake.tableNames
-      .toDF("table_name")
+      .map(n => (lake.schemaOf(n), n))
+      .toDF("schema_name", "table_name")
       .join(broadcast(counted), Seq("table_name"), "left")
-      .select(col("table_name"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
-      .orderBy("table_name")
+      .select(
+        col("schema_name"),
+        col("table_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows")
+      )
+      .orderBy("schema_name", "table_name")
   }
 
   /** MERGE-style keyed upsert: rows from `updates` replace base rows
@@ -211,16 +216,19 @@ object CatalogOps {
     lake.tableNames.sorted
       .flatMap { t =>
         val df = lake.resolve(t)
+        // Table hits match on the QUALIFIED name, so "trade" or
+        // "corpus.doc" find their tables just like a schema-qualified
+        // search over the reference's unified db would.
         val tableHit =
-          if (t.toLowerCase.contains(p))
-            Seq((t, "(table)", ""))
+          if (lake.qualified(t).toLowerCase.contains(p))
+            Seq((t, "(table)", "", lake.schemaOf(t)))
           else Seq.empty
         tableHit ++ df.schema.fields.collect {
           case f if f.name.toLowerCase.contains(p) =>
-            (t, f.name, f.dataType.simpleString)
+            (t, f.name, f.dataType.simpleString, lake.schemaOf(t))
         }
       }
-      .toDF("table_name", "column_name", "data_type")
+      .toDF("table_name", "column_name", "data_type", "schema_name")
   }
 
   /** LLM-friendly dataset description: per-table row counts, on-disk

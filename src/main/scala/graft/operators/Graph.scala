@@ -96,7 +96,21 @@ object Graph {
       lit("label").as("p"),
       col("r_name").as("o")
     )
-    custNation.unionAll(nationRegion).unionAll(nationLabel).unionAll(regionLabel)
+    // A deliberately PARTIAL predicate (only every third nation) so
+    // OPTIONAL has something to be optional about — the analog of the
+    // reference ontologies' sparsely-populated annotation properties.
+    val nationFlag = lake.nation
+      .filter(col("n_nationkey") % 3 === 0)
+      .select(
+        concat(lit("nat:"), col("n_nationkey")).as("s"),
+        lit("flagged").as("p"),
+        lit("true").as("o")
+      )
+    custNation
+      .unionAll(nationRegion)
+      .unionAll(nationLabel)
+      .unionAll(regionLabel)
+      .unionAll(nationFlag)
   }
 
   /** Generic SPARQL basic-graph-pattern matcher — patterns as DATA,
@@ -118,9 +132,15 @@ object Graph {
   def bgpMatch(
       triples: DataFrame,
       patterns: Seq[(String, String, String)],
-      broadcastIdx: Set[Int] = Set.empty
+      broadcastIdx: Set[Int] = Set.empty,
+      optionalIdx: Set[Int] = Set.empty,
+      filterExpr: Option[org.apache.spark.sql.Column] = None
   ): DataFrame = {
     require(patterns.nonEmpty, "BGP needs at least one pattern")
+    require(
+      !optionalIdx.contains(0),
+      "the first pattern anchors the binding set and cannot be OPTIONAL"
+    )
     def scan(pat: (String, String, String)): DataFrame = {
       val terms = Seq("s" -> pat._1, "p" -> pat._2, "o" -> pat._3)
       var df = terms.foldLeft(triples) { case (acc, (c, t)) =>
@@ -137,14 +157,49 @@ object Graph {
         .map(v => col(varTerms.find(_._2 == v).get._1).as(v.drop(1)))
       df.select(proj: _*)
     }
-    patterns.zipWithIndex.tail.foldLeft(scan(patterns.head)) {
+    val matched = patterns.zipWithIndex.tail.foldLeft(scan(patterns.head)) {
       case (acc, (pat, i)) =>
         val f = scan(pat)
         val fb = if (broadcastIdx.contains(i)) broadcast(f) else f
         val shared = acc.columns.intersect(f.columns).toSeq
-        if (shared.nonEmpty) acc.join(fb, shared) else acc.crossJoin(fb)
+        if (optionalIdx.contains(i)) {
+          // SPARQL OPTIONAL == left outer join of the pattern's
+          // bindings: rows keep their solution, unmatched optional
+          // variables stay null (sparql_query.py:89 executes the same
+          // semantics through oxigraph).
+          require(
+            shared.nonEmpty,
+            s"OPTIONAL pattern $i shares no variable with the preceding group"
+          )
+          acc.join(fb, shared, "left")
+        } else if (shared.nonEmpty) acc.join(fb, shared)
+        else acc.crossJoin(fb)
     }
+    // SPARQL FILTER over the bound variables (columns named without
+    // '?'), applied to the completed group like a HAVING-less WHERE.
+    filterExpr.fold(matched)(matched.filter)
   }
+
+  /** graph07: OPTIONAL + FILTER over the triple store — `?n in_region
+    * ?r . ?r label ?rl . OPTIONAL { ?n flagged ?fl } . FILTER(?rl !=
+    * "ASIA")`. Nations keep their row whether or not the sparse
+    * `flagged` annotation exists (left join), and the filter prunes
+    * one region's solutions — the two SPARQL constructs the
+    * reference's ontology queries use beyond plain BGP. */
+  def graph07OptionalFilter(lake: Lake): DataFrame =
+    bgpMatch(
+      triples(lake),
+      Seq(
+        ("?n", "in_region", "?r"),
+        ("?r", "label", "?rl"),
+        ("?n", "flagged", "?fl")
+      ),
+      broadcastIdx = Set(1, 2),
+      optionalIdx = Set(2),
+      filterExpr = Some(col("rl") =!= "ASIA")
+    )
+      .select(col("n").as("nation_iri"), col("rl").as("region_label"), col("fl").as("flagged"))
+      .orderBy("nation_iri")
 
   /** `?c in_nation ?n . ?n in_region ?r . ?r label ?rl` — the original
     * hard-coded 3-pattern query, now expressed through bgpMatch (label
@@ -232,8 +287,8 @@ object Graph {
     * engine computes bit-identical ranks in ANY aggregation order, so
     * an iterative float algorithm becomes oracle-exact. (Float
     * PageRank sums partial contributions in shuffle order; 5 nested
-    * iterations amplify last-bit differences into rank flips — the
-    * same reason sim06's k-means is rows-only.) The deliberate cost:
+    * iterations can amplify last-bit differences into rank flips —
+    * integer micros remove the hazard entirely.) The deliberate cost:
     * each division floors, so up to outdeg-1 micros of mass leak per
     * node per iteration — a ~1e-6 relative perturbation, far below
     * rank gaps of interest, and identically reproduced everywhere.

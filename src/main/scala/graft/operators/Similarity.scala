@@ -255,10 +255,12 @@ object Similarity {
   /** IVF-style ANN: the label centroids are the coarse quantizer; each
     * query ranks all cells by centroid cosine, probes the `nprobe`
     * nearest, and exhaustively searches only vectors in those cells —
-    * the FAISS IVF-flat shape. [rows-only — centroid arithmetic isn't
-    * robustly oracle-expressible; DedupSimilaritySpec asserts
+    * the FAISS IVF-flat shape. Oracle-checked end to end (sim04's
+    * centroid CTE + probe/re-rank windows — centroid AVG float noise
+    * is orders below this corpus's cell-ranking margins, the eval02
+    * argument); DedupSimilaritySpec additionally asserts
     * nprobe = nlist reproduces sim01 exactly and logs partial-probe
-    * recall.]
+    * recall.
     *
     * Scale shape: the centroid table is nlist rows (tiny, broadcast
     * twice); candidate generation is an equi-join on the cell id, so
@@ -411,9 +413,10 @@ object Similarity {
     * The ADC scan is the PQ scale story: scoring joins the m·n code
     * rows against a broadcast q·m·ks lookup table on (sub_id,
     * cluster) — linear in codes, never touching the original vectors.
-    * [rows-only]: codebooks are k-means artifacts (same reason sim06
-    * is rows-only); recall floor, code-shape and determinism are
-    * spec-pinned. */
+    * Oracle-checked end to end: the joint-subspace Lloyd iterations
+    * unroll as CTE triples and ADC is plain join/agg SQL (the graph06
+    * unrolled-recursion trick); recall floor, code-shape and
+    * determinism are additionally spec-pinned. */
   def sim07PqAnn(
       lake: Lake,
       m: Int = 8,

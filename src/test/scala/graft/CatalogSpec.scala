@@ -38,6 +38,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(tableHits.exists { case (t, c) => t == "customer" && c == "c_nationkey" })
   }
 
+  test("schema-qualified views resolve in spark.sql after registerViews") {
+    lake.registerViews()
+    assert(spark.sql("SELECT COUNT(*) FROM trade.region").head().getLong(0) == 5)
+    assert(spark.sql("SELECT COUNT(*) FROM corpus.documents").head().getLong(0) > 0)
+    // the activity.events view bakes in the nanos->micros conversion
+    val t = spark.sql("SELECT ts FROM activity.events LIMIT 1").schema("ts").dataType
+    assert(t.typeName.startsWith("timestamp"), s"events.ts resolved as $t")
+    // cross-schema joins work like any other view
+    assert(spark.sql(
+      """SELECT COUNT(*) FROM trade.nation n JOIN trade.region r
+        |ON n.n_regionkey = r.r_regionkey""".stripMargin).head().getLong(0) == 25)
+  }
+
+  test("catalog search matches schema-qualified names") {
+    val bySchema = CatalogOps.searchCatalog(lake, "corpus")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(bySchema.contains(("documents", "(table)")))
+    assert(bySchema.contains(("embeddings", "(table)")))
+    val qualified = CatalogOps.searchCatalog(lake, "trade.reg")
+      .collect().map(r => r.getString(0)).toSet
+    assert(qualified == Set("region"))
+  }
+
   test("upsert: updates replace matched keys, unmatched keys insert, base keeps the rest") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

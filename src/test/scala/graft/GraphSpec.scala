@@ -54,6 +54,47 @@ class GraphSpec extends AnyFunSuite {
     assert(n == 2)
   }
 
+  test("bgpMatch OPTIONAL keeps unmatched rows with null bindings; FILTER prunes") {
+    import org.apache.spark.sql.functions.col
+    val triples = t3(
+      ("a", "type", "person"),
+      ("b", "type", "person"),
+      ("c", "type", "person"),
+      ("a", "nick", "ace"),
+      ("c", "nick", "champ")
+    )
+    val out = Graph
+      .bgpMatch(
+        triples,
+        Seq(("?x", "type", "person"), ("?x", "nick", "?nn")),
+        optionalIdx = Set(1)
+      )
+      .collect()
+      .map(r => (r.getAs[String]("x"), Option(r.getAs[String]("nn"))))
+      .toSet
+    // b has no nick and must survive with a null binding
+    assert(out == Set(("a", Some("ace")), ("b", None), ("c", Some("champ"))))
+    val filtered = Graph
+      .bgpMatch(
+        triples,
+        Seq(("?x", "type", "person"), ("?x", "nick", "?nn")),
+        optionalIdx = Set(1),
+        filterExpr = Some(col("x") =!= "a")
+      )
+      .collect()
+      .map(_.getAs[String]("x"))
+      .toSet
+    assert(filtered == Set("b", "c"))
+    // an OPTIONAL pattern sharing no variable is a contract error
+    intercept[IllegalArgumentException] {
+      Graph.bgpMatch(
+        triples,
+        Seq(("?x", "type", "person"), ("?y", "nick", "?nn")),
+        optionalIdx = Set(1)
+      )
+    }
+  }
+
   test("fixed-point pagerank: symmetry, hub dominance, and mass conservation") {
     import spark.implicits._
     def bidirected(pairs: (String, String)*) = {
