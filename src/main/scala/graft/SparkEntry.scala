@@ -935,6 +935,50 @@ object SparkEntry {
          |FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+    // dedup11: SemDeDup oracle — the 2 Lloyd iterations unroll exactly
+    // as in sim06; the within-cell pair threshold is per-pair exact
+    // arithmetic; and because star-CC's labels are component MINIMA
+    // (spec-pinned), the duplicate groups are expressible as a
+    // recursive-CTE transitive closure + MIN per node — exact, with no
+    // iteration-count dependence.
+    "dedup11_semantic" -> {
+      val iter = (1 to 2).map { i =>
+        s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+           |  FROM e CROSS JOIN c${i - 1} c),
+           |f$i AS (SELECT cluster, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x
+           |  FROM a$i WHERE r = 1),
+           |c$i AS (SELECT cluster, LIST(c ORDER BY pos) AS centroid FROM (
+           |    SELECT cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2)
+           |  GROUP BY cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
+         |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= 10),
+         |$iter,
+         |cells AS (SELECT vec_id, v, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+         |    FROM e CROSS JOIN c2 c) WHERE r = 1),
+         |prs AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+         |  FROM cells x JOIN cells y
+         |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE ${dkCos("x.v", "y.v")} >= 0.4),
+         |ed AS (SELECT doc_a AS u, doc_b AS w FROM prs
+         |       UNION SELECT doc_b, doc_a FROM prs),
+         |reach AS (SELECT u, w FROM ed
+         |          UNION SELECT r.u, ed.w FROM reach r JOIN ed ON r.w = ed.u),
+         |grp AS (SELECT u, LEAST(u, MIN(w)) AS group_id FROM reach GROUP BY u)
+         |SELECT c.vec_id, CAST(c.cluster AS INTEGER) AS cluster,
+         |  COALESCE(g.group_id, c.vec_id) AS group_id,
+         |  COALESCE(g.group_id, c.vec_id) = c.vec_id AS survivor
+         |FROM cells c LEFT JOIN grp g ON c.vec_id = g.u
+         |ORDER BY c.vec_id""".stripMargin
+    },
     // sim07: PQ oracle — all m=8 subspace codebooks train jointly in
     // the same unrolled-CTE style (2 Lloyd iterations, squared-L2
     // assignment ranked via list_distance, ties to the lowest cluster

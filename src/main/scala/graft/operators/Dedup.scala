@@ -615,10 +615,13 @@ object Dedup {
     * chain a-b-c where only adjacent pairs clear `tau` still collapses
     * to one survivor. Deterministic given the k-means seed frame
     * (first k vectors by id): assignment and survivor choice both
-    * tie-break on ids. [rows-only]: the Lloyd iterations are not
-    * SQL-expressible; the planted-duplicate contract is spec-pinned
-    * instead (exact copies always collapse; survivors are component
-    * minima; verdict partitions the input).
+    * tie-break on ids. Oracle-checked end to end: the Lloyd
+    * iterations unroll as CTEs (the sim06 trick) and — because
+    * star-CC labels are component MINIMA — the duplicate groups are a
+    * recursive-CTE transitive closure + MIN per node, exact with no
+    * iteration-count dependence. The planted-duplicate contract
+    * (exact copies always collapse; survivors are component minima;
+    * verdict partitions the input) is additionally spec-pinned.
     */
   def dedup11Semantic(
       lake: Lake,

@@ -15,7 +15,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     // queries with no oracle get only the weaker rows-only gate — keep
     // that set explicit so a forgotten oracle entry fails loudly here
     val rowsOnly = Set(
-      "dedup05_simhash", "dedup11_semantic", "mm01_binary_meta",
+      "dedup05_simhash", "mm01_binary_meta",
       "rel11_approx_stats", "rel14_heavy_hitters", "sim03_lsh_ann",
       "txt18_bpe_encode"
     )
