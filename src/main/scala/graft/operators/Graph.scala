@@ -352,13 +352,12 @@ object Graph {
         .groupBy("dst")
         .agg(expr(s"$teleport + (85 * sum(contrib)) div 100").as("r"))
         .withColumnRenamed("dst", "node")
-        // Checkpoint each iterate even though the chain is linear:
-        // measured 5.4 s vs 6.4-7.0 s for the lazy 5-deep nested plan
-        // at sf0.1 — AQE re-optimizes every nested stage and each
-        // iteration's broadcast build blocks the driver anyway, so
-        // materializing the |V|-row frame is cheaper than carrying
-        // the lineage (and it caps task-retry recompute for free).
-        .localCheckpoint()
+      // Checkpoint every SECOND iterate (and the last): each
+      // checkpoint is a blocking driver job, and with the broadcast
+      // builds gone a 2-deep lazy chain plans fine — halving the
+      // materializations measured faster than checkpointing each
+      // iterate, while still capping lineage and task-retry recompute.
+      if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint()
       i += 1
     }
     ranks

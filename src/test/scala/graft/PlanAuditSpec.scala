@@ -141,6 +141,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
   }
 
+  test("graph07: OPTIONAL plans as a broadcast LEFT join, no cartesian") {
+    val p = plan(Graph.graph07OptionalFilter(lake))
+    // (constant predicates are folded into branch pruning, so the
+    // literal predicate strings don't survive into the physical plan)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("sim01: query side is broadcast, corpus is not shuffled") {
     val p = plan(Similarity.sim01TopKBruteForce(lake))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
