@@ -867,6 +867,38 @@ object SparkEntry {
          |  ROUND(MIN(cos), 4) AS min_cos, ROUND(MAX(cos), 4) AS max_cos
          |FROM j GROUP BY label
          |ORDER BY label""".stripMargin,
+    // sim03: the hyperplane-LSH ANN, oracle-checked by embedding the
+    // SAME deterministic splitmix64 plane constants as SQL literals
+    // (Double.toString round-trips exactly; both engines fold the dot
+    // product sequentially, so the 4-bit signatures match bit-for-bit
+    // and the bucket join reproduces the candidate set EXACTLY).
+    "sim03_lsh_ann" -> {
+      val planes = graft.operators.Similarity.lshPlanes(16, 4, 64)
+      val rows = for {
+        t <- planes.indices
+        b <- planes(t).indices
+      } yield s"($t,$b,[${planes(t)(b).mkString(",")}])"
+      s"""WITH pl(t, b, pv) AS (VALUES
+         |${rows.mkString(",\n")}),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sg AS (SELECT e.vec_id, pl.t AS tbl,
+         |    SUM(CASE WHEN list_dot_product(e.v, pl.pv) >= 0
+         |        THEN 1 << pl.b ELSE 0 END) AS sig
+         |  FROM e CROSS JOIN pl GROUP BY 1, 2),
+         |qs AS (SELECT vec_id AS query_id, tbl, sig FROM sg WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT qs.query_id, sg.vec_id
+         |  FROM sg JOIN qs ON sg.tbl = qs.tbl AND sg.sig = qs.sig
+         |  WHERE sg.vec_id != qs.query_id),
+         |s AS (SELECT c.query_id, c.vec_id, ${dkCos("q.v", "d.v")} AS cos_raw
+         |  FROM cand c JOIN e d ON c.vec_id = d.vec_id
+         |  JOIN e q ON c.query_id = q.vec_id),
+         |r AS (SELECT query_id, vec_id, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    },
     // sim05: the label-centroid coarse quantizer is sim04's oracle CTE
     // verbatim; probe ranking and the per-cell exhaustive re-rank are
     // plain window SQL. Float-safety: exact cosines are deterministic

@@ -106,9 +106,10 @@ object Similarity {
 
   /** ANN via random-hyperplane LSH: L tables x nBits hyperplanes.
     * Candidates = vectors sharing a (table, signature) bucket with the
-    * query; exact cosine re-rank within candidates. [rows-only — the
-    * deterministic hyperplane construction isn't oracle-expressible;
-    * recall vs sim01 is asserted in SimilaritySpec.]
+    * query; exact cosine re-rank within candidates. Oracle-checked
+    * exactly: the plane constants embed as SQL literals (see
+    * lshPlanes) so the oracle reproduces the same buckets bit-for-bit;
+    * recall vs sim01 is additionally asserted in spec.
     *
     * Parameter note: the synthetic embeddings are near-uniform on the
     * sphere (max pairwise cosine ≈ 0.51), the hardest case for LSH —
@@ -123,6 +124,23 @@ object Similarity {
     * candidate dedup is on (query_id, vec_id) ids only; vectors are
     * re-attached by one equi-join against the base scan plus one
     * broadcast join for the bounded query side. */
+  /** Deterministic pseudo-random hyperplanes: component (t, b, d) is
+    * a splitmix64-derived value in [-1, 1). Precomputed once on the
+    * driver and captured by the partition mapper — an expression-tree
+    * formulation would be a (tables x nBits x dim)-term codegen unit
+    * whose Janino compile alone costs seconds. Public because the
+    * oracle embeds the SAME constants as SQL literals (Double.toString
+    * round-trips exactly, and both engines fold the dot product
+    * sequentially, so signatures match bit-for-bit). */
+  def lshPlanes(tables: Int, nBits: Int, dim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables, nBits, dim) { (t, b, d) =>
+      var z = (t.toLong * 1000003L + b.toLong * 10007L + d.toLong + 1L) *
+        0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+
   def sim03LshAnn(
       lake: Lake,
       k: Int = 10,
@@ -133,19 +151,7 @@ object Similarity {
   ): DataFrame = {
     val all = vecs(lake)
 
-    // Deterministic pseudo-random hyperplanes: component (t, b, d) is
-    // a splitmix64-derived value in [-1, 1). Precomputed once on the
-    // driver and captured by the partition mapper — an expression-tree
-    // formulation here would be a (tables x nBits x dim)-term codegen
-    // unit whose Janino compile alone costs seconds.
-    val planes: Array[Array[Array[Double]]] =
-      Array.tabulate(tables, nBits, dim) { (t, b, d) =>
-        var z = (t.toLong * 1000003L + b.toLong * 10007L + d.toLong + 1L) *
-          0x9e3779b97f4a7c15L
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-      }
+    val planes = lshPlanes(tables, nBits, dim)
 
     val spark = lake.spark
     import spark.implicits._

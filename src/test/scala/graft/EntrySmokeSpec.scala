@@ -16,7 +16,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     // that set explicit so a forgotten oracle entry fails loudly here
     val rowsOnly = Set(
       "dedup05_simhash", "mm01_binary_meta",
-      "rel11_approx_stats", "rel14_heavy_hitters", "sim03_lsh_ann",
+      "rel11_approx_stats", "rel14_heavy_hitters",
       "txt18_bpe_encode"
     )
     assert(q -- o == rowsOnly, s"unexpected rows-only set: ${q -- o}")
