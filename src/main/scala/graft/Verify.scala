@@ -19,6 +19,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // SharedState creates the warehouse dir eagerly; anchor it under
+      // target/ (git-ignored) instead of scattering `spark-warehouse`
+      // into whatever cwd the verifier runs from.
+      .config(
+        "spark.sql.warehouse.dir",
+        new java.io.File("target/spark-warehouse").getAbsolutePath
+      )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
