@@ -92,6 +92,7 @@ object SparkEntry {
     "graph05_hierarchy_rollup4" -> q(Graph.graph05HierarchyRollup4),
     "graph06_pagerank" -> q(Graph.graph06Pagerank(_)),
     "graph07_optional_filter" -> q(Graph.graph07OptionalFilter),
+    "graph08_ancestor_paths" -> q(Graph.graph08AncestorPaths(_)),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1723,6 +1724,23 @@ object SparkEntry {
         |FROM p0 JOIN p1 ON p0.r = p1.r LEFT JOIN p2 ON p0.n = p2.n
         |WHERE rl <> 'ASIA'
         |ORDER BY nation_iri""".stripMargin,
+    "graph08_ancestor_paths" ->
+      """WITH RECURSIVE triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |ed AS (SELECT s AS src, o AS dst FROM triples
+        |       WHERE p IN ('in_nation', 'in_region')),
+        |r AS (
+        |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM ed
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN ed e ON r.dst = e.src
+        |  WHERE r.hops < 3)
+        |SELECT src AS start, dst AS ancestor, MIN(hops) AS min_hops
+        |FROM r GROUP BY src, dst
+        |ORDER BY start, ancestor""".stripMargin,
     "graph02_transitive_closure" ->
       """WITH RECURSIVE edges AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS src,

@@ -180,6 +180,39 @@ object Graph {
     filterExpr.fold(matched)(matched.filter)
   }
 
+  /** SPARQL property path `(p1|p2|…)+` (one-or-more) over a predicate
+    * union: every (start, ancestor, min_hops) pair reachable through
+    * edges whose predicate is in `preds` — the hierarchy-traversal
+    * idiom of the reference's ontology queries (skos:broader+ /
+    * rdfs:subClassOf+ in sparql_query.py's query surface). Compiles
+    * to the hop-bounded distributed closure (one equi-join per hop,
+    * cycle-safe), so the same SPARQL construct that oxigraph walks
+    * in-process scales out as joins. */
+  def propertyPathClosure(
+      triples: DataFrame,
+      preds: Seq[String],
+      maxHops: Int
+  ): DataFrame = {
+    val edges = triples
+      .filter(col("p").isin(preds: _*))
+      .select(col("s").as("src"), col("o").as("dst"))
+    transitiveClosure(edges, maxHops)
+  }
+
+  /** graph08: `?x (in_nation|in_region)+ ?a` — every node's ancestor
+    * set at any depth with the shortest hop count: customers reach
+    * their nation (1 hop) and region (2 hops), nations their region
+    * (1 hop). The 4-level OpenAlex rollup run as a SPARQL path rather
+    * than a fixed join chain. */
+  def graph08AncestorPaths(lake: Lake, maxHops: Int = 3): DataFrame =
+    propertyPathClosure(triples(lake), Seq("in_nation", "in_region"), maxHops)
+      .select(
+        col("src").as("start"),
+        col("dst").as("ancestor"),
+        col("min_hops")
+      )
+      .orderBy("start", "ancestor")
+
   /** graph07: OPTIONAL + FILTER over the triple store — `?n in_region
     * ?r . ?r label ?rl . OPTIONAL { ?n flagged ?fl } . FILTER(?rl !=
     * "ASIA")`. Nations keep their row whether or not the sparse

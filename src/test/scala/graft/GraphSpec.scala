@@ -95,6 +95,27 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("property path closure walks the predicate union with min hop counts") {
+    val triples = t3(
+      ("topic", "broader", "subfield"),
+      ("subfield", "broader", "field"),
+      ("field", "partof", "domain"),
+      ("topic", "label", "T") // non-path predicate must be ignored
+    )
+    val out = Graph
+      .propertyPathClosure(triples, Seq("broader", "partof"), maxHops = 4)
+      .collect()
+      .map(r => (r.getAs[String]("src"), r.getAs[String]("dst"), r.getAs[Long]("min_hops")))
+      .toSet
+    assert(
+      out == Set(
+        ("topic", "subfield", 1L), ("topic", "field", 2L), ("topic", "domain", 3L),
+        ("subfield", "field", 1L), ("subfield", "domain", 2L),
+        ("field", "domain", 1L)
+      )
+    )
+  }
+
   test("fixed-point pagerank: symmetry, hub dominance, and mass conservation") {
     import spark.implicits._
     def bidirected(pairs: (String, String)*) = {
