@@ -134,16 +134,19 @@ object Graph {
       patterns: Seq[(String, String, String)],
       broadcastIdx: Set[Int] = Set.empty,
       optionalIdx: Set[Int] = Set.empty,
-      filterExpr: Option[org.apache.spark.sql.Column] = None
+      filterExpr: Option[org.apache.spark.sql.Column] = None,
+      maxPathHops: Int = 8
   ): DataFrame = {
     require(patterns.nonEmpty, "BGP needs at least one pattern")
     require(
       !optionalIdx.contains(0),
       "the first pattern anchors the binding set and cannot be OPTIONAL"
     )
-    def scan(pat: (String, String, String)): DataFrame = {
-      val terms = Seq("s" -> pat._1, "p" -> pat._2, "o" -> pat._3)
-      var df = terms.foldLeft(triples) { case (acc, (c, t)) =>
+    // Constant-filter, repeated-variable-equality and variable
+    // projection over an arbitrary (column -> term) binding list —
+    // shared by plain triple scans and path-closure frames.
+    def bind(df0: DataFrame, terms: Seq[(String, String)]): DataFrame = {
+      var df = terms.foldLeft(df0) { case (acc, (c, t)) =>
         if (t.startsWith("?")) acc else acc.filter(col(c) === t)
       }
       val varTerms = terms.filter(_._2.startsWith("?"))
@@ -156,6 +159,20 @@ object Graph {
         .distinct
         .map(v => col(varTerms.find(_._2 == v).get._1).as(v.drop(1)))
       df.select(proj: _*)
+    }
+    def scan(pat: (String, String, String)): DataFrame = pat._2 match {
+      // SPARQL property path `p+` / `(p1|p2)+` as a pattern predicate:
+      // the pattern's solutions are the transitive closure over the
+      // predicate union, bound on (s, o) like any other pattern. The
+      // hop bound is `maxPathHops` (cycle-safe, same as graph02/08).
+      case p if !p.startsWith("?") && p.endsWith("+") =>
+        val preds = p.stripSuffix("+").stripPrefix("(").stripSuffix(")")
+          .split('|').toSeq
+        val closure = propertyPathClosure(triples, preds, maxPathHops)
+          .select(col("src").as("s"), col("dst").as("o"))
+        bind(closure, Seq("s" -> pat._1, "o" -> pat._3))
+      case _ =>
+        bind(triples, Seq("s" -> pat._1, "p" -> pat._2, "o" -> pat._3))
     }
     val matched = patterns.zipWithIndex.tail.foldLeft(scan(patterns.head)) {
       case (acc, (pat, i)) =>

@@ -95,6 +95,22 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("path patterns compose with plain patterns inside bgpMatch") {
+    val triples = t3(
+      ("topic", "broader", "subfield"),
+      ("subfield", "broader", "field"),
+      ("field", "label", "Field F"),
+      ("subfield", "label", "Subfield S")
+    )
+    val out = Graph
+      .bgpMatch(triples, Seq(("topic", "broader+", "?a"), ("?a", "label", "?al")))
+      .collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("al")))
+      .toSet
+    // both transitive ancestors of `topic` bind, each joined to its label
+    assert(out == Set(("subfield", "Subfield S"), ("field", "Field F")))
+  }
+
   test("property path closure walks the predicate union with min hop counts") {
     val triples = t3(
       ("topic", "broader", "subfield"),
