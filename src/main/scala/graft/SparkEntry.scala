@@ -873,6 +873,12 @@ object SparkEntry {
     // (Double.toString round-trips exactly; both engines fold the dot
     // product sequentially, so the 4-bit signatures match bit-for-bit
     // and the bucket join reproduces the candidate set EXACTLY).
+    // ENGINE-VERSION SENSITIVITY (advisor round-5): the bit-exactness
+    // rests on DuckDB's list_dot_product ALSO folding strictly
+    // sequentially without FMA/SIMD reassociation — an implementation
+    // detail of the current build. If a DuckDB upgrade flips a
+    // near-zero sign bit, this oracle (not the operator) changes; the
+    // recall assertion in DedupSimilaritySpec is the stable backstop.
     "sim03_lsh_ann" -> {
       val planes = graft.operators.Similarity.lshPlanes(16, 4, 64)
       val rows = for {

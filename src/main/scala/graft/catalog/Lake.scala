@@ -84,8 +84,7 @@ final case class Lake(spark: SparkSession, dir: String) {
     // nanos conf must hold for any later spark.sql over activity.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tableNames.foreach(n => resolve(n).createOrReplaceTempView(n))
-    val whBase =
-      s"${System.getProperty("java.io.tmpdir")}/graft-warehouse"
+    val whBase = Lake.warehouseBase
     schemaOf.values.toSeq.distinct.sorted.foreach { db =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$whBase/$db.db'")
     }
@@ -104,4 +103,16 @@ final case class Lake(spark: SparkSession, dir: String) {
       spark.sql(s"CREATE OR REPLACE VIEW ${qualified(n)} AS $sel")
     }
   }
+}
+
+object Lake {
+  /** Per-process warehouse root for the schema databases. A fixed
+    * world-shared `${java.io.tmpdir}/graft-warehouse` path lets
+    * concurrent sessions collide (and a pre-existing path owned by
+    * another user on a multi-user host is a hijack risk) — so each JVM
+    * creates its own private directory once and every Lake in the
+    * process shares it (advisor round-5 note). The databases hold only
+    * view definitions, so the directory stays tiny and mode-0700. */
+  private[catalog] lazy val warehouseBase: String =
+    java.nio.file.Files.createTempDirectory("graft-warehouse-").toString
 }

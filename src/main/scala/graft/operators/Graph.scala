@@ -383,6 +383,9 @@ object Graph {
     // for a scheduling round-trip. Integer-exact vs the oracle: all
     // operands are positive, so Scala Long division == SQL `div`/`//`.
     val n = nodes.count()
+    // Empty graph: no nodes means no ranks — return the empty frame
+    // with the loop's schema instead of dividing by zero (advisor r5).
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("r"))
     val perNode = totalMass / n
     val teleport = (15L * perNode) / 100L
     // Seed is NOT checkpointed: it is a pure projection of the

@@ -32,4 +32,29 @@ class CliSpec extends AnyFunSuite {
       "comment prefixes must not smuggle DDL through"
     )
   }
+
+  test("SQL gate rejects CTE-prefixed DML (Spark grammar: ctes? dmlStatementNoWith)") {
+    assert(
+      Cli.validateReadOnly(
+        "WITH t AS (SELECT 1) INSERT OVERWRITE DIRECTORY '/tmp/x' USING parquet SELECT * FROM t").isLeft,
+      "WITH ... INSERT must not pass the head-keyword check"
+    )
+    assert(Cli.validateReadOnly("WITH t AS (SELECT 1) INSERT INTO orders SELECT * FROM t").isLeft)
+    assert(Cli.validateReadOnly("WITH t AS (SELECT 1) DELETE FROM orders").isLeft)
+    assert(Cli.validateReadOnly("WITH t AS (SELECT 1) MERGE INTO orders USING t ON true WHEN MATCHED THEN DELETE").isLeft)
+  }
+
+  test("SQL gate keyword scan ignores literals, identifiers, and comments") {
+    // Blocked words inside strings/quoted identifiers are data, not SQL.
+    assert(Cli.validateReadOnly("SELECT 'insert into x' AS s").isRight)
+    assert(Cli.validateReadOnly("SELECT `drop` FROM orders").isRight)
+    assert(Cli.validateReadOnly("SELECT 1 -- drop table orders").isRight)
+    // A ';' inside a literal is one statement (advisor round-5 note).
+    assert(Cli.validateReadOnly("SELECT 'a;b' AS s").isRight)
+    // Underscored names that CONTAIN a blocked word are distinct tokens.
+    assert(Cli.validateReadOnly("SELECT date_add(date '2024-01-01', 1)").isRight)
+    assert(Cli.validateReadOnly("SELECT regexp_replace(c, 'a', 'b') FROM orders").isRight)
+    // But the bare keyword outside any literal is still caught anywhere.
+    assert(Cli.validateReadOnly("SELECT * FROM orders WHERE 1=1 UNION SELECT 1; DROP TABLE x").isLeft)
+  }
 }
