@@ -93,6 +93,7 @@ object SparkEntry {
     "graph06_pagerank" -> q(Graph.graph06Pagerank(_)),
     "graph07_optional_filter" -> q(Graph.graph07OptionalFilter),
     "graph08_ancestor_paths" -> q(Graph.graph08AncestorPaths(_)),
+    "graph09_sparql_text" -> q(Graph.graph09SparqlText),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1730,6 +1731,39 @@ object SparkEntry {
         |FROM p0 JOIN p1 ON p0.r = p1.r LEFT JOIN p2 ON p0.n = p2.n
         |WHERE rl <> 'ASIA'
         |ORDER BY nation_iri""".stripMargin,
+    // graph09: the SPARQL-text query compiled by graft.sparql.Sparql —
+    // the oracle is the de-sugared algebra (closure + label join +
+    // left join on the sparse annotation + filter), so it checks the
+    // PARSER end-to-end: a mis-parsed OPTIONAL or FILTER changes rows.
+    "graph09_sparql_text" ->
+      """WITH RECURSIVE triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0),
+        |ed AS (SELECT s AS src, o AS dst FROM triples
+        |       WHERE p IN ('in_nation', 'in_region')),
+        |r AS (
+        |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM ed
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN ed e ON r.dst = e.src
+        |  WHERE r.hops < 8),
+        |cl AS (SELECT src AS c, dst AS anc FROM r GROUP BY src, dst),
+        |lab AS (SELECT s AS anc, o AS l FROM triples WHERE p = 'label'),
+        |flg AS (SELECT s AS anc, o AS fl FROM triples WHERE p = 'flagged')
+        |SELECT cl.c, cl.anc, lab.l, flg.fl
+        |FROM cl JOIN lab ON cl.anc = lab.anc
+        |LEFT JOIN flg ON cl.anc = flg.anc
+        |WHERE lab.l <> 'ASIA'
+        |ORDER BY cl.c, cl.anc""".stripMargin,
     "graph08_ancestor_paths" ->
       """WITH RECURSIVE triples AS (
         |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,

@@ -230,6 +230,29 @@ object Graph {
       )
       .orderBy("start", "ancestor")
 
+  /** graph09: the SPARQL surface as TEXT — the reference's actual
+    * interface is a query string handed to `run_query(store, query)`
+    * (reference: scripts/sparql_query.py:89, prefix injection :52).
+    * One string exercises the full supported fragment — PREFIX, a
+    * property path `(p1|p2)+`, a plain BGP pattern, OPTIONAL, FILTER,
+    * ORDER BY — compiled by [[graft.sparql.Sparql]] into the same
+    * bgpMatch plan the hand-built graph07/08 queries use: every
+    * (start, ancestor) pair at any depth, the ancestor's label, its
+    * sparse `flagged` annotation when present, ASIA pruned. */
+  def graph09SparqlText(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """PREFIX p: <in_>
+        |SELECT ?c ?anc ?l ?fl
+        |WHERE {
+        |  ?c (p:nation|p:region)+ ?anc .
+        |  ?anc <label> ?l .
+        |  OPTIONAL { ?anc <flagged> ?fl } .
+        |  FILTER(?l != "ASIA")
+        |}
+        |ORDER BY ?c ?anc""".stripMargin
+    )
+
   /** graph07: OPTIONAL + FILTER over the triple store — `?n in_region
     * ?r . ?r label ?rl . OPTIONAL { ?n flagged ?fl } . FILTER(?rl !=
     * "ASIA")`. Nations keep their row whether or not the sparse

@@ -1,0 +1,372 @@
+package graft.sparql
+
+import graft.operators.Graph
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr}
+
+/** SPARQL *text* front-end — the reference's actual graph interface is
+  * a string (reference: scripts/sparql_query.py:89 `run_query(store,
+  * query)` executes arbitrary SPARQL SELECT text, with prefix
+  * injection at :52 and named-graph wrapping at :60). graft has had
+  * the semantics (BGP, OPTIONAL, FILTER, property paths) behind
+  * `Graph.bgpMatch` since round 4; this parser closes the UX gap by
+  * compiling the already-supported fragment from SPARQL text:
+  *
+  * {{{
+  *   PREFIX pre: <iri>            -- any number
+  *   SELECT ?v1 ?v2 | *
+  *   WHERE {
+  *     s p o .                    -- terms: ?var | <iri> | pre:local | "lit"
+  *     OPTIONAL { s p o } .       -- exactly one triple per OPTIONAL
+  *     FILTER(expr) .             -- ?v comparisons, && || !, REGEX/
+  *   }                            --   CONTAINS/STRSTARTS/STRENDS/
+  *   ORDER BY ?v1 ?v2             --   STRLEN/LCASE/UCASE/BOUND
+  *   LIMIT n
+  * }}}
+  *
+  * plus property paths in the predicate position: `<p>+` and
+  * `(<p1>|<p2>)+` (one-or-more over a predicate union), compiled to
+  * the hop-bounded distributed closure. Anything outside the fragment
+  * (UNION, GRAPH, subqueries, `?p` predicate variables with paths,
+  * bare alternation without `+`, DESC, …) is rejected with a message
+  * naming the construct — never silently misparsed.
+  *
+  * The compiled query runs as ordinary Catalyst plans: each pattern is
+  * a constant-filtered scan of the (s, p, o) triple frame, patterns
+  * join on shared variables, OPTIONAL is a left join, FILTER a
+  * post-group predicate — so the same text that oxigraph walks
+  * in-process scales out as joins.
+  */
+object Sparql {
+
+  final case class ParsedQuery(
+      selectVars: Seq[String], // without '?'; empty => SELECT *
+      patterns: Seq[(String, String, String)],
+      optionalIdx: Set[Int],
+      filterSql: Option[String], // translated to Spark SQL text
+      orderBy: Seq[String],
+      limit: Option[Int]
+  )
+
+  final case class SparqlParseError(msg: String)
+      extends IllegalArgumentException(s"SPARQL parse error: $msg")
+
+  /** Execute a SPARQL SELECT string against an (s, p, o) triple frame. */
+  def run(triples: DataFrame, query: String, maxPathHops: Int = 8): DataFrame = {
+    val p = parse(query)
+    val matched = Graph.bgpMatch(
+      triples,
+      p.patterns,
+      optionalIdx = p.optionalIdx,
+      filterExpr = p.filterSql.map(expr),
+      maxPathHops = maxPathHops
+    )
+    p.selectVars.filterNot(matched.columns.contains) match {
+      case missing if missing.nonEmpty =>
+        throw SparqlParseError(
+          s"SELECT variable(s) ${missing.mkString(", ")} not bound by any pattern")
+      case _ =>
+    }
+    val selected =
+      if (p.selectVars.isEmpty) matched
+      else matched.select(p.selectVars.map(col): _*)
+    val ordered =
+      if (p.orderBy.isEmpty) selected else selected.orderBy(p.orderBy.map(col): _*)
+    p.limit.fold(ordered)(ordered.limit)
+  }
+
+  // ---------------------------------------------------------------- parse
+
+  def parse(query: String): ParsedQuery = {
+    val noComments = stripComments(query)
+    val (noFilters, filterBodies) = extractFilters(noComments)
+    val toks = tokenize(noFilters)
+    val st = new TokenStream(toks)
+
+    // PREFIX decls
+    var prefixes = Map.empty[String, String]
+    while (st.peekKeyword("PREFIX")) {
+      st.next() // PREFIX
+      val name = st.next()
+      if (!name.endsWith(":"))
+        throw SparqlParseError(s"PREFIX name must end with ':' (got '$name')")
+      val iri = st.next()
+      if (!(iri.startsWith("<") && iri.endsWith(">")))
+        throw SparqlParseError(s"PREFIX IRI must be <...> (got '$iri')")
+      prefixes += (name.dropRight(1) -> iri.substring(1, iri.length - 1))
+    }
+
+    if (!st.peekKeyword("SELECT"))
+      throw SparqlParseError(
+        s"only SELECT queries are supported (got '${st.peekOr("<end>")}')")
+    st.next()
+
+    var selectVars = Vector.empty[String]
+    if (st.peek == Some("*")) st.next()
+    else {
+      while (st.peek.exists(_.startsWith("?"))) selectVars :+= st.next().drop(1)
+      if (selectVars.isEmpty)
+        throw SparqlParseError("SELECT needs at least one ?var or *")
+    }
+
+    if (!st.peekKeyword("WHERE")) throw SparqlParseError("expected WHERE")
+    st.next()
+    st.expect("{")
+
+    def term(t: String): String =
+      if (t.startsWith("?")) t
+      else if (t.startsWith("<") && t.endsWith(">")) t.substring(1, t.length - 1)
+      else if (t.startsWith("\"") && t.endsWith("\"")) t.substring(1, t.length - 1)
+      else if (t.contains(":")) {
+        val Array(p, local) = t.split(":", 2)
+        prefixes.getOrElse(
+          p,
+          throw SparqlParseError(s"unknown prefix '$p:' in '$t'")
+        ) + local
+      } else
+        throw SparqlParseError(
+          s"unsupported term '$t' (expected ?var, <iri>, prefix:local, or \"literal\")")
+
+    // Predicate position: plain term, term+, or (t1|t2|...)+ .
+    def path(): String = {
+      if (st.peek == Some("(")) {
+        st.next()
+        var alts = Vector(term(st.next()))
+        while (st.peek == Some("|")) { st.next(); alts :+= term(st.next()) }
+        st.expect(")")
+        if (st.peek == Some("+")) { st.next(); s"(${alts.mkString("|")})+" }
+        else
+          throw SparqlParseError(
+            "bare alternation without '+' is not supported (use (p1|p2)+)")
+      } else {
+        val t = st.next()
+        val base = term(t)
+        if (st.peek == Some("+")) {
+          st.next()
+          if (base.startsWith("?"))
+            throw SparqlParseError("property paths over a ?variable are not supported")
+          base + "+"
+        } else base
+      }
+    }
+
+    def triple(): (String, String, String) = {
+      val s = term(st.next())
+      val p = path()
+      val o = term(st.next())
+      (s, p, o)
+    }
+
+    var patterns = Vector.empty[(String, String, String)]
+    var optionalIdx = Set.empty[Int]
+    while (st.peek != Some("}")) {
+      st.peek match {
+        case None => throw SparqlParseError("unterminated WHERE group (missing '}')")
+        case Some(t) if t.equalsIgnoreCase("OPTIONAL") =>
+          st.next()
+          st.expect("{")
+          patterns :+= triple()
+          optionalIdx += (patterns.length - 1)
+          if (st.peek == Some(".")) st.next()
+          if (st.peek != Some("}"))
+            throw SparqlParseError(
+              "OPTIONAL groups with more than one triple are not supported")
+          st.next() // }
+          if (st.peek == Some(".")) st.next()
+        case Some(t) if t.equalsIgnoreCase("UNION") || t.equalsIgnoreCase("GRAPH") ||
+            t.equalsIgnoreCase("MINUS") || t.equalsIgnoreCase("BIND") ||
+            t.equalsIgnoreCase("VALUES") || t.equalsIgnoreCase("SERVICE") =>
+          throw SparqlParseError(s"${t.toUpperCase} is not supported by this fragment")
+        case _ =>
+          patterns :+= triple()
+          if (st.peek == Some(".")) st.next()
+      }
+    }
+    st.next() // }
+    if (patterns.isEmpty) throw SparqlParseError("WHERE group has no triple patterns")
+
+    var orderBy = Vector.empty[String]
+    if (st.peekKeyword("ORDER")) {
+      st.next()
+      if (!st.peekKeyword("BY")) throw SparqlParseError("expected BY after ORDER")
+      st.next()
+      while (st.peek.exists(_.startsWith("?"))) orderBy :+= st.next().drop(1)
+      if (st.peek.exists(t => t.equalsIgnoreCase("DESC") || t.equalsIgnoreCase("ASC")))
+        throw SparqlParseError("ORDER BY ASC()/DESC() is not supported (plain ?vars only)")
+      if (orderBy.isEmpty) throw SparqlParseError("ORDER BY needs at least one ?var")
+    }
+
+    var limit = Option.empty[Int]
+    if (st.peekKeyword("LIMIT")) {
+      st.next()
+      val n = st.next()
+      limit = Some(
+        try n.toInt
+        catch { case _: NumberFormatException => throw SparqlParseError(s"LIMIT expects an integer (got '$n')") })
+    }
+
+    st.peek.foreach(t => throw SparqlParseError(s"unexpected trailing token '$t'"))
+
+    val filterSql = filterBodies.map(translateFilter) match {
+      case Seq()  => None
+      case exprs  => Some(exprs.map(e => s"($e)").mkString(" AND "))
+    }
+    ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit)
+  }
+
+  // ------------------------------------------------------------- lexing
+
+  /** `#` comments run to end-of-line, except inside "…" or <…>. */
+  private def stripComments(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    var inStr = false
+    var inIri = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' && !inIri) inStr = !inStr
+      else if (c == '<' && !inStr) inIri = true
+      else if (c == '>' && !inStr) inIri = false
+      if (c == '#' && !inStr && !inIri) {
+        while (i < s.length && s.charAt(i) != '\n') i += 1
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Splice every FILTER(...) out of the text (balanced parens,
+    * quote-aware) and return the remaining text plus the raw bodies.
+    * FILTER is group-level in this fragment, so position is
+    * irrelevant — all bodies AND together over the final bindings. */
+  private def extractFilters(s: String): (String, Seq[String]) = {
+    val bodies = Vector.newBuilder[String]
+    val out = new StringBuilder(s.length)
+    val kw = "(?i)\\bFILTER\\b".r
+    var rest = s
+    var done = false
+    while (!done) {
+      // Ignore FILTER spelled inside a string literal (odd count of
+      // '"' before the match means we're mid-literal).
+      kw.findAllMatchIn(rest)
+        .find(m => rest.substring(0, m.start).count(_ == '"') % 2 == 0) match {
+        case None => out.append(rest); done = true
+        case Some(m) =>
+          out.append(rest.substring(0, m.start))
+          var i = m.end
+          while (i < rest.length && rest.charAt(i).isWhitespace) i += 1
+          if (i >= rest.length || rest.charAt(i) != '(')
+            throw SparqlParseError("FILTER must be followed by a parenthesized expression")
+          var depth = 0
+          var inStr = false
+          val start = i
+          var end = -1
+          while (i < rest.length && end < 0) {
+            val c = rest.charAt(i)
+            if (c == '"') inStr = !inStr
+            else if (!inStr && c == '(') depth += 1
+            else if (!inStr && c == ')') { depth -= 1; if (depth == 0) end = i }
+            i += 1
+          }
+          if (end < 0) throw SparqlParseError("unbalanced parentheses in FILTER")
+          bodies += rest.substring(start + 1, end)
+          rest = rest.substring(end + 1)
+          // A '.' terminator after the FILTER is legal noise.
+          val trimmed = rest.dropWhile(_.isWhitespace)
+          if (trimmed.startsWith(".")) rest = trimmed.drop(1)
+      }
+    }
+    (out.toString, bodies.result())
+  }
+
+  private val Punct = Set('{', '}', '(', ')', '.', '|', '+', '*')
+
+  private def tokenize(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (Punct(c)) { out += c.toString; i += 1 }
+      else if (c == '<') {
+        val j = s.indexOf('>', i)
+        if (j < 0) throw SparqlParseError("unterminated <IRI>")
+        out += s.substring(i, j + 1); i = j + 1
+      } else if (c == '"') {
+        val j = s.indexOf('"', i + 1)
+        if (j < 0) throw SparqlParseError("unterminated string literal")
+        out += s.substring(i, j + 1); i = j + 1
+      } else {
+        val start = i
+        while (i < s.length && !s.charAt(i).isWhitespace && !Punct(s.charAt(i)) &&
+          s.charAt(i) != '<' && s.charAt(i) != '"') i += 1
+        out += s.substring(start, i)
+      }
+    }
+    out.result()
+  }
+
+  private final class TokenStream(toks: Vector[String]) {
+    private var pos = 0
+    def peek: Option[String] = if (pos < toks.length) Some(toks(pos)) else None
+    def peekOr(alt: String): String = peek.getOrElse(alt)
+    def peekKeyword(kw: String): Boolean = peek.exists(_.equalsIgnoreCase(kw))
+    def next(): String = {
+      if (pos >= toks.length) throw SparqlParseError("unexpected end of query")
+      val t = toks(pos); pos += 1; t
+    }
+    def expect(t: String): Unit = {
+      val got = next()
+      if (got != t) throw SparqlParseError(s"expected '$t', got '$got'")
+    }
+  }
+
+  // ---------------------------------------------------- FILTER translation
+
+  /** SPARQL builtins with a direct Spark SQL spelling. REGEX maps to
+    * regexp_like (same (str, pattern) argument order). */
+  private val FnMap = Map(
+    "REGEX" -> "regexp_like", "CONTAINS" -> "contains",
+    "STRSTARTS" -> "startswith", "STRENDS" -> "endswith",
+    "STRLEN" -> "length", "LCASE" -> "lower", "UCASE" -> "upper"
+  )
+
+  /** Translate a SPARQL FILTER body to Spark SQL: `?v` → column name,
+    * `"lit"` → `'lit'`, `&&`/`||`/`!` → AND/OR/NOT, `BOUND(x)` →
+    * `x IS NOT NULL`, builtins per FnMap. Operator/keyword rewrites
+    * are quote-aware — a `!` or `&&` inside a string literal is data. */
+  private[graft] def translateFilter(body: String): String = {
+    // Split into alternating code / "string" segments.
+    val segs = Vector.newBuilder[(String, Boolean)] // (text, isString)
+    var i = 0
+    var segStart = 0
+    var inStr = false
+    while (i < body.length) {
+      if (body.charAt(i) == '"') {
+        if (!inStr) {
+          segs += ((body.substring(segStart, i), false)); segStart = i + 1
+        } else {
+          segs += ((body.substring(segStart, i), true)); segStart = i + 1
+        }
+        inStr = !inStr
+      }
+      i += 1
+    }
+    if (inStr) throw SparqlParseError("unterminated string literal in FILTER")
+    segs += ((body.substring(segStart), false))
+
+    segs.result().map {
+      case (txt, true) => "'" + txt.replace("'", "''") + "'"
+      case (txt, false) =>
+        var t = txt
+        t = t.replaceAll("\\?([A-Za-z_]\\w*)", "$1")
+        t = "(?i)\\bBOUND\\s*\\(\\s*(\\w+)\\s*\\)".r
+          .replaceAllIn(t, mm => s"(${mm.group(1)} IS NOT NULL)")
+        FnMap.foreach { case (sp, sql) =>
+          t = t.replaceAll(s"(?i)\\b$sp\\s*\\(", sql + "(")
+        }
+        t = t.replace("&&", " AND ").replace("||", " OR ")
+        t = t.replaceAll("!(?![=])", " NOT ")
+        t
+    }.mkString
+  }
+}

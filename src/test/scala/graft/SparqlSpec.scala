@@ -1,0 +1,151 @@
+package graft
+
+import graft.sparql.Sparql
+import graft.sparql.Sparql.SparqlParseError
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparqlSpec extends AnyFunSuite {
+
+  // -------------------------------------------------------- parse-only
+
+  test("parses PREFIX declarations and expands prefixed names") {
+    val p = Sparql.parse(
+      """PREFIX n: <nat:>
+        |PREFIX pr: <in_>
+        |SELECT ?c WHERE { ?c pr:nation n:4 }""".stripMargin)
+    assert(p.patterns == Seq(("?c", "in_nation", "nat:4")))
+    assert(p.selectVars == Seq("c"))
+  }
+
+  test("parses <iri> terms, string-literal objects, and triple terminators") {
+    val p = Sparql.parse(
+      """SELECT ?r WHERE { ?r <label> "ASIA" . ?x <in_region> ?r . }""")
+    assert(p.patterns == Seq(("?r", "label", "ASIA"), ("?x", "in_region", "?r")))
+  }
+
+  test("parses OPTIONAL as a left-joined pattern index") {
+    val p = Sparql.parse(
+      """SELECT ?n ?fl WHERE {
+        |  ?n <in_region> ?r .
+        |  OPTIONAL { ?n <flagged> ?fl }
+        |}""".stripMargin)
+    assert(p.patterns.length == 2)
+    assert(p.optionalIdx == Set(1))
+  }
+
+  test("parses property paths: <p>+ and (p1|p2)+ with prefixed alternatives") {
+    val p1 = Sparql.parse("SELECT ?a WHERE { ?x <in_nation>+ ?a }")
+    assert(p1.patterns == Seq(("?x", "in_nation+", "?a")))
+    val p2 = Sparql.parse(
+      "PREFIX p: <in_> SELECT ?a WHERE { ?x (p:nation|p:region)+ ?a }")
+    assert(p2.patterns == Seq(("?x", "(in_nation|in_region)+", "?a")))
+  }
+
+  test("translates FILTER bodies to Spark SQL (vars, literals, &&/||/!, builtins)") {
+    assert(Sparql.translateFilter("""?l != "ASIA"""") == "l != 'ASIA'")
+    assert(
+      Sparql.translateFilter("""?a = "x" && ?b != "y"""") ==
+        "a = 'x'  AND  b != 'y'")
+    assert(Sparql.translateFilter("""BOUND(?fl)""") == "(fl IS NOT NULL)")
+    assert(Sparql.translateFilter("""!BOUND(?fl)""") == " NOT (fl IS NOT NULL)")
+    assert(
+      Sparql.translateFilter("""REGEX(?l, "^A")""") == "regexp_like(l, '^A')")
+    assert(
+      Sparql.translateFilter("""STRSTARTS(?l, "A") || CONTAINS(?l, "!")""") ==
+        "startswith(l, 'A')  OR  contains(l, '!')")
+    // '!' and '&&' INSIDE a literal are data, not operators.
+    assert(Sparql.translateFilter("""?l != "a!b&&c"""") == "l != 'a!b&&c'")
+  }
+
+  test("parses ORDER BY and LIMIT; '#' comments are stripped") {
+    val p = Sparql.parse(
+      """SELECT ?n ?r WHERE {   # bindings
+        |  ?n <in_region> ?r    # one pattern
+        |} ORDER BY ?r ?n LIMIT 7""".stripMargin)
+    assert(p.orderBy == Seq("r", "n"))
+    assert(p.limit == Some(7))
+  }
+
+  test("rejects unsupported syntax with a named construct") {
+    def rejects(q: String, fragment: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
+    }
+    rejects("ASK WHERE { ?s <p> ?o }", "only SELECT")
+    rejects("SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } }", "term")
+    rejects(
+      "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?a . ?s <r> ?b } }",
+      "OPTIONAL groups with more than one triple")
+    rejects("SELECT ?s WHERE { ?s (<p>|<q>) ?o }", "bare alternation")
+    rejects("SELECT ?s WHERE { ?s ?p+ ?o }", "paths over a ?variable")
+    rejects("SELECT ?s WHERE { ?s unknown:p ?o }", "unknown prefix")
+    rejects("SELECT ?s WHERE { ?s <p> ?o } ORDER BY ?s DESC", "DESC")
+    rejects("SELECT ?s WHERE { }", "no triple patterns")
+    rejects("SELECT ?s WHERE { ?s <p> ?o } LIMIT x", "integer")
+    rejects("SELECT ?s WHERE { ?s <p> ?o } GARBAGE", "trailing")
+  }
+
+  // ---------------------------------------------------------- execution
+
+  test("end-to-end: text query equals the hand-built bgpMatch plan") {
+    val spark = SparkSession.builder
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    try {
+      val triples = Seq(
+        ("cust:1", "in_nation", "nat:1"),
+        ("cust:2", "in_nation", "nat:2"),
+        ("nat:1", "in_region", "reg:1"),
+        ("nat:2", "in_region", "reg:2"),
+        ("nat:1", "label", "FRANCE"),
+        ("nat:2", "label", "CHINA"),
+        ("reg:1", "label", "EUROPE"),
+        ("reg:2", "label", "ASIA"),
+        ("nat:2", "flagged", "true")
+      ).toDF("s", "p", "o")
+
+      val text = Sparql.run(
+        triples,
+        """SELECT ?c ?anc ?l ?fl
+          |WHERE {
+          |  ?c (<in_nation>|<in_region>)+ ?anc .
+          |  ?anc <label> ?l .
+          |  OPTIONAL { ?anc <flagged> ?fl } .
+          |  FILTER(?l != "ASIA")
+          |}
+          |ORDER BY ?c ?anc""".stripMargin
+      ).collect().map(r => (r.getString(0), r.getString(1), r.getString(2), Option(r.getString(3))))
+
+      // Hand-derived: closure pairs, ASIA ancestors pruned, flag sparse.
+      assert(text.toSeq == Seq(
+        ("cust:1", "nat:1", "FRANCE", None),
+        ("cust:1", "reg:1", "EUROPE", None),
+        ("cust:2", "nat:2", "CHINA", Some("true")),
+        ("nat:1", "reg:1", "EUROPE", None)
+      ))
+
+      // SELECT *, LIMIT, and a BOUND filter through the text surface.
+      val bound = Sparql.run(
+        triples,
+        """SELECT ?n WHERE { ?n <in_region> ?r . OPTIONAL { ?n <flagged> ?fl }
+          |  FILTER(BOUND(?fl)) } ORDER BY ?n""".stripMargin
+      ).collect().map(_.getString(0))
+      assert(bound.toSeq == Seq("nat:2"))
+
+      val limited = Sparql.run(
+        triples,
+        "SELECT ?s WHERE { ?s <label> ?l } ORDER BY ?s LIMIT 2"
+      ).count()
+      assert(limited == 2)
+
+      // Unbound SELECT var is a parse-level error, not a Catalyst one.
+      val e = intercept[SparqlParseError](
+        Sparql.run(triples, "SELECT ?zzz WHERE { ?s <label> ?l }"))
+      assert(e.getMessage.contains("not bound"))
+    } finally spark.stop()
+  }
+}
