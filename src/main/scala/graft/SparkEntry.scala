@@ -65,6 +65,8 @@ object SparkEntry {
     "cat02_snapshot_diff" -> q(CatalogOps.cat02SnapshotDiff),
     "ing01_upsert" -> q(CatalogOps.ing01Upsert),
     "ing02_scd2_history" -> q(CatalogOps.ing02Scd2History),
+    "ing03_ntriples" -> q(graft.sources.Rdf.ing03Ntriples),
+    "ing04_obo_closure" -> q(graft.sources.Rdf.ing04OboClosure),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),
@@ -684,6 +686,48 @@ object SparkEntry {
         |FROM merged
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+    // ing03: the Spark side serializes the lake's triple store to
+    // N-Triples text and parses it back; the oracle rebuilds the same
+    // triple set directly — a serializer or parser defect (bracket
+    // stripping, literal flagging, escape handling) changes rows.
+    "ing03_ntriples" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o, FALSE AS is_literal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR), FALSE FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name, TRUE
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name, TRUE
+        |  FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true', TRUE
+        |  FROM nation WHERE n_nationkey % 3 = 0)
+        |SELECT s, p, o, is_literal FROM triples
+        |ORDER BY s, p, o""".stripMargin,
+    // ing04: the OBO fixture's expected parse is written out
+    // independently as VALUES (DuckDB cannot parse OBO); the closure
+    // over those edges replays what the Spark side computes from the
+    // parsed file through the SPARQL text front-end.
+    "ing04_obo_closure" ->
+      """WITH RECURSIVE ed(src, dst) AS (
+        |  VALUES ('GT:0002', 'GT:0001'), ('GT:0003', 'GT:0002'),
+        |         ('GT:0003', 'GT:0001')),
+        |lab(id, l) AS (
+        |  VALUES ('GT:0001', 'root concept'), ('GT:0002', 'middle concept'),
+        |         ('GT:0003', 'leaf concept'), ('GT:0004', 'obsolete concept')),
+        |r AS (
+        |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM ed
+        |  UNION ALL
+        |  SELECT r.src, e.dst, r.hops + 1 FROM r JOIN ed e ON r.dst = e.src
+        |  WHERE r.hops < 8),
+        |cl AS (SELECT src AS t, dst AS anc FROM r GROUP BY src, dst)
+        |SELECT cl.t, cl.anc, lab.l FROM cl JOIN lab ON cl.anc = lab.id
+        |ORDER BY cl.t, cl.anc""".stripMargin,
     "q12_late_shipments" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_lineitems,

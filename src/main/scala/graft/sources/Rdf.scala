@@ -1,0 +1,300 @@
+package graft.sources
+
+import graft.catalog.Lake
+import graft.plans.NtUnescape
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** RDF / ontology-format ingestion — the input side of the reference's
+  * graph story (reference: scripts/convert_ontologies.py — 13
+  * ontologies from OBO/SKOS/RDF-XML/Turtle into parquet triple and
+  * term tables; `_convert_to_ntriples` at :155, `export_parquet_obo`
+  * at :254, `export_parquet_skos` at :327). Two line-oriented formats
+  * cover the pipeline without any external RDF library:
+  *
+  *  - '''N-Triples''' (`<s> <p> <o> .` / `<s> <p> "lit"@lang .`): the
+  *    normal form every other RDF syntax converts to (the reference
+  *    converts OBO/CSV to exactly this for oxigraph ingestion). Each
+  *    line is independent, so the reader is embarrassingly parallel —
+  *    a plain splittable text scan + regex projection; a 100 TB triple
+  *    dump distributes like any other flat file.
+  *  - '''OBO''' (stanza format: `[Term]` blocks of `key: value`
+  *    lines): stanzas span lines, so folding needs file order. Files
+  *    are read `wholetext` and split with posexplode — exact line
+  *    numbering regardless of how the scan would otherwise split
+  *    files. Ontologies are reference data (the reference's 13 total
+  *    well under a GB), so per-file memory is bounded and parallelism
+  *    comes from the file count; corpus-scale data never flows
+  *    through this reader.
+  *
+  * Both feed the existing (s, p, o) triple schema, so bgpMatch /
+  * property paths / the SPARQL text front-end run over ingested
+  * ontology files unchanged.
+  */
+object Rdf {
+
+  // ------------------------------------------------------------ N-Triples
+
+  /** `<subj>` or `_:blank`, `<pred>`, then the object run up to the
+    * final `.` — object sub-parse happens in a second regex because
+    * literals may contain escaped quotes and a trailing `@lang` or
+    * `^^<datatype>`. */
+  private val LineRe = """^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(.*?)\s*\.\s*$"""
+  private val LitRe = """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?$"""
+
+  /** Parse an N-Triples file (or directory/glob of them) into
+    * (s, p, o, o_lang, o_datatype, is_literal). IRIs are returned
+    * without their angle brackets; blank nodes keep their `_:` prefix;
+    * literal objects are unescaped. Comment (`#`) and blank lines are
+    * skipped; lines that match neither are dropped (count them by
+    * diffing against the raw line count — rdflib, the reference's
+    * parser, hard-errors instead; a distributed reader reports rather
+    * than dies at line 10^12). */
+  def readNTriples(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .select(trim(col("value")).as("line"))
+      .filter(col("line") =!= "" && !col("line").startsWith("#"))
+    val parts = lines.select(
+      regexp_extract(col("line"), LineRe, 1).as("s_raw"),
+      regexp_extract(col("line"), LineRe, 2).as("p_raw"),
+      regexp_extract(col("line"), LineRe, 3).as("o_raw")
+    ).filter(col("s_raw") =!= "" && col("p_raw") =!= "" && col("o_raw") =!= "")
+    parts.select(
+      when(col("s_raw").startsWith("<"),
+        col("s_raw").substr(lit(2), length(col("s_raw")) - 2))
+        .otherwise(col("s_raw")).as("s"),
+      col("p_raw").substr(lit(2), length(col("p_raw")) - 2).as("p"),
+      when(col("o_raw").startsWith("<"),
+        col("o_raw").substr(lit(2), length(col("o_raw")) - 2))
+        .when(col("o_raw").startsWith("\""),
+          NtUnescape(regexp_extract(col("o_raw"), LitRe, 1)))
+        .otherwise(col("o_raw")).as("o"),
+      when(col("o_raw").startsWith("\""),
+        nullif(regexp_extract(col("o_raw"), LitRe, 2), lit("")))
+        .otherwise(lit(null)).as("o_lang"),
+      when(col("o_raw").startsWith("\""),
+        nullif(regexp_extract(col("o_raw"), LitRe, 3), lit("")))
+        .otherwise(lit(null)).as("o_datatype"),
+      col("o_raw").startsWith("\"").as("is_literal")
+    )
+  }
+
+  /** Serialize (s, p, o, is_literal) rows to N-Triples lines — the
+    * writer half of the round-trip. Escape direction is safe as a
+    * replace chain (backslash FIRST, then the chars that become
+    * backslash-escapes — the inverse direction is what needs the
+    * scalar kernel). Subjects starting `_:` stay blank nodes. */
+  def toNTriples(df: DataFrame): DataFrame = {
+    val esc = (c: org.apache.spark.sql.Column) =>
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, "\\\\", "\\\\\\\\"),
+            "\"", "\\\\\""),
+          "\n", "\\\\n"),
+        "\r", "\\\\r")
+    val iri = (c: org.apache.spark.sql.Column) =>
+      when(c.startsWith("_:"), c).otherwise(concat(lit("<"), c, lit(">")))
+    df.select(
+      concat(
+        iri(col("s")), lit(" "),
+        concat(lit("<"), col("p"), lit(">")), lit(" "),
+        when(col("is_literal"), concat(lit("\""), esc(col("o")), lit("\"")))
+          .otherwise(iri(col("o"))),
+        lit(" .")
+      ).as("value")
+    )
+  }
+
+  // ----------------------------------------------------------------- OBO
+
+  private val QuotedRe = """"((?:[^"\\]|\\.)*)""""
+
+  /** Per-line (file, line-number, stanza-number, stanza-type, key,
+    * value) view of OBO files: wholetext + posexplode pins exact line
+    * order, a cumulative count of `[Header]` lines numbers the
+    * stanzas, and the stanza's own header row labels every line in
+    * it. Lines before the first stanza (the format-version preamble)
+    * get stanza 0 / type null. */
+  private def oboLines(spark: SparkSession, path: String): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("file"), col("value"))
+    val lines = files.select(
+      col("file"),
+      posexplode(split(col("value"), "\r?\n")).as(Seq("lid", "line"))
+    )
+    val byFile = Window.partitionBy("file").orderBy("lid")
+    val tagged = lines
+      .withColumn("hdr", regexp_extract(col("line"), """^\[(\w+)\]\s*$""", 1))
+      .withColumn("stanza",
+        sum(when(col("hdr") =!= "", 1).otherwise(0)).over(byFile))
+      .withColumn("stype",
+        last(when(col("hdr") =!= "", col("hdr")), ignoreNulls = true).over(byFile))
+    tagged
+      .filter(col("hdr") === "" && col("line").rlike("""^[A-Za-z_]+:"""))
+      .select(
+        col("file"), col("stanza"), col("stype"),
+        regexp_extract(col("line"), """^([A-Za-z_]+):\s*(.*)$""", 1).as("k"),
+        regexp_extract(col("line"), """^([A-Za-z_]+):\s*(.*)$""", 2).as("v")
+      )
+  }
+
+  /** OBO `[Term]` stanzas → the reference's three parquet tables
+    * (reference: convert_ontologies.py:254 `export_parquet_obo`):
+    *
+    *  - terms(id, label, definition, synonyms, namespace, obsolete)
+    *  - hierarchy(parent_id, child_id, relation) — `is_a` edges plus
+    *    typed `relationship: rel TARGET` edges
+    *  - xrefs(term_id, xref_db, xref_id) — xref split on the first ':'
+    *
+    * `[Typedef]`/`[Instance]` stanzas and the header preamble are
+    * skipped, like the reference's term-only export. Synonyms are
+    * sort_array'd: collect order off a shuffle is not deterministic,
+    * and the reference's row order (pronto's) is not reproducible
+    * either — a canonical order is the only stable contract. */
+  def readObo(spark: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val kv = oboLines(spark, path).filter(col("stype") === "Term")
+    val keyed = kv
+      .withColumn("sid",
+        max(when(col("k") === "id", col("v"))).over(
+          Window.partitionBy("file", "stanza")))
+      .filter(col("sid").isNotNull)
+
+    val terms = keyed
+      .groupBy(col("file"), col("stanza"), col("sid").as("id"))
+      .agg(
+        coalesce(max(when(col("k") === "name", col("v"))), lit("")).as("label"),
+        coalesce(
+          max(when(col("k") === "def",
+            NtUnescape(regexp_extract(col("v"), QuotedRe, 1)))),
+          lit("")).as("definition"),
+        sort_array(collect_list(when(col("k") === "synonym",
+          NtUnescape(regexp_extract(col("v"), QuotedRe, 1))))).as("synonyms"),
+        coalesce(max(when(col("k") === "namespace", col("v"))), lit("")).as("namespace"),
+        coalesce(max(when(col("k") === "is_obsolete", col("v") === "true")),
+          lit(false)).as("obsolete")
+      )
+      .drop("file", "stanza")
+
+    // `is_a: TGT:id ! resolved name` — the comment after '!' is noise.
+    val isA = keyed.filter(col("k") === "is_a").select(
+      regexp_extract(col("v"), """^(\S+)""", 1).as("parent_id"),
+      col("sid").as("child_id"),
+      lit("is_a").as("relation")
+    )
+    val rel = keyed.filter(col("k") === "relationship").select(
+      regexp_extract(col("v"), """^\S+\s+(\S+)""", 1).as("parent_id"),
+      col("sid").as("child_id"),
+      regexp_extract(col("v"), """^(\S+)""", 1).as("relation")
+    )
+    val hierarchy = isA.unionAll(rel)
+
+    val xrefs = keyed.filter(col("k") === "xref").select(
+      col("sid").as("term_id"),
+      when(regexp_extract(col("v"), """^(\S+)""", 1).contains(":"),
+        split(regexp_extract(col("v"), """^(\S+)""", 1), ":", 2)(0))
+        .otherwise(lit("")).as("xref_db"),
+      when(regexp_extract(col("v"), """^(\S+)""", 1).contains(":"),
+        split(regexp_extract(col("v"), """^(\S+)""", 1), ":", 2)(1))
+        .otherwise(regexp_extract(col("v"), """^(\S+)""", 1)).as("xref_id")
+    )
+
+    (terms, hierarchy, xrefs)
+  }
+
+  /** OBO tables → the engine's (s, p, o) triple frame: hierarchy rows
+    * as (child, relation, parent) edges plus term labels — the shape
+    * bgpMatch / Sparql.run consume, mirroring the reference's
+    * OBO→N-Triples→oxigraph path (convert_ontologies.py:155). */
+  def oboTriples(terms: DataFrame, hierarchy: DataFrame): DataFrame =
+    hierarchy.select(
+      col("child_id").as("s"), col("relation").as("p"), col("parent_id").as("o"))
+      .unionAll(terms.select(col("id").as("s"), lit("label").as("p"), col("label").as("o")))
+
+  // ------------------------------------------------------- query entries
+
+  /** Per-process fixture dir (same rationale as Lake.warehouseBase). */
+  private lazy val fixtureDir: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-rdf-")
+
+  /** ing03: N-Triples ROUND-TRIP over the lake's own triple store —
+    * serialize the full star-schema triple frame to N-Triples text,
+    * write it, parse it back with the distributed reader, and return
+    * the parsed triples. The oracle rebuilds the same triple set in
+    * SQL, so any serializer or parser defect (bracket stripping,
+    * literal flagging, escaping) changes rows. */
+  def ing03Ntriples(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    val src = graft.operators.Graph.triples(lake)
+      .withColumn("is_literal", col("p").isin("label", "flagged"))
+    val dir = fixtureDir.resolve("ing03_" + lake.dir.hashCode.toHexString).toString
+    toNTriples(src).write.mode("overwrite").text(dir)
+    readNTriples(spark, dir)
+      .select(col("s"), col("p"), col("o"), col("is_literal"))
+      .orderBy("s", "p", "o")
+  }
+
+  /** A constant OBO fixture exercising the stanza grammar: multi-level
+    * `is_a`, a typed `relationship`, synonyms, an escaped `def`,
+    * xrefs, an obsolete term, and a `[Typedef]` stanza that must be
+    * skipped. */
+  private[graft] val OboFixture: String =
+    """format-version: 1.2
+      |ontology: graft-test
+      |
+      |[Term]
+      |id: GT:0001
+      |name: root concept
+      |namespace: test
+      |def: "The root \"concept\" of the fixture." [GT:curator]
+      |
+      |[Term]
+      |id: GT:0002
+      |name: middle concept
+      |namespace: test
+      |is_a: GT:0001 ! root concept
+      |synonym: "mid concept" EXACT []
+      |synonym: "central concept" BROAD []
+      |xref: WIKI:Middle_concept
+      |
+      |[Term]
+      |id: GT:0003
+      |name: leaf concept
+      |namespace: test
+      |is_a: GT:0002 ! middle concept
+      |relationship: part_of GT:0001 ! root concept
+      |xref: DOI:10.1000/182
+      |
+      |[Term]
+      |id: GT:0004
+      |name: obsolete concept
+      |is_obsolete: true
+      |
+      |[Typedef]
+      |id: part_of
+      |name: part of
+      |""".stripMargin
+
+  /** ing04: OBO → triples → SPARQL TEXT, end to end — the reference's
+    * whole ontology path (ingest at convert_ontologies.py:254, query
+    * at sparql_query.py:89) in one dataflow: parse the OBO fixture,
+    * lift terms+hierarchy into the triple frame, and answer an
+    * ancestor query over `(is_a|part_of)+` through the text front-end.
+    * The oracle replays the closure over the same edges in SQL. */
+  def ing04OboClosure(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    val dir = fixtureDir.resolve("ing04")
+    val f = dir.resolve("fixture.obo")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      f, OboFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (terms, hierarchy, _) = readObo(spark, f.toString)
+    graft.sparql.Sparql.run(
+      oboTriples(terms, hierarchy),
+      """SELECT ?t ?anc ?l
+        |WHERE { ?t (<is_a>|<part_of>)+ ?anc . ?anc <label> ?l }
+        |ORDER BY ?t ?anc""".stripMargin
+    )
+  }
+}

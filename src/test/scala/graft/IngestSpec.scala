@@ -1,7 +1,7 @@
 package graft
 
 import graft.catalog.Lake
-import graft.sources.Ingest
+import graft.sources.{Ingest, Rdf}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -110,5 +110,101 @@ class IngestSpec extends AnyFunSuite {
     val back = Ingest.readCsv(spark, s"$tmp/nation_csv", nation.schema)
     assert(back.count() == 25)
     assert(back.schema == nation.schema)
+  }
+
+  test("N-Triples: parses IRIs, blank nodes, typed/lang literals, escapes; skips noise") {
+    val nt =
+      """# a comment line
+        |<http://ex.org/a> <http://ex.org/p> <http://ex.org/b> .
+        |_:b0 <http://ex.org/p> "plain" .
+        |<http://ex.org/a> <http://ex.org/label> "hello \"quoted\" \\ world"@en .
+        |
+        |<http://ex.org/a> <http://ex.org/n> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+        |<http://ex.org/a> <http://ex.org/esc> "tab\there\nnewline é" .
+        |this line is malformed and must be dropped
+        |""".stripMargin
+    val dir = java.nio.file.Paths.get(s"$tmp/nt")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("f.nt"),
+      nt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    val rows = Rdf.readNTriples(spark, dir.toString)
+      .orderBy("p", "o")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)), r.getBoolean(5)))
+    assert(rows.length == 5)
+    assert(rows.contains(
+      ("http://ex.org/a", "http://ex.org/p", "http://ex.org/b", None, None, false)))
+    assert(rows.contains(
+      ("_:b0", "http://ex.org/p", "plain", None, None, true)))
+    assert(rows.contains(
+      ("http://ex.org/a", "http://ex.org/label", "hello \"quoted\" \\ world",
+        Some("en"), None, true)))
+    assert(rows.contains(
+      ("http://ex.org/a", "http://ex.org/n", "42",
+        None, Some("http://www.w3.org/2001/XMLSchema#integer"), true)))
+    assert(rows.contains(
+      ("http://ex.org/a", "http://ex.org/esc", "tab\there\nnewline é",
+        None, None, true)))
+  }
+
+  test("N-Triples: serialize -> parse round trip is the identity, escapes included") {
+    import spark.implicits._
+    val src = Seq(
+      ("a:1", "p", "b:2", false),
+      ("_:blank", "p", "with \"quotes\" and \\ backslash", true),
+      ("a:1", "q", "line1\nline2\ttabbed", true)
+    ).toDF("s", "p", "o", "is_literal")
+    val dir = s"$tmp/nt_rt"
+    Rdf.toNTriples(src).write.mode("overwrite").text(dir)
+    val back = Rdf.readNTriples(spark, dir)
+      .select("s", "p", "o", "is_literal")
+      .as[(String, String, String, Boolean)]
+      .collect()
+      .toSet
+    assert(back == Set(
+      ("a:1", "p", "b:2", false),
+      ("_:blank", "p", "with \"quotes\" and \\ backslash", true),
+      ("a:1", "q", "line1\nline2\ttabbed", true)))
+  }
+
+  test("OBO: stanza fold produces the reference's three tables") {
+    val dir = java.nio.file.Paths.get(s"$tmp/obo")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("fixture.obo"),
+      Rdf.OboFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (terms, hierarchy, xrefs) = Rdf.readObo(spark, dir.toString)
+
+    val t = terms.orderBy("id").collect()
+    assert(t.map(_.getString(0)).toSeq ==
+      Seq("GT:0001", "GT:0002", "GT:0003", "GT:0004"),
+      "Typedef stanza must be skipped, all four Term stanzas kept")
+    val root = t(0)
+    assert(root.getString(1) == "root concept")
+    assert(root.getString(2) == "The root \"concept\" of the fixture.",
+      "def must be the unescaped first quoted string")
+    val mid = t(1)
+    assert(mid.getSeq[String](3) == Seq("central concept", "mid concept"),
+      "synonyms are the quoted strings in canonical (sorted) order")
+    assert(t(3).getBoolean(5), "is_obsolete: true must set the flag")
+    assert(!root.getBoolean(5))
+
+    val h = hierarchy.orderBy("child_id", "relation").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(h.toSeq == Seq(
+      ("GT:0001", "GT:0002", "is_a"),
+      ("GT:0002", "GT:0003", "is_a"),
+      ("GT:0001", "GT:0003", "part_of")),
+      "is_a comments stripped; relationship rows typed")
+
+    val x = xrefs.orderBy("term_id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(x.toSeq == Seq(
+      ("GT:0002", "WIKI", "Middle_concept"),
+      ("GT:0003", "DOI", "10.1000/182")),
+      "xref splits on the FIRST colon only")
   }
 }
