@@ -1180,18 +1180,20 @@ object SparkEntry {
          |st AS (SELECT doc_id, source, toks,
          |  UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 40)) AS start
          |  FROM docs),
-         |ch AS (SELECT source, doc_id, CAST(start / 40 AS BIGINT) AS chunk_id,
+         |ch AS (SELECT source, CAST(doc_id // 200 AS BIGINT) AS shard, doc_id,
+         |  CAST(start / 40 AS BIGINT) AS chunk_id,
          |  CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT) AS chunk_len
          |  FROM st),
-         |cum AS (SELECT source, chunk_len,
-         |  SUM(chunk_len) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+         |cum AS (SELECT source, shard, chunk_len,
+         |  SUM(chunk_len) OVER (PARTITION BY source, shard
+         |    ORDER BY doc_id, chunk_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM ch)
-         |SELECT source, CAST((cum - chunk_len) // 512 AS BIGINT) AS bin_id,
+         |SELECT source, shard, CAST((cum - chunk_len) // 512 AS BIGINT) AS bin_id,
          |  COUNT(*) AS n_chunks, CAST(SUM(chunk_len) AS BIGINT) AS bin_tokens
          |FROM cum
-         |GROUP BY 1, 2
-         |ORDER BY source, bin_id""".stripMargin,
+         |GROUP BY 1, 2, 3
+         |ORDER BY source, shard, bin_id""".stripMargin,
     "txt15_unigram_logprob" ->
       s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
          |tok AS (SELECT doc_id, UNNEST(w) AS w FROM t),
@@ -1427,18 +1429,20 @@ object SparkEntry {
         |st AS (SELECT doc_id, source, toks,
         |  UNNEST(range(0, GREATEST(len(toks) - 1, 0) + 1, 40)) AS start
         |  FROM surv),
-        |ch AS (SELECT source, doc_id, CAST(start / 40 AS BIGINT) AS chunk_id,
+        |ch AS (SELECT source, CAST(doc_id // 200 AS BIGINT) AS shard, doc_id,
+        |  CAST(start / 40 AS BIGINT) AS chunk_id,
         |  CAST(len(list_slice(toks, start + 1, start + 50)) AS BIGINT) AS chunk_len
         |  FROM st),
-        |cum AS (SELECT source, chunk_len,
-        |  SUM(chunk_len) OVER (PARTITION BY source ORDER BY doc_id, chunk_id
+        |cum AS (SELECT source, shard, chunk_len,
+        |  SUM(chunk_len) OVER (PARTITION BY source, shard
+        |    ORDER BY doc_id, chunk_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM ch)
-        |SELECT source, CAST((cum - chunk_len) // 512 AS BIGINT) AS bin_id,
+        |SELECT source, shard, CAST((cum - chunk_len) // 512 AS BIGINT) AS bin_id,
         |  COUNT(*) AS n_chunks, CAST(SUM(chunk_len) AS BIGINT) AS bin_tokens
         |FROM cum
-        |GROUP BY 1, 2
-        |ORDER BY source, bin_id""".stripMargin,
+        |GROUP BY 1, 2, 3
+        |ORDER BY source, shard, bin_id""".stripMargin,
     "ing02_scd2_history" ->
       """SELECT o_custkey,
         |  CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,

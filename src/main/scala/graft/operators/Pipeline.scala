@@ -55,7 +55,8 @@ object Pipeline {
       lake: Lake,
       chunkSize: Int = 50,
       stride: Int = 40,
-      capacity: Int = 512
+      capacity: Int = 512,
+      shardSize: Int = 200
   ): DataFrame = {
     // The cleaned frame feeds the verdict, the fingerprint and the
     // chunker — materialize the three-regex chain once.
@@ -73,6 +74,10 @@ object Pipeline {
       )
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("source"), text.tokens(col("text")).as("toks"))
+    // (source, shard) packing key, like txt16: a per-source-only
+    // window serializes a 10-TB source through one task at scale;
+    // sharding caps the window partition at shardSize docs for one
+    // partial bin per shard boundary (bounds pinned in PipelineSpec).
     val chunks = survivors
       .withColumn("n_tokens", size(col("toks")))
       .withColumn(
@@ -83,6 +88,7 @@ object Pipeline {
       )
       .select(
         col("source"),
+        (col("doc_id") / shardSize).cast("long").as("shard"),
         col("doc_id"),
         (col("start") / stride).cast("long").as("chunk_id"),
         size(slice(col("toks"), col("start") + 1, lit(chunkSize)))
@@ -90,7 +96,7 @@ object Pipeline {
           .as("chunk_len")
       )
     val w = Window
-      .partitionBy("source")
+      .partitionBy("source", "shard")
       .orderBy("doc_id", "chunk_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
@@ -99,11 +105,11 @@ object Pipeline {
         "bin_id",
         floor((col("cum") - col("chunk_len")) / lit(capacity))
       )
-      .groupBy("source", "bin_id")
+      .groupBy("source", "shard", "bin_id")
       .agg(
         count(lit(1)).as("n_chunks"),
         sum("chunk_len").as("bin_tokens")
       )
-      .orderBy("source", "bin_id")
+      .orderBy("source", "shard", "bin_id")
   }
 }

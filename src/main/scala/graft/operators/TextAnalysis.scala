@@ -508,10 +508,21 @@ object TextAnalysis {
       lake: Lake,
       chunkSize: Int = 50,
       stride: Int = 40,
-      capacity: Int = 512
+      capacity: Int = 512,
+      shardSize: Int = 200
   ): DataFrame = {
     // Materialize the token array before sizing it — referencing the
     // tokenizer expression twice in one select runs it twice per row.
+    //
+    // The cumsum window partitions by (source, shard), NOT source
+    // alone: at 100 TB a single 10-TB source would otherwise flow
+    // through ONE window task — the same serialization the docstring
+    // rejects for a global ordering, one level down. shard = doc_id
+    // div shardSize caps every window partition at shardSize docs,
+    // trading at most one partial bin per shard boundary (the
+    // standard streaming-packing trade; bounds pinned in
+    // PipelineSpec). Bin ids are shard-local, so (source, shard,
+    // bin_id) is the packed-sequence key.
     val chunks = lake.documents
       .select(col("doc_id"), col("source"), text.tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
@@ -523,6 +534,7 @@ object TextAnalysis {
       )
       .select(
         col("source"),
+        (col("doc_id") / shardSize).cast("long").as("shard"),
         col("doc_id"),
         (col("start") / stride).cast("long").as("chunk_id"),
         size(slice(col("toks"), col("start") + 1, lit(chunkSize)))
@@ -530,7 +542,7 @@ object TextAnalysis {
           .as("chunk_len")
       )
     val w = Window
-      .partitionBy("source")
+      .partitionBy("source", "shard")
       .orderBy("doc_id", "chunk_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
@@ -539,12 +551,12 @@ object TextAnalysis {
         "bin_id",
         floor((col("cum") - col("chunk_len")) / lit(capacity))
       )
-      .groupBy("source", "bin_id")
+      .groupBy("source", "shard", "bin_id")
       .agg(
         count(lit(1)).as("n_chunks"),
         sum("chunk_len").as("bin_tokens")
       )
-      .orderBy("source", "bin_id")
+      .orderBy("source", "shard", "bin_id")
   }
 
   /** Whitespace + BPE-ish regex token counts (letter runs, digit

@@ -8,25 +8,34 @@ class PipelineSpec extends AnyFunSuite {
   import TestSpark._
   private lazy val lake = Lake(spark, sfDir)
 
-  test("pretrain pipeline: bins are contiguous per source and overshoot by at most one chunk") {
+  test("pretrain pipeline: bins are contiguous per (source, shard); packing bounds hold") {
     val capacity = 512
     val chunkSize = 50
     val rows = Pipeline
       .pipe01PretrainCorpus(lake, chunkSize = chunkSize, capacity = capacity)
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
-    rows.groupBy(_._1).foreach { case (source, bins) =>
-      val ids = bins.map(_._2).sorted
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((source, shard), bins) =>
+      val ids = bins.map(_._3).sorted
       // cumulative-sum binning can skip no ids: 0..max contiguous
-      assert(ids.toSeq == (0L to ids.max).toSeq, s"$source bins not contiguous")
-      // streaming-packer bound: a bin closes once cum >= capacity, so
-      // it can overshoot by at most one chunk's tokens
-      bins.foreach { case (_, bin, nChunks, tokens) =>
+      assert(ids.toSeq == (0L to ids.max).toSeq, s"$source/$shard bins not contiguous")
+      bins.foreach { case (_, _, bin, nChunks, tokens) =>
         assert(nChunks >= 1)
+        // streaming-packer bound: a bin closes once cum >= capacity, so
+        // it can overshoot by at most one chunk's tokens
         assert(
           tokens <= capacity + chunkSize - 1,
-          s"$source bin $bin holds $tokens tokens (cap $capacity + $chunkSize - 1)"
+          s"$source/$shard bin $bin holds $tokens tokens (cap $capacity + $chunkSize - 1)"
+        )
+      }
+      // the (source, shard) re-key trade: only the FINAL bin of each
+      // shard may be partial — every other bin is within one chunk of
+      // capacity, so shard boundaries cost at most one partial bin each
+      bins.sortBy(_._3).dropRight(1).foreach { case (_, _, bin, _, tokens) =>
+        assert(
+          tokens >= capacity - chunkSize + 1,
+          s"$source/$shard non-final bin $bin underfilled at $tokens tokens"
         )
       }
     }

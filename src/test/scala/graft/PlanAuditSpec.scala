@@ -202,6 +202,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("txt16: the packing cumsum window partitions on (source, shard)") {
+    // a per-source-only window serializes a 10-TB source through one
+    // task at 100 TB; the shard key must reach the physical Window node
+    val p = plan(TextAnalysis.txt16SequencePacking(lake))
+    val windowLine = p.linesIterator.find(_.contains("Window ")).getOrElse("")
+    assert(windowLine.contains("source") && windowLine.contains("shard"),
+      s"window not keyed by (source, shard): $windowLine")
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE plans materialize codegen stages only once executed
     val df = Relational.q01PricingSummary(lake)
