@@ -54,39 +54,49 @@ object Dedup {
       .orderBy("doc_id")
 
   /** Exact word-trigram Jaccard near-dup pairs with length blocking
-    * (|n_chars(a) - n_chars(b)| <= lenWindow), via a shingle inverted
-    * index: explode (shingle_hash, doc), self-join on the shingle,
-    * count co-occurrences per pair. The join carries only narrow
-    * (doc_id, n_chars, set_size) rows — never shingle arrays — and
-    * its volume is sum(df²) over shingles, which is near-linear while
-    * shingle document frequencies stay bounded (at 100 TB, cap df by
-    * dropping boilerplate shingles or fall back to MinHash-LSH,
-    * dedup04). Pairs sharing zero shingles have Jaccard 0 and are
-    * below any useful threshold, so counting co-occurring pairs only
-    * is exact. */
+    * (|n_chars(a) - n_chars(b)| <= lenWindow), via a DF-CAPPED shingle
+    * inverted index — the dedup10 structure: shingles with document
+    * frequency > maxDf are dropped from CANDIDATE GENERATION only
+    * (join volume is sum(df²) over kept shingles; one boilerplate
+    * trigram with df=10⁶ would otherwise contribute 10¹² join rows at
+    * corpus scale), then candidates verify EXACTLY on their full
+    * shingle sets via SortedIntersectCount — the cap never changes a
+    * reported jaccard value, it can only skip a pair whose EVERY
+    * shared shingle is boilerplate-frequent. While the corpus's max
+    * df <= maxDf the result is bit-identical to the uncapped join
+    * (spec-pinned); past the cap the contract is "near-dup pairs that
+    * share at least one non-boilerplate shingle", which is the pair
+    * set a curator wants anyway. */
   def dedup03NgramJaccard(
       lake: Lake,
       threshold: Double = 0.5,
-      lenWindow: Int = 40
+      lenWindow: Int = 40,
+      maxDf: Int = 10000
   ): DataFrame = {
-    val docs = lake.documents.select(
-      col("doc_id"),
-      col("n_chars"),
-      graft.plans.ShingleHashes(col("text"), 3).as("sh")
-    )
-    val index = docs
+    val docs = lake.documents
       .select(
         col("doc_id"),
         col("n_chars"),
-        size(col("sh")).as("nsh"),
-        explode(col("sh")).as("s")
+        graft.plans.ShingleHashes(col("text"), 3).as("sh")
       )
-    val coocc = index
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val index = docs.select(
+      col("doc_id"),
+      col("n_chars"),
+      explode(col("sh")).as("s")
+    )
+    val rare = index
+      .groupBy("s")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("s")
+    val capped = index.join(rare, "s")
+    val candidates = capped
       .join(
-        index.select(
+        capped.select(
           col("doc_id").as("doc_b"),
           col("n_chars").as("chars_b"),
-          col("nsh").as("nsh_b"),
           col("s")
         ),
         Seq("s")
@@ -95,18 +105,20 @@ object Dedup {
         col("doc_id") < col("doc_b") &&
           abs(col("n_chars") - col("chars_b")) <= lenWindow
       )
-      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
-      .agg(
-        count(lit(1)).as("ic"),
-        first(col("nsh")).as("na"),
-        first(col("nsh_b")).as("nb")
-      )
-    coocc
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    withSets
+      // Materialize the intersection count once — jaccard references
+      // it twice, and a repeated expression runs the array walk twice.
+      .withColumn("ic", graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn(
         "jaccard",
         round(
           col("ic").cast("double") /
-            (col("na") + col("nb") - col("ic")).cast("double"),
+            (size(col("sh_a")) + size(col("sh_b")) - col("ic")).cast("double"),
           4
         )
       )

@@ -131,6 +131,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)), "J>=0.5 should miss the subset dup")
   }
 
+  test("dedup03: the df cap is result-identical while max df <= cap") {
+    // The cap prunes CANDIDATE GENERATION only; verification is exact
+    // on full shingle sets. With the cap far above this corpus's max
+    // shingle df, the pair set and every jaccard value must match the
+    // effectively-uncapped run bit for bit.
+    val capped = Dedup
+      .dedup03NgramJaccard(lake)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val uncapped = Dedup
+      .dedup03NgramJaccard(lake, maxDf = Int.MaxValue)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(capped == uncapped)
+    assert(capped.nonEmpty)
+  }
+
   test("containment pairs are a superset of symmetric J>=0.9 pairs") {
     // C(A,B) = |A∩B|/min >= |A∩B|/union = J, so every J>=0.9 pair
     // must also clear the C>=0.9 gate.
