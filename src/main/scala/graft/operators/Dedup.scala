@@ -657,14 +657,10 @@ object Dedup {
     // consumer (and per Lloyd iteration).
     val all = all0.localCheckpoint()
     val cents = Similarity.kmeans(all, k, iters)
-    val assignW = Window
-      .partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cluster"))
-    val assigned = all
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", graft.functions.vectors.cosine(col("v"), col("centroid")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
+    // Sort-free per-vector argmax (max_by partial aggregation) — see
+    // Similarity.argmaxCell for the shape and tiebreak argument.
+    val assigned = Similarity
+      .argmaxCell(all, cents, Seq("v", "nrm"))
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .localCheckpoint()
     val pairs = assigned

@@ -23,7 +23,7 @@ object Similarity {
     * once per compared pair): cos(a,b) = dot(a,b)/(nrm_a*nrm_b) keeps
     * the exact arithmetic of vectors.cosine while cutting the inner
     * loop from 3 dot products to 1. */
-  private[operators] def vecs(lake: Lake): DataFrame =
+  private[graft] def vecs(lake: Lake): DataFrame =
     lake.embeddings.select(
       col("vec_id"),
       col("label"),
@@ -289,6 +289,47 @@ object Similarity {
     * centroid frame is localCheckpointed so iteration i+1 does not
     * recompute iterations 1..i. This is the FAISS IVF *training*
     * step (build_embedding_linkage.py's index build analog). */
+  /** Per-vector argmax over the k broadcast centroids as ONE
+    * partial-aggregating groupBy. The previous row_number-over-
+    * (vec_id) formulation shuffled all n×k scored rows and globally
+    * sorted them per Lloyd iteration just to keep one row per vector;
+    * max_by keyed on (score, -cluster) computes the same winner with
+    * map-side combine — k rows fold to 1 BEFORE the exchange, so the
+    * shuffle shrinks k× and carries no ordering — and reproduces the
+    * window's (score desc, cluster asc) tiebreak exactly. At a
+    * billion vectors × k centroids × iters iterations that shuffle
+    * was the dominant train-time cost.
+    *
+    * Physical reality, pinned in PlanAuditSpec: a struct-buffered
+    * declarative max_by can't use HashAggregate, so Spark plans
+    * SortAggregate with PARTITION-LOCAL sorts (global=false). Those
+    * sorts are near-linear here — the broadcast cross join emits the
+    * k scored rows of each vector consecutively, so the pre-partial
+    * sort sees an already-clustered stream — and nothing re-sorts
+    * across the wire: the only Exchange carries the one-row-per-
+    * vector partial results. No Window node anywhere. */
+  private[graft] def argmaxCell(
+      all: DataFrame,
+      cents: DataFrame,
+      payload: Seq[String]
+  ): DataFrame = {
+    val scored = all
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", vectors.cosine(col("v"), col("centroid")))
+    scored
+      .groupBy("vec_id")
+      .agg(
+        max_by(
+          struct(("cluster" +: payload).map(col): _*),
+          struct(col("ccos"), negate(col("cluster")))
+        ).as("w")
+      )
+      .select(
+        col("vec_id") +: col("w.cluster").as("cluster") +:
+          payload.map(p => col(s"w.$p").as(p)): _*
+      )
+  }
+
   def kmeans(all: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
     val seedW = Window.orderBy("vec_id")
     var cents = all
@@ -299,16 +340,9 @@ object Similarity {
         col("v").as("centroid")
       )
       .localCheckpoint()
-    val assignW = Window
-      .partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cluster"))
     var i = 0
     while (i < iters) {
-      val assigned = all
-        .crossJoin(broadcast(cents))
-        .withColumn("cos", vectors.cosine(col("v"), col("centroid")))
-        .withColumn("r", row_number().over(assignW))
-        .filter(col("r") === 1)
+      val assigned = argmaxCell(all, cents, Seq("v"))
         .select(col("cluster"), col("v"))
       cents = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -330,15 +364,15 @@ object Similarity {
   /** Spherical k-means objective Σ cos(v, centroid of assigned cell)
     * — the training-quality scalar a quantizer build reports. */
   def kmeansObjective(all: DataFrame, cents: DataFrame): Double = {
-    val assignW = Window
-      .partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cluster"))
+    // The objective only needs each vector's BEST score — plain max
+    // per vec_id, fully map-side partial; tiebreaks are irrelevant to
+    // the sum.
     all
       .crossJoin(broadcast(cents))
       .withColumn("cos", vectors.cosine(col("v"), col("centroid")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
-      .agg(sum("cos"))
+      .groupBy("vec_id")
+      .agg(max("cos").as("best"))
+      .agg(sum("best"))
       .head()
       .getDouble(0)
   }
@@ -360,14 +394,7 @@ object Similarity {
   ): DataFrame = {
     val all = vecs(lake).localCheckpoint()
     val cents = kmeans(all, nlist, iters)
-    val assignW = Window
-      .partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cluster"))
-    val cells = all
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", vectors.cosine(col("v"), col("centroid")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
+    val cells = argmaxCell(all, cents, Seq("v", "nrm"))
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
     val queries = all
       .filter(col("vec_id") < nQueries)

@@ -202,6 +202,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("kmeans assignment: no Window, map-side partial max_by, post-agg-only shuffle") {
+    // The Lloyd argmax runs once per vector per iteration; the old
+    // row_number formulation shuffled and globally sorted n x k
+    // scored rows each time. max_by must fold k rows to 1 BEFORE the
+    // exchange; any remaining Sort is SortAggregate's partition-local
+    // pass (global=false) over the already-vec_id-clustered broadcast
+    // join output — never a global sort, never a Window.
+    val all = Similarity.vecs(lake)
+    val cents = all.limit(3).select(
+      org.apache.spark.sql.functions.monotonically_increasing_id().as("cluster"),
+      org.apache.spark.sql.functions.col("v").as("centroid"))
+    val p = plan(Similarity.argmaxCell(all, cents, Seq("v", "nrm")))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_max_by"), p)
+    assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("true, ")),
+      s"global sort found:\n$p")
+    // exactly one shuffle, and it sits ABOVE the partial aggregate
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
+    val exIdx = p.indexOf("Exchange hashpartitioning")
+    val partialIdx = p.indexOf("partial_max_by")
+    assert(exIdx < partialIdx,
+      "the shuffle must carry post-partial-aggregation rows (k rows already folded to 1)")
+  }
+
   test("txt16: the packing cumsum window partitions on (source, shard)") {
     // a per-source-only window serializes a 10-TB source through one
     // task at 100 TB; the shard key must reach the physical Window node
