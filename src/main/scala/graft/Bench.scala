@@ -4,7 +4,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "2").toInt
+    // Default 3 sweeps (was 2): with two same-length sweeps, one
+    // multi-second noise window per sweep is enough to leave several
+    // queries with no clean measurement at all — r4 (q12/q14/q18) and
+    // r5 (graph05/q05/q06/q07/rel09/rel12) each inherited one such
+    // window into the official record. A third sweep gives every
+    // query two more chances to land outside the window; reversal
+    // (below) decorrelates which queries it covers.
+    val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt
     val spark = GraftSession
       .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()

@@ -428,12 +428,17 @@ object Graph {
         .groupBy("dst")
         .agg(expr(s"$teleport + (85 * sum(contrib)) div 100").as("r"))
         .withColumnRenamed("dst", "node")
-      // Checkpoint every SECOND iterate (and the last): each
-      // checkpoint is a blocking driver job, and with the broadcast
-      // builds gone a 2-deep lazy chain plans fine — halving the
-      // materializations measured faster than checkpointing each
-      // iterate, while still capping lineage and task-retry recompute.
-      if (i % 2 == 1 || i == iters - 1) ranks = ranks.localCheckpoint()
+      // Checkpoint every THIRD iterate (and the last). Measured at
+      // sf0.1 (min of 5 sweeps each): every-2nd 3.61 s, every-3rd
+      // 2.88 s, none-at-all 2.91 s — each checkpoint is a blocking
+      // driver job, and the rank lineage grows LINEARLY (one join +
+      // one agg per iteration, unlike the closure loop's join+union
+      // doubling), so sparse materialization wins. Not zero, though:
+      // the cadence caps plan size for arbitrary iteration counts,
+      // at the price of one no-op barrier per 3 iterations. Task
+      // retries recompute at most back to the previous iteration's
+      // shuffle files either way.
+      if (i % 3 == 2 || i == iters - 1) ranks = ranks.localCheckpoint()
       i += 1
     }
     ranks
