@@ -67,6 +67,7 @@ object SparkEntry {
     "ing02_scd2_history" -> q(CatalogOps.ing02Scd2History),
     "ing03_ntriples" -> q(graft.sources.Rdf.ing03Ntriples),
     "ing04_obo_closure" -> q(graft.sources.Rdf.ing04OboClosure),
+    "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),

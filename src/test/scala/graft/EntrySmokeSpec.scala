@@ -17,7 +17,7 @@ class EntrySmokeSpec extends AnyFunSuite {
     val rowsOnly = Set(
       "dedup05_simhash", "mm01_binary_meta",
       "rel11_approx_stats", "rel14_heavy_hitters",
-      "txt18_bpe_encode"
+      "txt18_bpe_encode", "emb01_hash_embeddings"
     )
     assert(q -- o == rowsOnly, s"unexpected rows-only set: ${q -- o}")
   }
