@@ -620,7 +620,8 @@ object Dedup {
     *
     * Scale design: the quadratic pair check runs only INSIDE k-means
     * cells — k is chosen so |cell| ~ N/k stays bounded (the paper uses
-    * k ~ sqrt(N·avg_cell); here k is a parameter), and the cell join is
+    * k ~ sqrt(N·avg_cell); here k is a parameter and k <= 0 auto-scales
+    * to ceil(sqrt(N)), see semanticDedup), and the cell join is
     * a plain shuffle equi-join on the cluster id, so per-task memory
     * holds one cell's vectors, not the corpus. Duplicate groups are
     * resolved with the same O(log n)-round star CC as dedup08 — a
@@ -645,7 +646,16 @@ object Dedup {
 
   /** Generic SemDeDup core over a (vec_id, v, nrm) frame. Returns one
     * row per input vector: its cell, its duplicate-group id (own id if
-    * unique), whether it survives, and the group's survivor. */
+    * unique), whether it survives, and the group's survivor.
+    *
+    * `k <= 0` requests AUTO-k = ceil(sqrt(N)): cell size is ~N/k, so a
+    * fixed k silently re-quadratifies the pair check as the corpus
+    * grows (at k=10 and a billion vectors each cell pairs 10^8 rows
+    * against itself). sqrt(N) keeps both the cell count and the
+    * expected cell size at sqrt(N) — the paper's guidance — at the
+    * cost of one count() over the already-checkpointed frame. The
+    * explicit-k path stays for the oracle, whose unrolled-Lloyd CTEs
+    * need the literal. */
   def semanticDedup(
       all0: DataFrame,
       k: Int,
@@ -656,7 +666,10 @@ object Dedup {
     // and the pair join — without it the upstream plan re-executes per
     // consumer (and per Lloyd iteration).
     val all = all0.localCheckpoint()
-    val cents = Similarity.kmeans(all, k, iters)
+    val kEff =
+      if (k > 0) k
+      else math.ceil(math.sqrt(all.count().toDouble)).toInt.max(1)
+    val cents = Similarity.kmeans(all, kEff, iters)
     // Sort-free per-vector argmax (max_by partial aggregation) — see
     // Similarity.argmaxCell for the shape and tiebreak argument.
     val assigned = Similarity

@@ -57,4 +57,39 @@ class CliSpec extends AnyFunSuite {
     // But the bare keyword outside any literal is still caught anywhere.
     assert(Cli.validateReadOnly("SELECT * FROM orders WHERE 1=1 UNION SELECT 1; DROP TABLE x").isLeft)
   }
+
+  test("shell: scripted session runs reads, rejects writes, lists tables, exits") {
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    lake.registerViews()
+    val script =
+      """SELECT 123456 AS shell_probe
+        |WITH t AS (SELECT 1) INSERT INTO orders SELECT * FROM t
+        |.tables
+        |
+        |SELECT bogus_col FROM trade.orders
+        |exit
+        |""".stripMargin
+    val in = new java.io.BufferedReader(new java.io.StringReader(script))
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = new java.io.PrintStream(buf, true, "UTF-8")
+    Cli.runShell(spark, lake, in, out)
+    val output = buf.toString("UTF-8")
+    assert(output.contains("123456"), output)
+    assert(output.contains("rejected"), output)
+    assert(output.contains("trade.orders") && output.contains("corpus.documents"), output)
+    assert(output.contains("query error"), output)
+    // blank line must not produce a prompt-less hang or an error
+    assert(!output.contains("Exception"), output)
+  }
+
+  test("shell: EOF without exit terminates cleanly") {
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    lake.registerViews()
+    val in = new java.io.BufferedReader(new java.io.StringReader("SELECT 1 AS x\n"))
+    val buf = new java.io.ByteArrayOutputStream()
+    Cli.runShell(spark, lake, in, new java.io.PrintStream(buf, true, "UTF-8"))
+    assert(buf.toString("UTF-8").contains("x"))
+  }
 }

@@ -64,6 +64,34 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(out.select("group_id").distinct().count() <= n)
   }
 
+  test("semanticDedup auto-k keeps cell sizes bounded at larger N") {
+    import spark.implicits._
+    // 2500 synthetic unit vectors in near-uniform hash directions:
+    // auto-k must pick ceil(sqrt(2500)) = 50 cells, bounding the
+    // quadratic pair check to ~N/k-sized cells instead of one
+    // 2500^2 block.
+    val m = new Embedding.HashProjectionModel(64)
+    val frame = spark
+      .range(2500)
+      .as[Long]
+      .map(i => (i, m.encode(s"synthetic document number $i with token ${i % 97}")))
+      .toDF("vec_id", "embedding")
+      .select(
+        col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v")
+      )
+      .withColumn("nrm", graft.functions.vectors.norm(col("v")))
+    val out = Dedup.semanticDedup(frame, k = 0, iters = 1, tau = 0.99)
+    assert(out.count() == 2500)
+    val cellSizes = out.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(cellSizes.length <= 50, s"auto-k must cap cells at ceil(sqrt(N)) = 50, got ${cellSizes.length}")
+    // bounded-cell contract: no cell degenerates toward O(N) (which
+    // would re-quadratify the pair join); deterministic inputs make
+    // this stable run to run
+    assert(cellSizes.max <= 500,
+      s"largest cell ${cellSizes.max} of 2500 — cell bound failed")
+  }
+
   test("emb01 reports unit norms and stable checksums") {
     val rows = Embedding.emb01HashEmbeddings(lake).collect()
     assert(rows.nonEmpty)
