@@ -67,6 +67,7 @@ object SparkEntry {
     "ing02_scd2_history" -> q(CatalogOps.ing02Scd2History),
     "ing03_ntriples" -> q(graft.sources.Rdf.ing03Ntriples),
     "ing04_obo_closure" -> q(graft.sources.Rdf.ing04OboClosure),
+    "ing05_skos_terms" -> q(graft.sources.Rdf.ing05SkosTerms),
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
@@ -729,6 +730,19 @@ object SparkEntry {
         |cl AS (SELECT src AS t, dst AS anc FROM r GROUP BY src, dst)
         |SELECT cl.t, cl.anc, lab.l FROM cl JOIN lab ON cl.anc = lab.id
         |ORDER BY cl.t, cl.anc""".stripMargin,
+    // ing05: like ing04, the fixture's expected SKOS export is written
+    // independently as VALUES — en-preferred labels, definition-over-
+    // scopeNote, lexical fallback, inverted narrower, concept gating.
+    "ing05_skos_terms" ->
+      """SELECT * FROM (VALUES
+        |  ('http://ex.org/c1', 'Physics', 'The study of matter.',
+        |   'physical sciences', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('http://ex.org/c2', 'Optics', 'About light.',
+        |   '', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('http://ex.org/c3', 'Chimie', '',
+        |   '', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(id, label, definition, synonyms, n_parents, n_xrefs)
+        |ORDER BY id""".stripMargin,
     "q12_late_shipments" ->
       """SELECT o_orderpriority,
         |  COUNT(*) AS n_lineitems,

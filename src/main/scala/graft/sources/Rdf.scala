@@ -212,6 +212,175 @@ object Rdf {
       col("child_id").as("s"), col("relation").as("p"), col("parent_id").as("o"))
       .unionAll(terms.select(col("id").as("s"), lit("label").as("p"), col("label").as("o")))
 
+  // ----------------------------------------------------------------- SKOS
+
+  private val Rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  private val Skos = "http://www.w3.org/2004/02/skos/core#"
+  private val OwlClass = "http://www.w3.org/2002/07/owl#Class"
+
+  /** SKOS/RDF concept scheme → the same three term tables as readObo
+    * (reference: convert_ontologies.py:327 `export_parquet_skos`),
+    * over a parsed triple frame (readNTriples output — the reference
+    * also normalizes every RDF syntax to triples first):
+    *
+    *  - concepts: subjects typed skos:Concept or owl:Class
+    *  - label: skos:prefLabel preferring @en; definition:
+    *    skos:definition over skos:scopeNote, each preferring @en;
+    *    synonyms: en-or-untagged skos:altLabel, sorted
+    *  - hierarchy: broader/broaderTransitive as (o, s) edges plus
+    *    narrower INVERTED ((s, o) parent→child), relation = the SKOS
+    *    local name
+    *  - xrefs: exactMatch/closeMatch/relatedMatch, xref_db = relation
+    *
+    * One deliberate difference: where the reference's "else first"
+    * label fallback inherits rdflib's nondeterministic iteration
+    * order, ties here break lexicographically (min_by on the value) —
+    * a distributed pipeline cannot ship an output that changes between
+    * runs. Every pick is a partial-aggregating min_by/max_by, so the
+    * whole export is scans + one groupBy per table. */
+  def skosTerms(triples: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val concepts = triples
+      .filter(
+        col("p") === Rdf_type &&
+          (col("o") === s"${Skos}Concept" || col("o") === OwlClass)
+      )
+      .select(col("s").as("id"))
+      .distinct()
+    // Annotation rows restricted to concept subjects once, up front.
+    val ann = triples.join(concepts, triples("s") === concepts("id")).drop("id")
+
+    val langPri = when(col("o_lang") === "en", 0).otherwise(1)
+    val terms = concepts
+      .join(
+        ann
+          .filter(col("p").isin(
+            s"${Skos}prefLabel", s"${Skos}definition",
+            s"${Skos}scopeNote", s"${Skos}altLabel"))
+          .groupBy(col("s").as("id"))
+          .agg(
+            min_by(
+              when(col("p") === s"${Skos}prefLabel", col("o")),
+              when(col("p") === s"${Skos}prefLabel",
+                struct(langPri, col("o")))
+            ).as("label"),
+            // definition beats scopeNote, en beats other langs, then
+            // lexicographic — one 3-level priority struct
+            min_by(
+              when(col("p").isin(s"${Skos}definition", s"${Skos}scopeNote"), col("o")),
+              when(col("p").isin(s"${Skos}definition", s"${Skos}scopeNote"),
+                struct(
+                  when(col("p") === s"${Skos}definition", 0).otherwise(1),
+                  langPri,
+                  col("o")))
+            ).as("definition"),
+            sort_array(collect_list(
+              when(col("p") === s"${Skos}altLabel" &&
+                (col("o_lang").isNull || col("o_lang") === "en"), col("o"))
+            )).as("synonyms")
+          ),
+        Seq("id"),
+        "left"
+      )
+      .select(
+        col("id"),
+        coalesce(col("label"), lit("")).as("label"),
+        coalesce(col("definition"), lit("")).as("definition"),
+        coalesce(col("synonyms"), array().cast("array<string>")).as("synonyms"),
+        lit("").as("namespace"),
+        lit(false).as("obsolete")
+      )
+
+    val broader = ann
+      .filter(col("p").isin(s"${Skos}broader", s"${Skos}broaderTransitive"))
+      .select(
+        col("o").as("parent_id"),
+        col("s").as("child_id"),
+        substring_index(col("p"), "#", -1).as("relation")
+      )
+    val narrower = ann
+      .filter(col("p") === s"${Skos}narrower")
+      .select(
+        col("s").as("parent_id"),
+        col("o").as("child_id"),
+        lit("narrower").as("relation")
+      )
+    val hierarchy = broader.unionAll(narrower)
+
+    val xrefs = ann
+      .filter(col("p").isin(
+        s"${Skos}exactMatch", s"${Skos}closeMatch", s"${Skos}relatedMatch"))
+      .select(
+        col("s").as("term_id"),
+        substring_index(col("p"), "#", -1).as("xref_db"),
+        col("o").as("xref_id")
+      )
+
+    (terms, hierarchy, xrefs)
+  }
+
+  /** A constant SKOS N-Triples fixture: en/de labels (en must win),
+    * a scopeNote-fallback definition, a no-en-label concept (lexical
+    * fallback), owl:Class typing, an inverted narrower edge, an
+    * exactMatch xref, and a non-concept subject that must be
+    * excluded. */
+  private[graft] val SkosFixture: String = {
+    val c1 = "<http://ex.org/c1>"
+    val c2 = "<http://ex.org/c2>"
+    val c3 = "<http://ex.org/c3>"
+    val t = s"<$Rdf_type>"
+    def sk(n: String) = s"<$Skos$n>"
+    Seq(
+      s"$c1 $t <${Skos}Concept> .",
+      s"""$c1 ${sk("prefLabel")} "Physik"@de .""",
+      s"""$c1 ${sk("prefLabel")} "Physics"@en .""",
+      s"""$c1 ${sk("definition")} "The study of matter."@en .""",
+      s"""$c1 ${sk("altLabel")} "physical sciences"@en .""",
+      s"""$c1 ${sk("altLabel")} "Naturlehre"@de .""",
+      s"$c2 $t <${Skos}Concept> .",
+      s"""$c2 ${sk("prefLabel")} "Optics"@en .""",
+      s"""$c2 ${sk("scopeNote")} "About light."@en .""",
+      s"""$c2 ${sk("broader")} $c1 .""",
+      s"""$c2 ${sk("exactMatch")} <http://other.org/opt> .""",
+      s"$c3 $t <http://www.w3.org/2002/07/owl#Class> .",
+      s"""$c3 ${sk("prefLabel")} "Chimie"@fr .""",
+      s"""$c1 ${sk("narrower")} $c3 .""",
+      s"""<http://ex.org/noise> <http://ex.org/p> "not a concept" ."""
+    ).mkString("", "\n", "\n")
+  }
+
+  /** ing05: SKOS ingestion end to end — fixture N-Triples → triple
+    * frame → term tables, reported as one flat row per concept
+    * (synonyms pipe-joined, hierarchy/xref degree counts — no array
+    * cells). Oracle = the expected export written out as VALUES. */
+  def ing05SkosTerms(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    val dir = fixtureDir.resolve("ing05")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("fixture.nt"),
+      SkosFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val triples = readNTriples(spark, dir.toString)
+    val (terms, hierarchy, xrefs) = skosTerms(triples)
+    val parents = hierarchy
+      .groupBy(col("child_id").as("id"))
+      .agg(count(lit(1)).as("n_parents"))
+    val nx = xrefs
+      .groupBy(col("term_id").as("id"))
+      .agg(count(lit(1)).as("n_xrefs"))
+    terms
+      .join(parents, Seq("id"), "left")
+      .join(nx, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("label"),
+        col("definition"),
+        array_join(col("synonyms"), "|").as("synonyms"),
+        coalesce(col("n_parents"), lit(0L)).as("n_parents"),
+        coalesce(col("n_xrefs"), lit(0L)).as("n_xrefs")
+      )
+      .orderBy("id")
+  }
+
   // ------------------------------------------------------- query entries
 
   /** Per-process fixture dir (same rationale as Lake.warehouseBase). */

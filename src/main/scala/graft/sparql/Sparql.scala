@@ -45,7 +45,8 @@ object Sparql {
       optionalIdx: Set[Int],
       filterSql: Option[String], // translated to Spark SQL text
       orderBy: Seq[String],
-      limit: Option[Int]
+      limit: Option[Int],
+      distinct: Boolean = false
   )
 
   final case class SparqlParseError(msg: String)
@@ -70,8 +71,12 @@ object Sparql {
     val selected =
       if (p.selectVars.isEmpty) matched
       else matched.select(p.selectVars.map(col): _*)
+    // DISTINCT after projection (SPARQL semantics: over the selected
+    // bindings), before ORDER BY — the dedup shuffle keys the
+    // projected columns only.
+    val dedup = if (p.distinct) selected.distinct() else selected
     val ordered =
-      if (p.orderBy.isEmpty) selected else selected.orderBy(p.orderBy.map(col): _*)
+      if (p.orderBy.isEmpty) dedup else dedup.orderBy(p.orderBy.map(col): _*)
     p.limit.fold(ordered)(ordered.limit)
   }
 
@@ -100,6 +105,10 @@ object Sparql {
       throw SparqlParseError(
         s"only SELECT queries are supported (got '${st.peekOr("<end>")}')")
     st.next()
+
+    var distinct = false
+    if (st.peekKeyword("DISTINCT")) { st.next(); distinct = true }
+    else if (st.peekKeyword("REDUCED")) st.next() // REDUCED may legally no-op
 
     var selectVars = Vector.empty[String]
     if (st.peek == Some("*")) st.next()
@@ -211,7 +220,7 @@ object Sparql {
       case Seq()  => None
       case exprs  => Some(exprs.map(e => s"($e)").mkString(" AND "))
     }
-    ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit)
+    ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit, distinct)
   }
 
   // ------------------------------------------------------------- lexing

@@ -170,6 +170,40 @@ class IngestSpec extends AnyFunSuite {
       ("a:1", "q", "line1\nline2\ttabbed", true)))
   }
 
+  test("SKOS: concept export prefers @en, falls back deterministically, gates on typing") {
+    val dir = java.nio.file.Paths.get(s"$tmp/skos")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("fixture.nt"),
+      Rdf.SkosFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val triples = Rdf.readNTriples(spark, dir.toString)
+    val (terms, hierarchy, xrefs) = Rdf.skosTerms(triples)
+
+    val t = terms.orderBy("id").collect()
+    assert(t.map(_.getString(0)).toSeq ==
+      Seq("http://ex.org/c1", "http://ex.org/c2", "http://ex.org/c3"),
+      "non-concept subjects must be excluded; owl:Class counts as a concept")
+    assert(t(0).getString(1) == "Physics", "@en prefLabel must beat @de")
+    assert(t(0).getString(2) == "The study of matter.")
+    assert(t(0).getSeq[String](3) == Seq("physical sciences"),
+      "only en-or-untagged altLabels are synonyms")
+    assert(t(1).getString(2) == "About light.",
+      "scopeNote must back-fill a missing skos:definition")
+    assert(t(2).getString(1) == "Chimie",
+      "no-en concepts fall back to the lexically-least label")
+
+    val h = hierarchy.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(h == Set(
+      ("http://ex.org/c1", "http://ex.org/c2", "broader"),
+      ("http://ex.org/c1", "http://ex.org/c3", "narrower")),
+      "narrower edges must invert to parent->child")
+
+    val x = xrefs.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(x == Set(("http://ex.org/c2", "exactMatch", "http://other.org/opt")))
+  }
+
   test("OBO: stanza fold produces the reference's three tables") {
     val dir = java.nio.file.Paths.get(s"$tmp/obo")
     java.nio.file.Files.createDirectories(dir)

@@ -2,7 +2,6 @@ package graft
 
 import graft.sparql.Sparql
 import graft.sparql.Sparql.SparqlParseError
-import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 class SparqlSpec extends AnyFunSuite {
@@ -58,6 +57,12 @@ class SparqlSpec extends AnyFunSuite {
     assert(Sparql.translateFilter("""?l != "a!b&&c"""") == "l != 'a!b&&c'")
   }
 
+  test("parses SELECT DISTINCT; REDUCED no-ops") {
+    assert(Sparql.parse("SELECT DISTINCT ?r WHERE { ?n <in_region> ?r }").distinct)
+    assert(!Sparql.parse("SELECT REDUCED ?r WHERE { ?n <in_region> ?r }").distinct)
+    assert(!Sparql.parse("SELECT ?r WHERE { ?n <in_region> ?r }").distinct)
+  }
+
   test("parses ORDER BY and LIMIT; '#' comments are stripped") {
     val p = Sparql.parse(
       """SELECT ?n ?r WHERE {   # bindings
@@ -89,13 +94,12 @@ class SparqlSpec extends AnyFunSuite {
   // ---------------------------------------------------------- execution
 
   test("end-to-end: text query equals the hand-built bgpMatch plan") {
-    val spark = SparkSession.builder
-      .master("local[2]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Use the SHARED session: builder.getOrCreate() would return the
+    // same underlying context and a stop() here would kill every
+    // suite scheduled after this one.
+    val spark = TestSpark.spark
     import spark.implicits._
-    try {
+    locally {
       val triples = Seq(
         ("cust:1", "in_nation", "nat:1"),
         ("cust:2", "in_nation", "nat:2"),
@@ -142,10 +146,19 @@ class SparqlSpec extends AnyFunSuite {
       ).count()
       assert(limited == 2)
 
+      // DISTINCT collapses the projected bindings: two customers map
+      // into two nations/regions, but region labels dedup to one row
+      // per region.
+      val regions = Sparql.run(
+        triples,
+        "SELECT DISTINCT ?r WHERE { ?n <in_region> ?r . ?c <in_nation> ?n }"
+      ).collect().map(_.getString(0)).sorted
+      assert(regions.toSeq == Seq("reg:1", "reg:2"))
+
       // Unbound SELECT var is a parse-level error, not a Catalyst one.
       val e = intercept[SparqlParseError](
         Sparql.run(triples, "SELECT ?zzz WHERE { ?s <label> ?l }"))
       assert(e.getMessage.contains("not bound"))
-    } finally spark.stop()
+    }
   }
 }
