@@ -52,6 +52,19 @@ object Sparql {
   final case class SparqlParseError(msg: String)
       extends IllegalArgumentException(s"SPARQL parse error: $msg")
 
+  /** The reference auto-injects these when a query declares no PREFIX
+    * of its own (sparql_query.py:33 COMMON_PREFIXES, injected at :52
+    * under the same only-if-absent rule). W3C-standard namespaces
+    * only. */
+  val CommonPrefixes: Map[String, String] = Map(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "owl" -> "http://www.w3.org/2002/07/owl#",
+    "skos" -> "http://www.w3.org/2004/02/skos/core#",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#",
+    "obo" -> "http://purl.obolibrary.org/obo/"
+  )
+
   /** Execute a SPARQL SELECT string against an (s, p, o) triple frame. */
   def run(triples: DataFrame, query: String, maxPathHops: Int = 8): DataFrame = {
     val p = parse(query)
@@ -88,8 +101,13 @@ object Sparql {
     val toks = tokenize(noFilters)
     val st = new TokenStream(toks)
 
-    // PREFIX decls
-    var prefixes = Map.empty[String, String]
+    // PREFIX decls. A query that declares NONE gets the common W3C
+    // set injected (the reference's only-if-absent rule) — an
+    // explicit PREFIX anywhere switches injection off entirely, so a
+    // query's own declarations are never silently shadowed.
+    var prefixes =
+      if (toks.exists(_.equalsIgnoreCase("PREFIX"))) Map.empty[String, String]
+      else CommonPrefixes
     while (st.peekKeyword("PREFIX")) {
       st.next() // PREFIX
       val name = st.next()

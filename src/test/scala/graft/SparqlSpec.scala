@@ -57,6 +57,24 @@ class SparqlSpec extends AnyFunSuite {
     assert(Sparql.translateFilter("""?l != "a!b&&c"""") == "l != 'a!b&&c'")
   }
 
+  test("common prefixes inject only when the query declares none") {
+    val p = Sparql.parse(
+      "SELECT ?t ?l WHERE { ?t skos:prefLabel ?l }")
+    assert(p.patterns ==
+      Seq(("?t", "http://www.w3.org/2004/02/skos/core#prefLabel", "?l")),
+      "skos: must resolve from the injected common set")
+    // An explicit PREFIX switches injection off — skos: is then unknown.
+    val e = intercept[SparqlParseError](Sparql.parse(
+      "PREFIX my: <urn:my:> SELECT ?t WHERE { ?t skos:prefLabel ?l }"))
+    assert(e.getMessage.contains("unknown prefix"))
+  }
+
+  test("variable predicates bind like any other term (the reference's first example)") {
+    val p = Sparql.parse("SELECT ?s ?p ?o WHERE { ?s ?p ?o } LIMIT 10")
+    assert(p.patterns == Seq(("?s", "?p", "?o")))
+    assert(p.limit == Some(10))
+  }
+
   test("parses SELECT DISTINCT; REDUCED no-ops") {
     assert(Sparql.parse("SELECT DISTINCT ?r WHERE { ?n <in_region> ?r }").distinct)
     assert(!Sparql.parse("SELECT REDUCED ?r WHERE { ?n <in_region> ?r }").distinct)
