@@ -68,6 +68,7 @@ object SparkEntry {
     "ing03_ntriples" -> q(graft.sources.Rdf.ing03Ntriples),
     "ing04_obo_closure" -> q(graft.sources.Rdf.ing04OboClosure),
     "ing05_skos_terms" -> q(graft.sources.Rdf.ing05SkosTerms),
+    "ing06_turtle_skos" -> q(graft.sources.Rdf.ing06TurtleSkos),
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
@@ -734,6 +735,19 @@ object SparkEntry {
     // independently as VALUES — en-preferred labels, definition-over-
     // scopeNote, lexical fallback, inverted narrower, concept gating.
     "ing05_skos_terms" ->
+      """SELECT * FROM (VALUES
+        |  ('http://ex.org/c1', 'Physics', 'The study of matter.',
+        |   'physical sciences', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('http://ex.org/c2', 'Optics', 'About light.',
+        |   '', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('http://ex.org/c3', 'Chimie', '',
+        |   '', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(id, label, definition, synonyms, n_parents, n_xrefs)
+        |ORDER BY id""".stripMargin,
+    // ing06: SAME expected export as ing05 — the Turtle fixture
+    // abbreviates the identical concept scheme, so format equivalence
+    // is exactly what the shared oracle pins.
+    "ing06_turtle_skos" ->
       """SELECT * FROM (VALUES
         |  ('http://ex.org/c1', 'Physics', 'The study of matter.',
         |   'physical sciences', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

@@ -250,7 +250,12 @@ object Graph {
         |  OPTIONAL { ?anc <flagged> ?fl } .
         |  FILTER(?l != "ASIA")
         |}
-        |ORDER BY ?c ?anc""".stripMargin
+        |ORDER BY ?c ?anc""".stripMargin,
+      // The caller picks the hop bound for its hierarchy, like
+      // graph08's default: this one is 2 deep (cust→nation→region),
+      // and every bound ≥ depth returns identical rows while each
+      // excess hop costs a full (empty) join+distinct stage.
+      maxPathHops = 3
     )
 
   /** graph07: OPTIONAL + FILTER over the triple store — `?n in_region

@@ -348,18 +348,10 @@ object Rdf {
     ).mkString("", "\n", "\n")
   }
 
-  /** ing05: SKOS ingestion end to end — fixture N-Triples → triple
-    * frame → term tables, reported as one flat row per concept
+  /** Flat one-row-per-concept report over the skosTerms tables
     * (synonyms pipe-joined, hierarchy/xref degree counts — no array
-    * cells). Oracle = the expected export written out as VALUES. */
-  def ing05SkosTerms(lake: Lake): DataFrame = {
-    val spark = lake.spark
-    val dir = fixtureDir.resolve("ing05")
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(
-      dir.resolve("fixture.nt"),
-      SkosFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val triples = readNTriples(spark, dir.toString)
+    * cells for the driver hasher). */
+  private def skosReport(triples: DataFrame): DataFrame = {
     val (terms, hierarchy, xrefs) = skosTerms(triples)
     val parents = hierarchy
       .groupBy(col("child_id").as("id"))
@@ -379,6 +371,59 @@ object Rdf {
         coalesce(col("n_xrefs"), lit(0L)).as("n_xrefs")
       )
       .orderBy("id")
+  }
+
+  /** ing05: SKOS ingestion end to end — fixture N-Triples → triple
+    * frame → term tables, reported flat. Oracle = the expected export
+    * written out as VALUES. */
+  def ing05SkosTerms(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    val dir = fixtureDir.resolve("ing05")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("fixture.nt"),
+      SkosFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    skosReport(readNTriples(spark, dir.toString))
+  }
+
+  /** The SAME concept scheme as SkosFixture, written in Turtle with
+    * every supported abbreviation: @prefix, `a`, `;` predicate lists,
+    * `,` object lists, prefixed names, lang tags. */
+  private[graft] val TurtleFixture: String =
+    """@prefix skos: <http://www.w3.org/2004/02/skos/core#> .
+      |@prefix owl:  <http://www.w3.org/2002/07/owl#> .
+      |@prefix ex:   <http://ex.org/> .
+      |
+      |# concept with multilingual labels and two synonyms
+      |ex:c1 a skos:Concept ;
+      |  skos:prefLabel "Physik"@de, "Physics"@en ;
+      |  skos:definition "The study of matter."@en ;
+      |  skos:altLabel "physical sciences"@en, "Naturlehre"@de ;
+      |  skos:narrower ex:c3 .
+      |
+      |ex:c2 a skos:Concept ;
+      |  skos:prefLabel "Optics"@en ;
+      |  skos:scopeNote "About light."@en ;
+      |  skos:broader ex:c1 ;
+      |  skos:exactMatch <http://other.org/opt> .
+      |
+      |ex:c3 a owl:Class ;
+      |  skos:prefLabel "Chimie"@fr .
+      |
+      |ex:noise <http://ex.org/p> "not a concept" .
+      |""".stripMargin
+
+  /** ing06: the identical concept scheme ingested from TURTLE — same
+    * VALUES oracle as ing05, so the two formats are proven to produce
+    * the same export through the same downstream machinery. */
+  def ing06TurtleSkos(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    val dir = fixtureDir.resolve("ing06")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("fixture.ttl"),
+      TurtleFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    skosReport(Turtle.readTurtle(spark, dir.toString))
   }
 
   // ------------------------------------------------------- query entries
@@ -463,7 +508,11 @@ object Rdf {
       oboTriples(terms, hierarchy),
       """SELECT ?t ?anc ?l
         |WHERE { ?t (<is_a>|<part_of>)+ ?anc . ?anc <label> ?l }
-        |ORDER BY ?t ?anc""".stripMargin
+        |ORDER BY ?t ?anc""".stripMargin,
+      // fixture hierarchy is 2 deep; bound 4 leaves margin and every
+      // excess hop is a wasted join+distinct stage (identical rows
+      // for any bound >= depth)
+      maxPathHops = 4
     )
   }
 }

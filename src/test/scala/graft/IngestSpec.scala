@@ -204,6 +204,65 @@ class IngestSpec extends AnyFunSuite {
     assert(x == Set(("http://ex.org/c2", "exactMatch", "http://other.org/opt")))
   }
 
+  test("Turtle: abbreviations expand to the same triples as longhand") {
+    import graft.sources.Turtle
+    val rows = Turtle.parseTurtle(
+      """@prefix ex: <http://ex.org/> .
+        |PREFIX x: <urn:x:>
+        |# both decl styles; 'a', ';', ',' abbreviations; typed+lang literals
+        |ex:s a x:T ;
+        |  ex:p ex:o1, "lit"@en, "42"^^<http://www.w3.org/2001/XMLSchema#int> ;
+        |  ex:q 7, 2.5, true ;
+        |  ex:r "say \"hi\"" .
+        |_:b0 ex:p ex:s .
+        |""".stripMargin)
+    val t = rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert(t.contains(("http://ex.org/s", rdfType, "urn:x:T", None, None, false)))
+    assert(t.contains(("http://ex.org/s", "http://ex.org/p", "http://ex.org/o1", None, None, false)))
+    assert(t.contains(("http://ex.org/s", "http://ex.org/p", "lit", Some("en"), None, true)))
+    assert(t.contains(("http://ex.org/s", "http://ex.org/p", "42", None,
+      Some("http://www.w3.org/2001/XMLSchema#int"), true)))
+    assert(t.contains(("http://ex.org/s", "http://ex.org/q", "7", None,
+      Some("http://www.w3.org/2001/XMLSchema#integer"), true)))
+    assert(t.contains(("http://ex.org/s", "http://ex.org/q", "2.5", None,
+      Some("http://www.w3.org/2001/XMLSchema#decimal"), true)))
+    assert(t.contains(("http://ex.org/s", "http://ex.org/q", "true", None,
+      Some("http://www.w3.org/2001/XMLSchema#boolean"), true)))
+    assert(t.contains(("http://ex.org/s", "http://ex.org/r", "say \"hi\"", None, None, true)))
+    assert(t.contains(("_:b0", "http://ex.org/p", "http://ex.org/s", None, None, false)))
+    assert(rows.size == 9)
+  }
+
+  test("Turtle: unsupported constructs reject with a named message") {
+    import graft.sources.Turtle
+    def rejects(ttl: String, frag: String): Unit = {
+      val e = intercept[Turtle.TurtleParseError](Turtle.parseTurtle(ttl))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("""<urn:s> <urn:p> [ <urn:q> 1 ] .""", "anonymous blank nodes")
+    rejects("""<urn:s> <urn:p> (1 2 3) .""", "collections")
+    rejects("@base <http://ex.org/> . <s> <p> <o> .", "@base")
+    rejects("<urn:s> <urn:p> \"\"\"long\"\"\" .", "long literals")
+    rejects("""ex:s <urn:p> <urn:o> .""", "unknown prefix")
+  }
+
+  test("Turtle: readTurtle through Spark equals the pure parse") {
+    import graft.sources.{Rdf, Turtle}
+    val dir = java.nio.file.Paths.get(s"$tmp/ttl")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("f.ttl"),
+      Rdf.TurtleFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val viaSpark = Turtle.readTurtle(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)), r.getBoolean(5)))
+      .toSet
+    assert(viaSpark == Turtle.parseTurtle(Rdf.TurtleFixture).toSet)
+    assert(viaSpark.nonEmpty)
+  }
+
   test("OBO: stanza fold produces the reference's three tables") {
     val dir = java.nio.file.Paths.get(s"$tmp/obo")
     java.nio.file.Files.createDirectories(dir)
