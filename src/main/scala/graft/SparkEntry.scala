@@ -99,6 +99,7 @@ object SparkEntry {
     "graph07_optional_filter" -> q(Graph.graph07OptionalFilter),
     "graph08_ancestor_paths" -> q(Graph.graph08AncestorPaths(_)),
     "graph09_sparql_text" -> q(Graph.graph09SparqlText),
+    "graph10_sparql_agg" -> q(Graph.graph10SparqlAgg),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1808,6 +1809,28 @@ object SparkEntry {
         |FROM p0 JOIN p1 ON p0.r = p1.r LEFT JOIN p2 ON p0.n = p2.n
         |WHERE rl <> 'ASIA'
         |ORDER BY nation_iri""".stripMargin,
+    // graph10: graph04's aggregation through the TEXT front-end —
+    // same de-sugared algebra, aliases from the (COUNT ... AS ?n)
+    // binding.
+    "graph10_sparql_agg" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region),
+        |p1 AS (SELECT s AS c, o AS n FROM triples WHERE p = 'in_nation'),
+        |p2 AS (SELECT s AS n, o AS r FROM triples WHERE p = 'in_region'),
+        |p3 AS (SELECT s AS r FROM triples WHERE p = 'label' AND o = 'ASIA'),
+        |p4 AS (SELECT s AS n, o AS nl FROM triples WHERE p = 'label')
+        |SELECT nl, COUNT(DISTINCT c) AS n_customers
+        |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r) JOIN p4 USING (n)
+        |GROUP BY nl
+        |ORDER BY nl""".stripMargin,
     // graph09: the SPARQL-text query compiled by graft.sparql.Sparql —
     // the oracle is the de-sugared algebra (closure + label join +
     // left join on the sparse annotation + filter), so it checks the

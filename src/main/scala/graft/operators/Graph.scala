@@ -258,6 +258,25 @@ object Graph {
       maxPathHops = 3
     )
 
+  /** graph10: SPARQL aggregation as TEXT — graph04's hand-built
+    * count-per-nation expressed as a query string: `GROUP BY` +
+    * `(COUNT(DISTINCT ?c) AS ?n_customers)` compile to a plain
+    * partial-aggregating groupBy over the BGP join, so the same
+    * oracle family checks the aggregate path of the parser. */
+  def graph10SparqlAgg(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?nl (COUNT(DISTINCT ?c) AS ?n_customers)
+        |WHERE {
+        |  ?c <in_nation> ?n .
+        |  ?n <in_region> ?r .
+        |  ?r <label> "ASIA" .
+        |  ?n <label> ?nl
+        |}
+        |GROUP BY ?nl
+        |ORDER BY ?nl""".stripMargin
+    )
+
   /** graph07: OPTIONAL + FILTER over the triple store — `?n in_region
     * ?r . ?r label ?rl . OPTIONAL { ?n flagged ?fl } . FILTER(?rl !=
     * "ASIA")`. Nations keep their row whether or not the sparse

@@ -2,7 +2,7 @@ package graft.sparql
 
 import graft.operators.Graph
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max, min}
 
 /** SPARQL *text* front-end — the reference's actual graph interface is
   * a string (reference: scripts/sparql_query.py:89 `run_query(store,
@@ -13,14 +13,16 @@ import org.apache.spark.sql.functions.{col, expr}
   * compiling the already-supported fragment from SPARQL text:
   *
   * {{{
-  *   PREFIX pre: <iri>            -- any number
-  *   SELECT ?v1 ?v2 | *
-  *   WHERE {
+  *   PREFIX pre: <iri>            -- any number; common W3C set
+  *                                --   auto-injects when none declared
+  *   SELECT [DISTINCT] ?v1 ?v2 | * | (COUNT([DISTINCT] ?v|*) AS ?n)
+  *   WHERE {                      --   aggregates: COUNT/MIN/MAX
   *     s p o .                    -- terms: ?var | <iri> | pre:local | "lit"
   *     OPTIONAL { s p o } .       -- exactly one triple per OPTIONAL
   *     FILTER(expr) .             -- ?v comparisons, && || !, REGEX/
   *   }                            --   CONTAINS/STRSTARTS/STRENDS/
-  *   ORDER BY ?v1 ?v2             --   STRLEN/LCASE/UCASE/BOUND
+  *   GROUP BY ?v1                 --   STRLEN/LCASE/UCASE/BOUND
+  *   ORDER BY ?v1 ?v2
   *   LIMIT n
   * }}}
   *
@@ -39,6 +41,15 @@ import org.apache.spark.sql.functions.{col, expr}
   */
 object Sparql {
 
+  /** One `(FN(?v) AS ?alias)` projection: fn ∈ COUNT/MIN/MAX,
+    * `variable` is None for COUNT(*). */
+  final case class Aggregate(
+      fn: String,
+      isDistinct: Boolean,
+      variable: Option[String],
+      alias: String
+  )
+
   final case class ParsedQuery(
       selectVars: Seq[String], // without '?'; empty => SELECT *
       patterns: Seq[(String, String, String)],
@@ -46,7 +57,11 @@ object Sparql {
       filterSql: Option[String], // translated to Spark SQL text
       orderBy: Seq[String],
       limit: Option[Int],
-      distinct: Boolean = false
+      distinct: Boolean = false,
+      aggregates: Seq[Aggregate] = Seq.empty,
+      groupBy: Seq[String] = Seq.empty,
+      // SELECT-clause order across plain vars and agg aliases
+      projection: Seq[String] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -75,14 +90,36 @@ object Sparql {
       filterExpr = p.filterSql.map(expr),
       maxPathHops = maxPathHops
     )
-    p.selectVars.filterNot(matched.columns.contains) match {
+    val referenced =
+      p.selectVars ++ p.groupBy ++ p.aggregates.flatMap(_.variable)
+    referenced.distinct.filterNot(matched.columns.contains) match {
       case missing if missing.nonEmpty =>
         throw SparqlParseError(
           s"SELECT variable(s) ${missing.mkString(", ")} not bound by any pattern")
       case _ =>
     }
     val selected =
-      if (p.selectVars.isEmpty) matched
+      if (p.aggregates.nonEmpty) {
+        // GROUP BY + aggregates — a plain partial-aggregating groupBy
+        // (COUNT DISTINCT expands to Spark's two-stage distinct agg).
+        val aggCols = p.aggregates.map { a =>
+          val arg = a.variable.map(col).getOrElse(lit(1))
+          val c = (a.fn, a.isDistinct) match {
+            case ("COUNT", true)  => countDistinct(arg)
+            case ("COUNT", false) => count(arg)
+            case ("MIN", _)       => min(arg)
+            case ("MAX", _)       => max(arg)
+            case other            => throw SparqlParseError(s"unreachable aggregate $other")
+          }
+          c.as(a.alias)
+        }
+        val grouped =
+          if (p.groupBy.isEmpty) matched.groupBy()
+          else matched.groupBy(p.groupBy.map(col): _*)
+        grouped
+          .agg(aggCols.head, aggCols.tail: _*)
+          .select(p.projection.map(col): _*) // SELECT-clause order
+      } else if (p.selectVars.isEmpty) matched
       else matched.select(p.selectVars.map(col): _*)
     // DISTINCT after projection (SPARQL semantics: over the selected
     // bindings), before ORDER BY — the dedup shuffle keys the
@@ -128,12 +165,51 @@ object Sparql {
     if (st.peekKeyword("DISTINCT")) { st.next(); distinct = true }
     else if (st.peekKeyword("REDUCED")) st.next() // REDUCED may legally no-op
 
+    // SELECT items: plain ?vars and (FN([DISTINCT] ?v|*) AS ?alias)
+    // aggregate projections, in clause order.
     var selectVars = Vector.empty[String]
+    var aggregates = Vector.empty[Aggregate]
+    var projection = Vector.empty[String]
     if (st.peek == Some("*")) st.next()
     else {
-      while (st.peek.exists(_.startsWith("?"))) selectVars :+= st.next().drop(1)
-      if (selectVars.isEmpty)
-        throw SparqlParseError("SELECT needs at least one ?var or *")
+      var more = true
+      while (more) {
+        st.peek match {
+          case Some(v) if v.startsWith("?") =>
+            st.next(); selectVars :+= v.drop(1); projection :+= v.drop(1)
+          case Some("(") =>
+            st.next()
+            val fn = st.next().toUpperCase(java.util.Locale.ROOT)
+            if (!Set("COUNT", "MIN", "MAX")(fn))
+              throw SparqlParseError(
+                s"aggregate $fn is not supported (COUNT/MIN/MAX over the string store)")
+            st.expect("(")
+            var isDistinct = false
+            if (st.peekKeyword("DISTINCT")) { st.next(); isDistinct = true }
+            val arg = st.next() match {
+              case "*" =>
+                if (fn != "COUNT")
+                  throw SparqlParseError(s"$fn(*) is not valid SPARQL")
+                None
+              case v if v.startsWith("?") => Some(v.drop(1))
+              case other =>
+                throw SparqlParseError(s"aggregate argument must be ?var or * (got '$other')")
+            }
+            st.expect(")")
+            if (!st.peekKeyword("AS"))
+              throw SparqlParseError("aggregates need an (… AS ?alias) binding")
+            st.next()
+            val alias = st.next()
+            if (!alias.startsWith("?"))
+              throw SparqlParseError(s"AS must bind a ?alias (got '$alias')")
+            st.expect(")")
+            aggregates :+= Aggregate(fn, isDistinct, arg, alias.drop(1))
+            projection :+= alias.drop(1)
+          case _ => more = false
+        }
+      }
+      if (projection.isEmpty)
+        throw SparqlParseError("SELECT needs at least one ?var, aggregate, or *")
     }
 
     if (!st.peekKeyword("WHERE")) throw SparqlParseError("expected WHERE")
@@ -212,6 +288,26 @@ object Sparql {
     st.next() // }
     if (patterns.isEmpty) throw SparqlParseError("WHERE group has no triple patterns")
 
+    var groupBy = Vector.empty[String]
+    if (st.peekKeyword("GROUP")) {
+      st.next()
+      if (!st.peekKeyword("BY")) throw SparqlParseError("expected BY after GROUP")
+      st.next()
+      while (st.peek.exists(_.startsWith("?"))) groupBy :+= st.next().drop(1)
+      if (groupBy.isEmpty) throw SparqlParseError("GROUP BY needs at least one ?var")
+    }
+    // SPARQL: with aggregates, every plain selected var must be grouped.
+    if (aggregates.nonEmpty || groupBy.nonEmpty) {
+      if (aggregates.isEmpty)
+        throw SparqlParseError("GROUP BY without an aggregate in SELECT")
+      selectVars.filterNot(groupBy.contains) match {
+        case bad if bad.nonEmpty =>
+          throw SparqlParseError(
+            s"non-aggregated SELECT variable(s) ${bad.mkString(", ")} must appear in GROUP BY")
+        case _ =>
+      }
+    }
+
     var orderBy = Vector.empty[String]
     if (st.peekKeyword("ORDER")) {
       st.next()
@@ -238,7 +334,8 @@ object Sparql {
       case Seq()  => None
       case exprs  => Some(exprs.map(e => s"($e)").mkString(" AND "))
     }
-    ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit, distinct)
+    ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit,
+      distinct, aggregates, groupBy, projection)
   }
 
   // ------------------------------------------------------------- lexing

@@ -75,6 +75,48 @@ class SparqlSpec extends AnyFunSuite {
     assert(p.limit == Some(10))
   }
 
+  test("parses aggregates: (COUNT(DISTINCT ?v) AS ?alias) + GROUP BY") {
+    val p = Sparql.parse(
+      """SELECT ?nl (COUNT(DISTINCT ?c) AS ?n) WHERE { ?c <in_nation> ?nl }
+        |GROUP BY ?nl ORDER BY ?nl""".stripMargin)
+    assert(p.aggregates == Seq(Sparql.Aggregate("COUNT", isDistinct = true, Some("c"), "n")))
+    assert(p.groupBy == Seq("nl"))
+    assert(p.projection == Seq("nl", "n"))
+    val global = Sparql.parse("SELECT (COUNT(*) AS ?total) WHERE { ?s ?p ?o }")
+    assert(global.aggregates == Seq(Sparql.Aggregate("COUNT", isDistinct = false, None, "total")))
+    assert(global.groupBy.isEmpty)
+  }
+
+  test("aggregate misuse rejects by name") {
+    def rejects(q: String, frag: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects("SELECT (SUM(?v) AS ?s) WHERE { ?a <p> ?v }", "SUM is not supported")
+    rejects("SELECT (COUNT(?v)) WHERE { ?a <p> ?v }", "AS ?alias")
+    rejects("SELECT ?a (COUNT(?v) AS ?n) WHERE { ?a <p> ?v }", "must appear in GROUP BY")
+    rejects("SELECT ?a WHERE { ?a <p> ?v } GROUP BY ?a", "without an aggregate")
+    rejects("SELECT (MIN(*) AS ?m) WHERE { ?a <p> ?v }", "not valid SPARQL")
+  }
+
+  test("aggregate execution: grouped count-distinct and a global count") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val triples = Seq(
+      ("c1", "in", "n1"), ("c2", "in", "n1"), ("c2", "in", "n1"),
+      ("c3", "in", "n2")
+    ).toDF("s", "p", "o")
+    val grouped = Sparql.run(
+      triples,
+      "SELECT ?n (COUNT(DISTINCT ?c) AS ?k) WHERE { ?c <in> ?n } GROUP BY ?n ORDER BY ?n"
+    ).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(grouped.toSeq == Seq(("n1", 2L), ("n2", 1L)))
+    val total = Sparql.run(
+      triples, "SELECT (COUNT(*) AS ?t) WHERE { ?c <in> ?n }"
+    ).collect().head.getLong(0)
+    assert(total == 4L)
+  }
+
   test("parses SELECT DISTINCT; REDUCED no-ops") {
     assert(Sparql.parse("SELECT DISTINCT ?r WHERE { ?n <in_region> ?r }").distinct)
     assert(!Sparql.parse("SELECT REDUCED ?r WHERE { ?n <in_region> ?r }").distinct)
