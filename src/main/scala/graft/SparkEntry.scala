@@ -69,6 +69,7 @@ object SparkEntry {
     "ing04_obo_closure" -> q(graft.sources.Rdf.ing04OboClosure),
     "ing05_skos_terms" -> q(graft.sources.Rdf.ing05SkosTerms),
     "ing06_turtle_skos" -> q(graft.sources.Rdf.ing06TurtleSkos),
+    "ing07_mesh_terms" -> q(graft.sources.Rdf.ing07MeshTerms),
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
@@ -757,6 +758,22 @@ object SparkEntry {
         |  ('http://ex.org/c3', 'Chimie', '',
         |   '', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
         |) AS t(id, label, definition, synonyms, n_parents, n_xrefs)
+        |ORDER BY id""".stripMargin,
+    // ing07: the MeSH fixture's expected export — rdfs:label over
+    // meshv:prefLabel, scopeNote fallbacks, active->obsolete
+    // inversion, descriptor/concept namespacing.
+    "ing07_mesh_terms" ->
+      """SELECT * FROM (VALUES
+        |  ('http://id.nlm.nih.gov/mesh/D000001', 'Anatomy',
+        |   'Structure of organisms.', 'Body structure', 'descriptor',
+        |   FALSE, CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('http://id.nlm.nih.gov/mesh/D000002', 'Histology', '', '',
+        |   'descriptor', TRUE, CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('http://id.nlm.nih.gov/mesh/M0000001', 'Anatomy Concept',
+        |   'Concept note.', '', 'concept', FALSE,
+        |   CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(id, label, definition, synonyms, namespace, obsolete,
+        |       n_parents, n_xrefs)
         |ORDER BY id""".stripMargin,
     "q12_late_shipments" ->
       """SELECT o_orderpriority,

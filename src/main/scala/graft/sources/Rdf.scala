@@ -348,6 +348,98 @@ object Rdf {
     ).mkString("", "\n", "\n")
   }
 
+  // ----------------------------------------------------------------- MeSH
+
+  private val Meshv = "http://id.nlm.nih.gov/mesh/vocab#"
+  private val RdfsLabel = "http://www.w3.org/2000/01/rdf-schema#label"
+
+  /** MeSH N-Triples → the same three term tables (reference:
+    * convert_ontologies.py:442 `export_parquet_mesh`) — the third of
+    * the reference's three export paths (OBO / SKOS / MeSH), with
+    * MeSH's vocabulary-specific rules:
+    *
+    *  - entities: meshv:Descriptor, SCR_Chemical/Disease/Protocol,
+    *    Qualifier (namespace "descriptor") plus meshv:Concept
+    *    (namespace "concept"); descriptor typing wins when both
+    *  - label: rdfs:label preferred over meshv:prefLabel
+    *  - definition: meshv:scopeNote over skos:scopeNote
+    *  - synonyms: meshv:altLabel, sorted
+    *  - obsolete = NOT meshv:active (default active)
+    *  - hierarchy: meshv:broaderDescriptor + skos:broader
+    *  - xrefs: skos:exactMatch / closeMatch
+    *
+    * Same determinism note as skosTerms: the reference's "first
+    * match" picks inherit rdflib iteration order; ties here break
+    * lexicographically via min_by. */
+  def meshTerms(triples: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val descriptorTypes = Seq(
+      "Descriptor", "SCR_Chemical", "SCR_Disease", "SCR_Protocol", "Qualifier"
+    ).map(Meshv + _)
+    val typed = triples
+      .filter(col("p") === Rdf_type &&
+        (col("o").isin(descriptorTypes: _*) || col("o") === s"${Meshv}Concept"))
+      .groupBy(col("s").as("id"))
+      .agg(
+        max(when(col("o").isin(descriptorTypes: _*), lit(1)).otherwise(lit(0)))
+          .as("is_descriptor"))
+    val ann = triples.join(typed.select("id"), triples("s") === typed("id")).drop("id")
+
+    val labelPri = when(col("p") === RdfsLabel, 0).otherwise(1)
+    val defPri = when(col("p") === s"${Meshv}scopeNote", 0).otherwise(1)
+    val terms = typed
+      .join(
+        ann
+          .filter(col("p").isin(
+            RdfsLabel, s"${Meshv}prefLabel", s"${Meshv}scopeNote",
+            s"${Skos}scopeNote", s"${Meshv}altLabel", s"${Meshv}active"))
+          .groupBy(col("s").as("id"))
+          .agg(
+            min_by(
+              when(col("p").isin(RdfsLabel, s"${Meshv}prefLabel"), col("o")),
+              when(col("p").isin(RdfsLabel, s"${Meshv}prefLabel"),
+                struct(labelPri, col("o")))
+            ).as("label"),
+            min_by(
+              when(col("p").isin(s"${Meshv}scopeNote", s"${Skos}scopeNote"), col("o")),
+              when(col("p").isin(s"${Meshv}scopeNote", s"${Skos}scopeNote"),
+                struct(defPri, col("o")))
+            ).as("definition"),
+            sort_array(collect_list(
+              when(col("p") === s"${Meshv}altLabel", col("o")))).as("synonyms"),
+            // active defaults true; any explicit false flips obsolete
+            min(when(col("p") === s"${Meshv}active",
+              lower(col("o")).isin("true", "1"))).as("active")
+          ),
+        Seq("id"),
+        "left"
+      )
+      .select(
+        col("id"),
+        coalesce(col("label"), lit("")).as("label"),
+        coalesce(col("definition"), lit("")).as("definition"),
+        coalesce(col("synonyms"), array().cast("array<string>")).as("synonyms"),
+        when(col("is_descriptor") === 1, "descriptor").otherwise("concept")
+          .as("namespace"),
+        (!coalesce(col("active"), lit(true))).as("obsolete")
+      )
+
+    val hierarchy = ann
+      .filter(col("p").isin(s"${Meshv}broaderDescriptor", s"${Skos}broader"))
+      .select(
+        col("o").as("parent_id"),
+        col("s").as("child_id"),
+        substring_index(col("p"), "#", -1).as("relation")
+      )
+    val xrefs = ann
+      .filter(col("p").isin(s"${Skos}exactMatch", s"${Skos}closeMatch"))
+      .select(
+        col("s").as("term_id"),
+        substring_index(col("p"), "#", -1).as("xref_db"),
+        col("o").as("xref_id")
+      )
+    (terms, hierarchy, xrefs)
+  }
+
   /** Flat one-row-per-concept report over the skosTerms tables
     * (synonyms pipe-joined, hierarchy/xref degree counts — no array
     * cells for the driver hasher). */
@@ -424,6 +516,69 @@ object Rdf {
       dir.resolve("fixture.ttl"),
       TurtleFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     skosReport(Turtle.readTurtle(spark, dir.toString))
+  }
+
+  /** MeSH fixture: descriptor with rdfs:label + meshv annotations, an
+    * inactive descriptor falling back to meshv:prefLabel with a
+    * broaderDescriptor edge and an exactMatch, a meshv:Concept with a
+    * skos:scopeNote/broader fallback path, and a non-entity subject
+    * to be excluded. */
+  private[graft] val MeshFixture: String = {
+    val d1 = "<http://id.nlm.nih.gov/mesh/D000001>"
+    val d2 = "<http://id.nlm.nih.gov/mesh/D000002>"
+    val c1 = "<http://id.nlm.nih.gov/mesh/M0000001>"
+    val t = s"<$Rdf_type>"
+    def mv(n: String) = s"<$Meshv$n>"
+    def sk(n: String) = s"<$Skos$n>"
+    Seq(
+      s"$d1 $t ${mv("Descriptor")} .",
+      s"""$d1 <$RdfsLabel> "Anatomy"@en .""",
+      s"""$d1 ${mv("scopeNote")} "Structure of organisms." .""",
+      s"""$d1 ${mv("altLabel")} "Body structure" .""",
+      s"$d2 $t ${mv("Descriptor")} .",
+      s"""$d2 ${mv("prefLabel")} "Histology" .""",
+      s"$d2 ${mv("broaderDescriptor")} $d1 .",
+      s"""$d2 ${mv("active")} "false" .""",
+      s"$d2 ${sk("exactMatch")} <http://other.org/hist> .",
+      s"$c1 $t ${mv("Concept")} .",
+      s"""$c1 <$RdfsLabel> "Anatomy Concept" .""",
+      s"""$c1 ${sk("scopeNote")} "Concept note." .""",
+      s"$c1 ${sk("broader")} $d1 .",
+      s"""<http://ex.org/noise> <http://ex.org/p> "x" ."""
+    ).mkString("", "\n", "\n")
+  }
+
+  /** ing07: MeSH ingestion end to end — the reference's third export
+    * path. Flat per-entity report including MeSH's namespace and
+    * obsolete (NOT active) columns; oracle = expected VALUES. */
+  def ing07MeshTerms(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    val dir = fixtureDir.resolve("ing07")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("fixture.nt"),
+      MeshFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (terms, hierarchy, xrefs) = meshTerms(readNTriples(spark, dir.toString))
+    val parents = hierarchy
+      .groupBy(col("child_id").as("id"))
+      .agg(count(lit(1)).as("n_parents"))
+    val nx = xrefs
+      .groupBy(col("term_id").as("id"))
+      .agg(count(lit(1)).as("n_xrefs"))
+    terms
+      .join(parents, Seq("id"), "left")
+      .join(nx, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("label"),
+        col("definition"),
+        array_join(col("synonyms"), "|").as("synonyms"),
+        col("namespace"),
+        col("obsolete"),
+        coalesce(col("n_parents"), lit(0L)).as("n_parents"),
+        coalesce(col("n_xrefs"), lit(0L)).as("n_xrefs")
+      )
+      .orderBy("id")
   }
 
   // ------------------------------------------------------- query entries
