@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max
   *     FILTER(expr) .             -- ?v comparisons, && || !, REGEX/
   *   }                            --   CONTAINS/STRSTARTS/STRENDS/
   *   GROUP BY ?v1                 --   STRLEN/LCASE/UCASE/BOUND
-  *   ORDER BY ?v1 ?v2
+  *   ORDER BY ?v1 DESC(?v2)
   *   LIMIT n
   * }}}
   *
@@ -55,7 +55,7 @@ object Sparql {
       patterns: Seq[(String, String, String)],
       optionalIdx: Set[Int],
       filterSql: Option[String], // translated to Spark SQL text
-      orderBy: Seq[String],
+      orderBy: Seq[(String, Boolean)], // (var, descending)
       limit: Option[Int],
       distinct: Boolean = false,
       aggregates: Seq[Aggregate] = Seq.empty,
@@ -126,7 +126,11 @@ object Sparql {
     // projected columns only.
     val dedup = if (p.distinct) selected.distinct() else selected
     val ordered =
-      if (p.orderBy.isEmpty) dedup else dedup.orderBy(p.orderBy.map(col): _*)
+      if (p.orderBy.isEmpty) dedup
+      else dedup.orderBy(p.orderBy.map {
+        case (v, true)  => col(v).desc
+        case (v, false) => col(v)
+      }: _*)
     p.limit.fold(ordered)(ordered.limit)
   }
 
@@ -308,14 +312,27 @@ object Sparql {
       }
     }
 
-    var orderBy = Vector.empty[String]
+    var orderBy = Vector.empty[(String, Boolean)]
     if (st.peekKeyword("ORDER")) {
       st.next()
       if (!st.peekKeyword("BY")) throw SparqlParseError("expected BY after ORDER")
       st.next()
-      while (st.peek.exists(_.startsWith("?"))) orderBy :+= st.next().drop(1)
-      if (st.peek.exists(t => t.equalsIgnoreCase("DESC") || t.equalsIgnoreCase("ASC")))
-        throw SparqlParseError("ORDER BY ASC()/DESC() is not supported (plain ?vars only)")
+      var more = true
+      while (more) {
+        st.peek match {
+          case Some(v) if v.startsWith("?") =>
+            st.next(); orderBy :+= (v.drop(1), false)
+          case Some(kw) if kw.equalsIgnoreCase("ASC") || kw.equalsIgnoreCase("DESC") =>
+            st.next()
+            st.expect("(")
+            val v = st.next()
+            if (!v.startsWith("?"))
+              throw SparqlParseError(s"${kw.toUpperCase}() expects a ?var (got '$v')")
+            st.expect(")")
+            orderBy :+= (v.drop(1), kw.equalsIgnoreCase("DESC"))
+          case _ => more = false
+        }
+      }
       if (orderBy.isEmpty) throw SparqlParseError("ORDER BY needs at least one ?var")
     }
 

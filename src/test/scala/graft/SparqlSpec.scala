@@ -128,8 +128,11 @@ class SparqlSpec extends AnyFunSuite {
       """SELECT ?n ?r WHERE {   # bindings
         |  ?n <in_region> ?r    # one pattern
         |} ORDER BY ?r ?n LIMIT 7""".stripMargin)
-    assert(p.orderBy == Seq("r", "n"))
+    assert(p.orderBy == Seq(("r", false), ("n", false)))
     assert(p.limit == Some(7))
+    val d = Sparql.parse(
+      "SELECT ?n ?r WHERE { ?n <in_region> ?r } ORDER BY DESC(?r) ASC(?n)")
+    assert(d.orderBy == Seq(("r", true), ("n", false)))
   }
 
   test("rejects unsupported syntax with a named construct") {
@@ -145,7 +148,8 @@ class SparqlSpec extends AnyFunSuite {
     rejects("SELECT ?s WHERE { ?s (<p>|<q>) ?o }", "bare alternation")
     rejects("SELECT ?s WHERE { ?s ?p+ ?o }", "paths over a ?variable")
     rejects("SELECT ?s WHERE { ?s unknown:p ?o }", "unknown prefix")
-    rejects("SELECT ?s WHERE { ?s <p> ?o } ORDER BY ?s DESC", "DESC")
+    rejects("SELECT ?s WHERE { ?s <p> ?o } ORDER BY name", "at least one ?var")
+    rejects("SELECT ?s WHERE { ?s <p> ?o } ORDER BY DESC(name)", "expects a ?var")
     rejects("SELECT ?s WHERE { }", "no triple patterns")
     rejects("SELECT ?s WHERE { ?s <p> ?o } LIMIT x", "integer")
     rejects("SELECT ?s WHERE { ?s <p> ?o } GARBAGE", "trailing")
