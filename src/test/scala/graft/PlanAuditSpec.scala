@@ -236,6 +236,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window not keyed by (source, shard): $windowLine")
   }
 
+  test("graph10: SPARQL-text aggregation plans partial count-distinct, no cartesian") {
+    val p = plan(Graph.graph10SparqlAgg(lake))
+    assert(p.contains("partial_count(distinct") || p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("embedDocuments is map-only: no Exchange anywhere in the plan") {
+    // embedding generation at 100 TB is a pure scan stage; a shuffle
+    // appearing here means the mapPartitions picked up an accidental
+    // repartition or the projection regressed to an aggregate
+    val p = plan(graft.operators.Embedding.embedDocuments(lake.documents))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("whole-stage codegen covers the q01 aggregate") {
     // AQE plans materialize codegen stages only once executed
     val df = Relational.q01PricingSummary(lake)
