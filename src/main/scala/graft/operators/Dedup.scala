@@ -66,7 +66,16 @@ object Dedup {
     * df <= maxDf the result is bit-identical to the uncapped join
     * (spec-pinned); past the cap the contract is "near-dup pairs that
     * share at least one non-boilerplate shingle", which is the pair
-    * set a curator wants anyway. */
+    * set a curator wants anyway.
+    *
+    * The plan is SIZE-ADAPTIVE (the xref07 idiom): one max() over the
+    * df frame decides whether the cap is even active. Inactive → the
+    * direct co-occurrence count IS the exact intersection and the
+    * verify re-join of shingle arrays is skipped (~2x faster
+    * locally); active → capped candidates + exact full-set verify,
+    * the only shape that survives boilerplate at 100 TB. Both
+    * branches are exact; equality is spec-pinned on a planted corpus
+    * that forces the capped branch. */
   def dedup03NgramJaccard(
       lake: Lake,
       threshold: Double = 0.5,
@@ -86,45 +95,95 @@ object Dedup {
       col("n_chars"),
       explode(col("sh")).as("s")
     )
-    val rare = index
-      .groupBy("s")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("s")
-    val capped = index.join(rare, "s")
-    val candidates = capped
-      .join(
-        capped.select(
-          col("doc_id").as("doc_b"),
-          col("n_chars").as("chars_b"),
-          col("s")
-        ),
-        Seq("s")
+    val dfs = index.groupBy("s").agg(count(lit(1)).as("df"))
+    // Size-adaptive plan choice, the xref07 idiom: when NO shingle
+    // exceeds the cap, the capped candidate set is the full candidate
+    // set AND counting co-occurrences already yields the exact
+    // intersection — so the verify re-join of the shingle arrays is
+    // pure overhead and the direct count is ~2x faster (measured
+    // 2.5 → 1.4 s at sf0.1; eval01 inherits the same saving at its
+    // 0.05 threshold). One max() over the df frame decides; any
+    // boilerplate-frequent shingle flips to the capped + exact-verify
+    // plan, which is the only shape that survives 100 TB.
+    val maxObserved = dfs.agg(max("df")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    if (maxObserved <= maxDf) {
+      val sized = docs.select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("sh")).as("nsh"),
+        explode(col("sh")).as("s")
       )
-      .filter(
-        col("doc_id") < col("doc_b") &&
-          abs(col("n_chars") - col("chars_b")) <= lenWindow
-      )
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
-      .distinct()
-    val withSets = candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    withSets
-      // Materialize the intersection count once — jaccard references
-      // it twice, and a repeated expression runs the array walk twice.
-      .withColumn("ic", graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b")))
-      .withColumn(
-        "jaccard",
-        round(
-          col("ic").cast("double") /
-            (size(col("sh_a")) + size(col("sh_b")) - col("ic")).cast("double"),
-          4
+      sized
+        .join(
+          sized.select(
+            col("doc_id").as("doc_b"),
+            col("n_chars").as("chars_b"),
+            col("nsh").as("nsh_b"),
+            col("s")
+          ),
+          Seq("s")
         )
-      )
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+        .filter(
+          col("doc_id") < col("doc_b") &&
+            abs(col("n_chars") - col("chars_b")) <= lenWindow
+        )
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(
+          count(lit(1)).as("ic"),
+          first(col("nsh")).as("na"),
+          first(col("nsh_b")).as("nb")
+        )
+        .withColumn(
+          "jaccard",
+          round(
+            col("ic").cast("double") /
+              (col("na") + col("nb") - col("ic")).cast("double"),
+            4
+          )
+        )
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    } else {
+      val rare = dfs.filter(col("df") <= maxDf).select("s")
+      val capped = index.join(rare, "s")
+      val candidates = capped
+        .join(
+          capped.select(
+            col("doc_id").as("doc_b"),
+            col("n_chars").as("chars_b"),
+            col("s")
+          ),
+          Seq("s")
+        )
+        .filter(
+          col("doc_id") < col("doc_b") &&
+            abs(col("n_chars") - col("chars_b")) <= lenWindow
+        )
+        .select(col("doc_id").as("doc_a"), col("doc_b"))
+        .distinct()
+      val withSets = candidates
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      withSets
+        // Materialize the intersection count once — jaccard references
+        // it twice, and a repeated expression runs the array walk twice.
+        .withColumn("ic", graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b")))
+        .withColumn(
+          "jaccard",
+          round(
+            col("ic").cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - col("ic")).cast("double"),
+            4
+          )
+        )
+        .filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** MinHash + LSH banded near-dup detection with exact verification.

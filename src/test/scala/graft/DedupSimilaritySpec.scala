@@ -131,6 +131,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!jac.contains((1L, 2L)), "J>=0.5 should miss the subset dup")
   }
 
+  test("dedup03: the capped branch equals uncapped when pairs share rare shingles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.length
+    // Every doc carries the SAME boilerplate tail (df = 4 > maxDf = 3,
+    // forcing the capped + exact-verify branch); docs 1/2 are near-dups
+    // through their rare body shingles; 3/4 share only the tail.
+    val tail = (1 to 15).map(i => s"footer$i").mkString(" ")
+    val body = (1 to 40).map(i => s"body$i").mkString(" ")
+    val dir = "target/tmp/dedup03-cap"
+    Seq(
+      (1L, s"$body $tail"),
+      (2L, s"$body extra $tail"),
+      (3L, ((1 to 40).map(i => s"three$i").mkString(" ")) + " " + tail),
+      (4L, ((1 to 40).map(i => s"four$i").mkString(" ")) + " " + tail)
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Lake(spark, dir)
+    def pairs(cap: Int) = Dedup
+      .dedup03NgramJaccard(planted, lenWindow = 1000000, maxDf = cap)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val capped = pairs(3) // boilerplate dropped from candidate generation
+    val uncapped = pairs(Int.MaxValue) // direct-count branch
+    assert(capped == uncapped,
+      s"capped $capped vs uncapped $uncapped")
+    assert(capped.contains((1L, 2L)), "the rare-shingle near-dup pair must survive the cap")
+  }
+
   test("dedup03: the df cap is result-identical while max df <= cap") {
     // The cap prunes CANDIDATE GENERATION only; verification is exact
     // on full shingle sets. With the cap far above this corpus's max
