@@ -70,6 +70,7 @@ object SparkEntry {
     "ing05_skos_terms" -> q(graft.sources.Rdf.ing05SkosTerms),
     "ing06_turtle_skos" -> q(graft.sources.Rdf.ing06TurtleSkos),
     "ing07_mesh_terms" -> q(graft.sources.Rdf.ing07MeshTerms),
+    "ing08_rdfxml_skos" -> q(graft.sources.Rdf.ing08RdfXmlSkos),
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
@@ -750,6 +751,18 @@ object SparkEntry {
     // abbreviates the identical concept scheme, so format equivalence
     // is exactly what the shared oracle pins.
     "ing06_turtle_skos" ->
+      """SELECT * FROM (VALUES
+        |  ('http://ex.org/c1', 'Physics', 'The study of matter.',
+        |   'physical sciences', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+        |  ('http://ex.org/c2', 'Optics', 'About light.',
+        |   '', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+        |  ('http://ex.org/c3', 'Chimie', '',
+        |   '', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
+        |) AS t(id, label, definition, synonyms, n_parents, n_xrefs)
+        |ORDER BY id""".stripMargin,
+    // ing08: SAME expected export again from the RDF/XML spelling of
+    // the scheme — three syntaxes now share one oracle.
+    "ing08_rdfxml_skos" ->
       """SELECT * FROM (VALUES
         |  ('http://ex.org/c1', 'Physics', 'The study of matter.',
         |   'physical sciences', CAST(0 AS BIGINT), CAST(0 AS BIGINT)),

@@ -518,6 +518,60 @@ object Rdf {
     skosReport(Turtle.readTurtle(spark, dir.toString))
   }
 
+  /** The SAME concept scheme again, written in RDF/XML — the
+    * reference's fourth syntax (convert_ontologies.py:343 maps "rdf"/
+    * "owl" to rdflib's format="xml"). Exercises typed node elements
+    * (skos:Concept ⇒ rdf:type), rdf:Description with an explicit
+    * rdf:type property element, rdf:resource objects, xml:lang
+    * (including inheritance from the node element), text literals,
+    * and XML comments. */
+  private[graft] val RdfXmlFixture: String =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      |         xmlns:skos="http://www.w3.org/2004/02/skos/core#"
+      |         xmlns:ex="http://ex.org/">
+      |  <!-- concept with multilingual labels and two synonyms -->
+      |  <skos:Concept rdf:about="http://ex.org/c1">
+      |    <skos:prefLabel xml:lang="de">Physik</skos:prefLabel>
+      |    <skos:prefLabel xml:lang="en">Physics</skos:prefLabel>
+      |    <skos:definition xml:lang="en">The study of matter.</skos:definition>
+      |    <skos:altLabel xml:lang="en">physical sciences</skos:altLabel>
+      |    <skos:altLabel xml:lang="de">Naturlehre</skos:altLabel>
+      |    <skos:narrower rdf:resource="http://ex.org/c3"/>
+      |  </skos:Concept>
+      |  <skos:Concept rdf:about="http://ex.org/c2">
+      |    <skos:prefLabel xml:lang="en">Optics</skos:prefLabel>
+      |    <skos:scopeNote xml:lang="en">About light.</skos:scopeNote>
+      |    <skos:broader rdf:resource="http://ex.org/c1"/>
+      |    <skos:exactMatch rdf:resource="http://other.org/opt"/>
+      |  </skos:Concept>
+      |  <!-- untyped description + explicit rdf:type; xml:lang on the
+      |       node element inherits down to the label -->
+      |  <rdf:Description rdf:about="http://ex.org/c3" xml:lang="fr">
+      |    <rdf:type rdf:resource="http://www.w3.org/2002/07/owl#Class"/>
+      |    <skos:prefLabel>Chimie</skos:prefLabel>
+      |  </rdf:Description>
+      |  <rdf:Description rdf:about="http://ex.org/noise">
+      |    <ex:p>not a concept</ex:p>
+      |  </rdf:Description>
+      |</rdf:RDF>
+      |""".stripMargin
+
+  /** ing08: the identical concept scheme ingested from RDF/XML — the
+    * shared ing05/ing06 VALUES oracle now pins THREE syntaxes
+    * (N-Triples, Turtle, RDF/XML) to the same export through the same
+    * downstream machinery, which with ing04's OBO path covers all
+    * four formats the reference converts. */
+  def ing08RdfXmlSkos(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    val dir = fixtureDir.resolve("ing08")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("fixture.rdf"),
+      RdfXmlFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    skosReport(RdfXml.readRdfXml(spark, dir.toString))
+  }
+
   /** MeSH fixture: descriptor with rdfs:label + meshv annotations, an
     * inactive descriptor falling back to meshv:prefLabel with a
     * broaderDescriptor edge and an exactMatch, a meshv:Concept with a

@@ -263,6 +263,90 @@ class IngestSpec extends AnyFunSuite {
     assert(viaSpark.nonEmpty)
   }
 
+  test("RDF/XML: striping parses to triples (typed nodes, nesting, lang, datatype)") {
+    import graft.sources.RdfXml
+    val rows = RdfXml.parseRdfXml(
+      """<?xml version="1.0"?>
+        |<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        |         xmlns:ex="http://ex.org/">
+        |  <ex:T rdf:about="urn:s">
+        |    <ex:p rdf:resource="urn:o"/>
+        |    <ex:q xml:lang="en">hello</ex:q>
+        |    <ex:r rdf:datatype="http://www.w3.org/2001/XMLSchema#int">42</ex:r>
+        |    <ex:s rdf:datatype="http://www.w3.org/2001/XMLSchema#string">plain</ex:s>
+        |    <ex:nest>
+        |      <ex:U rdf:nodeID="b1">
+        |        <ex:p2>inner</ex:p2>
+        |      </ex:U>
+        |    </ex:nest>
+        |  </ex:T>
+        |</rdf:RDF>
+        |""".stripMargin).toSet
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    assert(rows == Set(
+      ("urn:s", rdfType, "http://ex.org/T", None, None, false),
+      ("urn:s", "http://ex.org/p", "urn:o", None, None, false),
+      ("urn:s", "http://ex.org/q", "hello", Some("en"), None, true),
+      ("urn:s", "http://ex.org/r", "42", None,
+        Some("http://www.w3.org/2001/XMLSchema#int"), true),
+      // xsd:string normalizes off, like the N-Triples/Turtle readers
+      ("urn:s", "http://ex.org/s", "plain", None, None, true),
+      ("urn:s", "http://ex.org/nest", "_:b1", None, None, false),
+      ("_:b1", rdfType, "http://ex.org/U", None, None, false),
+      ("_:b1", "http://ex.org/p2", "inner", None, None, true)
+    ))
+  }
+
+  test("RDF/XML: unsupported constructs reject with a named message") {
+    import graft.sources.RdfXml
+    val rdfDecl = """xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#""""
+    def rejects(xml: String, frag: String): Unit = {
+      val e = intercept[RdfXml.RdfXmlParseError](RdfXml.parseRdfXml(xml))
+      assert(e.getMessage.contains(frag), e.getMessage)
+    }
+    rejects(s"""<rdf:RDF $rdfDecl>
+               |  <rdf:Description rdf:ID="x"/>
+               |</rdf:RDF>""".stripMargin, "rdf:ID")
+    rejects(s"""<rdf:RDF $rdfDecl xmlns:ex="urn:e:">
+               |  <rdf:Description rdf:about="urn:s">
+               |    <ex:p rdf:parseType="Resource"/>
+               |  </rdf:Description>
+               |</rdf:RDF>""".stripMargin, "rdf:parseType")
+    rejects(s"""<rdf:RDF $rdfDecl>
+               |  <rdf:Description rdf:about="urn:s">
+               |    <rdf:li>x</rdf:li>
+               |  </rdf:Description>
+               |</rdf:RDF>""".stripMargin, "rdf:li")
+    rejects("<notrdf/>", "root must be rdf:RDF")
+    rejects("<rdf:RDF xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#'>",
+      "not well-formed")
+    // entity hardening: DOCTYPE must be refused outright
+    rejects(s"""<!DOCTYPE rdf:RDF [<!ENTITY x "boom">]>
+               |<rdf:RDF $rdfDecl/>""".stripMargin, "not well-formed")
+  }
+
+  test("RDF/XML: fixture triples equal the Turtle fixture's (3-syntax equivalence)") {
+    import graft.sources.{Rdf, RdfXml, Turtle}
+    // The SAME concept scheme is spelled in N-Triples (ing05), Turtle
+    // (ing06), and RDF/XML (ing08); Turtle is a superset of N-Triples,
+    // so one pure parser pins NT==TTL and this pins TTL==RDF/XML.
+    val viaTurtle = Turtle.parseTurtle(Rdf.TurtleFixture).toSet
+    val viaXml = RdfXml.parseRdfXml(Rdf.RdfXmlFixture).toSet
+    assert(viaXml == viaTurtle)
+    // and through Spark, same rows as the pure parse
+    val dir = java.nio.file.Paths.get(s"$tmp/rdfxml")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(
+      dir.resolve("f.rdf"),
+      Rdf.RdfXmlFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val viaSpark = RdfXml.readRdfXml(spark, dir.toString)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4)), r.getBoolean(5)))
+      .toSet
+    assert(viaSpark == viaXml)
+  }
+
   test("OBO: stanza fold produces the reference's three tables") {
     val dir = java.nio.file.Paths.get(s"$tmp/obo")
     java.nio.file.Files.createDirectories(dir)
