@@ -102,6 +102,7 @@ object SparkEntry {
     "graph08_ancestor_paths" -> q(Graph.graph08AncestorPaths(_)),
     "graph09_sparql_text" -> q(Graph.graph09SparqlText),
     "graph10_sparql_agg" -> q(Graph.graph10SparqlAgg),
+    "graph11_sparql_union" -> q(Graph.graph11SparqlUnion),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1842,6 +1843,35 @@ object SparkEntry {
     // graph10: graph04's aggregation through the TEXT front-end —
     // same de-sugared algebra, aliases from the (COUNT ... AS ?n)
     // binding.
+    // graph11: the UNION query's de-sugared algebra — branch 1 is the
+    // ASIA join, branch 2 the flagged scan (no ?r => NULL), combined
+    // with UNION ALL (SPARQL union is a bag).
+    "graph11_sparql_union" ->
+      """WITH triples AS (
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS s, 'in_region' AS p,
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) AS o FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0),
+        |b1 AS (
+        |  SELECT ir.s AS x, lab.o AS l, ir.o AS r
+        |  FROM triples ir
+        |  JOIN triples rl ON ir.o = rl.s AND rl.p = 'label' AND rl.o = 'ASIA'
+        |  JOIN triples lab ON ir.s = lab.s AND lab.p = 'label'
+        |  WHERE ir.p = 'in_region'),
+        |b2 AS (
+        |  SELECT fl.s AS x, lab.o AS l, CAST(NULL AS VARCHAR) AS r
+        |  FROM triples fl
+        |  JOIN triples lab ON fl.s = lab.s AND lab.p = 'label'
+        |  WHERE fl.p = 'flagged' AND fl.o = 'true')
+        |SELECT x, l, r FROM b1
+        |UNION ALL
+        |SELECT x, l, r FROM b2
+        |ORDER BY x, r""".stripMargin,
     "graph10_sparql_agg" ->
       """WITH triples AS (
         |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,

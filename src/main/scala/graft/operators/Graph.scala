@@ -258,6 +258,26 @@ object Graph {
       maxPathHops = 3
     )
 
+  /** graph11: SPARQL UNION as TEXT — `{ … } UNION { … }` branches,
+    * each compiled to its own bgpMatch plan and combined with BAG
+    * semantics (duplicates kept, like real SPARQL union) and
+    * null-aligned bindings: `?r` binds only in the first branch, so
+    * union rows from the second carry null — the same alignment
+    * oxigraph applies. Nations that are in ASIA, together with
+    * nations carrying the sparse `flagged` annotation; a flagged
+    * ASIA nation appears once per branch. */
+  def graph11SparqlUnion(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?x ?l ?r
+        |WHERE {
+        |  { ?x <in_region> ?r . ?r <label> "ASIA" . ?x <label> ?l }
+        |  UNION
+        |  { ?x <flagged> "true" . ?x <label> ?l }
+        |}
+        |ORDER BY ?x ?r""".stripMargin
+    )
+
   /** graph10: SPARQL aggregation as TEXT — graph04's hand-built
     * count-per-nation expressed as a query string: `GROUP BY` +
     * `(COUNT(DISTINCT ?c) AS ?n_customers)` compile to a plain

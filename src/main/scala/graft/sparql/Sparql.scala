@@ -26,18 +26,21 @@ import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max
   *   LIMIT n
   * }}}
   *
-  * plus property paths in the predicate position: `<p>+` and
-  * `(<p1>|<p2>)+` (one-or-more over a predicate union), compiled to
-  * the hop-bounded distributed closure. Anything outside the fragment
-  * (UNION, GRAPH, subqueries, `?p` predicate variables with paths,
-  * bare alternation without `+`, DESC, …) is rejected with a message
-  * naming the construct — never silently misparsed.
+  * or a WHERE body of braced groups joined by `UNION` — `{ … } UNION
+  * { … }` with any number of branches, each branch its own
+  * BGP/OPTIONAL group — plus property paths in the predicate
+  * position: `<p>+` and `(<p1>|<p2>)+` (one-or-more over a predicate
+  * union), compiled to the hop-bounded distributed closure. Anything
+  * outside the fragment (GRAPH, MINUS, subqueries, `?p` predicate
+  * variables with paths, bare alternation without `+`, …) is rejected
+  * with a message naming the construct — never silently misparsed.
   *
   * The compiled query runs as ordinary Catalyst plans: each pattern is
   * a constant-filtered scan of the (s, p, o) triple frame, patterns
-  * join on shared variables, OPTIONAL is a left join, FILTER a
-  * post-group predicate — so the same text that oxigraph walks
-  * in-process scales out as joins.
+  * join on shared variables, OPTIONAL is a left join, UNION a
+  * null-aligning bag union of per-branch plans, FILTER a post-group
+  * predicate — so the same text that oxigraph walks in-process scales
+  * out as joins.
   */
 object Sparql {
 
@@ -61,7 +64,10 @@ object Sparql {
       aggregates: Seq[Aggregate] = Seq.empty,
       groupBy: Seq[String] = Seq.empty,
       // SELECT-clause order across plain vars and agg aliases
-      projection: Seq[String] = Seq.empty
+      projection: Seq[String] = Seq.empty,
+      // UNION branches beyond the first (patterns/optionalIdx above
+      // are branch 0); empty for plain single-group queries
+      moreBranches: Seq[(Seq[(String, String, String)], Set[Int])] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -83,13 +89,34 @@ object Sparql {
   /** Execute a SPARQL SELECT string against an (s, p, o) triple frame. */
   def run(triples: DataFrame, query: String, maxPathHops: Int = 8): DataFrame = {
     val p = parse(query)
-    val matched = Graph.bgpMatch(
-      triples,
-      p.patterns,
-      optionalIdx = p.optionalIdx,
-      filterExpr = p.filterSql.map(expr),
-      maxPathHops = maxPathHops
-    )
+    val matched =
+      if (p.moreBranches.isEmpty)
+        Graph.bgpMatch(
+          triples,
+          p.patterns,
+          optionalIdx = p.optionalIdx,
+          filterExpr = p.filterSql.map(expr),
+          maxPathHops = maxPathHops
+        )
+      else {
+        // UNION: each branch is its own BGP plan; solutions combine
+        // with BAG semantics (SPARQL union keeps duplicates — DISTINCT
+        // is the caller's explicit choice), variables bound in only
+        // some branches null-pad in the others (unionByName's
+        // allowMissingColumns is exactly SPARQL's binding alignment).
+        // FILTER stays group-level — the fragment's documented
+        // contract (all bodies AND together over the final bindings),
+        // so it applies after the union; a var unbound in a branch
+        // compares as null => row dropped, SPARQL's error-is-false.
+        val branches =
+          ((p.patterns, p.optionalIdx) +: p.moreBranches).map {
+            case (pats, optIdx) =>
+              Graph.bgpMatch(triples, pats, optionalIdx = optIdx,
+                maxPathHops = maxPathHops)
+          }
+        val unioned = branches.reduce(_.unionByName(_, allowMissingColumns = true))
+        p.filterSql.map(expr).fold(unioned)(unioned.filter)
+      }
     val referenced =
       p.selectVars ++ p.groupBy ++ p.aggregates.flatMap(_.variable)
     referenced.distinct.filterNot(matched.columns.contains) match {
@@ -264,33 +291,63 @@ object Sparql {
       (s, p, o)
     }
 
-    var patterns = Vector.empty[(String, String, String)]
-    var optionalIdx = Set.empty[Int]
-    while (st.peek != Some("}")) {
-      st.peek match {
-        case None => throw SparqlParseError("unterminated WHERE group (missing '}')")
-        case Some(t) if t.equalsIgnoreCase("OPTIONAL") =>
-          st.next()
-          st.expect("{")
-          patterns :+= triple()
-          optionalIdx += (patterns.length - 1)
-          if (st.peek == Some(".")) st.next()
-          if (st.peek != Some("}"))
+    // One group body: triples/OPTIONALs up to and including its '}'.
+    def parseGroupBody(): (Vector[(String, String, String)], Set[Int]) = {
+      var patterns = Vector.empty[(String, String, String)]
+      var optionalIdx = Set.empty[Int]
+      while (st.peek != Some("}")) {
+        st.peek match {
+          case None => throw SparqlParseError("unterminated group (missing '}')")
+          case Some(t) if t.equalsIgnoreCase("OPTIONAL") =>
+            st.next()
+            st.expect("{")
+            patterns :+= triple()
+            optionalIdx += (patterns.length - 1)
+            if (st.peek == Some(".")) st.next()
+            if (st.peek != Some("}"))
+              throw SparqlParseError(
+                "OPTIONAL groups with more than one triple are not supported")
+            st.next() // }
+            if (st.peek == Some(".")) st.next()
+          case Some(t) if t.equalsIgnoreCase("UNION") =>
             throw SparqlParseError(
-              "OPTIONAL groups with more than one triple are not supported")
-          st.next() // }
-          if (st.peek == Some(".")) st.next()
-        case Some(t) if t.equalsIgnoreCase("UNION") || t.equalsIgnoreCase("GRAPH") ||
-            t.equalsIgnoreCase("MINUS") || t.equalsIgnoreCase("BIND") ||
-            t.equalsIgnoreCase("VALUES") || t.equalsIgnoreCase("SERVICE") =>
-          throw SparqlParseError(s"${t.toUpperCase} is not supported by this fragment")
-        case _ =>
-          patterns :+= triple()
-          if (st.peek == Some(".")) st.next()
+              "UNION branches must each be a braced group: { … } UNION { … }")
+          case Some(t) if t.equalsIgnoreCase("GRAPH") ||
+              t.equalsIgnoreCase("MINUS") || t.equalsIgnoreCase("BIND") ||
+              t.equalsIgnoreCase("VALUES") || t.equalsIgnoreCase("SERVICE") =>
+            throw SparqlParseError(s"${t.toUpperCase} is not supported by this fragment")
+          case _ =>
+            patterns :+= triple()
+            if (st.peek == Some(".")) st.next()
+        }
       }
+      st.next() // }
+      if (patterns.isEmpty) throw SparqlParseError("group has no triple patterns")
+      (patterns, optionalIdx)
     }
-    st.next() // }
-    if (patterns.isEmpty) throw SparqlParseError("WHERE group has no triple patterns")
+
+    // WHERE body: either one plain group, or braced branches joined by
+    // UNION — `{ … } UNION { … } [UNION { … }]*` (a single braced
+    // group is legal SPARQL and means the same as an unbraced one).
+    var branches = Vector.empty[(Vector[(String, String, String)], Set[Int])]
+    if (st.peek == Some("{")) {
+      var more = true
+      while (more) {
+        st.expect("{")
+        branches :+= parseGroupBody()
+        if (st.peekKeyword("UNION")) st.next() else more = false
+      }
+      Seq("MINUS", "GRAPH", "OPTIONAL").foreach { kw =>
+        if (st.peekKeyword(kw))
+          throw SparqlParseError(
+            s"$kw between braced groups is not supported by this fragment")
+      }
+      if (st.peek != Some("}"))
+        throw SparqlParseError(
+          "expected '}' closing WHERE after the last UNION branch")
+      st.next()
+    } else branches :+= parseGroupBody()
+    val (patterns, optionalIdx) = branches.head
 
     var groupBy = Vector.empty[String]
     if (st.peekKeyword("GROUP")) {
@@ -352,7 +409,7 @@ object Sparql {
       case exprs  => Some(exprs.map(e => s"($e)").mkString(" AND "))
     }
     ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit,
-      distinct, aggregates, groupBy, projection)
+      distinct, aggregates, groupBy, projection, branches.tail)
   }
 
   // ------------------------------------------------------------- lexing

@@ -141,7 +141,10 @@ class SparqlSpec extends AnyFunSuite {
       assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
     }
     rejects("ASK WHERE { ?s <p> ?o }", "only SELECT")
-    rejects("SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } }", "term")
+    rejects("SELECT ?s WHERE { ?s <p> ?o UNION { ?s <q> ?o } }", "braced group")
+    rejects("SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } ?x <r> ?y }",
+      "closing WHERE")
+    rejects("SELECT ?s WHERE { { ?s <p> ?o } MINUS { ?s <q> ?o } }", "MINUS")
     rejects(
       "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?a . ?s <r> ?b } }",
       "OPTIONAL groups with more than one triple")
@@ -153,6 +156,26 @@ class SparqlSpec extends AnyFunSuite {
     rejects("SELECT ?s WHERE { }", "no triple patterns")
     rejects("SELECT ?s WHERE { ?s <p> ?o } LIMIT x", "integer")
     rejects("SELECT ?s WHERE { ?s <p> ?o } GARBAGE", "trailing")
+  }
+
+  test("parses UNION branches; a single braced group degrades to plain") {
+    val p = Sparql.parse(
+      """SELECT ?x WHERE {
+        |  { ?x <p> ?a . OPTIONAL { ?x <q> ?b } }
+        |  UNION
+        |  { ?x <r> ?c }
+        |  UNION
+        |  { ?x <s> ?d }
+        |}""".stripMargin)
+    assert(p.patterns == Seq(("?x", "p", "?a"), ("?x", "q", "?b")))
+    assert(p.optionalIdx == Set(1))
+    assert(p.moreBranches == Seq(
+      (Seq(("?x", "r", "?c")), Set.empty[Int]),
+      (Seq(("?x", "s", "?d")), Set.empty[Int])))
+    // one braced group == the same group unbraced
+    val single = Sparql.parse("SELECT ?x WHERE { { ?x <p> ?a } }")
+    assert(single.patterns == Seq(("?x", "p", "?a")))
+    assert(single.moreBranches.isEmpty)
   }
 
   // ---------------------------------------------------------- execution
@@ -223,6 +246,34 @@ class SparqlSpec extends AnyFunSuite {
       val e = intercept[SparqlParseError](
         Sparql.run(triples, "SELECT ?zzz WHERE { ?s <label> ?l }"))
       assert(e.getMessage.contains("not bound"))
+
+      // UNION: bag semantics (nat:2 is in ASIA AND flagged => twice),
+      // branch-local ?r null-pads in the flagged branch, and the
+      // group-level FILTER applies over the combined bindings.
+      val union = Sparql.run(
+        triples,
+        """SELECT ?n ?r WHERE {
+          |  { ?n <in_region> ?r . ?r <label> "ASIA" }
+          |  UNION
+          |  { ?n <flagged> "true" }
+          |} ORDER BY ?n ?r""".stripMargin
+      ).collect().map(r => (r.getString(0), Option(r.getString(1))))
+      assert(union.toSeq.sorted == Seq(
+        ("nat:2", Some("reg:2")),
+        ("nat:2", None)).sorted)
+
+      // a var bound in EITHER branch satisfies the SELECT check, and
+      // FILTER prunes union rows where it is null (error-is-false)
+      val unionFiltered = Sparql.run(
+        triples,
+        """SELECT ?n ?l WHERE {
+          |  { ?n <flagged> "true" . ?n <label> ?l }
+          |  UNION
+          |  { ?n <in_region> <reg:1> }
+          |  FILTER(STRLEN(?l) > 4)
+          |}""".stripMargin
+      ).collect().map(r => (r.getString(0), r.getString(1)))
+      assert(unionFiltered.toSeq == Seq(("nat:2", "CHINA")))
     }
   }
 }
