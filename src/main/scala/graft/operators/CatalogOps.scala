@@ -236,6 +236,38 @@ object CatalogOps {
     * 124-230 `info`, the datalake.json/SCHEMA.md analog). Counts are
     * parquet-footer metadata scans; the schema comes from the file
     * footers, never a data read. */
+  /** Auto-generated catalog markdown — the datalake_cli.py:409
+    * `cmd_catalog` analog, except REAL: where the reference prints
+    * "regeneration is manual for now" and points at a hand-written
+    * CATALOG.md, graft derives the document from the lake itself
+    * (schema overview table, then per-schema sections with column
+    * name/type/nullable rows and row counts), so it can never drift
+    * from the data. One count scan per table, CLI-time only. */
+  def catalogMarkdown(lake: Lake): String = {
+    val sb = new StringBuilder
+    sb ++= "# graft Data Lake Catalog\n\n"
+    sb ++= s"Source directory: `${lake.dir}`\n\n"
+    val bySchema = lake.tableNames.groupBy(lake.schemaOf).toSeq.sortBy(_._1)
+    sb ++= "## Schemas\n\n"
+    sb ++= "| Schema | Tables | Rows |\n|---|---|---|\n"
+    val counts = lake.tableNames.map(n => n -> lake.resolve(n).count()).toMap
+    bySchema.foreach { case (schema, tables) =>
+      sb ++= s"| `$schema` | ${tables.sorted.map(t => s"`$t`").mkString(", ")} | ${tables.map(counts).sum} |\n"
+    }
+    bySchema.foreach { case (schema, tables) =>
+      sb ++= s"\n## Schema `$schema`\n"
+      tables.sorted.foreach { name =>
+        val df = lake.resolve(name)
+        sb ++= s"\n### `${lake.qualified(name)}` — ${counts(name)} rows\n\n"
+        sb ++= "| Column | Type | Nullable |\n|---|---|---|\n"
+        df.schema.fields.foreach { f =>
+          sb ++= s"| `${f.name}` | ${f.dataType.simpleString} | ${f.nullable} |\n"
+        }
+      }
+    }
+    sb.result()
+  }
+
   def infoJson(lake: Lake): String = {
     def esc(s: String): String =
       s.flatMap {
