@@ -103,6 +103,7 @@ object SparkEntry {
     "graph09_sparql_text" -> q(Graph.graph09SparqlText),
     "graph10_sparql_agg" -> q(Graph.graph10SparqlAgg),
     "graph11_sparql_union" -> q(Graph.graph11SparqlUnion),
+    "graph12_sparql_path_ops" -> q(Graph.graph12SparqlPathOps),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1843,6 +1844,27 @@ object SparkEntry {
     // graph10: graph04's aggregation through the TEXT front-end —
     // same de-sugared algebra, aliases from the (COUNT ... AS ?n)
     // binding.
+    // graph12: the sequence/inverse-path query de-sugared — the
+    // 3-segment path is a plain join chain, the inverse pattern a
+    // swapped-endpoint join.
+    "graph12_sparql_path_ops" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region)
+        |SELECT cn.s AS c, nl.o AS nl, rl.o AS rl
+        |FROM triples cn
+        |JOIN triples nr ON cn.o = nr.s AND nr.p = 'in_region'
+        |JOIN triples rl ON nr.o = rl.s AND rl.p = 'label'
+        |JOIN triples nl ON cn.o = nl.s AND nl.p = 'label'
+        |WHERE cn.p = 'in_nation'
+        |ORDER BY c""".stripMargin,
     // graph11: the UNION query's de-sugared algebra — branch 1 is the
     // ASIA join, branch 2 the flagged scan (no ?r => NULL), combined
     // with UNION ALL (SPARQL union is a bag).

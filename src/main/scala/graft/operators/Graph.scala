@@ -278,6 +278,27 @@ object Graph {
         |ORDER BY ?x ?r""".stripMargin
     )
 
+  /** graph12: SPARQL sequence + inverse property paths as TEXT —
+    * `<in_nation>/<in_region>/<label>` walks customer→nation→region→
+    * label in ONE predicate position (desugared at parse time into a
+    * pattern chain through hidden fresh variables — ordinary joins,
+    * no closure needed for a fixed-length path), and `?n ^<in_nation>
+    * ?c` binds the same rows as `?c <in_nation> ?n` (endpoint swap).
+    * The two idioms a real SKOS/ontology user writes constantly
+    * (`skos:broader/skos:prefLabel`, `^skos:narrower`). Per customer:
+    * its nation label and region label. */
+  def graph12SparqlPathOps(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?c ?nl ?rl
+        |WHERE {
+        |  ?c <in_nation>/<in_region>/<label> ?rl .
+        |  ?n ^<in_nation> ?c .
+        |  ?n <label> ?nl
+        |}
+        |ORDER BY ?c""".stripMargin
+    )
+
   /** graph10: SPARQL aggregation as TEXT — graph04's hand-built
     * count-per-nation expressed as a query string: `GROUP BY` +
     * `(COUNT(DISTINCT ?c) AS ?n_customers)` compile to a plain

@@ -30,10 +30,14 @@ import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max
   * { … }` with any number of branches, each branch its own
   * BGP/OPTIONAL group — plus property paths in the predicate
   * position: `<p>+` and `(<p1>|<p2>)+` (one-or-more over a predicate
-  * union), compiled to the hop-bounded distributed closure. Anything
-  * outside the fragment (GRAPH, MINUS, subqueries, `?p` predicate
-  * variables with paths, bare alternation without `+`, …) is rejected
-  * with a message naming the construct — never silently misparsed.
+  * union) compiled to the hop-bounded distributed closure, sequence
+  * paths `seg1/seg2/…` desugared into pattern chains through hidden
+  * fresh variables, inverse segments `^p` (endpoint swap, `^p+` =
+  * `^(p+)` per the SPARQL grammar), and the `a` keyword for rdf:type.
+  * Anything outside the fragment (GRAPH, MINUS, subqueries, `?p`
+  * predicate variables with paths, bare alternation without `+`,
+  * zero-or-more `*`, …) is rejected with a message naming the
+  * construct — never silently misparsed.
   *
   * The compiled query runs as ordinary Catalyst plans: each pattern is
   * a constant-filtered scan of the (s, p, o) triple frame, patterns
@@ -67,7 +71,10 @@ object Sparql {
       projection: Seq[String] = Seq.empty,
       // UNION branches beyond the first (patterns/optionalIdx above
       // are branch 0); empty for plain single-group queries
-      moreBranches: Seq[(Seq[(String, String, String)], Set[Int])] = Seq.empty
+      moreBranches: Seq[(Seq[(String, String, String)], Set[Int])] = Seq.empty,
+      // fresh variables minted by sequence-path desugaring — real
+      // bindings during matching, hidden from SELECT * output
+      internalVars: Seq[String] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -146,7 +153,10 @@ object Sparql {
         grouped
           .agg(aggCols.head, aggCols.tail: _*)
           .select(p.projection.map(col): _*) // SELECT-clause order
-      } else if (p.selectVars.isEmpty) matched
+      } else if (p.selectVars.isEmpty)
+        // SELECT *: the path-desugar's fresh variables are plumbing,
+        // not user bindings
+        p.internalVars.foldLeft(matched)(_.drop(_))
       else matched.select(p.selectVars.map(col): _*)
     // DISTINCT after projection (SPARQL semantics: over the selected
     // bindings), before ORDER BY — the dedup shuffle keys the
@@ -261,34 +271,62 @@ object Sparql {
         throw SparqlParseError(
           s"unsupported term '$t' (expected ?var, <iri>, prefix:local, or \"literal\")")
 
-    // Predicate position: plain term, term+, or (t1|t2|...)+ .
-    def path(): String = {
-      if (st.peek == Some("(")) {
-        st.next()
-        var alts = Vector(term(st.next()))
-        while (st.peek == Some("|")) { st.next(); alts :+= term(st.next()) }
-        st.expect(")")
-        if (st.peek == Some("+")) { st.next(); s"(${alts.mkString("|")})+" }
-        else
-          throw SparqlParseError(
-            "bare alternation without '+' is not supported (use (p1|p2)+)")
-      } else {
-        val t = st.next()
-        val base = term(t)
-        if (st.peek == Some("+")) {
+    // One path segment in the predicate position: plain term, term+,
+    // (t1|t2|...)+, each optionally '^'-inverted (SPARQL grammar:
+    // PathEltOrInverse, so `^p+` is `^(p+)`). Returns (pred, inverted).
+    def pathSegment(): (String, Boolean) = {
+      var inverted = false
+      if (st.peek == Some("^")) { st.next(); inverted = true }
+      val pred =
+        if (st.peek == Some("(")) {
           st.next()
-          if (base.startsWith("?"))
-            throw SparqlParseError("property paths over a ?variable are not supported")
-          base + "+"
-        } else base
-      }
+          var alts = Vector(term(st.next()))
+          while (st.peek == Some("|")) { st.next(); alts :+= term(st.next()) }
+          st.expect(")")
+          if (st.peek == Some("+")) { st.next(); s"(${alts.mkString("|")})+" }
+          else
+            throw SparqlParseError(
+              "bare alternation without '+' is not supported (use (p1|p2)+)")
+        } else {
+          val t = st.next()
+          // SPARQL's `a` keyword == rdf:type, predicate position only
+          val base =
+            if (t == "a") "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+            else term(t)
+          if (st.peek == Some("+")) {
+            st.next()
+            if (base.startsWith("?"))
+              throw SparqlParseError("property paths over a ?variable are not supported")
+            base + "+"
+          } else base
+        }
+      if (st.peek == Some("*"))
+        throw SparqlParseError("zero-or-more '*' paths are not supported (use '+')")
+      if (st.peek == Some("?") )
+        throw SparqlParseError("zero-or-one '?' paths are not supported")
+      (pred, inverted)
     }
 
-    def triple(): (String, String, String) = {
+    // Sequence paths `seg1/seg2/…` desugar at parse time into a chain
+    // of ordinary patterns through fresh internal variables (dropped
+    // from SELECT * output); an inverted segment swaps its endpoints.
+    var freshCounter = 0
+    var internalVars = Vector.empty[String]
+    def triple(): Seq[(String, String, String)] = {
       val s = term(st.next())
-      val p = path()
+      var segs = Vector(pathSegment())
+      while (st.peek == Some("/")) { st.next(); segs :+= pathSegment() }
       val o = term(st.next())
-      (s, p, o)
+      val hops = segs.indices.tail.map { _ =>
+        freshCounter += 1
+        internalVars :+= s"__path$freshCounter"
+        s"?__path$freshCounter"
+      }
+      val ends = (s +: hops) :+ o
+      segs.zipWithIndex.map { case ((pred, inverted), i) =>
+        if (inverted) (ends(i + 1), pred, ends(i))
+        else (ends(i), pred, ends(i + 1))
+      }
     }
 
     // One group body: triples/OPTIONALs up to and including its '}'.
@@ -301,7 +339,11 @@ object Sparql {
           case Some(t) if t.equalsIgnoreCase("OPTIONAL") =>
             st.next()
             st.expect("{")
-            patterns :+= triple()
+            val pats = triple()
+            if (pats.length > 1)
+              throw SparqlParseError(
+                "sequence paths inside OPTIONAL are not supported")
+            patterns :+= pats.head
             optionalIdx += (patterns.length - 1)
             if (st.peek == Some(".")) st.next()
             if (st.peek != Some("}"))
@@ -317,7 +359,7 @@ object Sparql {
               t.equalsIgnoreCase("VALUES") || t.equalsIgnoreCase("SERVICE") =>
             throw SparqlParseError(s"${t.toUpperCase} is not supported by this fragment")
           case _ =>
-            patterns :+= triple()
+            patterns ++= triple()
             if (st.peek == Some(".")) st.next()
         }
       }
@@ -409,7 +451,7 @@ object Sparql {
       case exprs  => Some(exprs.map(e => s"($e)").mkString(" AND "))
     }
     ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit,
-      distinct, aggregates, groupBy, projection, branches.tail)
+      distinct, aggregates, groupBy, projection, branches.tail, internalVars)
   }
 
   // ------------------------------------------------------------- lexing
@@ -476,7 +518,9 @@ object Sparql {
     (out.toString, bodies.result())
   }
 
-  private val Punct = Set('{', '}', '(', ')', '.', '|', '+', '*')
+  // '/' and '^' are path operators; FILTER bodies are spliced out
+  // before tokenization, so arithmetic '/' never reaches this set.
+  private val Punct = Set('{', '}', '(', ')', '.', '|', '+', '*', '/', '^')
 
   private def tokenize(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]

@@ -158,6 +158,42 @@ class SparqlSpec extends AnyFunSuite {
     rejects("SELECT ?s WHERE { ?s <p> ?o } GARBAGE", "trailing")
   }
 
+  test("desugars sequence and inverse paths; supports the 'a' keyword") {
+    // seg1/seg2/seg3 => chained patterns through fresh internal vars
+    val p = Sparql.parse(
+      "SELECT ?c ?l WHERE { ?c <in_nation>/<in_region>/<label> ?l }")
+    assert(p.patterns.length == 3)
+    assert(p.patterns.head._1 == "?c" && p.patterns.last._3 == "?l")
+    assert(p.patterns(0)._3 == p.patterns(1)._1) // hop 1 chains
+    assert(p.patterns(1)._3 == p.patterns(2)._1) // hop 2 chains
+    assert(p.internalVars.length == 2)
+    assert(p.internalVars.forall(_.startsWith("__path")))
+    // ^p swaps endpoints; ^p+ inverts the closure segment
+    val inv = Sparql.parse("SELECT ?n WHERE { ?n ^<in_nation> ?c }")
+    assert(inv.patterns == Seq(("?c", "in_nation", "?n")))
+    val invPlus = Sparql.parse("SELECT ?n WHERE { ?n ^<broader>+ ?c }")
+    assert(invPlus.patterns == Seq(("?c", "broader+", "?n")))
+    // sequence composes with closures and alternation segments
+    val mix = Sparql.parse(
+      "PREFIX s: <skos:> SELECT ?l WHERE { ?x (s:broader|s:narrower)+/s:prefLabel ?l }")
+    assert(mix.patterns.length == 2)
+    assert(mix.patterns(0)._2 == "(skos:broader|skos:narrower)+")
+    assert(mix.patterns(1)._2 == "skos:prefLabel")
+    // 'a' is rdf:type in the predicate position
+    val a = Sparql.parse("SELECT ?x WHERE { ?x a <skos:Concept> }")
+    assert(a.patterns ==
+      Seq(("?x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "skos:Concept")))
+    // rejections: *, ?, and sequences inside OPTIONAL
+    def rejects(q: String, fragment: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
+    }
+    rejects("SELECT ?x WHERE { ?x <p>* ?y }", "zero-or-more")
+    rejects("SELECT ?x WHERE { ?x <p> ? ?y }", "zero-or-one")
+    rejects("SELECT ?x WHERE { ?x <p> ?y . OPTIONAL { ?x <q>/<r> ?z } }",
+      "sequence paths inside OPTIONAL")
+  }
+
   test("parses UNION branches; a single braced group degrades to plain") {
     val p = Sparql.parse(
       """SELECT ?x WHERE {
