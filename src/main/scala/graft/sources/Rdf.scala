@@ -635,6 +635,33 @@ object Rdf {
       .orderBy("id")
   }
 
+  /** Format-sniffing ontology reader — the analog of the reference's
+    * RDF_FORMATS dispatch (convert_ontologies.py:343 `fmt_map = {"nt":
+    * "nt", "ttl": "turtle", "rdf": "xml", "owl": "xml"}` plus the
+    * pronto OBO path at :254): route a file to its parser by
+    * extension, every format landing in the SAME triple frame so
+    * bgpMatch / the SPARQL text front-end / skosTerms run over any of
+    * them unchanged. OBO's term/hierarchy tables lift through
+    * oboTriples (labels are the literal rows, like the lake store's).
+    * Unknown extensions reject by name rather than misparse. */
+  def readOntology(spark: SparkSession, path: String): DataFrame = {
+    val ext = path.substring(path.lastIndexOf('.') + 1).toLowerCase(java.util.Locale.ROOT)
+    ext match {
+      case "nt"                  => readNTriples(spark, path)
+      case "ttl"                 => Turtle.readTurtle(spark, path)
+      case "rdf" | "owl" | "xml" => RdfXml.readRdfXml(spark, path)
+      case "obo" =>
+        val (terms, hierarchy, _) = readObo(spark, path)
+        oboTriples(terms, hierarchy)
+          .withColumn("o_lang", lit(null).cast("string"))
+          .withColumn("o_datatype", lit(null).cast("string"))
+          .withColumn("is_literal", col("p") === "label")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported ontology format '.$other' (expected .nt/.ttl/.rdf/.owl/.xml/.obo)")
+    }
+  }
+
   // ------------------------------------------------------- query entries
 
   /** Per-process fixture dir (same rationale as Lake.warehouseBase). */

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max
   *   }                            --   CONTAINS/STRSTARTS/STRENDS/
   *   GROUP BY ?v1                 --   STRLEN/LCASE/UCASE/BOUND
   *   ORDER BY ?v1 DESC(?v2)
-  *   LIMIT n
+  *   LIMIT n OFFSET m             -- either order (SPARQL grammar)
   * }}}
   *
   * or a WHERE body of braced groups joined by `UNION` — `{ … } UNION
@@ -74,7 +74,8 @@ object Sparql {
       moreBranches: Seq[(Seq[(String, String, String)], Set[Int])] = Seq.empty,
       // fresh variables minted by sequence-path desugaring — real
       // bindings during matching, hidden from SELECT * output
-      internalVars: Seq[String] = Seq.empty
+      internalVars: Seq[String] = Seq.empty,
+      offset: Option[Int] = None
   )
 
   final case class SparqlParseError(msg: String)
@@ -168,7 +169,8 @@ object Sparql {
         case (v, true)  => col(v).desc
         case (v, false) => col(v)
       }: _*)
-    p.limit.fold(ordered)(ordered.limit)
+    val skipped = p.offset.fold(ordered)(ordered.offset)
+    p.limit.fold(skipped)(skipped.limit)
   }
 
   // ---------------------------------------------------------------- parse
@@ -435,13 +437,24 @@ object Sparql {
       if (orderBy.isEmpty) throw SparqlParseError("ORDER BY needs at least one ?var")
     }
 
+    // LIMIT / OFFSET accept either order, per the SPARQL grammar
+    // (LimitOffsetClauses), and mean the same thing: OFFSET skips
+    // first, LIMIT caps what remains.
     var limit = Option.empty[Int]
-    if (st.peekKeyword("LIMIT")) {
-      st.next()
+    var offset = Option.empty[Int]
+    def intAfter(kw: String): Int = {
       val n = st.next()
-      limit = Some(
-        try n.toInt
-        catch { case _: NumberFormatException => throw SparqlParseError(s"LIMIT expects an integer (got '$n')") })
+      try n.toInt
+      catch {
+        case _: NumberFormatException =>
+          throw SparqlParseError(s"$kw expects an integer (got '$n')")
+      }
+    }
+    var moreMods = true
+    while (moreMods) {
+      if (st.peekKeyword("LIMIT") && limit.isEmpty) { st.next(); limit = Some(intAfter("LIMIT")) }
+      else if (st.peekKeyword("OFFSET") && offset.isEmpty) { st.next(); offset = Some(intAfter("OFFSET")) }
+      else moreMods = false
     }
 
     st.peek.foreach(t => throw SparqlParseError(s"unexpected trailing token '$t'"))
@@ -451,7 +464,8 @@ object Sparql {
       case exprs  => Some(exprs.map(e => s"($e)").mkString(" AND "))
     }
     ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit,
-      distinct, aggregates, groupBy, projection, branches.tail, internalVars)
+      distinct, aggregates, groupBy, projection, branches.tail, internalVars,
+      offset)
   }
 
   // ------------------------------------------------------------- lexing

@@ -347,6 +347,36 @@ class IngestSpec extends AnyFunSuite {
     assert(viaSpark == viaXml)
   }
 
+  test("readOntology dispatches on extension; all formats land in one triple frame") {
+    import graft.sources.{Rdf, Turtle}
+    val dir = java.nio.file.Paths.get(s"$tmp/anyfmt")
+    java.nio.file.Files.createDirectories(dir)
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p.toString
+    }
+    val expected = Turtle.parseTurtle(Rdf.TurtleFixture).toSet
+    def spo(path: String) =
+      Rdf.readOntology(spark, path).select("s", "p", "o").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // the same concept scheme through three dispatch routes
+    assert(spo(write("f.ttl", Rdf.TurtleFixture)) == expected.map(t => (t._1, t._2, t._3)))
+    assert(spo(write("f.nt", Rdf.SkosFixture)) == expected.map(t => (t._1, t._2, t._3)))
+    assert(spo(write("f.rdf", Rdf.RdfXmlFixture)) == expected.map(t => (t._1, t._2, t._3)))
+    // OBO lifts terms+hierarchy into the frame with literal labels
+    val obo = Rdf.readOntology(spark, write("f.obo", Rdf.OboFixture))
+    assert(obo.columns.toSeq ==
+      Seq("s", "p", "o", "o_lang", "o_datatype", "is_literal"))
+    val oboRows = obo.collect()
+    assert(oboRows.exists(r => r.getString(0) == "GT:0003" && r.getString(1) == "part_of"))
+    assert(oboRows.filter(_.getBoolean(5)).forall(_.getString(1) == "label"))
+    // unknown extensions reject by name
+    val e = intercept[IllegalArgumentException](
+      Rdf.readOntology(spark, write("f.json", "{}")))
+    assert(e.getMessage.contains(".json"))
+  }
+
   test("OBO: stanza fold produces the reference's three tables") {
     val dir = java.nio.file.Paths.get(s"$tmp/obo")
     java.nio.file.Files.createDirectories(dir)

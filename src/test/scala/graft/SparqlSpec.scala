@@ -133,6 +133,16 @@ class SparqlSpec extends AnyFunSuite {
     val d = Sparql.parse(
       "SELECT ?n ?r WHERE { ?n <in_region> ?r } ORDER BY DESC(?r) ASC(?n)")
     assert(d.orderBy == Seq(("r", true), ("n", false)))
+    // OFFSET pairs with LIMIT in either order
+    val o1 = Sparql.parse(
+      "SELECT ?n WHERE { ?n <in_region> ?r } ORDER BY ?n LIMIT 7 OFFSET 3")
+    assert(o1.limit == Some(7) && o1.offset == Some(3))
+    val o2 = Sparql.parse(
+      "SELECT ?n WHERE { ?n <in_region> ?r } ORDER BY ?n OFFSET 3 LIMIT 7")
+    assert(o2.limit == Some(7) && o2.offset == Some(3))
+    val e = intercept[SparqlParseError](Sparql.parse(
+      "SELECT ?n WHERE { ?n <in_region> ?r } OFFSET x"))
+    assert(e.getMessage.contains("OFFSET expects an integer"))
   }
 
   test("rejects unsupported syntax with a named construct") {
@@ -268,6 +278,13 @@ class SparqlSpec extends AnyFunSuite {
         "SELECT ?s WHERE { ?s <label> ?l } ORDER BY ?s LIMIT 2"
       ).count()
       assert(limited == 2)
+
+      // OFFSET skips ordered solutions before LIMIT caps them
+      val page = Sparql.run(
+        triples,
+        "SELECT ?s WHERE { ?s <label> ?l } ORDER BY ?s OFFSET 1 LIMIT 2"
+      ).collect().map(_.getString(0))
+      assert(page.toSeq == Seq("nat:2", "reg:1"))
 
       // DISTINCT collapses the projected bindings: two customers map
       // into two nations/regions, but region labels dedup to one row
