@@ -104,6 +104,7 @@ object SparkEntry {
     "graph10_sparql_agg" -> q(Graph.graph10SparqlAgg),
     "graph11_sparql_union" -> q(Graph.graph11SparqlUnion),
     "graph12_sparql_path_ops" -> q(Graph.graph12SparqlPathOps),
+    "graph13_sparql_values_bind" -> q(Graph.graph13SparqlValuesBind),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1844,6 +1845,21 @@ object SparkEntry {
     // graph10: graph04's aggregation through the TEXT front-end —
     // same de-sugared algebra, aliases from the (COUNT ... AS ?n)
     // binding.
+    // graph13: VALUES is an inline constant table joined on the shared
+    // var; BIND is a computed column over the join.
+    "graph13_sparql_values_bind" ->
+      """WITH triples AS (
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS s, 'label' AS p,
+        |    n_name AS o FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |lab AS (SELECT s AS n, o AS l FROM triples WHERE p = 'label'),
+        |ir AS (SELECT s AS n FROM triples WHERE p = 'in_region'),
+        |v AS (SELECT * FROM (VALUES ('NATION_2'), ('NATION_7'), ('NATION_11')) AS t(l))
+        |SELECT lab.n, lab.l, lower(lab.l) AS ll
+        |FROM lab JOIN ir ON lab.n = ir.n JOIN v ON lab.l = v.l
+        |ORDER BY ll""".stripMargin,
     // graph12: the sequence/inverse-path query de-sugared — the
     // 3-segment path is a plain join chain, the inverse pattern a
     // swapped-endpoint join.

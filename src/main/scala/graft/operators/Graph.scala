@@ -299,6 +299,25 @@ object Graph {
         |ORDER BY ?c""".stripMargin
     )
 
+  /** graph13: SPARQL VALUES + BIND as TEXT — inline bindings join in
+    * as a BROADCAST literal frame (shared var ?l constrains the label
+    * scan; at 100 TB the constant table is the canonical broadcast
+    * side), and BIND adds a computed column through the FILTER
+    * expression language. The reference's oxigraph surface accepts
+    * both (arbitrary SPARQL strings, sparql_query.py:89). */
+  def graph13SparqlValuesBind(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?n ?l ?ll
+        |WHERE {
+        |  ?n <label> ?l .
+        |  ?n <in_region> ?r .
+        |  VALUES ?l { "NATION_2" "NATION_7" "NATION_11" } .
+        |  BIND(LCASE(?l) AS ?ll)
+        |}
+        |ORDER BY ?ll""".stripMargin
+    )
+
   /** graph10: SPARQL aggregation as TEXT — graph04's hand-built
     * count-per-nation expressed as a query string: `GROUP BY` +
     * `(COUNT(DISTINCT ?c) AS ?n_customers)` compile to a plain

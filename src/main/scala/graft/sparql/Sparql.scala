@@ -2,7 +2,7 @@ package graft.sparql
 
 import graft.operators.Graph
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, expr, lit, max, min}
 
 /** SPARQL *text* front-end — the reference's actual graph interface is
   * a string (reference: scripts/sparql_query.py:89 `run_query(store,
@@ -20,6 +20,8 @@ import org.apache.spark.sql.functions.{col, count, countDistinct, expr, lit, max
   *     s p o .                    -- terms: ?var | <iri> | pre:local | "lit"
   *     OPTIONAL { s p o } .       -- exactly one triple per OPTIONAL
   *     FILTER(expr) .             -- ?v comparisons, && || !, REGEX/
+  *     VALUES ?v { "a" <i> } .    -- inline bindings; also (?a ?b) rows
+  *     BIND(expr AS ?v) .         -- computed binding, FILTER's language
   *   }                            --   CONTAINS/STRSTARTS/STRENDS/
   *   GROUP BY ?v1                 --   STRLEN/LCASE/UCASE/BOUND
   *   ORDER BY ?v1 DESC(?v2)
@@ -75,7 +77,11 @@ object Sparql {
       // fresh variables minted by sequence-path desugaring — real
       // bindings during matching, hidden from SELECT * output
       internalVars: Seq[String] = Seq.empty,
-      offset: Option[Int] = None
+      offset: Option[Int] = None,
+      // VALUES blocks: (vars without '?', rows of term values)
+      values: Seq[(Seq[String], Seq[Seq[String]])] = Seq.empty,
+      // BIND(expr AS ?v) blocks: (var without '?', Spark SQL text)
+      binds: Seq[(String, String)] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -97,13 +103,19 @@ object Sparql {
   /** Execute a SPARQL SELECT string against an (s, p, o) triple frame. */
   def run(triples: DataFrame, query: String, maxPathHops: Int = 8): DataFrame = {
     val p = parse(query)
-    val matched =
+    // FILTER pushes into the BGP plan only when nothing later in the
+    // chain (VALUES / BIND / union alignment) can bind a variable it
+    // reads; otherwise it applies group-level over the final bindings
+    // (the fragment's documented contract — all bodies AND together).
+    val pushFilter =
+      p.moreBranches.isEmpty && p.values.isEmpty && p.binds.isEmpty
+    val matchedRaw =
       if (p.moreBranches.isEmpty)
         Graph.bgpMatch(
           triples,
           p.patterns,
           optionalIdx = p.optionalIdx,
-          filterExpr = p.filterSql.map(expr),
+          filterExpr = if (pushFilter) p.filterSql.map(expr) else None,
           maxPathHops = maxPathHops
         )
       else {
@@ -112,19 +124,37 @@ object Sparql {
         // is the caller's explicit choice), variables bound in only
         // some branches null-pad in the others (unionByName's
         // allowMissingColumns is exactly SPARQL's binding alignment).
-        // FILTER stays group-level — the fragment's documented
-        // contract (all bodies AND together over the final bindings),
-        // so it applies after the union; a var unbound in a branch
-        // compares as null => row dropped, SPARQL's error-is-false.
-        val branches =
-          ((p.patterns, p.optionalIdx) +: p.moreBranches).map {
-            case (pats, optIdx) =>
-              Graph.bgpMatch(triples, pats, optionalIdx = optIdx,
-                maxPathHops = maxPathHops)
+        ((p.patterns, p.optionalIdx) +: p.moreBranches)
+          .map { case (pats, optIdx) =>
+            Graph.bgpMatch(triples, pats, optionalIdx = optIdx,
+              maxPathHops = maxPathHops)
           }
-        val unioned = branches.reduce(_.unionByName(_, allowMissingColumns = true))
-        p.filterSql.map(expr).fold(unioned)(unioned.filter)
+          .reduce(_.unionByName(_, allowMissingColumns = true))
       }
+    // VALUES: inline bindings join in as a BROADCAST literal frame —
+    // shared vars constrain (inner join), new vars bind (cross join
+    // of a tiny constant table). BINDs add computed columns over the
+    // result. Group-level FILTER closes the chain; a var unbound in a
+    // union branch compares as null => row dropped, SPARQL's
+    // error-is-false.
+    val withValues = p.values.foldLeft(matchedRaw) { case (acc, (vars, rows)) =>
+      val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
+        org.apache.spark.sql.types.StructField(
+          v, org.apache.spark.sql.types.StringType, nullable = false)))
+      val litDf = triples.sparkSession.createDataFrame(
+        java.util.Arrays.asList(
+          rows.map(r => org.apache.spark.sql.Row(r: _*)): _*),
+        schema)
+      val shared = acc.columns.intersect(vars).toSeq
+      if (shared.nonEmpty) acc.join(broadcast(litDf), shared)
+      else acc.crossJoin(broadcast(litDf))
+    }
+    val withBinds = p.binds.foldLeft(withValues) { case (acc, (v, sql)) =>
+      acc.withColumn(v, expr(sql))
+    }
+    val matched =
+      if (pushFilter) withBinds
+      else p.filterSql.map(expr).fold(withBinds)(withBinds.filter)
     val referenced =
       p.selectVars ++ p.groupBy ++ p.aggregates.flatMap(_.variable)
     referenced.distinct.filterNot(matched.columns.contains) match {
@@ -178,7 +208,8 @@ object Sparql {
   def parse(query: String): ParsedQuery = {
     val noComments = stripComments(query)
     val (noFilters, filterBodies) = extractFilters(noComments)
-    val toks = tokenize(noFilters)
+    val (noBinds, bindBodies) = extractBinds(noFilters)
+    val toks = tokenize(noBinds)
     val st = new TokenStream(toks)
 
     // PREFIX decls. A query that declares NONE gets the common W3C
@@ -314,6 +345,9 @@ object Sparql {
     // from SELECT * output); an inverted segment swaps its endpoints.
     var freshCounter = 0
     var internalVars = Vector.empty[String]
+    // VALUES blocks are group-level in this fragment, like FILTER:
+    // wherever they appear, they constrain the final bindings.
+    var valuesBlocks = Vector.empty[(Seq[String], Seq[Seq[String]])]
     def triple(): Seq[(String, String, String)] = {
       val s = term(st.next())
       var segs = Vector(pathSegment())
@@ -356,9 +390,58 @@ object Sparql {
           case Some(t) if t.equalsIgnoreCase("UNION") =>
             throw SparqlParseError(
               "UNION branches must each be a braced group: { … } UNION { … }")
+          case Some(t) if t.equalsIgnoreCase("VALUES") =>
+            st.next()
+            // `VALUES ?v { t1 t2 … }` or `VALUES (?a ?b) { (ta tb) … }`
+            val vars: Seq[String] =
+              if (st.peek == Some("(")) {
+                st.next()
+                var vs = Vector.empty[String]
+                while (st.peek != Some(")")) {
+                  val v = st.next()
+                  if (!v.startsWith("?"))
+                    throw SparqlParseError(s"VALUES expects ?vars (got '$v')")
+                  vs :+= v.drop(1)
+                }
+                st.next() // )
+                if (vs.isEmpty) throw SparqlParseError("VALUES needs at least one ?var")
+                vs
+              } else {
+                val v = st.next()
+                if (!v.startsWith("?"))
+                  throw SparqlParseError(s"VALUES expects a ?var (got '$v')")
+                Seq(v.drop(1))
+              }
+            def valueTerm(): String = {
+              val t0 = st.next()
+              if (t0.equalsIgnoreCase("UNDEF"))
+                throw SparqlParseError("UNDEF in VALUES is not supported")
+              val v = term(t0)
+              if (v.startsWith("?"))
+                throw SparqlParseError(s"VALUES data must be constants (got '$t0')")
+              v
+            }
+            st.expect("{")
+            var rows = Vector.empty[Seq[String]]
+            while (st.peek != Some("}")) {
+              if (vars.length == 1 && st.peek != Some("(")) rows :+= Seq(valueTerm())
+              else {
+                st.expect("(")
+                var row = Vector.empty[String]
+                while (st.peek != Some(")")) row :+= valueTerm()
+                st.next() // )
+                if (row.length != vars.length)
+                  throw SparqlParseError(
+                    s"VALUES row has ${row.length} terms for ${vars.length} vars")
+                rows :+= row
+              }
+            }
+            st.next() // }
+            if (rows.isEmpty) throw SparqlParseError("VALUES block has no rows")
+            valuesBlocks :+= ((vars, rows))
+            if (st.peek == Some(".")) st.next()
           case Some(t) if t.equalsIgnoreCase("GRAPH") ||
-              t.equalsIgnoreCase("MINUS") || t.equalsIgnoreCase("BIND") ||
-              t.equalsIgnoreCase("VALUES") || t.equalsIgnoreCase("SERVICE") =>
+              t.equalsIgnoreCase("MINUS") || t.equalsIgnoreCase("SERVICE") =>
             throw SparqlParseError(s"${t.toUpperCase} is not supported by this fragment")
           case _ =>
             patterns ++= triple()
@@ -465,7 +548,8 @@ object Sparql {
     }
     ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit,
       distinct, aggregates, groupBy, projection, branches.tail, internalVars,
-      offset)
+      offset, valuesBlocks,
+      bindBodies.map { case (v, body) => (v, translateFilter(body)) })
   }
 
   // ------------------------------------------------------------- lexing
@@ -534,6 +618,71 @@ object Sparql {
 
   // '/' and '^' are path operators; FILTER bodies are spliced out
   // before tokenization, so arithmetic '/' never reaches this set.
+  /** Splice every BIND(...) out of the text, exactly like
+    * extractFilters (balanced parens, quote-aware, '.' terminator
+    * tolerated), and split each body at its LAST top-level `AS` into
+    * (expression, ?var). BIND is group-level in this fragment, like
+    * FILTER: the computed column is added over the final bindings. */
+  private def extractBinds(s: String): (String, Seq[(String, String)]) = {
+    val bodies = Vector.newBuilder[(String, String)]
+    val out = new StringBuilder(s.length)
+    val kw = "(?i)\\bBIND\\b".r
+    var rest = s
+    var done = false
+    while (!done) {
+      kw.findAllMatchIn(rest)
+        .find(m => rest.substring(0, m.start).count(_ == '"') % 2 == 0) match {
+        case None => out.append(rest); done = true
+        case Some(m) =>
+          out.append(rest.substring(0, m.start))
+          var i = m.end
+          while (i < rest.length && rest.charAt(i).isWhitespace) i += 1
+          if (i >= rest.length || rest.charAt(i) != '(')
+            throw SparqlParseError("BIND must be followed by a parenthesized expression")
+          var depth = 0
+          var inStr = false
+          val start = i
+          var end = -1
+          while (i < rest.length && end < 0) {
+            val c = rest.charAt(i)
+            if (c == '"') inStr = !inStr
+            else if (!inStr && c == '(') depth += 1
+            else if (!inStr && c == ')') { depth -= 1; if (depth == 0) end = i }
+            i += 1
+          }
+          if (end < 0) throw SparqlParseError("unbalanced parentheses in BIND")
+          val body = rest.substring(start + 1, end)
+          // last top-level AS, outside quotes and parens
+          var asAt = -1
+          var d = 0
+          var q = false
+          var j = 0
+          while (j < body.length - 1) {
+            val c = body.charAt(j)
+            if (c == '"') q = !q
+            else if (!q && c == '(') d += 1
+            else if (!q && c == ')') d -= 1
+            else if (!q && d == 0 && (c == 'A' || c == 'a') &&
+              (body.charAt(j + 1) == 'S' || body.charAt(j + 1) == 's') &&
+              (j == 0 || !body.charAt(j - 1).isLetterOrDigit) &&
+              (j + 2 >= body.length || !body.charAt(j + 2).isLetterOrDigit))
+              asAt = j
+            j += 1
+          }
+          if (asAt < 0)
+            throw SparqlParseError("BIND needs an (expr AS ?var) binding")
+          val v = body.substring(asAt + 2).trim
+          if (!v.startsWith("?") || v.length < 2)
+            throw SparqlParseError(s"BIND AS must name a ?var (got '$v')")
+          bodies += ((v.drop(1), body.substring(0, asAt).trim))
+          rest = rest.substring(end + 1)
+          val trimmed = rest.dropWhile(_.isWhitespace)
+          if (trimmed.startsWith(".")) rest = trimmed.drop(1)
+      }
+    }
+    (out.toString, bodies.result())
+  }
+
   private val Punct = Set('{', '}', '(', ')', '.', '|', '+', '*', '/', '^')
 
   private def tokenize(s: String): Vector[String] = {

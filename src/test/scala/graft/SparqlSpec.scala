@@ -224,6 +224,28 @@ class SparqlSpec extends AnyFunSuite {
     assert(single.moreBranches.isEmpty)
   }
 
+  test("parses VALUES blocks and BIND bindings") {
+    val v1 = Sparql.parse(
+      """SELECT ?n ?l WHERE { ?n <label> ?l . VALUES ?l { "CHINA" "PERU" } }""")
+    assert(v1.values == Seq((Seq("l"), Seq(Seq("CHINA"), Seq("PERU")))))
+    val v2 = Sparql.parse(
+      """SELECT ?a ?b WHERE { ?a <p> ?b . VALUES (?a ?b) { (<x:1> "u") (<x:2> "v") } }""")
+    assert(v2.values == Seq((Seq("a", "b"), Seq(Seq("x:1", "u"), Seq("x:2", "v")))))
+    val b = Sparql.parse(
+      """SELECT ?n ?ll WHERE { ?n <label> ?l . BIND(LCASE(?l) AS ?ll) }""")
+    assert(b.binds == Seq(("ll", "lower(l)")))
+    def rejects(q: String, fragment: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
+    }
+    rejects("""SELECT ?l WHERE { ?n <label> ?l . VALUES ?l { UNDEF "x" } }""", "UNDEF")
+    rejects("""SELECT ?l WHERE { ?n <label> ?l . VALUES ?l { ?m } }""", "constants")
+    rejects("""SELECT ?l WHERE { ?n <label> ?l . VALUES (?a ?b) { ("x") } }""",
+      "1 terms for 2 vars")
+    rejects("""SELECT ?l WHERE { ?n <label> ?l . BIND(LCASE(?l)) }""",
+      "AS ?var")
+  }
+
   // ---------------------------------------------------------- execution
 
   test("end-to-end: text query equals the hand-built bgpMatch plan") {
@@ -278,6 +300,28 @@ class SparqlSpec extends AnyFunSuite {
         "SELECT ?s WHERE { ?s <label> ?l } ORDER BY ?s LIMIT 2"
       ).count()
       assert(limited == 2)
+
+      // VALUES constrains shared vars; BIND computes a new column;
+      // FILTER stays group-level and can read the BIND output.
+      val vb = Sparql.run(
+        triples,
+        """SELECT ?n ?ll WHERE {
+          |  ?n <label> ?l .
+          |  VALUES ?l { "CHINA" "EUROPE" "ASIA" } .
+          |  BIND(LCASE(?l) AS ?ll) .
+          |  FILTER(STRSTARTS(?ll, "c") || ?ll = "asia")
+          |} ORDER BY ?ll""".stripMargin
+      ).collect().map(r => (r.getString(0), r.getString(1)))
+      assert(vb.toSeq == Seq(("reg:2", "asia"), ("nat:2", "china")))
+
+      // a VALUES var new to the patterns cross-joins in as a binding
+      val cross = Sparql.run(
+        triples,
+        """SELECT ?r ?tag WHERE {
+          |  ?n <in_region> ?r . VALUES ?tag { "A" "B" }
+          |} ORDER BY ?r ?tag""".stripMargin
+      ).collect().map(r => (r.getString(0), r.getString(1)))
+      assert(cross.length == 4 && cross.distinct.length == 4)
 
       // OFFSET skips ordered solutions before LIMIT caps them
       val page = Sparql.run(
