@@ -105,6 +105,7 @@ object SparkEntry {
     "graph11_sparql_union" -> q(Graph.graph11SparqlUnion),
     "graph12_sparql_path_ops" -> q(Graph.graph12SparqlPathOps),
     "graph13_sparql_values_bind" -> q(Graph.graph13SparqlValuesBind),
+    "graph14_sparql_minus" -> q(Graph.graph14SparqlMinus),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1845,6 +1846,27 @@ object SparkEntry {
     // graph10: graph04's aggregation through the TEXT front-end —
     // same de-sugared algebra, aliases from the (COUNT ... AS ?n)
     // binding.
+    // graph14: MINUS de-sugars to an anti join on the shared var.
+    "graph14_sparql_minus" ->
+      """WITH triples AS (
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS s, 'in_region' AS p,
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) AS o FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0),
+        |b1 AS (
+        |  SELECT ir.s AS n, lab.o AS l
+        |  FROM triples ir
+        |  JOIN triples rl ON ir.o = rl.s AND rl.p = 'label' AND rl.o = 'ASIA'
+        |  JOIN triples lab ON ir.s = lab.s AND lab.p = 'label'
+        |  WHERE ir.p = 'in_region'),
+        |fl AS (SELECT s AS n FROM triples WHERE p = 'flagged' AND o = 'true')
+        |SELECT b1.n, b1.l FROM b1 ANTI JOIN fl ON b1.n = fl.n
+        |ORDER BY b1.n""".stripMargin,
     // graph13: VALUES is an inline constant table joined on the shared
     // var; BIND is a computed column over the join.
     "graph13_sparql_values_bind" ->

@@ -318,6 +318,24 @@ object Graph {
         |ORDER BY ?ll""".stripMargin
     )
 
+  /** graph14: SPARQL MINUS as TEXT — `{ … } MINUS { … }` compiles to
+    * a LEFT ANTI join on the branches' shared variables (?n): ASIA
+    * nations that do NOT carry the sparse `flagged` annotation. The
+    * negation idiom of real ontology queries ("concepts without an
+    * exact match"); as an anti join it stays a single shuffle with no
+    * subtraction materialization. */
+  def graph14SparqlMinus(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?n ?l
+        |WHERE {
+        |  { ?n <in_region> ?r . ?r <label> "ASIA" . ?n <label> ?l }
+        |  MINUS
+        |  { ?n <flagged> "true" }
+        |}
+        |ORDER BY ?n""".stripMargin
+    )
+
   /** graph10: SPARQL aggregation as TEXT — graph04's hand-built
     * count-per-nation expressed as a query string: `GROUP BY` +
     * `(COUNT(DISTINCT ?c) AS ?n_customers)` compile to a plain

@@ -30,15 +30,16 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   *
   * or a WHERE body of braced groups joined by `UNION` — `{ … } UNION
   * { … }` with any number of branches, each branch its own
-  * BGP/OPTIONAL group — plus property paths in the predicate
+  * BGP/OPTIONAL group — or a `{ … } MINUS { … }` pair (left anti join
+  * on the shared variables) — plus property paths in the predicate
   * position: `<p>+` and `(<p1>|<p2>)+` (one-or-more over a predicate
   * union) compiled to the hop-bounded distributed closure, sequence
   * paths `seg1/seg2/…` desugared into pattern chains through hidden
   * fresh variables, inverse segments `^p` (endpoint swap, `^p+` =
   * `^(p+)` per the SPARQL grammar), and the `a` keyword for rdf:type.
-  * Anything outside the fragment (GRAPH, MINUS, subqueries, `?p`
-  * predicate variables with paths, bare alternation without `+`,
-  * zero-or-more `*`, …) is rejected with a message naming the
+  * Anything outside the fragment (GRAPH, subqueries, `?p` predicate
+  * variables with paths, bare alternation without `+`, zero-or-more
+  * `*`, UNION/MINUS mixes, …) is rejected with a message naming the
   * construct — never silently misparsed.
   *
   * The compiled query runs as ordinary Catalyst plans: each pattern is
@@ -81,7 +82,9 @@ object Sparql {
       // VALUES blocks: (vars without '?', rows of term values)
       values: Seq[(Seq[String], Seq[Seq[String]])] = Seq.empty,
       // BIND(expr AS ?v) blocks: (var without '?', Spark SQL text)
-      binds: Seq[(String, String)] = Seq.empty
+      binds: Seq[(String, String)] = Seq.empty,
+      // `{ … } MINUS { … }`: the right-hand group, anti-joined
+      minusBranch: Option[(Seq[(String, String, String)], Set[Int])] = None
   )
 
   final case class SparqlParseError(msg: String)
@@ -108,7 +111,8 @@ object Sparql {
     // reads; otherwise it applies group-level over the final bindings
     // (the fragment's documented contract — all bodies AND together).
     val pushFilter =
-      p.moreBranches.isEmpty && p.values.isEmpty && p.binds.isEmpty
+      p.moreBranches.isEmpty && p.values.isEmpty && p.binds.isEmpty &&
+        p.minusBranch.isEmpty
     val matchedRaw =
       if (p.moreBranches.isEmpty)
         Graph.bgpMatch(
@@ -131,13 +135,28 @@ object Sparql {
           }
           .reduce(_.unionByName(_, allowMissingColumns = true))
       }
+    // MINUS: a LEFT ANTI join on the branches' shared variables —
+    // solutions drop when the right group binds the same values.
+    // Exact-equality semantics: a left row with a NULL shared binding
+    // (from OPTIONAL) never matches, which is SPARQL's disjoint-domain
+    // rule for the single-shared-var case; rows partially bound across
+    // SEVERAL shared vars diverge from the spec's bound-vars-only
+    // compatibility and are out of this fragment's scope.
+    val afterMinus = p.minusBranch.fold(matchedRaw) { case (pats, optIdx) =>
+      val right = Graph.bgpMatch(triples, pats, optionalIdx = optIdx,
+        maxPathHops = maxPathHops)
+      val shared = matchedRaw.columns.intersect(right.columns).toSeq
+      if (shared.isEmpty)
+        throw SparqlParseError("MINUS branches share no variable (removes nothing)")
+      matchedRaw.join(right.select(shared.map(col): _*), shared, "left_anti")
+    }
     // VALUES: inline bindings join in as a BROADCAST literal frame —
     // shared vars constrain (inner join), new vars bind (cross join
     // of a tiny constant table). BINDs add computed columns over the
     // result. Group-level FILTER closes the chain; a var unbound in a
     // union branch compares as null => row dropped, SPARQL's
     // error-is-false.
-    val withValues = p.values.foldLeft(matchedRaw) { case (acc, (vars, rows)) =>
+    val withValues = p.values.foldLeft(afterMinus) { case (acc, (vars, rows)) =>
       val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
         org.apache.spark.sql.types.StructField(
           v, org.apache.spark.sql.types.StringType, nullable = false)))
@@ -453,10 +472,13 @@ object Sparql {
       (patterns, optionalIdx)
     }
 
-    // WHERE body: either one plain group, or braced branches joined by
-    // UNION — `{ … } UNION { … } [UNION { … }]*` (a single braced
-    // group is legal SPARQL and means the same as an unbraced one).
+    // WHERE body: one plain group, braced branches joined by UNION —
+    // `{ … } UNION { … } [UNION { … }]*` — or a single MINUS pair
+    // `{ … } MINUS { … }` (a lone braced group is legal SPARQL and
+    // means the same as an unbraced one). UNION/MINUS chains don't
+    // mix in this fragment.
     var branches = Vector.empty[(Vector[(String, String, String)], Set[Int])]
+    var minusBranch = Option.empty[(Vector[(String, String, String)], Set[Int])]
     if (st.peek == Some("{")) {
       var more = true
       while (more) {
@@ -464,7 +486,18 @@ object Sparql {
         branches :+= parseGroupBody()
         if (st.peekKeyword("UNION")) st.next() else more = false
       }
-      Seq("MINUS", "GRAPH", "OPTIONAL").foreach { kw =>
+      if (st.peekKeyword("MINUS")) {
+        if (branches.length > 1)
+          throw SparqlParseError("UNION and MINUS don't mix in this fragment")
+        st.next()
+        st.expect("{")
+        minusBranch = Some(parseGroupBody())
+        Seq("MINUS", "UNION").foreach { kw =>
+          if (st.peekKeyword(kw))
+            throw SparqlParseError(s"only one MINUS group is supported (got a second $kw)")
+        }
+      }
+      Seq("GRAPH", "OPTIONAL").foreach { kw =>
         if (st.peekKeyword(kw))
           throw SparqlParseError(
             s"$kw between braced groups is not supported by this fragment")
@@ -549,7 +582,8 @@ object Sparql {
     ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit,
       distinct, aggregates, groupBy, projection, branches.tail, internalVars,
       offset, valuesBlocks,
-      bindBodies.map { case (v, body) => (v, translateFilter(body)) })
+      bindBodies.map { case (v, body) => (v, translateFilter(body)) },
+      minusBranch)
   }
 
   // ------------------------------------------------------------- lexing

@@ -154,7 +154,10 @@ class SparqlSpec extends AnyFunSuite {
     rejects("SELECT ?s WHERE { ?s <p> ?o UNION { ?s <q> ?o } }", "braced group")
     rejects("SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } ?x <r> ?y }",
       "closing WHERE")
-    rejects("SELECT ?s WHERE { { ?s <p> ?o } MINUS { ?s <q> ?o } }", "MINUS")
+    rejects("SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } MINUS { ?s <r> ?o } }",
+      "don't mix")
+    rejects("SELECT ?s WHERE { { ?s <p> ?o } MINUS { ?s <q> ?o } MINUS { ?s <r> ?o } }",
+      "only one MINUS")
     rejects(
       "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?a . ?s <r> ?b } }",
       "OPTIONAL groups with more than one triple")
@@ -222,6 +225,14 @@ class SparqlSpec extends AnyFunSuite {
     val single = Sparql.parse("SELECT ?x WHERE { { ?x <p> ?a } }")
     assert(single.patterns == Seq(("?x", "p", "?a")))
     assert(single.moreBranches.isEmpty)
+  }
+
+  test("parses a MINUS pair into the anti-joined branch") {
+    val p = Sparql.parse(
+      "SELECT ?x WHERE { { ?x <p> ?a } MINUS { ?x <q> ?b } }")
+    assert(p.patterns == Seq(("?x", "p", "?a")))
+    assert(p.minusBranch == Some((Seq(("?x", "q", "?b")), Set.empty[Int])))
+    assert(p.moreBranches.isEmpty)
   }
 
   test("parses VALUES blocks and BIND bindings") {
@@ -322,6 +333,20 @@ class SparqlSpec extends AnyFunSuite {
           |} ORDER BY ?r ?tag""".stripMargin
       ).collect().map(r => (r.getString(0), r.getString(1)))
       assert(cross.length == 4 && cross.distinct.length == 4)
+
+      // MINUS drops solutions the right group also binds: labelled
+      // subjects minus the flagged ones. Disjoint branches reject.
+      val minus = Sparql.run(
+        triples,
+        """SELECT ?s ?l WHERE {
+          |  { ?s <label> ?l } MINUS { ?s <flagged> "true" }
+          |} ORDER BY ?s""".stripMargin
+      ).collect().map(_.getString(0))
+      assert(minus.toSeq == Seq("nat:1", "reg:1", "reg:2")) // nat:2 flagged
+      val eMinus = intercept[SparqlParseError](Sparql.run(
+        triples,
+        "SELECT ?s WHERE { { ?s <label> ?l } MINUS { ?x <flagged> ?f } }"))
+      assert(eMinus.getMessage.contains("share no variable"))
 
       // OFFSET skips ordered solutions before LIMIT caps them
       val page = Sparql.run(
