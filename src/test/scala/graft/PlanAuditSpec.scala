@@ -195,6 +195,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("graph11/13/14: SPARQL union aligns without cartesians; VALUES broadcasts; MINUS anti-joins") {
+    // union branches are independent BGP plans — alignment must not
+    // introduce a cartesian or nested-loop join
+    val p11 = plan(Graph.graph11SparqlUnion(lake))
+    assert(p11.contains("Union"), p11)
+    assert(!p11.contains("CartesianProduct") && !p11.contains("BroadcastNestedLoop"), p11)
+    // the VALUES constant table is the canonical broadcast side
+    val p13 = plan(Graph.graph13SparqlValuesBind(lake))
+    assert(p13.contains("BroadcastHashJoin"), p13)
+    assert(!p13.contains("CartesianProduct"), p13)
+    // MINUS is a single anti join, not a subtraction materialization
+    val p14 = plan(Graph.graph14SparqlMinus(lake))
+    assert(p14.contains("LeftAnti"), p14)
+    assert(!p14.contains("CartesianProduct"), p14)
+  }
+
   test("txt24: the full quality panel plans ZERO exchanges") {
     // one scan -> every curation signal; a shuffle appearing here
     // means a signal regressed to an aggregate formulation
