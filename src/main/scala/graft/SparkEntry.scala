@@ -106,6 +106,7 @@ object SparkEntry {
     "graph12_sparql_path_ops" -> q(Graph.graph12SparqlPathOps),
     "graph13_sparql_values_bind" -> q(Graph.graph13SparqlValuesBind),
     "graph14_sparql_minus" -> q(Graph.graph14SparqlMinus),
+    "graph15_sparql_ask" -> q(Graph.graph15SparqlAsk),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
@@ -1846,6 +1847,22 @@ object SparkEntry {
     // graph10: graph04's aggregation through the TEXT front-end —
     // same de-sugared algebra, aliases from the (COUNT ... AS ?n)
     // binding.
+    // graph15: ASK is EXISTS over the pattern's solutions.
+    "graph15_sparql_ask" ->
+      """WITH triples AS (
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS s, 'label' AS p,
+        |    n_name AS o FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0)
+        |SELECT 'has_flagged' AS probe,
+        |  EXISTS(SELECT 1 FROM triples WHERE p = 'flagged' AND o = 'true') AS ask
+        |UNION ALL
+        |SELECT 'impossible_label',
+        |  EXISTS(SELECT 1 FROM triples WHERE p = 'label' AND o = 'NO_SUCH_LABEL')
+        |ORDER BY probe""".stripMargin,
     // graph14: MINUS de-sugars to an anti join on the shared var.
     "graph14_sparql_minus" ->
       """WITH triples AS (

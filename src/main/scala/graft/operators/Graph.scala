@@ -336,6 +336,23 @@ object Graph {
         |ORDER BY ?n""".stripMargin
     )
 
+  /** graph15: SPARQL ASK as TEXT — the reference surface's other
+    * query form (sparql_query.py's run_query prints `Result: bool`
+    * when oxigraph returns one). Two probes in one frame: the sparse
+    * `flagged` annotation exists somewhere (true), and a label the
+    * store cannot contain (false); limit(1) short-circuits each
+    * scan. */
+  def graph15SparqlAsk(lake: Lake): DataFrame = {
+    val t = triples(lake)
+    graft.sparql.Sparql.run(t, """ASK { ?n <flagged> "true" }""")
+      .withColumn("probe", lit("has_flagged"))
+      .unionAll(
+        graft.sparql.Sparql.run(t, """ASK { ?x <label> "NO_SUCH_LABEL" }""")
+          .withColumn("probe", lit("impossible_label")))
+      .select(col("probe"), col("ask"))
+      .orderBy("probe")
+  }
+
   /** graph10: SPARQL aggregation as TEXT — graph04's hand-built
     * count-per-nation expressed as a query string: `GROUP BY` +
     * `(COUNT(DISTINCT ?c) AS ?n_customers)` compile to a plain

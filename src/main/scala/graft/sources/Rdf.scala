@@ -745,10 +745,12 @@ object Rdf {
       """SELECT ?t ?anc ?l
         |WHERE { ?t (<is_a>|<part_of>)+ ?anc . ?anc <label> ?l }
         |ORDER BY ?t ?anc""".stripMargin,
-      // fixture hierarchy is 2 deep; bound 4 leaves margin and every
-      // excess hop is a wasted join+distinct stage (identical rows
-      // for any bound >= depth)
-      maxPathHops = 4
+      // fixture hierarchy is 2 deep; bound 3 leaves one hop of margin
+      // (identical rows for any bound >= depth). Measured: trimming
+      // 4 -> 3 does NOT move the 2.7-2.8 s wall time — the cost is the
+      // wholetext parse + window stanza fold + per-query session
+      // floor, not the empty closure stage.
+      maxPathHops = 3
     )
   }
 }

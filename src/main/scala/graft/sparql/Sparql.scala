@@ -16,6 +16,8 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   *   PREFIX pre: <iri>            -- any number; common W3C set
   *                                --   auto-injects when none declared
   *   SELECT [DISTINCT] ?v1 ?v2 | * | (COUNT([DISTINCT] ?v|*) AS ?n)
+  *   | ASK [WHERE] { … }          -- one boolean `ask` row (the
+  *                                --   reference prints Result: bool)
   *   WHERE {                      --   aggregates: COUNT/MIN/MAX
   *     s p o .                    -- terms: ?var | <iri> | pre:local | "lit"
   *     OPTIONAL { s p o } .       -- exactly one triple per OPTIONAL
@@ -84,7 +86,9 @@ object Sparql {
       // BIND(expr AS ?v) blocks: (var without '?', Spark SQL text)
       binds: Seq[(String, String)] = Seq.empty,
       // `{ … } MINUS { … }`: the right-hand group, anti-joined
-      minusBranch: Option[(Seq[(String, String, String)], Set[Int])] = None
+      minusBranch: Option[(Seq[(String, String, String)], Set[Int])] = None,
+      // ASK query: result is one boolean `ask` row
+      isAsk: Boolean = false
   )
 
   final case class SparqlParseError(msg: String)
@@ -174,6 +178,13 @@ object Sparql {
     val matched =
       if (pushFilter) withBinds
       else p.filterSql.map(expr).fold(withBinds)(withBinds.filter)
+    // ASK: does at least one solution survive the chain? limit(1)
+    // short-circuits the scan; the result is one boolean row.
+    if (p.isAsk)
+      return matched
+        .limit(1)
+        .select(lit(1).as("one"))
+        .agg((count("one") > 0).as("ask"))
     val referenced =
       p.selectVars ++ p.groupBy ++ p.aggregates.flatMap(_.variable)
     referenced.distinct.filterNot(matched.columns.contains) match {
@@ -249,21 +260,27 @@ object Sparql {
       prefixes += (name.dropRight(1) -> iri.substring(1, iri.length - 1))
     }
 
-    if (!st.peekKeyword("SELECT"))
+    // ASK is the reference surface's other query form (sparql_query.py
+    // prints `Result: true/false` when oxigraph returns a bool).
+    val isAsk = st.peekKeyword("ASK")
+    if (!isAsk && !st.peekKeyword("SELECT"))
       throw SparqlParseError(
-        s"only SELECT queries are supported (got '${st.peekOr("<end>")}')")
+        s"only SELECT and ASK queries are supported (got '${st.peekOr("<end>")}')")
     st.next()
 
     var distinct = false
-    if (st.peekKeyword("DISTINCT")) { st.next(); distinct = true }
-    else if (st.peekKeyword("REDUCED")) st.next() // REDUCED may legally no-op
+    if (!isAsk) {
+      if (st.peekKeyword("DISTINCT")) { st.next(); distinct = true }
+      else if (st.peekKeyword("REDUCED")) st.next() // REDUCED may legally no-op
+    }
 
     // SELECT items: plain ?vars and (FN([DISTINCT] ?v|*) AS ?alias)
     // aggregate projections, in clause order.
     var selectVars = Vector.empty[String]
     var aggregates = Vector.empty[Aggregate]
     var projection = Vector.empty[String]
-    if (st.peek == Some("*")) st.next()
+    if (isAsk) () // ASK has no projection — straight to the group
+    else if (st.peek == Some("*")) st.next()
     else {
       var more = true
       while (more) {
@@ -305,8 +322,9 @@ object Sparql {
         throw SparqlParseError("SELECT needs at least one ?var, aggregate, or *")
     }
 
-    if (!st.peekKeyword("WHERE")) throw SparqlParseError("expected WHERE")
-    st.next()
+    // ASK's WHERE keyword is optional in the SPARQL grammar
+    if (st.peekKeyword("WHERE")) st.next()
+    else if (!isAsk) throw SparqlParseError("expected WHERE")
     st.expect("{")
 
     def term(t: String): String =
@@ -509,6 +527,12 @@ object Sparql {
     } else branches :+= parseGroupBody()
     val (patterns, optionalIdx) = branches.head
 
+    if (isAsk)
+      Seq("GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING").foreach { kw =>
+        if (st.peekKeyword(kw))
+          throw SparqlParseError(s"ASK takes no $kw clause")
+      }
+
     var groupBy = Vector.empty[String]
     if (st.peekKeyword("GROUP")) {
       st.next()
@@ -583,7 +607,7 @@ object Sparql {
       distinct, aggregates, groupBy, projection, branches.tail, internalVars,
       offset, valuesBlocks,
       bindBodies.map { case (v, body) => (v, translateFilter(body)) },
-      minusBranch)
+      minusBranch, isAsk)
   }
 
   // ------------------------------------------------------------- lexing

@@ -150,7 +150,8 @@ class SparqlSpec extends AnyFunSuite {
       val e = intercept[SparqlParseError](Sparql.parse(q))
       assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
     }
-    rejects("ASK WHERE { ?s <p> ?o }", "only SELECT")
+    rejects("DESCRIBE <urn:x>", "only SELECT and ASK")
+    rejects("CONSTRUCT { ?s <p> ?o } WHERE { ?s <p> ?o }", "only SELECT and ASK")
     rejects("SELECT ?s WHERE { ?s <p> ?o UNION { ?s <q> ?o } }", "braced group")
     rejects("SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } ?x <r> ?y }",
       "closing WHERE")
@@ -225,6 +226,16 @@ class SparqlSpec extends AnyFunSuite {
     val single = Sparql.parse("SELECT ?x WHERE { { ?x <p> ?a } }")
     assert(single.patterns == Seq(("?x", "p", "?a")))
     assert(single.moreBranches.isEmpty)
+  }
+
+  test("parses ASK queries; rejects solution modifiers on them") {
+    val p = Sparql.parse("ASK { ?n <flagged> \"true\" }") // WHERE optional
+    assert(p.isAsk && p.selectVars.isEmpty && p.patterns.length == 1)
+    val pw = Sparql.parse("ASK WHERE { ?n <flagged> ?f . FILTER(?f = \"true\") }")
+    assert(pw.isAsk && pw.filterSql.isDefined)
+    val e = intercept[SparqlParseError](
+      Sparql.parse("ASK { ?n <p> ?o } LIMIT 5"))
+    assert(e.getMessage.contains("ASK takes no LIMIT"))
   }
 
   test("parses a MINUS pair into the anti-joined branch") {
@@ -333,6 +344,12 @@ class SparqlSpec extends AnyFunSuite {
           |} ORDER BY ?r ?tag""".stripMargin
       ).collect().map(r => (r.getString(0), r.getString(1)))
       assert(cross.length == 4 && cross.distinct.length == 4)
+
+      // ASK returns one boolean row, true and false cases
+      val askT = Sparql.run(triples, """ASK { ?n <flagged> "true" }""")
+      assert(askT.columns.toSeq == Seq("ask") && askT.collect()(0).getBoolean(0))
+      val askF = Sparql.run(triples, """ASK { ?n <flagged> "false" }""")
+      assert(!askF.collect()(0).getBoolean(0))
 
       // MINUS drops solutions the right group also binds: labelled
       // subjects minus the flagged ones. Disjoint branches reject.
