@@ -115,6 +115,7 @@ object SparkEntry {
     "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
+    "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
@@ -1575,6 +1576,25 @@ object SparkEntry {
         |    AS temp_weight_rel
         |FROM c CROSS JOIN t
         |ORDER BY source""".stripMargin,
+    // samp04: the oracle computes the same global prefix sum with one
+    // window — exactness of the distributed 4-step prefix sum is the
+    // thing under test. Spark's default orderBy frame is RANGE, but
+    // doc_id makes the sort key unique so RANGE == ROWS.
+    "samp04_token_budget" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+        |      AS tokens,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        |      (length(text) - length(replace(text, ' ', '')) + 1) AS score
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, tokens,
+        |    CAST(SUM(tokens) OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 5000
+        |ORDER BY cum_tokens""".stripMargin,
     "txt19_clean_text" ->
       """WITH r AS (SELECT doc_id,
         |  text || ' {{cite:c' || CAST(doc_id AS VARCHAR)

@@ -278,6 +278,64 @@ object TextAnalysis {
   /** Deterministic stratified sampling: modulo split on the stable id
     * keeps ~30% per language stratum — reproducible across runs and
     * cluster sizes (the property random() sampling lacks at scale). */
+  /** samp04: highest-quality docs under a corpus TOKEN BUDGET — the
+    * selection step after scoring (pick the best B tokens for the
+    * training run). Selection order is (score desc, doc_id); a doc is
+    * kept while the running token total stays within budget.
+    *
+    * The running total is an EXACT GLOBAL prefix sum computed the
+    * scale-correct way — `Window.orderBy` with no partition key would
+    * plan ONE partition and serialize the corpus through a single
+    * task:
+    *   1. range-repartition on the selection order (range partitions
+    *      are order-aligned, so partition id == global rank block);
+    *   2. per-partition window cumsum — bounded by partition size;
+    *   3. prefix-sum the |partitions| per-partition totals (a
+    *      |partitions|-row window — the same deliberately-tiny
+    *      single-partition frame as the k-row centroid windows);
+    *   4. broadcast the offsets back and add.
+    * The kept set is invariant to where the range boundaries fall, so
+    * the output is deterministic even though RangePartitioner samples
+    * split points. Score = mean word length (cheap, deterministic,
+    * SQL-expressible — stand-in for any model score column). */
+  def samp04TokenBudget(
+      lake: Lake,
+      budget: Long = 5000L,
+      parts: Int = 8
+  ): DataFrame = {
+    val scored = lake.documents.select(
+      col("doc_id"),
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long").as("tokens"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1))
+        .as("score")
+    )
+    val ranked = scored
+      .repartitionByRange(parts, col("score").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = ranked.withColumn(
+      "local_cum",
+      sum("tokens").over(
+        Window.partitionBy("pid").orderBy(col("score").desc, col("doc_id"))))
+    val offsets = local
+      .groupBy("pid")
+      .agg(sum("tokens").as("ptotal"))
+      .withColumn(
+        "offset",
+        coalesce(
+          sum("ptotal").over(
+            Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select("pid", "offset")
+    local
+      .join(broadcast(offsets), "pid")
+      .withColumn("cum_tokens", col("local_cum") + col("offset"))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "tokens", "cum_tokens")
+      .orderBy("cum_tokens")
+  }
+
   def samp01Stratified(lake: Lake, pct: Int = 30): DataFrame =
     lake.documents
       .filter(pmod(col("doc_id"), lit(100)) < pct)

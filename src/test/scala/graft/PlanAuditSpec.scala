@@ -211,6 +211,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p14.contains("CartesianProduct"), p14)
   }
 
+  test("samp04: the corpus-wide cumsum window partitions by pid, never global") {
+    // the one full-data Window must carry the pid partition key; the
+    // only partition-less window runs over |partitions| total rows
+    // (the deliberately-tiny offsets frame)
+    val p = plan(TextAnalysis.samp04TokenBudget(lake))
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(windows.exists(_.contains("pid")), p)
+  }
+
   test("txt24: the full quality panel plans ZERO exchanges") {
     // one scan -> every curation signal; a shuffle appearing here
     // means a signal regressed to an aggregate formulation

@@ -9,6 +9,32 @@ class TextSelectionSpec extends AnyFunSuite {
   import TestSpark._
   private lazy val lake = Lake(spark, sfDir)
 
+  test("token budget: kept set is partition-count-invariant, ordered, within budget") {
+    import graft.operators.TextAnalysis
+    val base = TextAnalysis.samp04TokenBudget(lake, budget = 3000L, parts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the distributed prefix sum must not depend on where the range
+    // boundaries fall: 1 partition (the naive global window, exact by
+    // construction) and 3 partitions agree with 8
+    Seq(1, 3).foreach { parts =>
+      val alt = TextAnalysis.samp04TokenBudget(lake, budget = 3000L, parts = parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(alt.toSeq == base.toSeq, s"parts=$parts diverged")
+    }
+    assert(base.nonEmpty)
+    // cum is a strictly increasing exact prefix sum capped by budget
+    assert(base.last._3 <= 3000L)
+    base.sliding(2).foreach {
+      case Array((_, _, c1), (_, t2, c2)) => assert(c2 - t2 == c1)
+      case _ =>
+    }
+    // greedy boundary: adding the next-best doc would break the budget
+    val all = TextAnalysis.samp04TokenBudget(lake, budget = Long.MaxValue, parts = 8)
+      .collect()
+    if (all.length > base.length)
+      assert(all(base.length).getLong(2) > 3000L)
+  }
+
   test("DSIR importance: target-domain docs outscore the rest on average") {
     // The importance weight is built to rank target-looking text above
     // the raw mix: docs actually drawn from the target source carry
