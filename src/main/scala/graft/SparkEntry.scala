@@ -124,6 +124,7 @@ object SparkEntry {
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
+    "evt09_interval_join" -> q(Events.evt09IntervalJoin(_)),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
@@ -655,6 +656,23 @@ object SparkEntry {
         |  ROUND(mu, 4) AS mean_daily, ratio
         |FROM k WHERE rn <= 3
         |ORDER BY event_type, day""".stripMargin,
+    // evt09: the oracle is the NAIVE inequality join — DuckDB's
+    // IEJoin handles it natively; the Spark side's bin-bucketed
+    // equi-join must reproduce it exactly.
+    "evt09_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |    -- FLOOR, not CAST: epoch() is fractional and DuckDB's
+        |    -- double->BIGINT cast rounds where Spark's unix_timestamp
+        |    -- truncates
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_type FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, sec AS view_sec
+        |  FROM e WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, sec AS p_sec
+        |  FROM e WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, v.view_id, p.p_sec - v.view_sec AS sec_before
+        |FROM p JOIN v ON p.user_id = v.user_id
+        | AND v.view_sec >= p.p_sec - 1800 AND v.view_sec < p.p_sec
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "cat02_snapshot_diff" ->
       """WITH before_t AS (SELECT o_orderkey, o_totalprice FROM orders),
         |after_t AS (

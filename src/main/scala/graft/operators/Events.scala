@@ -234,4 +234,54 @@ object Events {
       )
       .orderBy("event_type", "day")
   }
+
+  /** evt09: batch INTERVAL join — every view in the 30 minutes before
+    * each purchase (evt07's as-of picks only the LAST one; attribution
+    * models want them all). A naive `t1.ts BETWEEN t2.ts - w AND
+    * t2.ts` join has no equality predicate, so Spark plans a
+    * broadcast-nested-loop / cartesian — quadratic per user at scale.
+    * The scale shape is TIME-BIN BUCKETING: bin = sec div w, each
+    * purchase explodes to its two candidate bins (the window spans at
+    * most two w-sized bins), views keep their one bin, and the join is
+    * a plain equi-join on (user_id, bin) followed by the exact range
+    * filter. Candidate volume is bounded by per-(user, bin) density —
+    * the same argument as the LSH band joins; no pair is generated
+    * twice because a view has exactly one bin. Plan-pinned: no BNLJ,
+    * no cartesian. */
+  def evt09IntervalJoin(lake: Lake, windowSec: Long = 1800L): DataFrame = {
+    val ev = lake.events.select(
+      col("event_id"),
+      col("user_id"),
+      unix_timestamp(col("ts")).as("sec"),
+      col("event_type")
+    )
+    val views = ev
+      .filter(col("event_type") === "view")
+      .select(
+        col("user_id"),
+        col("event_id").as("view_id"),
+        col("sec").as("view_sec"),
+        expr(s"sec div $windowSec").as("bin")
+      )
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("sec").as("p_sec"))
+      .withColumn(
+        "bin",
+        explode(array(
+          expr(s"p_sec div $windowSec") - 1,
+          expr(s"p_sec div $windowSec")))
+      )
+    purchases
+      .join(views, Seq("user_id", "bin"))
+      .filter(
+        col("view_sec") >= col("p_sec") - windowSec &&
+          col("view_sec") < col("p_sec"))
+      .select(
+        col("purchase_id"),
+        col("view_id"),
+        (col("p_sec") - col("view_sec")).as("sec_before")
+      )
+      .orderBy("purchase_id", "view_id")
+  }
 }

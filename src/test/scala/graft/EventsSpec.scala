@@ -32,4 +32,31 @@ class EventsSpec extends AnyFunSuite {
       .filter(col("v_ts") <= col("purchase_ts"))
     assert(unmatchedWithView.count() == 0)
   }
+
+  test("interval join: bin-bucketed pairs equal the naive range join") {
+    import org.apache.spark.sql.functions.unix_timestamp
+    val out = Events.evt09IntervalJoin(lake, windowSec = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the naive formulation (BNLJ-planned — fine at spec scale) is the
+    // semantic definition the bucketing must reproduce exactly
+    val ev = lake.events.select(
+      col("event_id"), col("user_id"),
+      unix_timestamp(col("ts")).as("sec"), col("event_type"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("sec").as("vs"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("sec").as("ps"))
+    val naive = p.join(v, Seq("user_id"))
+      .filter(col("vs") >= col("ps") - 1800L && col("vs") < col("ps"))
+      .select("purchase_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == naive)
+    assert(out.nonEmpty)
+    // boundary semantics: window is [p-w, p) half-open — with w=1 the
+    // only representable gap is exactly 1 s (0 would be AT the
+    // purchase instant, excluded)
+    val window1 = Events.evt09IntervalJoin(lake, windowSec = 1L)
+      .collect().map(r => r.getLong(2))
+    window1.foreach(s => assert(s == 1L))
+  }
 }

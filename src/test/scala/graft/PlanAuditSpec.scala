@@ -211,6 +211,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p14.contains("CartesianProduct"), p14)
   }
 
+  test("evt09: the interval join is a bin-bucketed equi-join — no BNLJ, no cartesian") {
+    val p = plan(Events.evt09IntervalJoin(lake))
+    assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("samp04: the corpus-wide cumsum window partitions by pid, never global") {
     // the one full-data Window must carry the pid partition key; the
     // only partition-less window runs over |partitions| total rows
