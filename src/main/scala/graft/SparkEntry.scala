@@ -109,6 +109,7 @@ object SparkEntry {
     "graph15_sparql_ask" -> q(Graph.graph15SparqlAsk),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
+    "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
@@ -1572,6 +1573,36 @@ object SparkEntry {
     // agrees with Spark's binary substring for ANY corpus, not just
     // ASCII. md5 runs over the hex VARCHAR on both engines (DuckDB's
     // md5/substring cannot take BLOBs).
+    // mm03: DuckDB replays the U8-PCM windowing over hex(payload) —
+    // 1-indexed list lambdas, ('0x'||h)::INT decode, GREATEST guards
+    // mirroring the Spark side's empty-window handling.
+    "mm03_audio_features" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |w AS (SELECT doc_id, h,
+        |    CAST(CEIL(length(h) / 64.0) AS BIGINT) AS n_windows FROM m),
+        |f AS (SELECT doc_id, h,
+        |    UNNEST(generate_series(0, GREATEST(n_windows, 1) - 1)) AS win_idx
+        |  FROM w),
+        |s AS (SELECT doc_id, win_idx,
+        |    list_transform(
+        |      regexp_extract_all(substring(h, CAST(win_idx * 64 + 1 AS BIGINT), 64), '..'),
+        |      x -> ('0x' || x)::INTEGER - 128) AS samples
+        |  FROM f),
+        |feat AS (SELECT doc_id, win_idx,
+        |    CAST(len(samples) AS BIGINT) AS n_samples,
+        |    ROUND(SQRT(COALESCE(list_sum(list_transform(samples,
+        |        x -> CAST(x * x AS DOUBLE))), 0) /
+        |      GREATEST(len(samples), 1)), 4) AS rms,
+        |    CAST(CASE WHEN len(samples) < 2 THEN 0 ELSE
+        |      list_sum(list_transform(generate_series(2, len(samples)),
+        |        i -> CASE WHEN (samples[i-1] >= 0) != (samples[i] >= 0)
+        |             THEN 1 ELSE 0 END)) END AS BIGINT) AS n_zero_cross,
+        |    CAST(COALESCE(list_max(list_transform(samples, x -> abs(x))), 0)
+        |      AS BIGINT) AS peak
+        |  FROM s)
+        |SELECT doc_id, win_idx, n_samples, rms, n_zero_cross, peak
+        |FROM feat
+        |ORDER BY doc_id, win_idx""".stripMargin,
     "mm02_frame_sample" ->
       """WITH f AS (SELECT doc_id, hex(encode(text)) AS h,
         |    CAST(CEIL(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames

@@ -271,6 +271,77 @@ object Multimodal {
     }
   }
 
+  /** mm03: audio feature extraction — the third modality of the
+    * mandate's image/audio/video triple. The payload is treated as
+    * unsigned-8-bit PCM mono (a real WAV encoding); per non-overlapping
+    * window of `windowSamples` samples, the classic low-level audio
+    * features: RMS energy, zero-crossing count, and peak amplitude
+    * (all about the centered signal, sample - 128).
+    *
+    * Like mm02, the whole operator stays in Tungsten expressions —
+    * substring-on-binary windowing, then ARRAY-level math
+    * (transform / zip_with / aggregate higher-order functions) on the
+    * hex-decoded samples. No per-sample row explosion (rows out =
+    * windows, not samples) and no UDF. And like mm02, it is fully
+    * oracle-expressible: DuckDB replays the same windowing over
+    * hex(payload) with list_transform + ('0x'||h)::INTEGER, so the
+    * decode arithmetic, window boundaries, and feature math are all
+    * exactness-gated — not a rows-only stub.
+    *
+    * Scale: map-only; a long recording is one row, windows re-balance
+    * at the first shuffle (same pre-chunked-payload note as mm02). */
+  def mm03AudioFeatures(lake: Lake, windowSamples: Int = 32): DataFrame = {
+    lake.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn(
+        "n_windows",
+        ceil(length(col("payload")).cast("double") / windowSamples).cast("long")
+      )
+      .withColumn(
+        "win_idx",
+        explode(sequence(lit(0L), greatest(col("n_windows"), lit(1L)) - 1))
+      )
+      // hex-decode the window's bytes to centered PCM samples; the
+      // empty-string filter matters: Spark split("") is [""], not []
+      // slice the BINARY first, hex the 32-byte window (hexing the
+      // whole payload per exploded row would be O(windows x payload))
+      .withColumn(
+        "samples",
+        expr(
+          s"""transform(
+             |  filter(split(hex(substring(payload, win_idx * $windowSamples + 1, $windowSamples)),
+             |                '(?<=\\\\G..)'),
+             |         h -> h != ''),
+             |  h -> CAST(conv(h, 16, 10) AS INT) - 128)""".stripMargin)
+      )
+      .withColumn("n_samples", size(col("samples")).cast("long"))
+      .withColumn(
+        "rms",
+        round(
+          sqrt(
+            expr("aggregate(samples, 0D, (a, x) -> a + CAST(x * x AS DOUBLE))") /
+              greatest(col("n_samples"), lit(1L))),
+          4)
+      )
+      .withColumn(
+        "n_zero_cross",
+        expr(
+          """IF(size(samples) < 2, 0,
+            |  aggregate(
+            |    zip_with(slice(samples, 1, size(samples) - 1),
+            |             slice(samples, 2, size(samples) - 1),
+            |             (a, b) -> IF((a >= 0) != (b >= 0), 1, 0)),
+            |    0, (acc, x) -> acc + x))""".stripMargin).cast("long")
+      )
+      .withColumn(
+        "peak",
+        coalesce(expr("array_max(transform(samples, x -> abs(x)))"), lit(0))
+          .cast("long")
+      )
+      .select("doc_id", "win_idx", "n_samples", "rms", "n_zero_cross", "peak")
+      .orderBy("doc_id", "win_idx")
+  }
+
   /** mm01: media metadata + decoded features, flattened for the
     * driver dump. [rows-only — the decode step (ImageIO pixels /
     * byte histogram) is not oracle-expressible] */

@@ -103,6 +103,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(exprIdx == decodeIdx)
   }
 
+  test("audio features match a plain-Scala reference computation") {
+    import graft.multimodal.Multimodal
+    val out = Multimodal.mm03AudioFeatures(lake, windowSamples = 32)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(out.nonEmpty)
+    // recompute every window of the first 20 docs byte-for-byte
+    val docs = lake.documents.select("doc_id", "text")
+      .orderBy("doc_id").limit(20).collect()
+    docs.foreach { row =>
+      val id = row.getLong(0)
+      val bytes = row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val nWin = math.max(1, (bytes.length + 31) / 32)
+      (0 until nWin).foreach { w =>
+        val win = bytes.slice(w * 32, math.min((w + 1) * 32, bytes.length))
+          .map(b => (b & 0xff) - 128)
+        val n = win.length.toLong
+        val rms = math.rint(math.sqrt(
+          win.map(x => x.toDouble * x).sum / math.max(n, 1L)) * 1e4) / 1e4
+        val zc = win.sliding(2).count {
+          case Array(a, b) => (a >= 0) != (b >= 0)
+          case _           => false
+        }.toLong
+        val peak = if (win.isEmpty) 0L else win.map(math.abs).max.toLong
+        assert(out((id, w.toLong)) == ((n, rms, zc, peak)), s"doc $id win $w")
+      }
+    }
+    // global invariants over the full output
+    out.values.foreach { case (n, rms, zc, peak) =>
+      assert(rms >= 0 && rms <= 128 && peak <= 128 && zc <= math.max(0L, n - 1))
+    }
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val a = Multimodal.extractFeatures(Multimodal.asMedia(lake))
       .collect().sortBy(_.doc_id)
