@@ -117,6 +117,7 @@ object SparkEntry {
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
+    "samp05_leakage_safe_split" -> q(Dedup.samp05LeakageSafeSplit(_)),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
@@ -961,6 +962,32 @@ object SparkEntry {
          |      ORDER BY n_chars DESC, doc_id) AS rn
          |  FROM m) WHERE rn = 1
          |ORDER BY cluster_id""".stripMargin,
+    // samp05: the oracle replays dedup08's recursive-CTE components,
+    // left-joins the full corpus (singletons label as themselves),
+    // and applies the same cluster-modulo split rule.
+    "samp05_leakage_safe_split" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $dkJac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+         |sel AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN cluster_id % 10 < 8 THEN 'train'
+         |       WHEN cluster_id % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM sel
+         |ORDER BY doc_id""".stripMargin,
     "dedup06_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -668,6 +668,40 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** samp05: LEAKAGE-SAFE train/val/test split — the curation
+    * correctness subtlety most pipelines get wrong: splitting by
+    * document hash puts near-duplicates of a training doc into the
+    * eval set, silently inflating every metric. The unit of
+    * assignment must be the NEAR-DUP CLUSTER, not the doc: MinHash
+    * pairs → star-CC cluster labels (dedup08's machinery), singletons
+    * keep their own id as the label, and the split decision is a
+    * deterministic modulo on the CLUSTER id (8/1/1) — so a whole
+    * duplicate group lands in exactly one split, reproducibly, with
+    * no RNG and no driver-side state. Linear dataflow: the CC labels
+    * plus one broadcast-joinable left join against the corpus. */
+  def samp05LeakageSafeSplit(
+      lake: Lake,
+      threshold: Double = 0.5,
+      maxIters: Int = 20
+  ): DataFrame = {
+    val pairs = dedup04MinhashLsh(lake, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val labels = connectedComponentsStar(pairs, maxIters)
+    lake.documents
+      .select(col("doc_id"))
+      .join(labels, col("doc_id") === col("u"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn(
+        "split",
+        when(pmod(col("cluster_id"), lit(10)) < 8, "train")
+          .when(pmod(col("cluster_id"), lit(10)) === 8, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): cluster the
     * embedding space with k-means, call two items semantic duplicates

@@ -8,6 +8,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
   import TestSpark._
   private lazy val lake = Lake(spark, sfDir)
 
+  test("leakage-safe split: clusters never span splits, pairs co-split, all docs covered") {
+    val out = Dedup.samp05LeakageSafeSplit(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == lake.documents.count())
+    // a cluster maps to exactly one split
+    out.groupBy(_._2).foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $c spans splits")
+    }
+    // THE leakage property: every near-dup pair lands in one split
+    val split = out.map(r => r._1 -> r._3).toMap
+    Dedup.dedup04MinhashLsh(lake).select("doc_a", "doc_b").collect().foreach { r =>
+      assert(split(r.getLong(0)) == split(r.getLong(1)),
+        s"pair ${r.getLong(0)}/${r.getLong(1)} split apart")
+    }
+    // all three splits materialize and train dominates (8/1/1 rule)
+    val byCut = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byCut.keySet == Set("train", "val", "test"), byCut)
+    assert(byCut("train") > byCut("val") && byCut("train") > byCut("test"), byCut)
+  }
+
   test("minhash LSH finds exactly the exhaustive-Jaccard pairs") {
     val lsh = Dedup
       .dedup04MinhashLsh(lake)
