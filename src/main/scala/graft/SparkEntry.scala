@@ -118,6 +118,7 @@ object SparkEntry {
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
     "samp05_leakage_safe_split" -> q(Dedup.samp05LeakageSafeSplit(_)),
+    "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
@@ -988,6 +989,24 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM sel
          |ORDER BY doc_id""".stripMargin,
+    // dedup12: the oracle scores the delta (newest 20% of ids) by
+    // exhaustive Jaccard against every smaller-id doc — the result the
+    // incremental band-probe + exact-verify plan must reproduce.
+    "dedup12_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3),
+         |cut AS (SELECT CAST(FLOOR(0.8 * (MAX(doc_id) + 1)) AS BIGINT) AS c FROM documents),
+         |m AS (
+         |  SELECT b.doc_id AS doc_b, MIN(a.doc_id) AS dup_of
+         |  FROM sh b JOIN cut ON b.doc_id >= cut.c
+         |  JOIN sh a ON a.doc_id < b.doc_id
+         |  WHERE $dkJac >= 0.5
+         |  GROUP BY b.doc_id),
+         |sel AS (SELECT doc_id FROM documents JOIN cut ON doc_id >= cut.c)
+         |SELECT sel.doc_id, m.dup_of,
+         |  CASE WHEN m.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM sel LEFT JOIN m ON sel.doc_id = m.doc_b
+         |ORDER BY sel.doc_id""".stripMargin,
     "dedup06_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

@@ -702,6 +702,85 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup12: INCREMENTAL dedup — score a new delta batch against the
+    * already-curated corpus without re-pairing the corpus with itself,
+    * the production shape for continuous ingestion (daily crawl drops
+    * arriving against a 100 TB store). The delta is the newest
+    * `deltaFrac` of doc ids; a delta doc is dropped iff some doc with
+    * a SMALLER id (corpus or earlier-in-batch) is a near-dup at
+    * `threshold`, and `dup_of` reports the smallest such partner —
+    * so re-running after a merge never flips earlier verdicts.
+    *
+    * Scale shape: the MinHash band index covers corpus+delta, but the
+    * candidate join PROBES it only with the delta's band rows —
+    * corpus×corpus pairs are never enumerated, so per-batch cost is
+    * linear in the batch (times the bucket collision rate), not in
+    * the store. At 100 TB the corpus band index is a persisted table
+    * the daily job appends to; here both sides derive from the lake
+    * in one dataflow, but the join topology is the incremental one.
+    * Recall: same 64x2 band design as [[dedup04MinhashLsh]] (candidate
+    * probability ≈ 1-1e-8 at J=0.5), and the exact-Jaccard verify
+    * makes the output equal the exhaustive delta×smaller-id result,
+    * which is what the oracle computes. */
+  def dedup12Incremental(
+      lake: Lake,
+      threshold: Double = 0.5,
+      deltaFrac: Double = 0.2,
+      numPerm: Int = 128,
+      bands: Int = 64
+  ): DataFrame = {
+    val rows = numPerm / bands
+    // One metadata scalar decides the batch boundary (floor in both
+    // engines: .toLong truncates toward zero for the positive cut).
+    val maxId = lake.documents.agg(max("doc_id")).head().getLong(0)
+    val cut = ((1.0 - deltaFrac) * (maxId + 1)).toLong
+    val docs = lake.documents
+      .select(col("doc_id"), graft.plans.ShingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .cache()
+    val bandRows = docs
+      .select(
+        col("doc_id"),
+        explode(
+          hashing.bandKeys(hashing.minhashSignature(col("sh"), numPerm), bands, rows)
+        ).as("bk")
+      )
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .cache()
+    // Probe side = delta only; build side = the full index. Every
+    // candidate has doc_b in the delta and doc_a strictly older.
+    val candidates = bandRows
+      .filter(col("doc_id") >= cut)
+      .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+      .join(
+        bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bucket")),
+        Seq("band", "bucket")
+      )
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val ic = graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    val jac =
+      ic.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - ic).cast("double")
+    val dupOf = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .filter(round(jac, 4) >= threshold)
+      .groupBy("doc_b")
+      .agg(min(col("doc_a")).as("dup_of"))
+    lake.documents
+      .filter(col("doc_id") >= cut)
+      .select(col("doc_id"))
+      .join(dupOf, col("doc_id") === col("doc_b"), "left")
+      .select(
+        col("doc_id"),
+        col("dup_of"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict")
+      )
+      .orderBy("doc_id")
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): cluster the
     * embedding space with k-means, call two items semantic duplicates

@@ -28,6 +28,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byCut("train") > byCut("val") && byCut("train") > byCut("test"), byCut)
   }
 
+  test("incremental dedup agrees with the global pair set restricted to the delta") {
+    val out = Dedup.dedup12Incremental(lake).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    val maxId = lake.documents.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val cut = (0.8 * (maxId + 1)).toLong
+    assert(out.nonEmpty && out.forall(_._1 >= cut), "output is exactly the delta")
+    assert(out.length == lake.documents.filter(s"doc_id >= $cut").count())
+    // global pairs (a < b) restricted to b in the delta give the expected verdicts
+    val expected = Dedup.dedup04MinhashLsh(lake).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter(_._2 >= cut)
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    out.foreach { case (id, dupOf, verdict) =>
+      expected.get(id) match {
+        case Some(minA) =>
+          assert(verdict == "drop" && dupOf == minA, s"doc $id: expected drop/dup_of=$minA, got $verdict/$dupOf")
+        case None =>
+          assert(verdict == "keep" && dupOf == -1L, s"doc $id: expected keep, got $verdict/$dupOf")
+      }
+    }
+  }
+
   test("minhash LSH finds exactly the exhaustive-Jaccard pairs") {
     val lsh = Dedup
       .dedup04MinhashLsh(lake)
