@@ -119,6 +119,7 @@ object SparkEntry {
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
     "samp05_leakage_safe_split" -> q(Dedup.samp05LeakageSafeSplit(_)),
     "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
+    "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
@@ -989,6 +990,17 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM sel
          |ORDER BY doc_id""".stripMargin,
+    // samp06: same md5 order key and same overflow-safe shard mix,
+    // replayed verbatim — both engines emit lowercase-hex md5 strings.
+    "samp06_shuffle_shard" ->
+      s"""SELECT doc_id, source, shard,
+         |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS pos
+         |FROM (
+         |  SELECT doc_id, source,
+         |    md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
+         |    (((doc_id % 100003) * 2654435761) >> 16) % 8 AS shard
+         |  FROM documents)
+         |ORDER BY shard, pos""".stripMargin,
     // dedup12: the oracle scores the delta (newest 20% of ids) by
     // exhaustive Jaccard against every smaller-id doc — the result the
     // incremental band-probe + exact-verify plan must reproduce.

@@ -336,6 +336,49 @@ object TextAnalysis {
       .orderBy("cum_tokens")
   }
 
+  /** samp06: deterministic global SHUFFLE + SHARD — the final layout
+    * step of a pretraining pipeline: decorrelate the storage order
+    * (sources arrive clustered; training wants them interleaved) and
+    * deal the corpus into S shards, each internally ordered, with NO
+    * RNG so the training order reproduces bit-for-bit across runs and
+    * cluster sizes. The within-shard order key is md5(doc_id ":" seed)
+    * — uniform, engine-portable, re-dealt by changing the seed. The
+    * shard id is a multiplicative mix of the doc id (mod-reduced FIRST
+    * so the product never overflows at any corpus size; a raw
+    * `doc_id * knuth` wraps in Spark and errors in an
+    * overflow-checking engine at ~1e12 ids), which decorrelates shard
+    * from the source interleaving a plain `doc_id % S` would inherit.
+    *
+    * Scale shape: the only wide op is the hash partition on shard +
+    * the per-shard sort behind `row_number` — S-way parallel, never a
+    * global single-partition window; shard sizes are ≈ corpus/S by
+    * uniformity of the mix. This is exactly the "shuffle into N
+    * internally-shuffled shard files" layout tfrecord/WebDataset
+    * training readers expect. */
+  def samp06ShuffleShard(
+      lake: Lake,
+      shards: Int = 8,
+      seed: Int = 42
+  ): DataFrame = {
+    val key = md5(concat(col("doc_id").cast("string"), lit(":" + seed)))
+    // Take the HIGH bits of the Knuth product: an odd multiplier is a
+    // bijection on the low k bits, so `product % 2^k` would still be
+    // `doc_id % 2^k` reshuffled — correlated with every id-derived
+    // attribute. The >>16 discards the preserved low bits.
+    val shard = pmod(
+      shiftright(pmod(col("doc_id"), lit(100003L)) * lit(2654435761L), 16),
+      lit(shards.toLong))
+    lake.documents
+      .select(col("doc_id"), col("source"), key.as("shuffle_key"), shard.as("shard"))
+      .withColumn(
+        "pos",
+        row_number()
+          .over(Window.partitionBy("shard").orderBy("shuffle_key", "doc_id"))
+          .cast("long"))
+      .select("doc_id", "source", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
   def samp01Stratified(lake: Lake, pct: Int = 30): DataFrame =
     lake.documents
       .filter(pmod(col("doc_id"), lit(100)) < pct)

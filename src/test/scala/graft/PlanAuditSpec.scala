@@ -227,6 +227,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.exists(_.contains("pid")), p)
   }
 
+  test("samp06: the shuffle deal windows per shard, never globally") {
+    val p = plan(TextAnalysis.samp06ShuffleShard(lake))
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p)
+    // every full-data window carries the shard partition key
+    assert(windows.filter(_.contains("row_number")).forall(_.contains("shard")), p)
+  }
+
   test("txt24: the full quality panel plans ZERO exchanges") {
     // one scan -> every curation signal; a shuffle appearing here
     // means a signal regressed to an aggregate formulation

@@ -35,6 +35,35 @@ class TextSelectionSpec extends AnyFunSuite {
       assert(all(base.length).getLong(2) > 3000L)
   }
 
+  test("shuffle-shard: balanced shards, contiguous positions, source-decorrelated, seed-keyed") {
+    val out = TextAnalysis.samp06ShuffleShard(lake).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = lake.documents.count()
+    assert(out.length == n, "every doc dealt exactly once")
+    val byShard = out.groupBy(_._3)
+    assert(byShard.keySet == (0L until 8L).toSet, "all shards populated")
+    // balance: md5-uniform deal keeps every shard within 2x of fair share
+    byShard.foreach { case (s, rows) =>
+      assert(rows.length < 2.0 * n / 8 && rows.length > n / 8 / 2.0, s"shard $s: ${rows.length}")
+    }
+    // positions are a contiguous 1..k run per shard
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._4).sorted.sameElements(1L to rows.length), s"shard $s positions")
+    }
+    // decorrelation: a shard is not a source column — every shard
+    // mixes most of the 20 sources
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._2).distinct.length >= 10, s"shard $s sources")
+    }
+    // changing the seed re-deals the within-shard order
+    val reseeded = TextAnalysis.samp06ShuffleShard(lake, seed = 43).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(reseeded.map(r => r._1 -> r._3).toMap == out.map(r => r._1 -> r._3).toMap,
+      "shard assignment is seed-independent (layout stable)")
+    assert(reseeded.map(r => r._1 -> r._4).toMap != out.map(r => r._1 -> r._4).toMap,
+      "order within shards re-deals with the seed")
+  }
+
   test("DSIR importance: target-domain docs outscore the rest on average") {
     // The importance weight is built to rank target-looking text above
     // the raw mix: docs actually drawn from the target source carry
