@@ -120,6 +120,7 @@ object SparkEntry {
     "samp05_leakage_safe_split" -> q(Dedup.samp05LeakageSafeSplit(_)),
     "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
+    "cat03_column_stats" -> q(CatalogOps.cat03ColumnStats(_)),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
@@ -677,6 +678,20 @@ object SparkEntry {
         |FROM p JOIN v ON p.user_id = v.user_id
         | AND v.view_sec >= p.p_sec - 1800 AND v.view_sec < p.p_sec
         |ORDER BY purchase_id, view_id""".stripMargin,
+    // cat03: one SELECT block per profiled column (the unpivoted shape
+    // of the single wide aggregate the Spark side runs per table).
+    "cat03_column_stats" -> {
+      def block(table: String, c: String) =
+        s"""SELECT '$table' AS table_name, '$c' AS column_name,
+           |  COUNT(*) AS n_rows, COUNT($c) AS n_nonnull,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+           |FROM $table""".stripMargin
+      (Seq("doc_id", "lang", "source", "n_chars").map(block("documents", _)) ++
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+          .map(block("orders", _)))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, column_name")
+    },
     "cat02_snapshot_diff" ->
       """WITH before_t AS (SELECT o_orderkey, o_totalprice FROM orders),
         |after_t AS (

@@ -290,4 +290,55 @@ object CatalogOps {
     s"""{"dir":"${esc(lake.dir)}","n_tables":${tables.size},"tables":${tables
         .mkString("[", ",", "]")}}"""
   }
+
+  /** cat03: ANALYZE-style per-column statistics — row count, non-null
+    * count, NDV, min/max — the table metadata a cost-based planner
+    * (and the reference's CATALOG.md listing) consumes.
+    *
+    * ONE aggregate pass per table computes every column's stats at
+    * once, then `stack` unpivots the wide row to long format — the
+    * per-column-per-agg formulation would pay cat01's measured
+    * scheduling-floor cost once per column. Exact NDV (the oracle
+    * path) plans an Expand that replicates scan rows once per
+    * DISTINCT column; `approx = true` swaps in HLL
+    * approx_count_distinct, which keeps the pass fully map-side
+    * partial and is the only sane choice at 100 TB (the spec pins the
+    * two paths within HLL tolerance of each other). min/max are
+    * emitted as strings so one long frame carries every column type;
+    * only string/integer/date columns are profiled here — float
+    * rendering differs across engines, and a planner wants their
+    * RANGE, which the cast preserves for the profiled types. */
+  def cat03ColumnStats(lake: Lake, approx: Boolean = false): DataFrame = {
+    val tables: Seq[(String, DataFrame, Seq[String])] = Seq(
+      ("documents", lake.documents, Seq("doc_id", "lang", "source", "n_chars")),
+      ("orders", lake.orders, Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    )
+    val perTable = tables.map { case (tname, df, cols) =>
+      def ndv(c: String) =
+        if (approx) approx_count_distinct(col(c), 0.02).as(s"nd_$c")
+        else countDistinct(col(c)).as(s"nd_$c")
+      val aggs = cols.flatMap(c =>
+        Seq(
+          count(col(c)).as(s"nn_$c"),
+          ndv(c),
+          min(col(c)).cast("string").as(s"mn_$c"),
+          max(col(c)).cast("string").as(s"mx_$c")
+        )) :+ count(lit(1)).as("n_rows")
+      val wide = df.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols
+        .map(c => s"'$c', nn_$c, nd_$c, mn_$c, mx_$c")
+        .mkString(s"stack(${cols.size}, ", ", ", ")")
+      wide.select(
+        lit(tname).as("table_name"),
+        col("n_rows"),
+        expr(s"$stacked AS (column_name, n_nonnull, n_distinct, min_val, max_val)")
+      )
+    }
+    perTable
+      .reduce(_.unionAll(_))
+      .select(
+        col("table_name"), col("column_name"), col("n_rows"),
+        col("n_nonnull"), col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy("table_name", "column_name")
+  }
 }

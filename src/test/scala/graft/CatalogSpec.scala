@@ -61,6 +61,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(qualified == Set("region"))
   }
 
+  test("column stats: exact values match direct computation; approx NDV within HLL tolerance") {
+    val exact = CatalogOps.cat03ColumnStats(lake).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))).toMap
+    assert(exact.size == 8)
+    val nDocs = lake.documents.count()
+    val (rows, nonnull, ndv, minV, maxV) = exact(("documents", "doc_id"))
+    assert(rows == nDocs && nonnull == nDocs && ndv == nDocs)
+    assert(minV == "0" && maxV == (nDocs - 1).toString)
+    val langNdv = lake.documents.select("lang").distinct().count()
+    assert(exact(("documents", "lang"))._3 == langNdv)
+    // the scale path: rsd=0.02 HLL, asserted at 5 sigma (rsd is a
+    // standard deviation, not a bound — the default-rsd sketch read
+    // 6.7% high on o_orderkey)
+    CatalogOps.cat03ColumnStats(lake, approx = true).collect().foreach { r =>
+      val e = exact((r.getString(0), r.getString(1)))
+      assert(math.abs(r.getLong(4) - e._3) <= math.max(2.0, 0.10 * e._3),
+        s"${r.getString(1)}: approx ${r.getLong(4)} vs exact ${e._3}")
+      assert((r.getLong(2), r.getLong(3), r.getString(5), r.getString(6)) ==
+        ((e._1, e._2, e._4, e._5)), "non-NDV stats identical on both paths")
+    }
+  }
+
   test("upsert: updates replace matched keys, unmatched keys insert, base keeps the rest") {
     import spark.implicits._
     val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
