@@ -738,20 +738,31 @@ object Dedup {
       .select(col("doc_id"), graft.plans.ShingleHashes(col("text"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .cache()
-    val bandRows = docs
-      .select(
-        col("doc_id"),
-        explode(
-          hashing.bandKeys(hashing.minhashSignature(col("sh"), numPerm), bands, rows)
-        ).as("bk")
-      )
+    // The signature MUST land in its own projection before bandKeys
+    // references it: inlining `bandKeys(minhashSignature(..))` splices
+    // the 128-perm signature expression into each of the 64 band-key
+    // structs, recomputing it ~64x per row (measured 10.6 s vs 1.2 s
+    // for this cache at sf0.1).
+    val sigs = docs.select(
+      col("doc_id"),
+      hashing.minhashSignature(col("sh"), numPerm).as("sig")
+    )
+    val bandRows = sigs
+      .select(col("doc_id"), explode(hashing.bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
       .cache()
     // Probe side = delta only; build side = the full index. Every
     // candidate has doc_b in the delta and doc_a strictly older.
+    // The shuffle_hash hints pin the 100-TB join shape: the cached
+    // band index's size estimate reads under the broadcast threshold
+    // here, and the planner would otherwise BROADCAST the full index
+    // (and below, the full shingle-array corpus) — 75 MB+ driver
+    // round-trips at this SF, certain death at scale. Building the
+    // hash side on the DELTA keeps the build linear in the batch.
     val candidates = bandRows
       .filter(col("doc_id") >= cut)
       .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+      .hint("shuffle_hash")
       .join(
         bandRows.select(col("doc_id").as("doc_a"), col("band"), col("bucket")),
         Seq("band", "bucket")
@@ -764,7 +775,9 @@ object Dedup {
       ic.cast("double") /
         (size(col("sh_a")) + size(col("sh_b")) - ic).cast("double")
     val dupOf = candidates
+      .hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .filter(round(jac, 4) >= threshold)
       .groupBy("doc_b")

@@ -227,6 +227,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.exists(_.contains("pid")), p)
   }
 
+  test("dedup12: incremental probe never broadcasts the index or corpus; all equi-joins") {
+    // the cached band index's size estimate sits under the broadcast
+    // threshold at test SF — without the shuffle_hash pins the planner
+    // broadcasts the FULL index and the full shingle-array corpus
+    val p = plan(Dedup.dedup12Incremental(lake))
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    // the only broadcast allowed is the tiny dup_of verdict frame on
+    // the final left join; the three inner joins must all shuffle
+    assert(p.linesIterator.count(_.contains("ShuffledHashJoin")) >= 3, p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("Inner")), p)
+  }
+
   test("samp06: the shuffle deal windows per shard, never globally") {
     val p = plan(TextAnalysis.samp06ShuffleShard(lake))
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
