@@ -86,6 +86,7 @@ object SparkEntry {
     "sim02_threshold_join" -> q(Similarity.sim02ThresholdJoin(_)),
     "sim03_lsh_ann" -> q(Similarity.sim03LshAnn(_)),
     "sim05_ivf_ann" -> q(Similarity.sim05IvfAnn(_)),
+    "sim08_knn_graph" -> q(Similarity.sim08KnnGraph(_)),
     "sim04_label_centroids" -> q(Similarity.sim04LabelCentroids),
     "evt01_windowed_counts" -> q(Events.evt01WindowedCounts),
     "evt02_sessionization" -> q(Events.evt02Sessionization(_)),
@@ -1134,6 +1135,21 @@ object SparkEntry {
          |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
          |FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
+    // sim08: mutual kNN — COUNT(*)=2 over min/max-oriented directed
+    // top-k edges is the mutuality test (cos is symmetric, so MAX
+    // picks the same value either direction contributes).
+    "sim08_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT a.vec_id AS src, b.vec_id AS dst, ${dkCos("a.v", "b.v")} AS cos_raw
+         |      FROM e a JOIN e b ON a.vec_id != b.vec_id),
+         |r AS (SELECT src, dst, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY src ORDER BY cos_raw DESC, dst) AS rank
+         |  FROM s),
+         |k AS (SELECT src, dst, cos_raw FROM r WHERE rank <= 5),
+         |u AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst, cos_raw FROM k)
+         |SELECT src, dst, ROUND(MAX(cos_raw), 4) AS cos
+         |FROM u GROUP BY src, dst HAVING COUNT(*) = 2
+         |ORDER BY src, dst""".stripMargin,
     // sim06: the TRAINED quantizer, oracle-checked by UNROLLING the 3
     // Lloyd iterations as CTE triples (seed -> assign -> positional
     // mean), the graph06 unrolled-recursion trick. Deterministic on

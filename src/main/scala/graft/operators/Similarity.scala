@@ -591,4 +591,61 @@ object Similarity {
       )
       .orderBy("query_id", "rank")
   }
+
+  /** sim08: MUTUAL k-NN graph over the whole embedding corpus — the
+    * edge-construction primitive for semantic clustering (each edge
+    * (a, b) exists iff b is in a's cosine top-k AND a is in b's):
+    * mutuality prunes the asymmetric hub edges that make plain kNN
+    * graphs chain unrelated regions together, which is why
+    * agglomerative curation pipelines cluster on the mutual graph.
+    * Feeds `Dedup.connectedComponentsStar` unchanged (edge schema is
+    * the same (src, dst) pair list dedup08 consumes).
+    *
+    * Scale shape: the exact all-pairs kernel is blocked like sim02 —
+    * src side hash-partitioned into `chunks`, dst side replicated
+    * once per chunk via an equi-join (no data-dependent broadcast,
+    * no BroadcastNestedLoop). Top-k per src is a window whose
+    * `rank <= k` filter plans a partial WindowGroupLimit, so each
+    * map task keeps only k candidates per src BEFORE the exchange —
+    * the shuffle carries n*k rows, not n²/chunks. Mutuality is NOT a
+    * self-join (that would recompute the quadratic kernel or cache
+    * it): orienting each directed edge to (min, max) and counting
+    * per undirected pair sees 2 exactly when both directions
+    * survived — one map-side-combinable groupBy on an n*k-row frame.
+    * At 100 TB the exact kernel swaps for IVF cell-restricted
+    * candidates (sim05's probe path) with identical downstream
+    * top-k/mutuality machinery. */
+  def sim08KnnGraph(lake: Lake, k: Int = 5, chunks: Int = 32): DataFrame = {
+    val all = vecs(lake)
+    val srcs = all
+      .select(col("vec_id").as("src"), col("v").as("av"), col("nrm").as("anrm"))
+      .withColumn("chunk", pmod(col("src"), lit(chunks)).cast("int"))
+    val dsts = all
+      .select(col("vec_id").as("dst"), col("v").as("bv"), col("nrm").as("bnrm"))
+      .withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
+    val w = Window.partitionBy("src").orderBy(col("cos_raw").desc, col("dst"))
+    val knn = srcs
+      .join(dsts.hint("shuffle_hash"), Seq("chunk"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn(
+        "cos_raw",
+        vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm"))
+      )
+      .select("src", "dst", "cos_raw")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    knn
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"),
+        col("cos_raw")
+      )
+      .groupBy("src", "dst")
+      // cos is symmetric, so max == min across the (at most) two
+      // directed copies; count == 2 is the mutuality test.
+      .agg(count(lit(1)).as("deg"), round(max("cos_raw"), 4).as("cos"))
+      .filter(col("deg") === 2)
+      .select("src", "dst", "cos")
+      .orderBy("src", "dst")
+  }
 }

@@ -278,6 +278,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"ANN recall $recall below floor")
   }
 
+  test("mutual kNN graph equals the reference mutual set; oriented, deduped, chunk-invariant") {
+    // independent reference: exact kNN computed in plain Scala
+    val raw = lake.embeddings.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val k = 5
+    val topk: Map[Long, Set[Long]] = raw.map { case (id, v) =>
+      id -> raw.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cos(v, ov)) }
+        .sortBy { case (oid, c) => (-c, oid) }
+        .take(k).map(_._1).toSet
+    }.toMap
+    val expected = (for {
+      (s, ns) <- topk.toSeq; d <- ns
+      if s < d && topk(d).contains(s)
+    } yield (s, d)).toSet
+    val got = Similarity.sim08KnnGraph(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == expected, s"mutual edge set mismatch: ${got.toSet.size} vs ${expected.size}")
+    assert(got.length == got.toSet.size, "duplicate edges")
+    assert(got.forall { case (s, d) => s < d }, "edges not min/max oriented")
+    // blocking is a physical choice only: the edge set must not move
+    val rechunked = Similarity.sim08KnnGraph(lake, chunks = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rechunked == expected, "chunk count changed the result")
+  }
+
   test("IVF ANN with full probe reproduces brute force exactly; partial probe trades recall") {
     val bf = Similarity
       .sim01TopKBruteForce(lake)

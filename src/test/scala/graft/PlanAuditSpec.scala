@@ -195,6 +195,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("sim08: blocked kernel shuffles (no data-dependent broadcast); top-k is a partial WindowGroupLimit") {
+    val p = plan(Similarity.sim08KnnGraph(lake))
+    // the all-pairs kernel must stay a chunk equi-join — never a
+    // BroadcastNestedLoop/cartesian, never a broadcast of the corpus
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    // per-src top-k prunes to k rows per src BEFORE the exchange
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("graph11/13/14: SPARQL union aligns without cartesians; VALUES broadcasts; MINUS anti-joins") {
     // union branches are independent BGP plans — alignment must not
     // introduce a cartesian or nested-loop join
