@@ -163,6 +163,7 @@ object SparkEntry {
     "txt24_quality_panel" -> q(TextAnalysis.txt24QualityPanel),
     "rep01_corpus_report" -> q(TextAnalysis.rep01CorpusReport),
     "eval03_langid_confusion" -> q(Evaluation.eval03LangidConfusion),
+    "eval04_cluster_quality" -> q(Evaluation.eval04ClusterQuality),
     "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_))
   )
 
@@ -1562,6 +1563,26 @@ object SparkEntry {
         |    / SUM(n_docs) OVER (PARTITION BY labeled_lang), 4) AS frac_of_label
         |FROM m
         |ORDER BY labeled_lang, pred_lang""".stripMargin,
+    // eval04: centroid silhouette — sim04's centroid CTE, then one
+    // conditional-MAX fold per vector (own vs nearest-other cosine).
+    "eval04_cluster_quality" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |flat AS (SELECT label, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x FROM e),
+         |cpos AS (SELECT label, pos, AVG(x) AS c FROM flat GROUP BY 1, 2),
+         |cent AS (SELECT label AS clabel, LIST(c ORDER BY pos) AS centroid
+         |  FROM cpos GROUP BY label),
+         |x AS (SELECT e.vec_id, e.label, cent.clabel,
+         |    ${dkCos("e.v", "centroid")} AS ccos
+         |  FROM e CROSS JOIN cent),
+         |p AS (SELECT vec_id, label,
+         |    MAX(CASE WHEN clabel = label THEN ccos END) AS own,
+         |    MAX(CASE WHEN clabel != label THEN ccos END) AS other
+         |  FROM x GROUP BY 1, 2)
+         |SELECT label, COUNT(*) AS n_vectors, ROUND(AVG(own), 4) AS avg_own,
+         |  ROUND(AVG(other), 4) AS avg_other,
+         |  ROUND(AVG(CASE WHEN own > other THEN 1.0 ELSE 0.0 END), 4) AS purity
+         |FROM p GROUP BY label
+         |ORDER BY label""".stripMargin,
     // The full funnel: plant+clean (txt19) → Gopher pass (txt20) →
     // bag-fp dedup keep-min (dedup02) → chunk (txt11) → pack (txt16),
     // each stage the same fragment its standalone oracle uses.

@@ -197,4 +197,44 @@ object Evaluation {
       )
       .orderBy("query_id")
   }
+
+  /** eval04: clustering-quality report via the CENTROID silhouette —
+    * per vector, cohesion = cosine to the own-label centroid,
+    * separation = cosine to the nearest OTHER centroid; per label we
+    * report mean cohesion/separation and purity (the fraction whose
+    * own centroid is the nearest). This is the linear n·k form (the
+    * same approximation Spark ML's silhouette uses): the full
+    * pairwise silhouette is O(n²) and adds nothing at corpus scale.
+    * Closes the loop on the trained quantizers — run it on sim06's
+    * cells or dedup11's SemDeDup cells to decide k.
+    *
+    * Scale shape: one broadcast of the k-row centroid table, one
+    * map-side n·k → n fold (groupBy vec_id with conditional MAX — no
+    * window, no sort), one |labels|-row final aggregate. The unrounded
+    * own > other purity comparison is safe cross-engine for the
+    * sim06/eval02 reason: fp divergence is ~1e-15, corpus margins are
+    * orders larger. */
+  def eval04ClusterQuality(lake: Lake): DataFrame = {
+    val all = Similarity.vecs(lake)
+    val cents = Similarity
+      .labelCentroids(all)
+      .select(col("label").as("clabel"), col("centroid"))
+    all
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.functions.vectors.cosine(col("v"), col("centroid")))
+      .groupBy("vec_id", "label")
+      .agg(
+        max(when(col("clabel") === col("label"), col("ccos"))).as("own"),
+        max(when(col("clabel") =!= col("label"), col("ccos"))).as("other")
+      )
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg("own"), 4).as("avg_own"),
+        round(avg("other"), 4).as("avg_other"),
+        round(avg(when(col("own") > col("other"), 1.0).otherwise(0.0)), 4)
+          .as("purity")
+      )
+      .orderBy("label")
+  }
 }

@@ -229,7 +229,7 @@ object Similarity {
   /** Per-label centroids (posexplode + positional mean) — the IVF
     * coarse quantizer shared by sim04 (cohesion stats) and sim05
     * (cell-probed ANN). */
-  private def labelCentroids(all: DataFrame): DataFrame =
+  private[operators] def labelCentroids(all: DataFrame): DataFrame =
     all
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("label", "pos")

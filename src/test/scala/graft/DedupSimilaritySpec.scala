@@ -454,4 +454,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(legalRr.contains(rr), s"rr_top1 $rr is not a reciprocal rank")
     }
   }
+
+  test("centroid silhouette matches a plain-Scala reference per label") {
+    val raw = lake.embeddings.collect().map { r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2))
+    }
+    val cents: Map[Int, Array[Double]] = raw.groupBy(_._3).map { case (l, vs) =>
+      val dim = vs.head._2.length
+      val c = Array.tabulate(dim)(i => vs.map(_._2(i)).sum / vs.length)
+      l -> c
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val perVec = raw.map { case (_, v, l) =>
+      val own = cos(v, cents(l))
+      val other = cents.collect { case (cl, c) if cl != l => cos(v, c) }.max
+      (l, own, other)
+    }
+    val expected = perVec.groupBy(_._1).map { case (l, rows) =>
+      l -> (rows.length.toLong,
+        rows.map(_._2).sum / rows.length,
+        rows.map(_._3).sum / rows.length,
+        rows.count(r => r._2 > r._3).toDouble / rows.length)
+    }
+    val got = Evaluation.eval04ClusterQuality(lake).collect()
+    assert(got.length == expected.size, "label count mismatch")
+    got.foreach { r =>
+      val (n, own, other, purity) = expected(r.getInt(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - own) < 5e-4, s"avg_own off for $r")
+      assert(math.abs(r.getDouble(3) - other) < 5e-4, s"avg_other off for $r")
+      assert(math.abs(r.getDouble(4) - purity) < 5e-4, s"purity off for $r")
+    }
+    // a well-separated planted clustering scores higher own than other
+    // everywhere on at least some labels is NOT guaranteed on uniform
+    // data, so no separation floor is pinned — the cross-engine oracle
+    // carries exactness; this test carries semantics.
+  }
 }
