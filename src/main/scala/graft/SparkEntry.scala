@@ -115,6 +115,7 @@ object SparkEntry {
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
     "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
+    "txt25_ccnet_buckets" -> q(TextAnalysis.txt25CcnetBuckets),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
@@ -1379,6 +1380,31 @@ object SparkEntry {
          |FROM tok JOIN cnt USING (w) CROSS JOIN tot
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+    // txt25: terciles of the ROUNDED txt15 score — quantile_cont and
+    // Spark's percentile share the (p*(n-1)) interpolation (the rel10
+    // precedent), and rounding cutpoints to the score's own 4-decimal
+    // grid makes the <= boundary tests identical cross-engine.
+    "txt25_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(w) AS w FROM t),
+         |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+         |sc AS (SELECT doc_id, ROUND(AVG(-LN(c / total)), 4) AS s
+         |  FROM tok JOIN cnt USING (w) CROSS JOIN tot GROUP BY doc_id),
+         |sl AS (SELECT d.lang, s FROM sc JOIN documents d USING (doc_id)),
+         |cut AS (SELECT lang,
+         |    ROUND(quantile_cont(s, 0.33333333), 4) AS c1,
+         |    ROUND(quantile_cont(s, 0.66666667), 4) AS c2
+         |  FROM sl GROUP BY lang),
+         |b AS (SELECT sl.lang,
+         |    CASE WHEN s <= c1 THEN 'head'
+         |         WHEN s <= c2 THEN 'middle' ELSE 'tail' END AS bucket, s
+         |  FROM sl JOIN cut USING (lang))
+         |SELECT lang, bucket, COUNT(*) AS n_docs,
+         |  ROUND(AVG(s), 4) AS avg_neg_logp,
+         |  ROUND(MIN(s), 4) AS min_s, ROUND(MAX(s), 4) AS max_s
+         |FROM b GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     "txt22_boilerplate" ->
       s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
          |sh AS (SELECT doc_id, list_distinct(

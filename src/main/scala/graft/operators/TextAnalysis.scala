@@ -853,6 +853,50 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** txt25: CCNet-style perplexity partitioning — per language, split
+    * the corpus into head/middle/tail by terciles of the txt15
+    * perplexity proxy (head = most-fluent third). This is the CCNet
+    * paper's defining move (Wenzek et al. 2020: per-language LM score
+    * terciles, with head/middle kept for pretraining), and the
+    * selection knob most LLM corpora still ship with.
+    *
+    * Scale shape: scoring is txt15's two linear passes; the cutpoint
+    * table is |langs| rows (exact interpolated terciles of the
+    * ROUNDED score so both engines bucket identically), broadcast
+    * back for a map-side bucket assignment; the report reduces to
+    * |langs|·3 rows with partial aggregation. Exact per-lang
+    * percentile buffers one language's scores on a reducer — at
+    * 100 TB swap the cutpoint agg for the rel11 sketch (CCNet itself
+    * computes cutpoints on a sample); the bucketing join and report
+    * are scale-indifferent. */
+  def txt25CcnetBuckets(lake: Lake): DataFrame = {
+    val scored = txt15UnigramLogprob(lake)
+      .join(lake.documents.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("avg_neg_logp").as("s"))
+    val cuts = scored
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(s, 0.33333333)"), 4).as("c1"),
+        round(expr("percentile(s, 0.66666667)"), 4).as("c2")
+      )
+    scored
+      .join(broadcast(cuts), "lang")
+      .withColumn(
+        "bucket",
+        when(col("s") <= col("c1"), "head")
+          .when(col("s") <= col("c2"), "middle")
+          .otherwise("tail")
+      )
+      .groupBy("lang", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("s"), 4).as("avg_neg_logp"),
+        round(min("s"), 4).as("min_s"),
+        round(max("s"), 4).as("max_s")
+      )
+      .orderBy("lang", "bucket")
+  }
+
   /** PII detection + redaction — the scrub pass every training-data
     * pipeline runs before a corpus ships. The testdata corpus carries
     * no PII, so the operator first plants deterministic synthetic

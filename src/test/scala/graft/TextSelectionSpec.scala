@@ -64,6 +64,27 @@ class TextSelectionSpec extends AnyFunSuite {
       "order within shards re-deals with the seed")
   }
 
+  test("ccnet buckets: per-lang partition is complete, ordered, and tercile-balanced") {
+    val rows = TextAnalysis.txt25CcnetBuckets(lake).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(4), r.getDouble(5)))
+    val langs = rows.map(_._1).distinct
+    langs.foreach { l =>
+      val by = rows.filter(_._1 == l).map(r => r._2 -> r).toMap
+      assert(by.keySet == Set("head", "middle", "tail"), s"$l missing a bucket")
+      // score ranges must not interleave: head is the fluent tercile
+      assert(by("head")._5 <= by("middle")._4, s"$l head/middle overlap")
+      assert(by("middle")._5 <= by("tail")._4, s"$l middle/tail overlap")
+      // terciles of a continuous score: no bucket degenerates
+      val total = by.values.map(_._3).sum
+      by.values.foreach { b =>
+        assert(b._3 >= total / 5 && b._3 <= total / 2 + 1, s"$l unbalanced: $b")
+      }
+    }
+    // the partition covers the corpus exactly once
+    assert(rows.map(_._3).sum == lake.documents.count())
+  }
+
   test("DSIR importance: target-domain docs outscore the rest on average") {
     // The importance weight is built to rank target-looking text above
     // the raw mix: docs actually drawn from the target source carry
