@@ -120,6 +120,7 @@ object SparkEntry {
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
     "samp05_leakage_safe_split" -> q(Dedup.samp05LeakageSafeSplit(_)),
+    "samp07_soft_dedup" -> q(Dedup.samp07SoftDedup(_)),
     "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
     "cat03_column_stats" -> q(CatalogOps.cat03ColumnStats(_)),
@@ -1007,6 +1008,29 @@ object SparkEntry {
          |       WHEN cluster_id % 10 = 8 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM sel
+         |ORDER BY doc_id""".stripMargin,
+    // samp07: samp05's cluster labels + per-cluster size → 1/n weight.
+    "samp07_soft_dedup" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE $dkJac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+         |sel AS (
+         |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM sel GROUP BY cluster_id)
+         |SELECT doc_id, cluster_id, n_members,
+         |  ROUND(1.0::DOUBLE / n_members, 4) AS weight
+         |FROM sel JOIN sz USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
     // samp06: same md5 order key and same overflow-safe shard mix,
     // replayed verbatim — both engines emit lowercase-hex md5 strings.

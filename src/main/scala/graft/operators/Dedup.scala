@@ -702,6 +702,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** samp07: SOFT dedup — keep every document but assign a sampling
+    * weight of 1/|cluster| from its near-dup cluster, so each
+    * duplicate group contributes exactly unit mass to the training
+    * mixture. The alternative to hard removal (dedup02/08) when
+    * near-dup variants carry signal worth keeping at reduced rate —
+    * the repetition-aware reweighting move scaling studies recommend
+    * over silent duplication. Downstream, `weight` multiplies any
+    * sampler's selection probability (samp01-03 compose unchanged).
+    *
+    * Scale shape: dedup04's linear candidate generation + star-CC
+    * labels (dedup08's machinery); cluster sizes via one map-side
+    * partial-aggregating groupBy and one equi-join on cluster_id —
+    * no window, no sort, both sides hash-partitioned on the same
+    * key. */
+  def samp07SoftDedup(
+      lake: Lake,
+      threshold: Double = 0.5,
+      maxIters: Int = 20
+  ): DataFrame = {
+    val pairs = dedup04MinhashLsh(lake, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val labels = connectedComponentsStar(pairs, maxIters)
+    val withCluster = lake.documents
+      .select(col("doc_id"))
+      .join(labels, col("doc_id") === col("u"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id")
+      )
+    val sizes = withCluster
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    withCluster
+      .join(sizes, "cluster_id")
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("n_members"),
+        round(lit(1.0) / col("n_members"), 4).as("weight")
+      )
+      .orderBy("doc_id")
+  }
+
   /** dedup12: INCREMENTAL dedup — score a new delta batch against the
     * already-curated corpus without re-pairing the corpus with itself,
     * the production shape for continuous ingestion (daily crawl drops

@@ -28,6 +28,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byCut("train") > byCut("val") && byCut("train") > byCut("test"), byCut)
   }
 
+  test("soft dedup: unit mass per cluster, full coverage, consistent with the hard-dedup clusters") {
+    val rows = Dedup.samp07SoftDedup(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == lake.documents.count(), "not every doc weighted")
+    assert(rows.map(_._1).distinct.length == rows.length, "doc repeated")
+    rows.foreach { case (_, _, n, w) =>
+      assert(w > 0.0 && w <= 1.0)
+      assert(math.abs(w - math.rint(10000.0 / n) / 10000) < 1e-12, s"weight != round(1/$n)")
+    }
+    // each cluster contributes unit mass (up to the 4-decimal rounding)
+    rows.groupBy(_._2).foreach { case (c, members) =>
+      assert(math.abs(members.map(_._4).sum - 1.0) < 1e-3, s"cluster $c mass off")
+      assert(members.forall(_._3 == members.length), s"cluster $c size column wrong")
+    }
+    // singletons keep themselves at weight 1; clusters match samp05's
+    val splits = Dedup.samp05LeakageSafeSplit(lake).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (d, c, n, w) =>
+      assert(splits(d) == c, s"doc $d cluster differs from samp05")
+      if (n == 1) assert(c == d && w == 1.0)
+    }
+  }
+
   test("incremental dedup agrees with the global pair set restricted to the delta") {
     val out = Dedup.dedup12Incremental(lake).collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
