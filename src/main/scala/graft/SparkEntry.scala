@@ -108,6 +108,7 @@ object SparkEntry {
     "graph13_sparql_values_bind" -> q(Graph.graph13SparqlValuesBind),
     "graph14_sparql_minus" -> q(Graph.graph14SparqlMinus),
     "graph15_sparql_ask" -> q(Graph.graph15SparqlAsk),
+    "graph16_sparql_construct" -> q(Graph.graph16SparqlConstruct),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2092,6 +2093,21 @@ object SparkEntry {
         |SELECT 'impossible_label',
         |  EXISTS(SELECT 1 FROM triples WHERE p = 'label' AND o = 'NO_SUCH_LABEL')
         |ORDER BY probe""".stripMargin,
+    // graph16: CONSTRUCT = one projection per template triple over the
+    // BGP solutions; UNION (not ALL) carries the graph's set semantics.
+    "graph16_sparql_construct" ->
+      """WITH cn AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS c,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS n FROM customer),
+        |nr AS (
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR) AS n,
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) AS r FROM nation),
+        |j AS (SELECT DISTINCT cn.c, nr.r FROM cn JOIN nr USING (n))
+        |SELECT s, p, o FROM (
+        |  SELECT c AS s, 'in_region' AS p, r AS o FROM j
+        |  UNION
+        |  SELECT r AS s, 'has_member' AS p, c AS o FROM j)
+        |ORDER BY s, p, o""".stripMargin,
     // graph14: MINUS de-sugars to an anti join on the shared var.
     "graph14_sparql_minus" ->
       """WITH triples AS (

@@ -336,6 +336,21 @@ object Graph {
         |ORDER BY ?n""".stripMargin
     )
 
+  /** graph16: SPARQL CONSTRUCT as TEXT — the third result shape the
+    * reference's run_query surface returns (a graph, i.e. a triple
+    * set). The template derives a materialized 2-hop shortcut edge
+    * and its inverse from the customer→nation→region BGP — the
+    * ontology-closure materialization move (build the inferred edge
+    * once, query it forever after). Template instantiation is one
+    * projection per template triple over the solution frame, a
+    * unionAll, and the set-semantics distinct — no extra joins. */
+  def graph16SparqlConstruct(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """CONSTRUCT { ?c <in_region> ?r . ?r <has_member> ?c }
+        |WHERE { ?c <in_nation> ?n . ?n <in_region> ?r }""".stripMargin
+    )
+
   /** graph15: SPARQL ASK as TEXT — the reference surface's other
     * query form (sparql_query.py's run_query prints `Result: bool`
     * when oxigraph returns one). Two probes in one frame: the sparse

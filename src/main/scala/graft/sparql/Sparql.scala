@@ -88,7 +88,10 @@ object Sparql {
       // `{ … } MINUS { … }`: the right-hand group, anti-joined
       minusBranch: Option[(Seq[(String, String, String)], Set[Int])] = None,
       // ASK query: result is one boolean `ask` row
-      isAsk: Boolean = false
+      isAsk: Boolean = false,
+      // CONSTRUCT query: instantiate `template` per solution (s, p, o)
+      isConstruct: Boolean = false,
+      template: Seq[(String, String, String)] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -107,7 +110,8 @@ object Sparql {
     "obo" -> "http://purl.obolibrary.org/obo/"
   )
 
-  /** Execute a SPARQL SELECT string against an (s, p, o) triple frame. */
+  /** Execute a SPARQL SELECT/ASK/CONSTRUCT string against an
+    * (s, p, o) triple frame. */
   def run(triples: DataFrame, query: String, maxPathHops: Int = 8): DataFrame = {
     val p = parse(query)
     // FILTER pushes into the BGP plan only when nothing later in the
@@ -185,6 +189,28 @@ object Sparql {
         .limit(1)
         .select(lit(1).as("one"))
         .agg((count("one") > 0).as("ask"))
+    // CONSTRUCT: instantiate each template triple per solution, union
+    // the instantiations, and dedupe — a graph is a SET of triples.
+    // Solutions leaving a template variable unbound (OPTIONAL misses)
+    // emit no triple, per the SPARQL template-instantiation rule.
+    if (p.isConstruct) {
+      def termCol(t: String) =
+        if (t.startsWith("?")) {
+          val v = t.drop(1)
+          if (!matched.columns.contains(v))
+            throw SparqlParseError(
+              s"CONSTRUCT template variable ?$v is not bound in WHERE")
+          col(v)
+        } else lit(t)
+      return p.template
+        .map { case (s, pr, o) =>
+          matched.select(termCol(s).as("s"), termCol(pr).as("p"), termCol(o).as("o"))
+        }
+        .reduce(_.unionAll(_))
+        .filter(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+        .distinct()
+        .orderBy("s", "p", "o")
+    }
     val referenced =
       p.selectVars ++ p.groupBy ++ p.aggregates.flatMap(_.variable)
     referenced.distinct.filterNot(matched.columns.contains) match {
@@ -261,15 +287,19 @@ object Sparql {
     }
 
     // ASK is the reference surface's other query form (sparql_query.py
-    // prints `Result: true/false` when oxigraph returns a bool).
+    // prints `Result: true/false` when oxigraph returns a bool);
+    // CONSTRUCT is the third, returning a graph (triple set).
     val isAsk = st.peekKeyword("ASK")
-    if (!isAsk && !st.peekKeyword("SELECT"))
+    val isConstruct = st.peekKeyword("CONSTRUCT")
+    if (!isAsk && !isConstruct && !st.peekKeyword("SELECT"))
       throw SparqlParseError(
-        s"only SELECT and ASK queries are supported (got '${st.peekOr("<end>")}')")
+        s"only SELECT, ASK, and CONSTRUCT queries are supported (got '${st.peekOr("<end>")}')")
     st.next()
+    // ASK and CONSTRUCT have no SELECT projection clause
+    val noProjection = isAsk || isConstruct
 
     var distinct = false
-    if (!isAsk) {
+    if (!noProjection) {
       if (st.peekKeyword("DISTINCT")) { st.next(); distinct = true }
       else if (st.peekKeyword("REDUCED")) st.next() // REDUCED may legally no-op
     }
@@ -279,7 +309,7 @@ object Sparql {
     var selectVars = Vector.empty[String]
     var aggregates = Vector.empty[Aggregate]
     var projection = Vector.empty[String]
-    if (isAsk) () // ASK has no projection — straight to the group
+    if (noProjection) () // ASK/CONSTRUCT — straight to the template/group
     else if (st.peek == Some("*")) st.next()
     else {
       var more = true
@@ -322,11 +352,6 @@ object Sparql {
         throw SparqlParseError("SELECT needs at least one ?var, aggregate, or *")
     }
 
-    // ASK's WHERE keyword is optional in the SPARQL grammar
-    if (st.peekKeyword("WHERE")) st.next()
-    else if (!isAsk) throw SparqlParseError("expected WHERE")
-    st.expect("{")
-
     def term(t: String): String =
       if (t.startsWith("?")) t
       else if (t.startsWith("<") && t.endsWith(">")) t.substring(1, t.length - 1)
@@ -340,6 +365,35 @@ object Sparql {
       } else
         throw SparqlParseError(
           s"unsupported term '$t' (expected ?var, <iri>, prefix:local, or \"literal\")")
+
+    // CONSTRUCT template: plain var-or-ground triples only — property
+    // paths describe how to MATCH, not what to BUILD, so they have no
+    // meaning in a template.
+    var template = Vector.empty[(String, String, String)]
+    if (isConstruct) {
+      st.expect("{")
+      while (st.peek != Some("}")) {
+        val s = term(st.next())
+        val pt = st.next()
+        val p2 =
+          if (pt == "a") "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+          else term(pt)
+        if (Seq("+", "*", "/").exists(x => st.peek.contains(x)))
+          throw SparqlParseError(
+            "property paths are not allowed in a CONSTRUCT template")
+        val o = term(st.next())
+        template :+= ((s, p2, o))
+        if (st.peek == Some(".")) st.next()
+      }
+      st.next() // }
+      if (template.isEmpty)
+        throw SparqlParseError("CONSTRUCT template has no triples")
+    }
+
+    // ASK's WHERE keyword is optional in the SPARQL grammar
+    if (st.peekKeyword("WHERE")) st.next()
+    else if (!isAsk) throw SparqlParseError("expected WHERE")
+    st.expect("{")
 
     // One path segment in the predicate position: plain term, term+,
     // (t1|t2|...)+, each optionally '^'-inverted (SPARQL grammar:
@@ -527,10 +581,11 @@ object Sparql {
     } else branches :+= parseGroupBody()
     val (patterns, optionalIdx) = branches.head
 
-    if (isAsk)
+    if (noProjection)
       Seq("GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING").foreach { kw =>
         if (st.peekKeyword(kw))
-          throw SparqlParseError(s"ASK takes no $kw clause")
+          throw SparqlParseError(
+            s"${if (isAsk) "ASK" else "CONSTRUCT"} takes no $kw clause in this fragment")
       }
 
     var groupBy = Vector.empty[String]
@@ -607,7 +662,7 @@ object Sparql {
       distinct, aggregates, groupBy, projection, branches.tail, internalVars,
       offset, valuesBlocks,
       bindBodies.map { case (v, body) => (v, translateFilter(body)) },
-      minusBranch, isAsk)
+      minusBranch, isAsk, isConstruct, template)
   }
 
   // ------------------------------------------------------------- lexing

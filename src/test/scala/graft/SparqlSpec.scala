@@ -150,8 +150,7 @@ class SparqlSpec extends AnyFunSuite {
       val e = intercept[SparqlParseError](Sparql.parse(q))
       assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
     }
-    rejects("DESCRIBE <urn:x>", "only SELECT and ASK")
-    rejects("CONSTRUCT { ?s <p> ?o } WHERE { ?s <p> ?o }", "only SELECT and ASK")
+    rejects("DESCRIBE <urn:x>", "only SELECT, ASK, and CONSTRUCT")
     rejects("SELECT ?s WHERE { ?s <p> ?o UNION { ?s <q> ?o } }", "braced group")
     rejects("SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } ?x <r> ?y }",
       "closing WHERE")
@@ -236,6 +235,65 @@ class SparqlSpec extends AnyFunSuite {
     val e = intercept[SparqlParseError](
       Sparql.parse("ASK { ?n <p> ?o } LIMIT 5"))
     assert(e.getMessage.contains("ASK takes no LIMIT"))
+  }
+
+  test("parses CONSTRUCT templates; rejects paths and modifiers in them") {
+    val p = Sparql.parse(
+      """CONSTRUCT { ?c <in_region> ?r . ?r <has_member> ?c }
+        |WHERE { ?c <in_nation> ?n . ?n <in_region> ?r }""".stripMargin)
+    assert(p.isConstruct && !p.isAsk)
+    assert(p.template ==
+      Seq(("?c", "in_region", "?r"), ("?r", "has_member", "?c")))
+    assert(p.patterns.length == 2 && p.selectVars.isEmpty)
+    // ground terms and `a` resolve in templates like in patterns
+    val g = Sparql.parse(
+      """PREFIX x: <ex:>
+        |CONSTRUCT { ?s a x:Thing } WHERE { ?s x:p ?o }""".stripMargin)
+    assert(g.template == Seq(
+      ("?s", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "ex:Thing")))
+    def rejects(q: String, fragment: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
+    }
+    rejects("CONSTRUCT { ?s <p>+ ?o } WHERE { ?s <p> ?o }",
+      "not allowed in a CONSTRUCT template")
+    rejects("CONSTRUCT { ?s <p> ?o } WHERE { ?s <p> ?o } ORDER BY ?s",
+      "CONSTRUCT takes no ORDER")
+    rejects("CONSTRUCT { } WHERE { ?s <p> ?o }", "no triples")
+    rejects("CONSTRUCT { ?s <p> ?o } { ?s <p> ?o }", "expected WHERE")
+  }
+
+  test("CONSTRUCT execution: set semantics, unbound OPTIONAL vars emit nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val triples = Seq(
+      ("cust:1", "in_nation", "nat:1"),
+      ("cust:2", "in_nation", "nat:1"),
+      ("nat:1", "in_region", "reg:1"),
+      ("nat:1", "flagged", "true")
+    ).toDF("s", "p", "o")
+    // both customers map to reg:1 — the nat-level edge emits ONCE (set)
+    val out = Sparql.run(
+      triples,
+      """CONSTRUCT { ?c <in_region> ?r . ?n <region_of> ?r }
+        |WHERE { ?c <in_nation> ?n . ?n <in_region> ?r }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSet == Set(
+      ("cust:1", "in_region", "reg:1"),
+      ("cust:2", "in_region", "reg:1"),
+      ("nat:1", "region_of", "reg:1")))
+    assert(out.length == 3, "duplicate triples survived the set dedup")
+    // an OPTIONAL-unbound template var drops just those instantiations
+    val opt = Sparql.run(
+      triples,
+      """CONSTRUCT { ?c <flag_of> ?f }
+        |WHERE { ?c <in_nation> ?n . OPTIONAL { ?c <flagged> ?f } }""".stripMargin)
+      .collect()
+    assert(opt.isEmpty, "unbound template var must emit no triple")
+    // a template var never bound anywhere is a contract error
+    val e = intercept[SparqlParseError](Sparql.run(
+      triples, "CONSTRUCT { ?c <p> ?zzz } WHERE { ?c <in_nation> ?n }"))
+    assert(e.getMessage.contains("?zzz"))
   }
 
   test("parses a MINUS pair into the anti-joined branch") {
