@@ -109,6 +109,7 @@ object SparkEntry {
     "graph14_sparql_minus" -> q(Graph.graph14SparqlMinus),
     "graph15_sparql_ask" -> q(Graph.graph15SparqlAsk),
     "graph16_sparql_construct" -> q(Graph.graph16SparqlConstruct),
+    "graph17_sparql_describe" -> q(Graph.graph17SparqlDescribe),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2107,6 +2108,24 @@ object SparkEntry {
         |  SELECT c AS s, 'in_region' AS p, r AS o FROM j
         |  UNION
         |  SELECT r AS s, 'has_member' AS p, c AS o FROM j)
+        |ORDER BY s, p, o""".stripMargin,
+    // graph17: DESCRIBE = both-side membership filter over the store.
+    "graph17_sparql_describe" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0)
+        |SELECT DISTINCT s, p, o FROM triples
+        |WHERE s IN ('nat:4', 'reg:1') OR o IN ('nat:4', 'reg:1')
         |ORDER BY s, p, o""".stripMargin,
     // graph14: MINUS de-sugars to an anti join on the shared var.
     "graph14_sparql_minus" ->

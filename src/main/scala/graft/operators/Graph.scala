@@ -351,6 +351,14 @@ object Graph {
         |WHERE { ?c <in_nation> ?n . ?n <in_region> ?r }""".stripMargin
     )
 
+  /** graph17: SPARQL DESCRIBE as TEXT — the node-lookup query form
+    * (the reference CLI's obvious exploration verb: every triple a
+    * resource participates in, either side). Compiles to one
+    * predicate-pushed scan with an isin filter — no join; set
+    * semantics like CONSTRUCT. */
+  def graph17SparqlDescribe(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(triples(lake), "DESCRIBE <nat:4> <reg:1>")
+
   /** graph15: SPARQL ASK as TEXT — the reference surface's other
     * query form (sparql_query.py's run_query prints `Result: bool`
     * when oxigraph returns one). Two probes in one frame: the sparse

@@ -91,7 +91,9 @@ object Sparql {
       isAsk: Boolean = false,
       // CONSTRUCT query: instantiate `template` per solution (s, p, o)
       isConstruct: Boolean = false,
-      template: Seq[(String, String, String)] = Seq.empty
+      template: Seq[(String, String, String)] = Seq.empty,
+      // DESCRIBE query: ground IRIs whose triples to return
+      describeIris: Seq[String] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -114,6 +116,18 @@ object Sparql {
     * (s, p, o) triple frame. */
   def run(triples: DataFrame, query: String, maxPathHops: Int = 8): DataFrame = {
     val p = parse(query)
+    // DESCRIBE: every triple the resource participates in, either
+    // side — one predicate-pushed scan, set semantics. The isin
+    // filters push to the parquet scan; no join, no shuffle beyond
+    // the distinct.
+    if (p.describeIris.nonEmpty) {
+      val iris = p.describeIris
+      return triples
+        .filter(col("s").isin(iris: _*) || col("o").isin(iris: _*))
+        .select("s", "p", "o")
+        .distinct()
+        .orderBy("s", "p", "o")
+    }
     // FILTER pushes into the BGP plan only when nothing later in the
     // chain (VALUES / BIND / union alignment) can bind a variable it
     // reads; otherwise it applies group-level over the final bindings
@@ -291,12 +305,13 @@ object Sparql {
     // CONSTRUCT is the third, returning a graph (triple set).
     val isAsk = st.peekKeyword("ASK")
     val isConstruct = st.peekKeyword("CONSTRUCT")
-    if (!isAsk && !isConstruct && !st.peekKeyword("SELECT"))
+    val isDescribe = st.peekKeyword("DESCRIBE")
+    if (!isAsk && !isConstruct && !isDescribe && !st.peekKeyword("SELECT"))
       throw SparqlParseError(
-        s"only SELECT, ASK, and CONSTRUCT queries are supported (got '${st.peekOr("<end>")}')")
+        s"only SELECT, ASK, CONSTRUCT, and DESCRIBE queries are supported (got '${st.peekOr("<end>")}')")
     st.next()
-    // ASK and CONSTRUCT have no SELECT projection clause
-    val noProjection = isAsk || isConstruct
+    // ASK, CONSTRUCT, and DESCRIBE have no SELECT projection clause
+    val noProjection = isAsk || isConstruct || isDescribe
 
     var distinct = false
     if (!noProjection) {
@@ -365,6 +380,28 @@ object Sparql {
       } else
         throw SparqlParseError(
           s"unsupported term '$t' (expected ?var, <iri>, prefix:local, or \"literal\")")
+
+    // DESCRIBE: ground IRIs only, no WHERE group — the node-lookup
+    // form (`DESCRIBE obo:GO_0008150`): every triple the resource
+    // participates in, either side. Fully handled here.
+    if (isDescribe) {
+      if (filterBodies.nonEmpty || bindBodies.nonEmpty)
+        throw SparqlParseError("DESCRIBE takes no FILTER or BIND")
+      var iris = Vector.empty[String]
+      while (st.peek.isDefined) {
+        val t = st.next()
+        if (t.startsWith("?"))
+          throw SparqlParseError(
+            "DESCRIBE ?var is not supported (ground IRIs only)")
+        if (t.equalsIgnoreCase("WHERE") || t == "{")
+          throw SparqlParseError("DESCRIBE takes no WHERE group in this fragment")
+        iris :+= term(t)
+      }
+      if (iris.isEmpty)
+        throw SparqlParseError("DESCRIBE needs at least one IRI")
+      return ParsedQuery(Seq.empty, Seq.empty, Set.empty, None, Seq.empty,
+        None, describeIris = iris)
+    }
 
     // CONSTRUCT template: plain var-or-ground triples only — property
     // paths describe how to MATCH, not what to BUILD, so they have no

@@ -150,7 +150,7 @@ class SparqlSpec extends AnyFunSuite {
       val e = intercept[SparqlParseError](Sparql.parse(q))
       assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
     }
-    rejects("DESCRIBE <urn:x>", "only SELECT, ASK, and CONSTRUCT")
+    rejects("LOAD <urn:x>", "only SELECT, ASK, CONSTRUCT, and DESCRIBE")
     rejects("SELECT ?s WHERE { ?s <p> ?o UNION { ?s <q> ?o } }", "braced group")
     rejects("SELECT ?s WHERE { { ?s <p> ?o } UNION { ?s <q> ?o } ?x <r> ?y }",
       "closing WHERE")
@@ -294,6 +294,40 @@ class SparqlSpec extends AnyFunSuite {
     val e = intercept[SparqlParseError](Sparql.run(
       triples, "CONSTRUCT { ?c <p> ?zzz } WHERE { ?c <in_nation> ?n }"))
     assert(e.getMessage.contains("?zzz"))
+  }
+
+  test("parses DESCRIBE with ground IRIs; rejects vars, WHERE, FILTER") {
+    val p = Sparql.parse("PREFIX n: <nat:> DESCRIBE n:4 <reg:1>")
+    assert(p.describeIris == Seq("nat:4", "reg:1"))
+    assert(p.selectVars.isEmpty && p.patterns.isEmpty)
+    def rejects(q: String, fragment: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
+    }
+    rejects("DESCRIBE ?x", "ground IRIs only")
+    rejects("DESCRIBE <nat:4> WHERE { ?s <p> ?o }", "no WHERE group")
+    rejects("DESCRIBE", "at least one IRI")
+    rejects("DESCRIBE <nat:4> FILTER(?x = \"1\")", "no FILTER")
+  }
+
+  test("DESCRIBE execution: both-side triples, set semantics") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val triples = Seq(
+      ("cust:1", "in_nation", "nat:1"),
+      ("cust:2", "in_nation", "nat:1"),
+      ("nat:1", "in_region", "reg:1"),
+      ("nat:1", "label", "FRANCE"),
+      ("nat:2", "label", "CHINA")
+    ).toDF("s", "p", "o")
+    val out = Sparql.run(triples, "DESCRIBE <nat:1>")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(out.toSet == Set(
+      ("cust:1", "in_nation", "nat:1"),
+      ("cust:2", "in_nation", "nat:1"),
+      ("nat:1", "in_region", "reg:1"),
+      ("nat:1", "label", "FRANCE")))
+    assert(out.length == 4)
   }
 
   test("parses a MINUS pair into the anti-joined branch") {
