@@ -131,6 +131,7 @@ object SparkEntry {
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
     "xref07_tiered_linkage" -> q(Linkage.xref07TieredLinkage(_)),
     "xref08_bridges" -> q(Linkage.xref08Bridges),
+    "xref09_blocking_quality" -> q(Linkage.xref09BlockingQuality(_)),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
@@ -1545,6 +1546,46 @@ object SparkEntry {
         |  b.source AS source_2, b.source_id AS id_2, a.key AS bridge_id
         |FROM ids a JOIN ids b ON a.key = b.key AND a.source < b.source
         |ORDER BY source_1, source_2, bridge_id, id_1, id_2""".stripMargin,
+    // xref09: reduction ratio + pairs completeness of two blocking
+    // schemes vs the exact-dup gold set. The shingle candidates come
+    // from string trigrams here vs 64-bit shingle hashes in Spark —
+    // identical pair sets absent a hash collision (the dedup03/10
+    // equivalence argument; collision odds ~2^-40 at this vocabulary).
+    "xref09_blocking_quality" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $dkToks AS w FROM documents),
+         |fp AS (SELECT doc_id, $dkBagFp AS f FROM documents),
+         |gold AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id),
+         |sh AS (SELECT doc_id, n_chars, $dkShingles3 AS s FROM t WHERE len(w) >= 3),
+         |ix AS (SELECT doc_id, n_chars, UNNEST(s) AS g FROM sh),
+         |kept AS (SELECT ix.doc_id, ix.n_chars, ix.g FROM ix
+         |  JOIN (SELECT g FROM (SELECT g, COUNT(*) AS df FROM ix GROUP BY g)
+         |        WHERE df <= 10000) d USING (g)),
+         |ca AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM kept x JOIN kept y ON x.g = y.g AND x.doc_id < y.doc_id
+         |  AND ABS(x.n_chars - y.n_chars) <= 40),
+         |cb AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM t x JOIN t y ON x.doc_id < y.doc_id
+         |  AND ABS(x.n_chars - y.n_chars) <= 40),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+         |gt AS (SELECT COUNT(*) AS gold_total FROM gold),
+         |m AS (
+         |  SELECT 'content_shingle' AS scheme,
+         |    (SELECT COUNT(*) FROM ca) AS n_candidates,
+         |    (SELECT COUNT(*) FROM gold g WHERE EXISTS
+         |       (SELECT 1 FROM ca WHERE ca.a = g.a AND ca.b = g.b)) AS gold_covered
+         |  UNION ALL
+         |  SELECT 'length_band',
+         |    (SELECT COUNT(*) FROM cb),
+         |    (SELECT COUNT(*) FROM gold g WHERE EXISTS
+         |       (SELECT 1 FROM cb WHERE cb.a = g.a AND cb.b = g.b)))
+         |SELECT scheme, n_candidates,
+         |  ROUND(1.0::DOUBLE - n_candidates / (nd * (nd - 1) / 2), 4)
+         |    AS reduction_ratio,
+         |  gold_total, gold_covered,
+         |  ROUND(gold_covered / CAST(gold_total AS DOUBLE), 4) AS completeness
+         |FROM m CROSS JOIN n CROSS JOIN gt
+         |ORDER BY scheme""".stripMargin,
     "xref07_tiered_linkage" ->
       s"""WITH topics AS (SELECT DISTINCT UNNEST(string_split(p_name, ' ')) AS topic
          |  FROM part),

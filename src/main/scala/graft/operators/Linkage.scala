@@ -407,4 +407,104 @@ object Linkage {
       )
       .orderBy("topic")
   }
+
+  /** xref09: BLOCKING-SCHEME quality — the record-linkage meta-metric
+    * pair every blocked join in this engine rests on: REDUCTION RATIO
+    * (fraction of the n² pair space a scheme prunes away) and PAIRS
+    * COMPLETENESS (fraction of true-match pairs the blocks retain),
+    * evaluated against the exact-duplicate gold set for two schemes —
+    * content blocking (dedup03's df-capped shingle inverted index)
+    * and attribute blocking (n_chars length bands via evt09's
+    * bin-bucket idiom). The tension it quantifies is THE blocking
+    * trade: both schemes are complete on exact-dup gold, but content
+    * blocking prunes orders of magnitude more pairs per retained
+    * match.
+    *
+    * Scale shape: gold is one fingerprint self-join (linear + group
+    * sizes); each candidate set is its scheme's own linear blocked
+    * join (never n²); metrics fold to one row per scheme via scalar
+    * crossJoins of single-row aggregates. The candidate frames are
+    * localCheckpointed because each feeds two aggregates (count +
+    * gold semi-join). */
+  def xref09BlockingQuality(
+      lake: Lake,
+      lenWindow: Int = 40,
+      maxDf: Int = 10000
+  ): DataFrame = {
+    val docs = lake.documents.select(col("doc_id"), col("n_chars"), col("text"))
+    val fp = docs.select(col("doc_id"), text.bagFingerprint(col("text")).as("f"))
+    val gold = fp
+      .join(fp.select(col("doc_id").as("b"), col("f")), "f")
+      .filter(col("doc_id") < col("b"))
+      .select(col("doc_id").as("a"), col("b"))
+      .localCheckpoint()
+    // scheme 1: content blocking — the df-capped shingle index
+    val ix = docs
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        graft.plans.ShingleHashes(col("text"), 3).as("sh")
+      )
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("n_chars"), explode(col("sh")).as("s"))
+    val kept = ix.join(
+      ix.groupBy("s").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("s"),
+      "s"
+    )
+    val candContent = kept
+      .join(
+        kept.select(col("doc_id").as("b"), col("n_chars").as("cb"), col("s")),
+        Seq("s")
+      )
+      .filter(col("doc_id") < col("b") &&
+        abs(col("n_chars") - col("cb")) <= lenWindow)
+      .select(col("doc_id").as("a"), col("b"))
+      .distinct()
+      .localCheckpoint()
+    // scheme 2: attribute blocking — length bands; one-sided 3-bin
+    // replication means each within-window pair joins exactly once
+    val lens = docs.select(col("doc_id"), col("n_chars"))
+    val probe = lens.withColumn(
+      "bin",
+      explode(array(
+        expr(s"n_chars div $lenWindow") - 1,
+        expr(s"n_chars div $lenWindow"),
+        expr(s"n_chars div $lenWindow") + 1))
+    )
+    val build = lens
+      .select(col("doc_id").as("b"), col("n_chars").as("cb"))
+      .withColumn("bin", expr(s"cb div $lenWindow"))
+    val candLength = probe
+      .join(build, Seq("bin"))
+      .filter(col("doc_id") < col("b") &&
+        abs(col("n_chars") - col("cb")) <= lenWindow)
+      .select(col("doc_id").as("a"), col("b"))
+      .localCheckpoint()
+    val totals = docs.agg(count(lit(1)).cast("double").as("n"))
+    val goldTotal = gold.agg(count(lit(1)).as("gold_total"))
+    def schemeRow(name: String, cand: DataFrame): DataFrame =
+      cand
+        .agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(goldTotal))
+        .crossJoin(broadcast(
+          gold.join(cand, Seq("a", "b"), "left_semi")
+            .agg(count(lit(1)).as("gold_covered"))))
+        .crossJoin(broadcast(totals))
+        .select(
+          lit(name).as("scheme"),
+          col("n_candidates"),
+          round(
+            lit(1.0) - col("n_candidates") / (col("n") * (col("n") - 1) / 2),
+            4
+          ).as("reduction_ratio"),
+          col("gold_total"),
+          col("gold_covered"),
+          round(col("gold_covered") / col("gold_total").cast("double"), 4)
+            .as("completeness")
+        )
+    schemeRow("content_shingle", candContent)
+      .unionAll(schemeRow("length_band", candLength))
+      .orderBy("scheme")
+  }
 }

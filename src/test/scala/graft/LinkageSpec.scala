@@ -40,4 +40,56 @@ class LinkageSpec extends AnyFunSuite {
     })
     assert(rows.forall(r => r.getAs[Long]("cand_id") % 2 == 1))
   }
+
+  test("blocking quality: length-band candidates match brute force; metrics well-formed") {
+    val rows = graft.operators.Linkage.xref09BlockingQuality(lake).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(rows.keySet == Set("content_shingle", "length_band"))
+    // independent brute-force count of the length-band pair space
+    val lens = lake.documents.select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (a, la) <- lens; (b, lb) <- lens
+      if a < b && math.abs(la - lb) <= 40
+    } yield 1).size.toLong
+    assert(rows("length_band")._1 == brute,
+      s"band join ${rows("length_band")._1} != brute $brute")
+    rows.values.foreach { case (nc, rr, gt, gc, comp) =>
+      assert(nc > 0 && gt > 0 && gc >= 0 && gc <= gt)
+      assert(rr >= 0.0 && rr <= 1.0 && comp >= 0.0 && comp <= 1.0)
+      assert(math.abs(comp - math.rint(gc.toDouble / gt * 10000) / 10000) < 1e-12)
+    }
+    // the blocking trade: content blocking prunes far harder
+    assert(rows("content_shingle")._2 > rows("length_band")._2)
+    // independent reference for completeness: gold = same word SET
+    // (bag fingerprint), so shuffled variants are gold WITHOUT sharing
+    // trigrams — content completeness is legitimately < 1 on this
+    // corpus and must match the Scala-side recomputation exactly.
+    val docs = lake.documents.select("doc_id", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2).trim.split("\\s+").toSeq))
+    val bag = docs.map { case (id, _, ws) => id -> ws.distinct.sorted }.toMap
+    val goldPairs = (for {
+      (a, _, _) <- docs; (b, _, _) <- docs
+      if a < b && bag(a) == bag(b)
+    } yield (a, b)).toSet
+    assert(rows("length_band")._3 == goldPairs.size.toLong, "gold_total off")
+    val lensBy = docs.map(d => d._1 -> d._2).toMap
+    val shingles = docs.map { case (id, _, ws) =>
+      id -> ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val contentCovered = goldPairs.count { case (a, b) =>
+      math.abs(lensBy(a) - lensBy(b)) <= 40 &&
+        (shingles(a) & shingles(b)).nonEmpty
+    }
+    val lengthCovered = goldPairs.count { case (a, b) =>
+      math.abs(lensBy(a) - lensBy(b)) <= 40
+    }
+    assert(rows("content_shingle")._4 == contentCovered.toLong,
+      s"content covered ${rows("content_shingle")._4} != $contentCovered")
+    assert(rows("length_band")._4 == lengthCovered.toLong,
+      s"length covered ${rows("length_band")._4} != $lengthCovered")
+  }
 }
