@@ -118,6 +118,7 @@ object SparkEntry {
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
     "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
     "txt25_ccnet_buckets" -> q(TextAnalysis.txt25CcnetBuckets),
+    "txt26_line_dedup" -> q(TextAnalysis.txt26LineDedup(_)),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
@@ -1847,6 +1848,28 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 5000
         |ORDER BY cum_tokens""".stripMargin,
+    // txt26: same literal '. ' split, distinct-doc df, anti-join, and
+    // in-order reassembly (LIST ... ORDER BY pos == the sorted-struct
+    // collect); fully-boilerplate docs keep md5('').
+    "txt26_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(
+        |    'promo ' || source || ' banner. ' || text || '. copyright footer',
+        |    '. ') AS ls FROM documents),
+        |l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, UNNEST(ls) AS ln
+        |  FROM t),
+        |f AS (SELECT ln FROM (
+        |    SELECT ln, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY ln)
+        |  WHERE df >= 3),
+        |k AS (SELECT l.doc_id, l.pos, l.ln FROM l
+        |  LEFT JOIN f ON l.ln = f.ln WHERE f.ln IS NULL),
+        |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |    array_to_string(LIST(ln ORDER BY pos), '. ') AS txt
+        |  FROM k GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.ls) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(r.txt, '')) AS kept_fp
+        |FROM t LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "txt19_clean_text" ->
       """WITH r AS (SELECT doc_id,
         |  text || ' {{cite:c' || CAST(doc_id AS VARCHAR)

@@ -521,6 +521,72 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** txt26: LINE-level dedup — the RefinedWeb/CCNet stage exact-doc
+    * dedup cannot do: a boilerplate sentence repeated across >=
+    * `minDocs` distinct documents (headers, navigation, license
+    * blurbs) is struck from EVERY document, and each document's
+    * remaining lines reassemble in order. Documents whose every line
+    * is boilerplate survive as empty — they're txt20's problem, not
+    * silently dropped rows.
+    *
+    * Scale shape: one posexplode (linear in corpus lines), one
+    * partial-aggregating distinct-doc-count per line, one anti-join
+    * of lines against the frequent set, and per-doc reassembly via
+    * array_sort(collect_list(struct(pos, line))) — sorting WITHIN
+    * each doc's bounded line list, never a corpus-wide window. At
+    * 100 TB key the df index and anti-join on xxhash64(line) instead
+    * of the line text (the dedup10 8-byte-shingle move); strings are
+    * kept here so the oracle can replay the join verbatim.
+    *
+    * The synthetic corpus's sentences are all globally unique (every
+    * line embeds doc-specific tokens), so boilerplate is PLANTED
+    * deterministically — a per-source promo banner (df = source size)
+    * and a corpus-wide footer (df = corpus size) — the txt13/txt19
+    * move: the gate then exercises strike, survival, and in-order
+    * reassembly on every document. */
+  def txt26LineDedup(lake: Lake, minDocs: Int = 3): DataFrame = {
+    val planted = concat(
+      lit("promo "), col("source"), lit(" banner. "),
+      col("text"),
+      lit(". copyright footer")
+    )
+    val base = lake.documents.select(
+      col("doc_id"),
+      split(planted, "\\. ").as("ls")
+    )
+    val lines = base.select(
+      col("doc_id"),
+      posexplode(col("ls")).as(Seq("pos", "line"))
+    )
+    val frequent = lines
+      .groupBy("line")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line")
+    val kept = lines
+      .join(frequent, Seq("line"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")
+          ),
+          ". "
+        ).as("joined")
+      )
+    base
+      .join(kept, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        md5(coalesce(col("joined"), lit(""))).as("kept_fp")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Ingestion text cleaning — the reference's convert-time
     * normalization (convert_fulltext.py:67 clean_text +
     * _clean_unarxive_text:636): strip {{cite:...}}/{{formula:...}}/

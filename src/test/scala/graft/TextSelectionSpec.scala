@@ -85,6 +85,32 @@ class TextSelectionSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == lake.documents.count())
   }
 
+  test("line dedup: frequent lines struck everywhere, untouched docs round-trip") {
+    val docs = lake.documents.select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), s"promo ${r.getString(2)} banner. ${r.getString(1)}. copyright footer"))
+    val split = docs.map { case (id, t) => id -> t.split("\\. ", -1).toSeq }.toMap
+    val df = split.toSeq.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val rows = TextAnalysis.txt26LineDedup(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == docs.length, "not every doc reported")
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.foreach { case (id, nLines, nKept, fp) =>
+      val ls = split(id)
+      assert(nLines == ls.length)
+      val expectKept = ls.filter(l => df(l) < 3)
+      assert(nKept == expectKept.length, s"doc $id kept $nKept != ${expectKept.length}")
+      // reassembly is in original order — fp must match the reference
+      assert(fp == md5(expectKept.mkString(". ")), s"doc $id fp mismatch")
+      if (nKept == nLines)
+        assert(fp == md5(split(id).mkString(". ")), s"doc $id did not round-trip")
+    }
+    // the planted boilerplate corpus actually exercises the strike path
+    assert(rows.exists(r => r._3 < r._2), "no line was ever dropped")
+  }
+
   test("DSIR importance: target-domain docs outscore the rest on average") {
     // The importance weight is built to rank target-looking text above
     // the raw mix: docs actually drawn from the target source carry
