@@ -170,7 +170,8 @@ object SparkEntry {
     "rep01_corpus_report" -> q(TextAnalysis.rep01CorpusReport),
     "eval03_langid_confusion" -> q(Evaluation.eval03LangidConfusion),
     "eval04_cluster_quality" -> q(Evaluation.eval04ClusterQuality),
-    "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_))
+    "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_)),
+    "pipe02_weighted_corpus" -> q(Pipeline.pipe02WeightedCorpus(_))
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -1680,6 +1681,69 @@ object SparkEntry {
     // The full funnel: plant+clean (txt19) → Gopher pass (txt20) →
     // bag-fp dedup keep-min (dedup02) → chunk (txt11) → pack (txt16),
     // each stage the same fragment its standalone oracle uses.
+    // pipe02: the composed selection funnel — txt26's line dedup
+    // (keeping text), txt15's scoring + txt25's terciles over the
+    // CLEANED corpus, samp07's exhaustive-pair components among the
+    // survivors, and the per-(source, bucket) weighted report.
+    "pipe02_weighted_corpus" ->
+      s"""WITH RECURSIVE t0 AS (SELECT doc_id, source, lang, string_split(
+         |    'promo ' || source || ' banner. ' || text || '. copyright footer',
+         |    '. ') AS ls FROM documents),
+         |l AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, UNNEST(ls) AS ln
+         |  FROM t0),
+         |f AS (SELECT ln FROM (
+         |    SELECT ln, COUNT(DISTINCT doc_id) AS df FROM l GROUP BY ln)
+         |  WHERE df >= 3),
+         |k AS (SELECT l.doc_id, l.pos, l.ln FROM l
+         |  LEFT JOIN f ON l.ln = f.ln WHERE f.ln IS NULL),
+         |ctext AS (SELECT t0.doc_id, t0.source, t0.lang, COALESCE(r.txt, '') AS text
+         |  FROM t0 LEFT JOIN (SELECT doc_id,
+         |      array_to_string(LIST(ln ORDER BY pos), '. ') AS txt
+         |    FROM k GROUP BY doc_id) r USING (doc_id)),
+         |ct AS (SELECT doc_id, source, lang, $dkToks AS w FROM ctext),
+         |tok AS (SELECT doc_id, UNNEST(w) AS w FROM ct),
+         |cnt AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+         |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM tok),
+         |sc AS (SELECT doc_id, ROUND(AVG(-LN(c / total)), 4) AS s
+         |  FROM tok JOIN cnt USING (w) CROSS JOIN tot GROUP BY doc_id),
+         |sl AS (SELECT ct.doc_id, ct.source, ct.lang, sc.s FROM ct JOIN sc USING (doc_id)),
+         |cut AS (SELECT lang,
+         |    ROUND(quantile_cont(s, 0.33333333), 4) AS c1,
+         |    ROUND(quantile_cont(s, 0.66666667), 4) AS c2
+         |  FROM sl GROUP BY lang),
+         |surv AS (SELECT doc_id, source, bucket, s FROM (
+         |    SELECT sl.doc_id, sl.source, sl.s,
+         |      CASE WHEN s <= c1 THEN 'head'
+         |           WHEN s <= c2 THEN 'middle' ELSE 'tail' END AS bucket
+         |    FROM sl JOIN cut USING (lang))
+         |  WHERE bucket != 'tail'),
+         |shq AS (SELECT ct.doc_id, $dkShingles3 AS s
+         |  FROM ct JOIN surv USING (doc_id) WHERE len(w) >= 3),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shq a JOIN shq b ON a.doc_id < b.doc_id
+         |  WHERE $dkJac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+         |wcl AS (SELECT surv.doc_id, surv.source, surv.bucket, surv.s,
+         |    COALESCE(comp.cluster_id, surv.doc_id) AS cluster_id
+         |  FROM surv LEFT JOIN comp USING (doc_id)),
+         |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM wcl GROUP BY cluster_id),
+         |pc AS (SELECT source, bucket, wcl.cluster_id, COUNT(*) AS k,
+         |    MAX(n_members) AS n,
+         |    SUM(CAST(ROUND(s * 10000) AS BIGINT)) AS s_units
+         |  FROM wcl JOIN sz USING (cluster_id) GROUP BY 1, 2, 3)
+         |SELECT source, bucket, CAST(SUM(k) AS BIGINT) AS n_docs,
+         |  ROUND(SUM(CAST(ROUND(k * 10000.0 / n) AS BIGINT)) / 10000.0, 4)
+         |    AS eff_docs,
+         |  ROUND(CAST(SUM(s_units) AS DOUBLE) / SUM(k) / 10000.0, 4)
+         |    AS avg_neg_logp
+         |FROM pc GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     "pipe01_pretrain_corpus" ->
       """WITH r AS (SELECT doc_id, source,
         |  text || ' {{cite:c' || CAST(doc_id AS VARCHAR)

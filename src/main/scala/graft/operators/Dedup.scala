@@ -199,12 +199,23 @@ object Dedup {
       threshold: Double = 0.5,
       numPerm: Int = 128,
       bands: Int = 64
+  ): DataFrame =
+    minhashPairs(lake.documents, threshold, numPerm, bands)
+
+  /** The MinHash-LSH verified-pair kernel over any (doc_id, text)
+    * frame — shared by dedup04 (raw corpus) and pipe02 (the funnel's
+    * line-deduped survivors). */
+  private[graft] def minhashPairs(
+      docsText: DataFrame,
+      threshold: Double = 0.5,
+      numPerm: Int = 128,
+      bands: Int = 64
   ): DataFrame = {
     val rows = numPerm / bands
     // Cache the per-doc shingle sets and band rows: both feed two
     // branches of a self-join, and without persistence Spark would
     // recompute the full shingle+signature pipeline once per branch.
-    val docs = lake.documents
+    val docs = docsText
       .select(
         col("doc_id"),
         graft.plans.ShingleHashes(col("text"), 3).as("sh")

@@ -112,4 +112,107 @@ object Pipeline {
       )
       .orderBy("source", "shard", "bin_id")
   }
+
+  /** pipe02: the WEIGHTED-corpus funnel — the selection-side
+    * composition pipe01's packing-side funnel doesn't cover, as one
+    * dataflow: line-level dedup (txt26's transform, boilerplate
+    * struck corpus-wide) → CCNet per-language tercile selection on
+    * the CLEANED text (drop the tail third, txt25's machinery) →
+    * soft-dedup weights among the survivors (MinHash pairs on the
+    * cleaned text → star-CC clusters → 1/|cluster| mass, samp07's
+    * machinery) → per-(source, bucket) mixture report with raw and
+    * EFFECTIVE (dedup-weighted) document counts — the numbers a
+    * sampler needs to draw the final training mix.
+    *
+    * Scale: every stage is its standalone operator's linear shape;
+    * the only additions are two narrow joins (survivor filter,
+    * cluster sizes). The cleaned frame is localCheckpointed once and
+    * feeds scoring, shingling, and the report; weights of clusters
+    * SPLIT by the tercile cut credit each (source, bucket) group
+    * only its own members' mass. */
+  def pipe02WeightedCorpus(
+      lake: Lake,
+      minDocs: Int = 3,
+      threshold: Double = 0.5,
+      maxIters: Int = 20
+  ): DataFrame = {
+    val cleaned = TextAnalysis.lineDedupedDocs(lake, minDocs)
+      .select("doc_id", "source", "lang", "text")
+      .localCheckpoint()
+    // CCNet scoring over the cleaned corpus (txt15's two passes)
+    val toks = cleaned
+      .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
+    val total = counts.agg(sum("c").cast("double").as("total"))
+    val scored = toks
+      .join(counts, "w")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("c").cast("double") / col("total"))), 4).as("s"))
+      .join(cleaned.select("doc_id", "source", "lang"), "doc_id")
+    val cuts = scored
+      .groupBy("lang")
+      .agg(
+        round(expr("percentile(s, 0.33333333)"), 4).as("c1"),
+        round(expr("percentile(s, 0.66666667)"), 4).as("c2")
+      )
+    val selected = scored
+      .join(broadcast(cuts), "lang")
+      .withColumn(
+        "bucket",
+        when(col("s") <= col("c1"), "head")
+          .when(col("s") <= col("c2"), "middle")
+          .otherwise("tail")
+      )
+      .filter(col("bucket") =!= "tail")
+      .select("doc_id", "source", "bucket", "s")
+      .localCheckpoint()
+    // soft-dedup mass among the survivors, on the cleaned text
+    val pairs = Dedup
+      .minhashPairs(
+        cleaned.join(selected.select("doc_id"), "doc_id")
+          .select("doc_id", "text"),
+        threshold
+      )
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val labels = Dedup.connectedComponentsStar(pairs, maxIters)
+    val withCluster = selected
+      .join(labels, col("doc_id") === col("u"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc_id")))
+    val sizes = withCluster
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    // Exact-integer aggregation: a plain double SUM/AVG here is
+    // order-dependent in its low bits, and a 4-decimal ROUND at a
+    // .00005 boundary then diverges cross-engine (observed: 3.4016
+    // vs 3.4015 on one group). Scoring units (s·10⁴, already exact
+    // by construction) and per-cluster mass units (round(k·10⁴/n),
+    // one identical fp division per cluster) are integers, so their
+    // sums are exact and the final single division is bit-identical
+    // in both engines.
+    val perCluster = withCluster
+      .join(sizes, "cluster_id")
+      .groupBy("source", "bucket", "cluster_id")
+      .agg(
+        count(lit(1)).as("k"),
+        max("n_members").as("n"),
+        sum(round(col("s") * 10000).cast("long")).as("s_units")
+      )
+    perCluster
+      .groupBy("source", "bucket")
+      .agg(
+        sum("k").as("n_docs"),
+        round(
+          sum(round(col("k") * lit(10000.0) / col("n")).cast("long")) /
+            lit(10000.0),
+          4
+        ).as("eff_docs"),
+        round(
+          sum("s_units").cast("double") / sum("k") / lit(10000.0),
+          4
+        ).as("avg_neg_logp")
+      )
+      .orderBy("source", "bucket")
+  }
 }

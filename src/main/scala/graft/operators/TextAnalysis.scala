@@ -544,7 +544,10 @@ object TextAnalysis {
     * and a corpus-wide footer (df = corpus size) — the txt13/txt19
     * move: the gate then exercises strike, survival, and in-order
     * reassembly on every document. */
-  def txt26LineDedup(lake: Lake, minDocs: Int = 3): DataFrame = {
+  /** The line-dedup transform keeping the reassembled text —
+    * (doc_id, source, lang, n_lines, n_kept, text) — shared by the
+    * txt26 gate and the pipe02 funnel. */
+  private[graft] def lineDedupedDocs(lake: Lake, minDocs: Int = 3): DataFrame = {
     val planted = concat(
       lit("promo "), col("source"), lit(" banner. "),
       col("text"),
@@ -552,6 +555,8 @@ object TextAnalysis {
     )
     val base = lake.documents.select(
       col("doc_id"),
+      col("source"),
+      col("lang"),
       split(planted, "\\. ").as("ls")
     )
     val lines = base.select(
@@ -580,12 +585,23 @@ object TextAnalysis {
       .join(kept, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
+        col("source"),
+        col("lang"),
         size(col("ls")).cast("long").as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        md5(coalesce(col("joined"), lit(""))).as("kept_fp")
+        coalesce(col("joined"), lit("")).as("text")
+      )
+  }
+
+  def txt26LineDedup(lake: Lake, minDocs: Int = 3): DataFrame =
+    lineDedupedDocs(lake, minDocs)
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        col("n_kept"),
+        md5(col("text")).as("kept_fp")
       )
       .orderBy("doc_id")
-  }
 
   /** Ingestion text cleaning — the reference's convert-time
     * normalization (convert_fulltext.py:67 clean_text +

@@ -74,4 +74,26 @@ class PipelineSpec extends AnyFunSuite {
       .getAs[Long](0)
     assert(actual == expected, s"pipeline packed $actual chunks, survivor recount says $expected")
   }
+
+  test("weighted corpus: tail dropped, effective mass bounded, coverage consistent") {
+    import graft.operators.{Pipeline, TextAnalysis}
+    val rows = Pipeline.pipe02WeightedCorpus(lake).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set("head", "middle")(r._2)), "tail leaked through")
+    rows.foreach { case (src, b, n, eff, _) =>
+      assert(n > 0, s"$src/$b empty")
+      // weights are 1/|cluster| <= 1, so effective mass never exceeds
+      // raw count and never hits zero
+      assert(eff > 0.0 && eff <= n + 1e-9, s"$src/$b eff $eff vs n $n")
+    }
+    // the funnel keeps exactly the head+middle two-thirds of the
+    // line-deduped corpus: per-lang terciles of 500 docs keep ~333
+    val total = rows.map(_._3).sum
+    val corpus = lake.documents.count()
+    assert(total > corpus / 2 && total < corpus * 3 / 4, s"kept $total of $corpus")
+    // every source that survives appears at most once per bucket
+    assert(rows.groupBy(r => (r._1, r._2)).forall(_._2.length == 1))
+  }
 }

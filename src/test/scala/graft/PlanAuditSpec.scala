@@ -195,6 +195,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("txt26: reassembly is aggregate-side — no Window, no cartesian") {
+    // the in-order rejoin must come from array_sort(collect_list),
+    // sorting each doc's bounded line list inside the aggregate — a
+    // per-doc Window.orderBy here would sort the whole exploded
+    // corpus per partition key at scale
+    val p = plan(TextAnalysis.txt26LineDedup(lake))
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("sim08: blocked kernel shuffles (no data-dependent broadcast); top-k is a partial WindowGroupLimit") {
     val p = plan(Similarity.sim08KnnGraph(lake))
     // the all-pairs kernel must stay a chunk equi-join — never a
