@@ -125,6 +125,7 @@ object SparkEntry {
     "samp05_leakage_safe_split" -> q(Dedup.samp05LeakageSafeSplit(_)),
     "samp07_soft_dedup" -> q(Dedup.samp07SoftDedup(_)),
     "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
+    "dedup13_exact_substring" -> q(Dedup.dedup13ExactSubstring(_)),
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
     "cat03_column_stats" -> q(CatalogOps.cat03ColumnStats(_)),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
@@ -1066,6 +1067,44 @@ object SparkEntry {
          |  CASE WHEN m.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS verdict
          |FROM sel LEFT JOIN m ON sel.doc_id = m.doc_b
          |ORDER BY sel.doc_id""".stripMargin,
+    // dedup13: same planting, k=8 sliding windows (1-based list slice
+    // w[i:i+7]), distinct-doc df >= 2, and the islands merge (lag +
+    // running sum) the Spark side runs per doc.
+    "dedup13_exact_substring" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN 'shared prefix banner alpha beta gamma delta epsilon zeta eta ' || text
+        |      ELSE text END AS t1
+        |  FROM documents),
+        |p2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN t1 || ' common footer block one two three four five six seven eight nine'
+        |      ELSE t1 END AS t
+        |  FROM p),
+        |tk AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(t, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM p2),
+        |g0 AS (SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 7)) AS i
+        |  FROM tk WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM g0),
+        |d AS (SELECT gram FROM (
+        |    SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram)
+        |  WHERE df >= 2),
+        |h AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)),
+        |s AS (SELECT doc_id, pos,
+        |    CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |           OR pos > LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 8
+        |         THEN 1 ELSE 0 END AS ns FROM h),
+        |s2 AS (SELECT doc_id, pos, SUM(ns) OVER (
+        |    PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s),
+        |sp AS (SELECT doc_id, sid, MIN(pos) AS st, MAX(pos) + 8 AS en
+        |  FROM s2 GROUP BY doc_id, sid)
+        |SELECT doc_id, COUNT(*) AS n_spans,
+        |  CAST(SUM(en - st) AS BIGINT) AS dup_tokens,
+        |  CAST(MAX(en - st) AS BIGINT) AS max_span
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dedup06_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

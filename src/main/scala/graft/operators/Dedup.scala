@@ -939,4 +939,99 @@ object Dedup {
       .withColumn("survivor", col("vec_id") === col("group_id"))
       .orderBy("vec_id")
   }
+
+  /** dedup13: EXACT-SUBSTRING dedup (the Lee et al. 2022 "ExactSubstr"
+    * stage, arXiv:2107.06499 §4.1) — find maximal runs of >= k
+    * consecutive tokens that recur verbatim in >= `minDocs` DISTINCT
+    * documents, and report per document how much of it is duplicated
+    * text. Line dedup (txt26) catches whole repeated sentences;
+    * MinHash (dedup04) catches whole near-identical documents; this
+    * catches the in-between — a quoted paragraph, a license block
+    * reflowed mid-document — that neither sees.
+    *
+    * Shape: slide a k-token window over each document (posexplode of
+    * a transform(sequence(...)) — linear, map-side), count DISTINCT
+    * docs per window text (partial-aggregating groupBy — this is a
+    * frequency index, NOT a pair join, so boilerplate-frequent
+    * windows cost df rows, never df²), semi-join each doc's windows
+    * against the duplicated set, then merge overlapping/adjacent
+    * window positions into maximal spans with the islands idiom
+    * (lag + running sum) — the one window function runs PER DOC, a
+    * bounded frame at any corpus size.
+    *
+    * At 100 TB: key the index on xxhash64(gram) instead of the k-token
+    * string (8 bytes vs ~50; same move as dedup10's 8-byte shingles) —
+    * the string key is kept here so the DuckDB oracle can replay the
+    * join verbatim. Window inflation is (L-k+1) rows per doc, the same
+    * factor the shingle operators already carry.
+    *
+    * The synthetic corpus has natural >= 8-token cross-doc repeats
+    * (template runs — e.g. one sf0.01 doc carries an 83-token dup
+    * span), and two passages are PLANTED deterministically (a 10-token
+    * prefix on doc_id % 5 == 0, a 12-token footer on doc_id % 7 == 0)
+    * so the gate exercises multi-span docs (% 35) and span merging on
+    * every corpus. */
+  def dedup13ExactSubstring(
+      lake: Lake,
+      k: Int = 8,
+      minDocs: Int = 2
+  ): DataFrame = {
+    val prefix =
+      "shared prefix banner alpha beta gamma delta epsilon zeta eta "
+    val footer =
+      " common footer block one two three four five six seven eight nine"
+    val planted = when(
+      col("doc_id") % 7 === 0,
+      concat(col("t1"), lit(footer))
+    ).otherwise(col("t1"))
+    val toks = lake.documents
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit(prefix), col("text")))
+          .otherwise(col("text"))
+          .as("t1")
+      )
+      .select(col("doc_id"), text.tokens(planted).as("w"))
+    val grams = toks
+      .filter(size(col("w")) >= k)
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), size(col("w")) - k),
+            i => array_join(slice(col("w"), i + 1, lit(k)), " ")
+          )
+        ).as(Seq("pos", "gram"))
+      )
+    val dup = grams
+      .groupBy("gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select("gram")
+    val hits = grams.join(dup, Seq("gram"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val run = Window
+      .partitionBy("doc_id")
+      .orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn(
+        "ns",
+        when(
+          lag("pos", 1).over(w).isNull ||
+            col("pos") > lag("pos", 1).over(w) + k,
+          1
+        ).otherwise(0)
+      )
+      .withColumn("sid", sum("ns").over(run))
+      .groupBy("doc_id", "sid")
+      .agg(min("pos").as("st"), (max("pos") + k).as("en"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st")).cast("long").as("dup_tokens"),
+        max(col("en") - col("st")).cast("long").as("max_span")
+      )
+      .orderBy("doc_id")
+  }
 }

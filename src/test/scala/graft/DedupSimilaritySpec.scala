@@ -517,4 +517,63 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // data, so no separation floor is pinned — the cross-engine oracle
     // carries exactness; this test carries semantics.
   }
+
+  test("exact-substring spans equal a brute-force scan; planted passages recovered") {
+    val k = 8
+    val docs = lake.documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // replay the operator's deterministic planting + tokenization
+    val toks = docs.map { case (id, t0) =>
+      val t1 =
+        if (id % 5 == 0)
+          "shared prefix banner alpha beta gamma delta epsilon zeta eta " + t0
+        else t0
+      val t =
+        if (id % 7 == 0)
+          t1 + " common footer block one two three four five six seven eight nine"
+        else t1
+      id -> t.trim.replaceAll("\\s+", " ").split(" ")
+    }
+    val grams = toks.flatMap { case (id, w) =>
+      if (w.length >= k)
+        (0 to w.length - k).map(p => (w.slice(p, p + k).mkString(" "), id, p))
+      else Nil
+    }
+    val dup = grams
+      .groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.length >= 2)
+      .keySet
+    val expected = grams.filter(g => dup(g._1)).groupBy(_._2).map {
+      case (id, hs) =>
+        val spans = hs
+          .map(_._3)
+          .sorted
+          .foldLeft(List.empty[(Int, Int)]) {
+            case (Nil, p)                       => List((p, p + k))
+            case ((s, e) :: rest, p) if p <= e  => (s, p + k) :: rest
+            case (acc, p)                       => (p, p + k) :: acc
+          }
+        val lens = spans.map(s => s._2 - s._1)
+        id -> (spans.length.toLong, lens.sum.toLong, lens.max.toLong)
+    }
+    val got = Dedup
+      .dedup13ExactSubstring(lake)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, "operator spans differ from brute-force scan")
+    // every doc carrying a planted passage reports duplicated text
+    docs.foreach { case (id, _) =>
+      if (id % 5 == 0 || id % 7 == 0)
+        assert(got.contains(id), s"doc $id missing its planted span")
+    }
+    // docs with both plants carry at least their combined mass (the
+    // spans may have merged into a larger natural run, so no span
+    // count is pinned — doc 70's 116-token template run is real)
+    got.filter(_._1 % 35 == 0).foreach { case (id, (_, dupToks, _)) =>
+      assert(dupToks >= 22, s"doc $id under-reports planted duplication")
+    }
+  }
 }
