@@ -119,6 +119,7 @@ object SparkEntry {
     "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
     "txt25_ccnet_buckets" -> q(TextAnalysis.txt25CcnetBuckets),
     "txt26_line_dedup" -> q(TextAnalysis.txt26LineDedup(_)),
+    "txt27_char_entropy" -> q(TextAnalysis.txt27CharEntropy),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
@@ -1973,6 +1974,20 @@ object SparkEntry {
         |  md5(COALESCE(r.txt, '')) AS kept_fp
         |FROM t LEFT JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // txt27: DuckDB's string_split(text,'') is per code point, as is
+    // the CharInfo loop; both sides round the double sum to 4.
+    "txt27_char_entropy" ->
+      """WITH c AS (SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+        |  FROM documents),
+        |f AS (SELECT doc_id, ch, COUNT(*) AS c FROM c GROUP BY doc_id, ch),
+        |l AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_cp,
+        |    CAST(COUNT(*) AS BIGINT) AS n_uniq
+        |  FROM f GROUP BY doc_id)
+        |SELECT f.doc_id, ANY_VALUE(n_cp) AS n_cp, ANY_VALUE(n_uniq) AS n_uniq,
+        |  ROUND(SUM(-(CAST(c AS DOUBLE) / n_cp) * log2(CAST(c AS DOUBLE) / n_cp)), 4)
+        |    AS char_entropy
+        |FROM f JOIN l ON f.doc_id = l.doc_id
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     "txt19_clean_text" ->
       """WITH r AS (SELECT doc_id,
         |  text || ' {{cite:c' || CAST(doc_id AS VARCHAR)

@@ -1274,4 +1274,26 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
   }
+
+  /** txt27: per-document CHARACTER-ENTROPY quality signal — code-point
+    * count, distinct code points, Shannon entropy in bits/char. Low
+    * entropy flags keyboard mash, repeated-filler, and
+    * single-character-run junk the token-level Gopher rules (txt20)
+    * don't see; it complements txt14's bigram repetition at the
+    * character level.
+    *
+    * Scale shape: one map-side `CharInfo` pass per row (alphabet-sized
+    * count map, no per-character explode/shuffle — the declarative
+    * form would push every corpus CHARACTER through an exchange); the
+    * operator stays embarrassingly parallel at any corpus size. */
+  def txt27CharEntropy(lake: Lake): DataFrame =
+    lake.documents
+      .select(col("doc_id"), graft.plans.CharInfo(col("text")).as("ci"))
+      .select(
+        col("doc_id"),
+        col("ci.n_cp").as("n_cp"),
+        col("ci.n_uniq").as("n_uniq"),
+        round(col("ci.entropy"), 4).as("char_entropy")
+      )
+      .orderBy("doc_id")
 }

@@ -199,4 +199,34 @@ class TextSelectionSpec extends AnyFunSuite {
       assert(cells.map(_._3).sum == total, s"$lang cells do not sum to total")
     }
   }
+
+  test("char entropy: exact on known distributions, code-point counted, corpus-bounded") {
+    import spark.implicits._
+    val probe = Seq(
+      "aaaa",          // degenerate: one symbol, entropy 0
+      "abab",          // uniform over 2 symbols: exactly 1 bit
+      "abcdabcd",      // uniform over 4 symbols: exactly 2 bits
+      "a𝄞", // astral clef is ONE code point: n_cp 2, 1 bit
+      ""               // empty: all zeros
+    ).toDF("text")
+    val rows = probe
+      .select(graft.plans.CharInfo(col("text")).as("ci"))
+      .select("ci.n_cp", "ci.n_uniq", "ci.entropy")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows(0) == ((4L, 1L, 0.0)))
+    assert(rows(1)._1 == 4L && rows(1)._2 == 2L && math.abs(rows(1)._3 - 1.0) < 1e-12)
+    assert(rows(2)._1 == 8L && rows(2)._2 == 4L && math.abs(rows(2)._3 - 2.0) < 1e-12)
+    assert(rows(3)._1 == 2L && rows(3)._2 == 2L && math.abs(rows(3)._3 - 1.0) < 1e-12)
+    assert(rows(4) == ((0L, 0L, 0.0)))
+    // corpus-wide: entropy bounded by log2(alphabet), counts positive
+    val corpus = TextAnalysis.txt27CharEntropy(lake).collect()
+    assert(corpus.length == lake.documents.count())
+    corpus.foreach { r =>
+      val (n, u, e) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && u > 0 && u <= n)
+      assert(e >= 0.0 && e <= math.log(u.toDouble) / math.log(2.0) + 1e-9,
+        s"entropy $e above log2($u)")
+    }
+  }
 }
