@@ -110,6 +110,7 @@ object SparkEntry {
     "graph15_sparql_ask" -> q(Graph.graph15SparqlAsk),
     "graph16_sparql_construct" -> q(Graph.graph16SparqlConstruct),
     "graph17_sparql_describe" -> q(Graph.graph17SparqlDescribe),
+    "graph18_sparql_graphs" -> q(Graph.graph18SparqlGraphs),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2309,6 +2310,32 @@ object SparkEntry {
         |SELECT DISTINCT s, p, o FROM triples
         |WHERE s IN ('nat:4', 'reg:1') OR o IN ('nat:4', 'reg:1')
         |ORDER BY s, p, o""".stripMargin,
+    // graph18: named graphs = the quad store partitioned by predicate
+    // family; FROM prunes the default graph, ground GRAPH prunes one
+    // named graph, GRAPH ?g binds the graph column as a variable.
+    "graph18_sparql_graphs" ->
+      """WITH quads AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o, 'graph:people' AS g
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR), 'graph:topology' FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name,
+        |    'graph:labels' FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name,
+        |    'graph:labels' FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true',
+        |    'graph:flags' FROM nation WHERE n_nationkey % 3 = 0)
+        |SELECT t.s AS n, l.o AS name, f.g AS g
+        |FROM quads t
+        |JOIN quads l ON l.g = 'graph:labels' AND l.p = 'label' AND l.s = t.s
+        |JOIN quads f ON f.p = 'flagged' AND f.o = 'true' AND f.s = t.s
+        |WHERE t.g = 'graph:topology' AND t.p = 'in_region'
+        |ORDER BY n""".stripMargin,
     // graph14: MINUS de-sugars to an anti join on the shared var.
     "graph14_sparql_minus" ->
       """WITH triples AS (

@@ -359,6 +359,43 @@ object Graph {
   def graph17SparqlDescribe(lake: Lake): DataFrame =
     graft.sparql.Sparql.run(triples(lake), "DESCRIBE <nat:4> <reg:1>")
 
+  /** The triple store as an RDF DATASET: the same synthesized triples
+    * tagged with a named graph per predicate family — the reference
+    * loads its 13 ontologies into one store as one named graph each
+    * and wraps queries in GRAPH clauses (sparql_query.py:52,:60); here
+    * the graph boundary falls on predicate families, which is where a
+    * graph-partitioned store would shard anyway. A real ingestion tags
+    * `g` at load time (one graph per source file). */
+  def quads(lake: Lake): DataFrame =
+    triples(lake).withColumn(
+      "g",
+      when(col("p") === "in_nation", lit("graph:people"))
+        .when(col("p") === "in_region", lit("graph:topology"))
+        .when(col("p") === "label", lit("graph:labels"))
+        .otherwise(lit("graph:flags"))
+    )
+
+  /** graph18: the SPARQL DATASET surface as TEXT — one query string
+    * exercising all three named-graph constructs: a FROM dataset
+    * clause scoping the default graph to the topology, a ground
+    * `GRAPH <iri>` group pulling labels from the labels graph, and a
+    * `GRAPH ?g` group binding the graph that holds each nation's
+    * sparse `flagged` annotation. Each GRAPH clause prunes the quad
+    * frame to one graph BEFORE matching — on a graph-partitioned
+    * store that's partition pruning, not a scan-then-filter. */
+  def graph18SparqlGraphs(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      quads(lake),
+      """SELECT ?n ?name ?g
+        |FROM <graph:topology>
+        |WHERE {
+        |  ?n <in_region> ?reg .
+        |  GRAPH <graph:labels> { ?n <label> ?name } .
+        |  GRAPH ?g { ?n <flagged> "true" }
+        |}
+        |ORDER BY ?n""".stripMargin
+    )
+
   /** graph15: SPARQL ASK as TEXT — the reference surface's other
     * query form (sparql_query.py's run_query prints `Result: bool`
     * when oxigraph returns one). Two probes in one frame: the sparse

@@ -39,9 +39,14 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   * paths `seg1/seg2/…` desugared into pattern chains through hidden
   * fresh variables, inverse segments `^p` (endpoint swap, `^p+` =
   * `^(p+)` per the SPARQL grammar), and the `a` keyword for rdf:type.
-  * Anything outside the fragment (GRAPH, subqueries, `?p` predicate
+  * Against a QUAD frame (s, p, o, g) the dataset surface also works:
+  * `FROM <iri>` (default graph = merge of the listed graphs),
+  * `GRAPH <iri> { … }` (full fragment inside, over one pruned graph),
+  * and `GRAPH ?g { … }` (plain patterns; g binds per solution).
+  * Anything outside the fragment (subqueries, `?p` predicate
   * variables with paths, bare alternation without `+`, zero-or-more
-  * `*`, UNION/MINUS mixes, …) is rejected with a message naming the
+  * `*`, UNION/MINUS mixes, GRAPH against a 3-column frame, nested
+  * GRAPH, FROM NAMED, …) is rejected with a message naming the
   * construct — never silently misparsed.
   *
   * The compiled query runs as ordinary Catalyst plans: each pattern is
@@ -93,7 +98,14 @@ object Sparql {
       isConstruct: Boolean = false,
       template: Seq[(String, String, String)] = Seq.empty,
       // DESCRIBE query: ground IRIs whose triples to return
-      describeIris: Seq[String] = Seq.empty
+      describeIris: Seq[String] = Seq.empty,
+      // FROM <iri> dataset clauses: the default graph is the RDF merge
+      // (set union) of the named graphs listed
+      fromGraphs: Seq[String] = Seq.empty,
+      // GRAPH groups: (graph term — "?var" or ground IRI, patterns,
+      // OPTIONAL indices within the group)
+      graphGroups: Seq[(String, Seq[(String, String, String)], Set[Int])] =
+        Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -113,36 +125,80 @@ object Sparql {
   )
 
   /** Execute a SPARQL SELECT/ASK/CONSTRUCT string against an
-    * (s, p, o) triple frame. */
+    * (s, p, o) triple frame — or an (s, p, o, g) QUAD frame, which
+    * additionally enables the dataset surface: `FROM <iri>` restricts
+    * the default graph to the RDF merge (set union) of the listed
+    * graphs, `GRAPH <iri> { … }` matches a group against one named
+    * graph (the full fragment works inside — OPTIONAL, paths), and
+    * `GRAPH ?g { … }` binds the graph name per solution (plain
+    * patterns inside). With no FROM, a quad frame's default graph is
+    * the union of all graphs (the union-default-graph convention the
+    * reference's store uses; set semantics, hence the distinct). */
   def run(triples: DataFrame, query: String, maxPathHops: Int = 8): DataFrame = {
     val p = parse(query)
+    val hasG = triples.columns.contains("g")
+    def needQuads(what: String): Unit =
+      if (!hasG)
+        throw SparqlParseError(
+          s"$what needs a named-graph (s, p, o, g) quad frame")
+    // The default graph every non-GRAPH pattern matches against.
+    val defaultGraph =
+      if (p.fromGraphs.nonEmpty) {
+        needQuads("FROM")
+        val f = triples
+          .filter(col("g").isin(p.fromGraphs: _*))
+          .select("s", "p", "o")
+        // one graph is already a set; a merge of several must dedupe
+        if (p.fromGraphs.lengthCompare(1) > 0) f.distinct() else f
+      } else if (hasG) triples.select("s", "p", "o").distinct()
+      else triples
     // DESCRIBE: every triple the resource participates in, either
     // side — one predicate-pushed scan, set semantics. The isin
     // filters push to the parquet scan; no join, no shuffle beyond
     // the distinct.
     if (p.describeIris.nonEmpty) {
       val iris = p.describeIris
-      return triples
+      return defaultGraph
         .filter(col("s").isin(iris: _*) || col("o").isin(iris: _*))
         .select("s", "p", "o")
         .distinct()
         .orderBy("s", "p", "o")
     }
     // FILTER pushes into the BGP plan only when nothing later in the
-    // chain (VALUES / BIND / union alignment) can bind a variable it
-    // reads; otherwise it applies group-level over the final bindings
-    // (the fragment's documented contract — all bodies AND together).
+    // chain (VALUES / BIND / union alignment / GRAPH groups) can bind
+    // a variable it reads; otherwise it applies group-level over the
+    // final bindings (the fragment's documented contract — all bodies
+    // AND together).
     val pushFilter =
       p.moreBranches.isEmpty && p.values.isEmpty && p.binds.isEmpty &&
-        p.minusBranch.isEmpty
-    val matchedRaw =
-      if (p.moreBranches.isEmpty)
+        p.minusBranch.isEmpty && p.graphGroups.isEmpty
+    // GRAPH groups compile separately: a ground IRI prunes the quad
+    // frame to one graph and runs the ordinary BGP plan over it (at a
+    // graph-partitioned 100 TB store that filter is partition
+    // pruning); `GRAPH ?g` runs the quad-bind join with g as one more
+    // variable column.
+    val graphFrames = p.graphGroups.map { case (gTerm, pats, optIdx) =>
+      needQuads("GRAPH")
+      if (gTerm.startsWith("?")) quadGroup(triples, gTerm.drop(1), pats)
+      else
         Graph.bgpMatch(
-          triples,
-          p.patterns,
-          optionalIdx = p.optionalIdx,
-          filterExpr = if (pushFilter) p.filterSql.map(expr) else None,
+          triples.filter(col("g") === gTerm).select("s", "p", "o"),
+          pats,
+          optionalIdx = optIdx,
           maxPathHops = maxPathHops
+        )
+    }
+    val mainFrame: Option[DataFrame] =
+      if (p.patterns.isEmpty) None
+      else if (p.moreBranches.isEmpty)
+        Some(
+          Graph.bgpMatch(
+            defaultGraph,
+            p.patterns,
+            optionalIdx = p.optionalIdx,
+            filterExpr = if (pushFilter) p.filterSql.map(expr) else None,
+            maxPathHops = maxPathHops
+          )
         )
       else {
         // UNION: each branch is its own BGP plan; solutions combine
@@ -150,13 +206,21 @@ object Sparql {
         // is the caller's explicit choice), variables bound in only
         // some branches null-pad in the others (unionByName's
         // allowMissingColumns is exactly SPARQL's binding alignment).
-        ((p.patterns, p.optionalIdx) +: p.moreBranches)
-          .map { case (pats, optIdx) =>
-            Graph.bgpMatch(triples, pats, optionalIdx = optIdx,
-              maxPathHops = maxPathHops)
-          }
-          .reduce(_.unionByName(_, allowMissingColumns = true))
+        Some(
+          ((p.patterns, p.optionalIdx) +: p.moreBranches)
+            .map { case (pats, optIdx) =>
+              Graph.bgpMatch(defaultGraph, pats, optionalIdx = optIdx,
+                maxPathHops = maxPathHops)
+            }
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        )
       }
+    // GRAPH groups AND with the surrounding group: join on shared
+    // variables (cross join when disjoint — SPARQL's cartesian rule).
+    val matchedRaw = (mainFrame.toSeq ++ graphFrames).reduceLeft { (a, f) =>
+      val shared = a.columns.intersect(f.columns).toSeq
+      if (shared.nonEmpty) a.join(f, shared) else a.crossJoin(f)
+    }
     // MINUS: a LEFT ANTI join on the branches' shared variables —
     // solutions drop when the right group binds the same values.
     // Exact-equality semantics: a left row with a NULL shared binding
@@ -271,6 +335,43 @@ object Sparql {
       }: _*)
     val skipped = p.offset.fold(ordered)(ordered.offset)
     p.limit.fold(skipped)(skipped.limit)
+  }
+
+  /** `GRAPH ?g { … }` matcher: the bgpMatch bind/join chain extended
+    * with the graph column as a fourth bound term — every pattern in
+    * the group carries the SAME graph variable, so the per-pattern
+    * scans join on g exactly like any shared variable and the group
+    * binds one graph name per solution. */
+  private def quadGroup(
+      quads: DataFrame,
+      gVar: String,
+      pats: Seq[(String, String, String)]
+  ): DataFrame = {
+    def scan(pat: (String, String, String)): DataFrame = {
+      val terms = Seq(
+        "s" -> pat._1,
+        "p" -> pat._2,
+        "o" -> pat._3,
+        "g" -> ("?" + gVar)
+      )
+      var df = quads
+      terms.foreach { case (c, t) =>
+        if (!t.startsWith("?")) df = df.filter(col(c) === t)
+      }
+      val varTerms = terms.filter(_._2.startsWith("?"))
+      varTerms.groupBy(_._2).values.foreach { occ =>
+        occ.tail.foreach(o2 => df = df.filter(col(occ.head._1) === col(o2._1)))
+      }
+      val proj = varTerms
+        .map(_._2)
+        .distinct
+        .map(v => col(varTerms.find(_._2 == v).get._1).as(v.drop(1)))
+      df.select(proj: _*)
+    }
+    pats.map(scan).reduceLeft { (a, b) =>
+      val shared = a.columns.intersect(b.columns).toSeq
+      if (shared.nonEmpty) a.join(b, shared) else a.crossJoin(b)
+    }
   }
 
   // ---------------------------------------------------------------- parse
@@ -427,6 +528,21 @@ object Sparql {
         throw SparqlParseError("CONSTRUCT template has no triples")
     }
 
+    // Dataset clause (SPARQL grammar: DatasetClause* before WHERE for
+    // every query form): `FROM <iri>`, any number — the default graph
+    // becomes the merge of the listed graphs. FROM NAMED is rejected:
+    // this fragment's GRAPH always ranges over ALL graphs in the frame.
+    var fromGraphs = Vector.empty[String]
+    while (st.peekKeyword("FROM")) {
+      st.next()
+      if (st.peekKeyword("NAMED"))
+        throw SparqlParseError("FROM NAMED is not supported (plain FROM only)")
+      val iri = term(st.next())
+      if (iri.startsWith("?"))
+        throw SparqlParseError("FROM needs a ground IRI, not a variable")
+      fromGraphs :+= iri
+    }
+
     // ASK's WHERE keyword is optional in the SPARQL grammar
     if (st.peekKeyword("WHERE")) st.next()
     else if (!isAsk) throw SparqlParseError("expected WHERE")
@@ -476,6 +592,9 @@ object Sparql {
     // VALUES blocks are group-level in this fragment, like FILTER:
     // wherever they appear, they constrain the final bindings.
     var valuesBlocks = Vector.empty[(Seq[String], Seq[Seq[String]])]
+    // GRAPH groups, collected like VALUES (group-level AND semantics).
+    var graphGroups =
+      Vector.empty[(String, Seq[(String, String, String)], Set[Int])]
     def triple(): Seq[(String, String, String)] = {
       val s = term(st.next())
       var segs = Vector(pathSegment())
@@ -494,7 +613,10 @@ object Sparql {
     }
 
     // One group body: triples/OPTIONALs up to and including its '}'.
-    def parseGroupBody(): (Vector[(String, String, String)], Set[Int]) = {
+    def parseGroupBody(
+        inGraph: Boolean = false
+    ): (Vector[(String, String, String)], Set[Int]) = {
+      val graphsBefore = graphGroups.length
       var patterns = Vector.empty[(String, String, String)]
       var optionalIdx = Set.empty[Int]
       while (st.peek != Some("}")) {
@@ -568,8 +690,28 @@ object Sparql {
             if (rows.isEmpty) throw SparqlParseError("VALUES block has no rows")
             valuesBlocks :+= ((vars, rows))
             if (st.peek == Some(".")) st.next()
-          case Some(t) if t.equalsIgnoreCase("GRAPH") ||
-              t.equalsIgnoreCase("MINUS") || t.equalsIgnoreCase("SERVICE") =>
+          case Some(t) if t.equalsIgnoreCase("GRAPH") =>
+            // `GRAPH <iri> { … }` (full fragment inside — the group
+            // runs over one pruned graph) or `GRAPH ?g { … }` (plain
+            // patterns; g binds per solution). Group-level AND.
+            if (inGraph)
+              throw SparqlParseError("nested GRAPH groups are not supported")
+            st.next()
+            val gTok = st.next()
+            val gTerm = if (gTok.startsWith("?")) gTok else term(gTok)
+            st.expect("{")
+            val (gPats, gOpt) = parseGroupBody(inGraph = true)
+            if (gTerm.startsWith("?")) {
+              if (gOpt.nonEmpty)
+                throw SparqlParseError(
+                  "OPTIONAL inside GRAPH ?var is not supported (ground GRAPH IRIs take the full fragment)")
+              if (gPats.exists(_._2.endsWith("+")))
+                throw SparqlParseError(
+                  "property paths inside GRAPH ?var are not supported (ground GRAPH IRIs take the full fragment)")
+            }
+            graphGroups :+= ((gTerm, gPats, gOpt))
+            if (st.peek == Some(".")) st.next()
+          case Some(t) if t.equalsIgnoreCase("MINUS") || t.equalsIgnoreCase("SERVICE") =>
             throw SparqlParseError(s"${t.toUpperCase} is not supported by this fragment")
           case _ =>
             patterns ++= triple()
@@ -577,7 +719,8 @@ object Sparql {
         }
       }
       st.next() // }
-      if (patterns.isEmpty) throw SparqlParseError("group has no triple patterns")
+      if (patterns.isEmpty && graphGroups.length == graphsBefore)
+        throw SparqlParseError("group has no triple patterns")
       (patterns, optionalIdx)
     }
 
@@ -617,6 +760,8 @@ object Sparql {
       st.next()
     } else branches :+= parseGroupBody()
     val (patterns, optionalIdx) = branches.head
+    if (graphGroups.nonEmpty && (branches.length > 1 || minusBranch.nonEmpty))
+      throw SparqlParseError("GRAPH doesn't mix with UNION/MINUS in this fragment")
 
     if (noProjection)
       Seq("GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING").foreach { kw =>
@@ -699,7 +844,8 @@ object Sparql {
       distinct, aggregates, groupBy, projection, branches.tail, internalVars,
       offset, valuesBlocks,
       bindBodies.map { case (v, body) => (v, translateFilter(body)) },
-      minusBranch, isAsk, isConstruct, template)
+      minusBranch, isAsk, isConstruct, template,
+      fromGraphs = fromGraphs, graphGroups = graphGroups)
   }
 
   // ------------------------------------------------------------- lexing

@@ -507,4 +507,76 @@ class SparqlSpec extends AnyFunSuite {
       assert(unionFiltered.toSeq == Seq(("nat:2", "CHINA")))
     }
   }
+
+  test("named graphs: FROM scopes the default graph, GRAPH prunes/binds, quads dedupe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val quads = Seq(
+      ("n1", "label", "ALPHA", "g:labels"),
+      ("n2", "label", "BETA", "g:labels"),
+      ("n1", "in", "r1", "g:topo"),
+      ("n2", "in", "r1", "g:topo"),
+      ("n1", "flag", "true", "g:flags"),
+      // the same triple in TWO graphs: the default graph is a SET
+      ("n2", "in", "r1", "g:extra")
+    ).toDF("s", "p", "o", "g")
+
+    // no FROM: union default graph, set semantics (dup collapses)
+    val all = Sparql.run(quads,
+      "SELECT ?s WHERE { ?s <in> \"r1\" }").collect()
+    assert(all.length == 2, "union default graph must dedupe")
+
+    // FROM restricts the default graph
+    val fromTopo = Sparql.run(quads,
+      "SELECT ?s FROM <g:labels> WHERE { ?s <in> \"r1\" }").collect()
+    assert(fromTopo.isEmpty, "FROM <g:labels> must hide topology triples")
+    val merged = Sparql.run(quads,
+      "SELECT ?s FROM <g:topo> FROM <g:extra> WHERE { ?s <in> \"r1\" }")
+      .collect()
+    assert(merged.length == 2, "FROM merge is a set union")
+
+    // ground GRAPH joins with the default-graph patterns; OPTIONAL
+    // works inside a ground GRAPH group
+    val ground = Sparql.run(quads,
+      """SELECT ?s ?l ?f WHERE {
+        |  ?s <in> "r1" .
+        |  GRAPH <g:labels> { ?s <label> ?l } .
+        |  GRAPH <g:flags> { ?s <flag> "true" . OPTIONAL { ?s <flag> ?f } }
+        |}""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(ground.toSeq == Seq(("n1", "ALPHA", "true")))
+
+    // GRAPH ?g binds the graph name per solution
+    val bound = Sparql.run(quads,
+      """SELECT ?s ?g WHERE { GRAPH ?g { ?s <label> ?l } } ORDER BY ?s""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(bound.toSeq == Seq(("n1", "g:labels"), ("n2", "g:labels")))
+
+    // rejects, each naming the construct
+    def rejects(q: String, frag: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.run(quads, q))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' missing '$frag'")
+    }
+    rejects("SELECT ?s FROM NAMED <g:x> WHERE { ?s <in> ?o }", "FROM NAMED")
+    rejects(
+      "SELECT ?s WHERE { GRAPH ?g { GRAPH <g:x> { ?s <in> ?o } } }",
+      "nested GRAPH")
+    rejects(
+      "SELECT ?s WHERE { GRAPH ?g { OPTIONAL { ?s <flag> ?f } . ?s <in> ?o } }",
+      "OPTIONAL inside GRAPH ?var")
+    rejects(
+      "SELECT ?s WHERE { GRAPH ?g { ?s <in>+ ?o } }",
+      "property paths inside GRAPH ?var")
+    rejects(
+      """SELECT ?s WHERE { { GRAPH <g:x> { ?s <in> ?o } } UNION { ?s <in> ?o } }""",
+      "GRAPH doesn't mix")
+    // a plain 3-column frame has no dataset surface
+    val triples = quads.select("s", "p", "o")
+    val e1 = intercept[SparqlParseError](Sparql.run(triples,
+      "SELECT ?s FROM <g:x> WHERE { ?s <in> ?o }"))
+    assert(e1.getMessage.contains("quad frame"))
+    val e2 = intercept[SparqlParseError](Sparql.run(triples,
+      "SELECT ?s WHERE { GRAPH <g:x> { ?s <in> ?o } }"))
+    assert(e2.getMessage.contains("quad frame"))
+  }
 }
