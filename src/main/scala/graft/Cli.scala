@@ -148,7 +148,7 @@ object Cli {
           |       graft.Cli info <tableDir>
           |       graft.Cli search <tableDir> <pattern>
           |       graft.Cli query <tableDir> "<sql>"
-          |       graft.Cli sparql <tableDir> "<SELECT ... WHERE { ... }>" [ontologyFile]
+          |       graft.Cli sparql <tableDir> "<SELECT ... WHERE { ... }>" [ontologyFile[,file2,...]]
           |       graft.Cli views <tableDir>
           |       graft.Cli shell <tableDir>
           |       graft.Cli catalog <tableDir> [outFile.md]
@@ -191,15 +191,22 @@ object Cli {
         // optional ontology-file argument queries THAT store instead —
         // the reference's `--graph` store selection (:60), with the
         // format sniffed from the extension (.nt/.ttl/.rdf/.owl/.obo).
+        // SEVERAL comma-separated files load as a NAMED-GRAPH store
+        // (one graph per file, the reference's dataset model), which
+        // enables the FROM / GRAPH constructs in the query.
         if (args.length < 3) {
           System.err.println(
-            "usage: graft.Cli sparql <tableDir> \"<SELECT ...>\" [ontologyFile]")
+            "usage: graft.Cli sparql <tableDir> \"<SELECT ...>\" [ontologyFile[,file2,...]]")
           sys.exit(2)
         }
         try {
           val store =
-            if (args.length >= 4) graft.sources.Rdf.readOntology(spark, args(3))
-            else graft.operators.Graph.triples(lake)
+            if (args.length >= 4) {
+              val files = args(3).split(',').toSeq.filter(_.nonEmpty)
+              if (files.lengthCompare(1) == 0)
+                graft.sources.Rdf.readOntology(spark, files.head)
+              else graft.sources.Rdf.readOntologies(spark, files)
+            } else graft.operators.Graph.triples(lake)
           graft.sparql.Sparql.run(store, args(2)).show(100, truncate = false)
         } catch {
           // SparqlParseError and the reader errors (Turtle/RdfXml/

@@ -71,6 +71,7 @@ object SparkEntry {
     "ing06_turtle_skos" -> q(graft.sources.Rdf.ing06TurtleSkos),
     "ing07_mesh_terms" -> q(graft.sources.Rdf.ing07MeshTerms),
     "ing08_rdfxml_skos" -> q(graft.sources.Rdf.ing08RdfXmlSkos),
+    "ing09_graph_store" -> q(graft.sources.Rdf.ing09GraphStore),
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
@@ -827,6 +828,17 @@ object SparkEntry {
         |   '', CAST(1 AS BIGINT), CAST(0 AS BIGINT))
         |) AS t(id, label, definition, synonyms, n_parents, n_xrefs)
         |ORDER BY id""".stripMargin,
+    // ing09: the two constant fixtures' per-graph inventory — 7 OBO
+    // triples (3 is_a/part_of edges + 4 term labels), 15 Turtle
+    // triples;
+    // hand-checkable against the fixture text, any parser or
+    // graph-tagging defect moves a count or a min subject.
+    "ing09_graph_store" ->
+      """SELECT * FROM (VALUES
+        |  ('onto.obo', CAST(7 AS BIGINT), 'GT:0001'),
+        |  ('skos.ttl', CAST(15 AS BIGINT), 'http://ex.org/c1')
+        |) AS t(g, n_triples, first_subject)
+        |ORDER BY g""".stripMargin,
     // ing07: the MeSH fixture's expected export — rdfs:label over
     // meshv:prefLabel, scopeNote fallbacks, active->obsolete
     // inversion, descriptor/concept namespacing.

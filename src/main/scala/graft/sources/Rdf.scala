@@ -662,6 +662,28 @@ object Rdf {
     }
   }
 
+  /** Load several ontology files into ONE named-graph QUAD store —
+    * the reference's dataset model: each of its 13 ontologies lands in
+    * its own named graph and queries address them with GRAPH clauses
+    * (convert_ontologies.py populates the store, sparql_query.py:52,
+    * :60 wraps queries per graph). Graph name = the file's last path
+    * segment; format per file is sniffed from the extension exactly as
+    * in readOntology. The result feeds the SPARQL front-end's dataset
+    * surface (FROM / GRAPH) unchanged — and on a real deployment the
+    * per-file tag is the partition column, so a ground GRAPH clause is
+    * partition pruning. */
+  def readOntologies(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readOntologies needs at least one file")
+    paths
+      .map { p =>
+        val name = p.substring(p.lastIndexOf('/') + 1)
+        readOntology(spark, p)
+          .select(col("s"), col("p"), col("o"), col("is_literal"))
+          .withColumn("g", lit(name))
+      }
+      .reduce(_.unionByName(_))
+  }
+
   // ------------------------------------------------------- query entries
 
   /** Per-process fixture dir (same rationale as Lake.warehouseBase). */
@@ -751,6 +773,34 @@ object Rdf {
       // wholetext parse + window stanza fold + per-query session
       // floor, not the empty closure stage.
       maxPathHops = 3
+    )
+  }
+
+  /** ing09: MULTI-ONTOLOGY named-graph ingestion — two fixture files
+    * in two different syntaxes (the OBO stanza grammar and the Turtle
+    * concept scheme) loaded into one quad store by readOntologies,
+    * then inventoried through the SPARQL dataset surface: `GRAPH ?g`
+    * binds each triple's source ontology, and the aggregate reports
+    * per-graph triple count and lexicographic first subject. This is
+    * the reference's day-one shape — 13 ontologies, one named graph
+    * each, queried per graph — end to end from raw files to SPARQL
+    * text. */
+  def ing09GraphStore(lake: Lake): DataFrame = {
+    val spark = lake.spark
+    val dir = fixtureDir.resolve("ing09")
+    java.nio.file.Files.createDirectories(dir)
+    val obo = dir.resolve("onto.obo")
+    val ttl = dir.resolve("skos.ttl")
+    java.nio.file.Files.write(
+      obo, OboFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      ttl, TurtleFixture.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val store = readOntologies(spark, Seq(obo.toString, ttl.toString))
+    graft.sparql.Sparql.run(
+      store,
+      """SELECT ?g (COUNT(*) AS ?n_triples) (MIN(?s) AS ?first_subject)
+        |WHERE { GRAPH ?g { ?s ?p ?o } }
+        |GROUP BY ?g ORDER BY ?g""".stripMargin
     )
   }
 }

@@ -377,6 +377,36 @@ class IngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains(".json"))
   }
 
+  test("readOntologies tags each file's triples with its own named graph") {
+    import graft.sources.{Rdf, Turtle}
+    val dir = java.nio.file.Paths.get(s"$tmp/multigraph")
+    java.nio.file.Files.createDirectories(dir)
+    def write(name: String, body: String): String = {
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p.toString
+    }
+    val quads = Rdf.readOntologies(
+      spark,
+      Seq(write("a.ttl", Rdf.TurtleFixture), write("b.obo", Rdf.OboFixture)))
+    assert(quads.columns.toSeq == Seq("s", "p", "o", "is_literal", "g"))
+    val byGraph = quads.collect().groupBy(_.getString(4))
+    assert(byGraph.keySet == Set("a.ttl", "b.obo"))
+    // per-graph content is exactly the single-file read
+    assert(byGraph("a.ttl").length ==
+      Turtle.parseTurtle(Rdf.TurtleFixture).length)
+    assert(byGraph("b.obo").map(r => (r.getString(0), r.getString(1))).toSet ==
+      Rdf.readOntology(spark, dir.resolve("b.obo").toString)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet)
+    // and the SPARQL dataset surface addresses one file's graph
+    val labels = graft.sparql.Sparql.run(
+      quads,
+      """SELECT ?s ?o WHERE { GRAPH <b.obo> { ?s <label> ?o } } ORDER BY ?s""")
+      .collect()
+    assert(labels.length == 4, "4 OBO term labels expected")
+    assert(labels.forall(_.getString(0).startsWith("GT:")))
+  }
+
   test("OBO: stanza fold produces the reference's three tables") {
     val dir = java.nio.file.Paths.get(s"$tmp/obo")
     java.nio.file.Files.createDirectories(dir)
