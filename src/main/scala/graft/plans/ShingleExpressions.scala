@@ -70,3 +70,53 @@ object ShingleHashes {
   def apply(text: Column, n: Int): Column =
     Bridge.column(ShingleHashes(Bridge.expression(text), n))
 }
+
+/** ShingleHashes' POSITIONAL sibling: the i-th element is the
+  * xxhash64 of the word n-gram STARTING at token i — in token order,
+  * duplicates kept, so `posexplode` recovers (position, gram-hash)
+  * pairs. This is the sliding-window kernel for span-level operators
+  * (dedup13), where WHERE a window sits matters as much as what it
+  * hashes; the set-semantics ShingleHashes loses exactly that. Same
+  * tokenization and seed-42 XXH64 as ShingleHashes, so hashes are
+  * interchangeable across both kernels. */
+case class ShingleHashSeq(child: Expression, n: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "shingle_hash_seq"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val toks = s.trim.split("\\s+")
+    if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = toks.length - (n - 1)
+    val out = new Array[Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      val bytes = UTF8String.fromString(sb.toString)
+      out(i) = XXH64.hashUnsafeBytes(
+        bytes.getBaseObject, bytes.getBaseOffset, bytes.numBytes(), 42L
+      )
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashSeq {
+  def apply(text: Column, n: Int): Column =
+    Bridge.column(ShingleHashSeq(Bridge.expression(text), n))
+}
