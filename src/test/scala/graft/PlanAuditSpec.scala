@@ -331,4 +331,26 @@ class PlanAuditSpec extends AnyFunSuite {
     // codegen stages print as "*(n) Operator" in the executed plan
     assert(p.contains("*(1)") && p.contains("*(2) HashAggregate"), p)
   }
+
+  test("dedup13: hash-keyed index, islands window per doc, no cartesian") {
+    val p = plan(graft.operators.Dedup.dedup13ExactSubstring(lake))
+    // the frequency index and semi-join key on the 8-byte window hash,
+    // never on a gram string column
+    assert(p.contains("shingle_hash_seq"), p)
+    assert(!p.contains("array_join"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    // the islands merge windows per doc_id — never a global window
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")), p)
+  }
+
+  test("txt27: char entropy is one map-side pass — no join, no aggregate") {
+    val p = plan(TextAnalysis.txt27CharEntropy(lake))
+    assert(p.contains("char_info"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // the only exchange is the final presentation sort's range partition
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), p)
+  }
 }
