@@ -122,6 +122,7 @@ object SparkEntry {
     "txt25_ccnet_buckets" -> q(TextAnalysis.txt25CcnetBuckets),
     "txt26_line_dedup" -> q(TextAnalysis.txt26LineDedup(_)),
     "txt27_char_entropy" -> q(TextAnalysis.txt27CharEntropy),
+    "txt28_ngram_novelty" -> q(TextAnalysis.txt28NgramNovelty(_)),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
@@ -1987,6 +1988,25 @@ object SparkEntry {
         |  md5(COALESCE(r.txt, '')) AS kept_fp
         |FROM t LEFT JOIN r USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // txt28: the oracle replays the window index over gram STRINGS
+    // (the Spark side keys 8-byte hashes — identical absent a 64-bit
+    // collision, the dedup13 contract); min(doc_id) is first-seen,
+    // strictly-smaller comparison marks repeats.
+    "txt28_ngram_novelty" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+        |  FROM documents),
+        |g0 AS (SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 7)) AS i
+        |  FROM tk WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM g0),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram),
+        |j AS (SELECT g.doc_id,
+        |    CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END AS rep
+        |  FROM g JOIN f USING (gram))
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(rep) AS BIGINT) AS n_repeated,
+        |  ROUND(CAST(SUM(rep) AS DOUBLE) / COUNT(*), 4) AS repeated_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // txt27: DuckDB's string_split(text,'') is per code point, as is
     // the CharInfo loop; both sides round the double sum to 4.
     "txt27_char_entropy" ->

@@ -1296,4 +1296,46 @@ object TextAnalysis {
         round(col("ci.entropy"), 4).as("char_entropy")
       )
       .orderBy("doc_id")
+
+  /** txt28: N-GRAM NOVELTY in corpus order — for each document, the
+    * fraction of its k-token windows whose FIRST corpus occurrence is
+    * in an earlier document (by doc id = arrival order). The
+    * incremental-crawl curation signal: a re-crawled page scores near
+    * 1.0 repeated, fresh writing near 0.0, template-with-new-content
+    * in between — the graded companion to dedup13's binary spans and
+    * dedup12's keep/drop verdicts.
+    *
+    * Scale shape: one ShingleHashSeq pass (linear), one
+    * partial-aggregating min(doc_id) per window hash (the frequency
+    * index shape again — df rows per window, never df²), one
+    * broadcast-free equi-join back, one per-doc aggregate. A window
+    * repeated WITHIN its first document counts as novel there (the
+    * global first occurrence is that document) and repeated
+    * everywhere later. */
+  def txt28NgramNovelty(lake: Lake, k: Int = 8): DataFrame = {
+    val grams = lake.documents
+      .select(
+        col("doc_id"),
+        explode(graft.plans.ShingleHashSeq(col("text"), k)).as("gh")
+      )
+    val firstSeen = grams
+      .groupBy("gh")
+      .agg(min("doc_id").as("first_doc"))
+    grams
+      .join(firstSeen, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+          .as("n_repeated")
+      )
+      .select(
+        col("doc_id"),
+        col("n_windows"),
+        col("n_repeated"),
+        round(col("n_repeated").cast("double") / col("n_windows"), 4)
+          .as("repeated_frac")
+      )
+      .orderBy("doc_id")
+  }
 }

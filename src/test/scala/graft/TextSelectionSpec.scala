@@ -229,4 +229,31 @@ class TextSelectionSpec extends AnyFunSuite {
         s"entropy $e above log2($u)")
     }
   }
+
+  test("ngram novelty equals a brute-force first-seen scan; earliest doc is all-novel") {
+    val k = 8
+    val docs = lake.documents
+      .select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.replaceAll("\\s+", " ").split(" "))
+      .filter(_._2.length >= k)
+    val windows = docs.flatMap { case (id, w) =>
+      (0 to w.length - k).map(p => (w.slice(p, p + k).mkString(" "), id))
+    }
+    val firstSeen = windows.groupBy(_._1).map { case (g, occ) => g -> occ.map(_._2).min }
+    val expected = windows.groupBy(_._2).map { case (id, ws) =>
+      val rep = ws.count(w => firstSeen(w._1) < id)
+      id -> ((ws.length.toLong, rep.toLong,
+        math.rint(10000.0 * rep / ws.length) / 10000))
+    }
+    val got = TextAnalysis.txt28NgramNovelty(lake).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected, "novelty differs from brute-force scan")
+    // the earliest doc can repeat nothing; fractions bounded
+    assert(got(docs.map(_._1).min)._2 == 0L)
+    got.values.foreach { case (n, rep, f) =>
+      assert(rep <= n && f >= 0.0 && f <= 1.0)
+    }
+  }
 }
