@@ -139,6 +139,7 @@ object SparkEntry {
     "xref08_bridges" -> q(Linkage.xref08Bridges),
     "xref09_blocking_quality" -> q(Linkage.xref09BlockingQuality(_)),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
+    "sim09_prefix_rerank" -> q(Similarity.sim09PrefixRerank(_)),
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "evt09_interval_join" -> q(Events.evt09IntervalJoin(_)),
@@ -1137,6 +1138,27 @@ object SparkEntry {
          |  FROM s)
          |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
          |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    // sim09: the two-stage plan replayed verbatim — prefix-16 cosine
+    // top-50 per query, then exact full-dim rerank of those ids.
+    "sim09_prefix_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT vec_id, v[1:16] AS vp FROM e),
+         |qp AS (SELECT vec_id AS query_id, vp AS qvp FROM p WHERE vec_id < 10),
+         |qf AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT query_id, vec_id, ${dkCos("qvp", "vp")} AS pcos
+         |      FROM qp JOIN p ON vec_id != query_id),
+         |c AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY pcos DESC, vec_id) AS pr FROM s)
+         |  WHERE pr <= 50),
+         |r AS (SELECT c.query_id, c.vec_id, ${dkCos("qv", "v")} AS cos_raw
+         |      FROM c JOIN e ON c.vec_id = e.vec_id
+         |      JOIN qf ON c.query_id = qf.query_id),
+         |t AS (SELECT query_id, vec_id, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank FROM r)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
+         |FROM t WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
     "sim02_threshold_join" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

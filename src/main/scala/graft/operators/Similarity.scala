@@ -648,4 +648,74 @@ object Similarity {
       .select("src", "dst", "cos")
       .orderBy("src", "dst")
   }
+
+  /** sim09: PREFIX-DIMENSION prefilter + exact rerank — the
+    * coarse-then-refine ANN pattern (FAISS's two-stage
+    * refine/RFlat idiom; also how Matryoshka-style truncatable
+    * embeddings are served): stage 1 ranks by cosine over only the
+    * FIRST `prefixDims` dimensions and keeps `overfetch` candidates
+    * per query, stage 2 fetches the candidates' FULL vectors by id
+    * and reranks exactly, returning top-k.
+    *
+    * The scale story is bandwidth: the stage-1 scan reads and
+    * shuffles d/prefixDims (here 4×) fewer vector bytes — at 100 TB
+    * the prefix columns are a separate narrow parquet projection, so
+    * the corpus-wide pass touches a quarter of the data, and full
+    * 64-dim vectors are fetched for only |queries| × overfetch rows
+    * through the id equi-join (never carried through the prefilter
+    * window). Recall is governed by overfetch/k and how much mass the
+    * leading dims carry — exact on the head by construction when the
+    * true neighbor's prefix rank is within overfetch; eval02's
+    * recall harness applies unchanged. */
+  def sim09PrefixRerank(
+      lake: Lake,
+      k: Int = 10,
+      nQueries: Int = 10,
+      prefixDims: Int = 16,
+      overfetch: Int = 50
+  ): DataFrame = {
+    val all = vecs(lake)
+    val pre = all
+      .select(col("vec_id"), slice(col("v"), 1, prefixDims).as("vp"))
+      .withColumn("pnrm", vectors.norm(col("vp")))
+    val qPre = pre
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        col("vp").as("qvp"),
+        col("pnrm").as("qpnrm")
+      )
+    val wPre =
+      Window.partitionBy("query_id").orderBy(col("pcos").desc, col("vec_id"))
+    val candidates = pre
+      .join(broadcast(qPre), col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "pcos",
+        vectors.dot(col("qvp"), col("vp")) / (col("qpnrm") * col("pnrm"))
+      )
+      .withColumn("prank", row_number().over(wPre))
+      .filter(col("prank") <= overfetch)
+      .select("query_id", "vec_id")
+    val qFull = all
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val wFull =
+      Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
+    candidates
+      .join(all.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .withColumn(
+        "cos_raw",
+        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+      )
+      .withColumn("rank", row_number().over(wFull))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos")
+      )
+      .orderBy("query_id", "rank")
+  }
 }

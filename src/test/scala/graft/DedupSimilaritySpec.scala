@@ -518,6 +518,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // carries exactness; this test carries semantics.
   }
 
+  test("prefix rerank: full-width/full-overfetch degenerations are exact; default recall usable") {
+    val brute = Similarity.sim01TopKBruteForce(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // overfetch covering the corpus makes stage 2 a full exact rerank —
+    // identical to brute force for ANY prefix width
+    val n = lake.embeddings.count().toInt
+    assert(rows(Similarity.sim09PrefixRerank(lake, overfetch = n)).sameElements(brute),
+      "full-overfetch rerank must equal brute force")
+    // full-width prefix makes stage 1 already exact
+    assert(rows(Similarity.sim09PrefixRerank(lake, prefixDims = 64)).sameElements(brute),
+      "full-width prefix must equal brute force")
+    // the default config keeps usable recall even on near-uniform
+    // embeddings (the truncation worst case; measured 0.50 at sf0.01)
+    val bSet = brute.map(t => (t._1, t._3)).toSet
+    val pSet = rows(Similarity.sim09PrefixRerank(lake)).map(t => (t._1, t._3)).toSet
+    val recall = (bSet & pSet).size.toDouble / bSet.size
+    assert(recall >= 0.4, s"recall $recall below floor")
+  }
+
   test("exact-substring spans equal a brute-force scan; planted passages recovered") {
     val k = 8
     val docs = lake.documents
