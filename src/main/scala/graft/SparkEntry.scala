@@ -112,6 +112,8 @@ object SparkEntry {
     "graph16_sparql_construct" -> q(Graph.graph16SparqlConstruct),
     "graph17_sparql_describe" -> q(Graph.graph17SparqlDescribe),
     "graph18_sparql_graphs" -> q(Graph.graph18SparqlGraphs),
+    "graph19_sparql_exists" -> q(Graph.graph19SparqlExists),
+    "graph20_sparql_path_star" -> q(Graph.graph20SparqlPathStar),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2495,6 +2497,61 @@ object SparkEntry {
         |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r) JOIN p4 USING (n)
         |GROUP BY nl
         |ORDER BY nl""".stripMargin,
+    // graph20: p* = ZeroLengthPath ∪ p+ — the oracle replays the
+    // node self-pairs (set-union with the in_region edge set, which
+    // is single-hop in this store) and the label join.
+    "graph20_sparql_path_star" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0),
+        |star AS (
+        |  SELECT n AS s, n AS o FROM (
+        |    SELECT s AS n FROM triples UNION SELECT o FROM triples)
+        |  UNION
+        |  SELECT s, o FROM triples WHERE p = 'in_region'),
+        |lab AS (SELECT s, o AS l FROM triples WHERE p = 'label')
+        |SELECT star.s AS start, star.o AS anc, lab.l
+        |FROM star JOIN lab ON star.o = lab.s
+        |ORDER BY start, anc""".stripMargin,
+    // graph19: FILTER EXISTS de-sugars to a semi join, NOT EXISTS to
+    // an anti join — the oracle replays both as EXISTS subqueries
+    // over the triple synthesis.
+    "graph19_sparql_exists" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0),
+        |base AS (
+        |  SELECT ir.s AS n, lab.o AS l
+        |  FROM triples ir
+        |  JOIN triples rl ON ir.o = rl.s AND rl.p = 'label' AND rl.o <> 'EUROPE'
+        |  JOIN triples lab ON ir.s = lab.s AND lab.p = 'label'
+        |  WHERE ir.p = 'in_region')
+        |SELECT n, l FROM base b
+        |WHERE EXISTS (SELECT 1 FROM triples c
+        |              WHERE c.p = 'in_nation' AND c.o = b.n)
+        |  AND NOT EXISTS (SELECT 1 FROM triples f
+        |                  WHERE f.p = 'flagged' AND f.o = 'true' AND f.s = b.n)
+        |ORDER BY n""".stripMargin,
     // graph09: the SPARQL-text query compiled by graft.sparql.Sparql —
     // the oracle is the de-sugared algebra (closure + label join +
     // left join on the sparse annotation + filter), so it checks the

@@ -161,16 +161,48 @@ object Graph {
       df.select(proj: _*)
     }
     def scan(pat: (String, String, String)): DataFrame = pat._2 match {
-      // SPARQL property path `p+` / `(p1|p2)+` as a pattern predicate:
-      // the pattern's solutions are the transitive closure over the
-      // predicate union, bound on (s, o) like any other pattern. The
-      // hop bound is `maxPathHops` (cycle-safe, same as graph02/08).
-      case p if !p.startsWith("?") && p.endsWith("+") =>
-        val preds = p.stripSuffix("+").stripPrefix("(").stripSuffix(")")
+      // SPARQL property paths as pattern predicates: `p+`/`(p1|p2)+`
+      // solutions are the transitive closure over the predicate union
+      // (hop bound `maxPathHops`, cycle-safe, same as graph02/08);
+      // `p*` unions in SPARQL's ZeroLengthPath (a ground endpoint
+      // contributes itself; two variables range over the graph's
+      // nodes — subjects ∪ objects); `p?` is the single-hop edge set
+      // plus the same zero-length solutions. All bind on (s, o) like
+      // any other pattern; path solutions are SETS per the spec,
+      // hence the distinct after the zero union.
+      case p if !p.startsWith("?") &&
+          (p.endsWith("+") || p.endsWith("*") || p.endsWith("?")) =>
+        val mod = p.last
+        val preds = p.dropRight(1).stripPrefix("(").stripSuffix(")")
           .split('|').toSeq
-        val closure = propertyPathClosure(triples, preds, maxPathHops)
-          .select(col("src").as("s"), col("dst").as("o"))
-        bind(closure, Seq("s" -> pat._1, "o" -> pat._3))
+        val step =
+          if (mod == '?')
+            triples.filter(col("p").isin(preds: _*)).select(col("s"), col("o"))
+          else
+            propertyPathClosure(triples, preds, maxPathHops)
+              .select(col("src").as("s"), col("dst").as("o"))
+        val reach =
+          if (mod == '+') step
+          else {
+            val zero =
+              if (!pat._1.startsWith("?"))
+                triples.sparkSession
+                  .range(1)
+                  .select(lit(pat._1).as("s"), lit(pat._1).as("o"))
+              else if (!pat._3.startsWith("?"))
+                triples.sparkSession
+                  .range(1)
+                  .select(lit(pat._3).as("s"), lit(pat._3).as("o"))
+              else {
+                val nodes = triples
+                  .select(col("s").as("n"))
+                  .unionAll(triples.select(col("o").as("n")))
+                  .distinct()
+                nodes.select(col("n").as("s"), col("n").as("o"))
+              }
+            zero.unionAll(step).distinct()
+          }
+        bind(reach, Seq("s" -> pat._1, "o" -> pat._3))
       case _ =>
         bind(triples, Seq("s" -> pat._1, "p" -> pat._2, "o" -> pat._3))
     }
@@ -394,6 +426,52 @@ object Graph {
         |  GRAPH ?g { ?n <flagged> "true" }
         |}
         |ORDER BY ?n""".stripMargin
+    )
+
+  /** graph19: SPARQL FILTER EXISTS / NOT EXISTS as TEXT — the
+    * spec's existence test, the OTHER negation idiom next to MINUS
+    * (and the one real ontology queries reach for first: "concepts
+    * with at least one member", "terms lacking an annotation"). Each
+    * group compiles to a LEFT SEMI (anti when negated) join on the
+    * shared variable — one shuffle, no per-solution probing, the
+    * 100 TB shape of an existence gate. Here: nations outside EUROPE
+    * that have at least one customer (EXISTS — semi join against the
+    * in_nation scan) and do NOT carry the sparse `flagged`
+    * annotation (NOT EXISTS — anti join), with a plain FILTER
+    * composing alongside. */
+  def graph19SparqlExists(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?n ?l
+        |WHERE {
+        |  ?n <in_region> ?r .
+        |  ?r <label> ?rl .
+        |  ?n <label> ?l .
+        |  FILTER(?rl != "EUROPE")
+        |  FILTER EXISTS { ?c <in_nation> ?n }
+        |  FILTER NOT EXISTS { ?n <flagged> "true" }
+        |}
+        |ORDER BY ?n""".stripMargin
+    )
+
+  /** graph20: SPARQL zero-or-more property path as TEXT — `p*` is
+    * `p+` unioned with the spec's ZeroLengthPath (every graph node
+    * reaches itself), the reflexive-transitive idiom ontology
+    * hierarchies actually use (`skos:broader*` = "the concept AND its
+    * ancestors" — rdfs/SKOS closures are reflexive). Two-variable
+    * zero-length solutions range over the graph's nodes (subjects ∪
+    * objects — one linear distinct, no quadratic work); the label
+    * join then prunes to labeled nodes, so every nation/region pairs
+    * with itself AND nations pair with their region. */
+  def graph20SparqlPathStar(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?start ?anc ?l
+        |WHERE {
+        |  ?start <in_region>* ?anc .
+        |  ?anc <label> ?l .
+        |}
+        |ORDER BY ?start ?anc""".stripMargin
     )
 
   /** graph15: SPARQL ASK as TEXT — the reference surface's other

@@ -22,6 +22,9 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   *     s p o .                    -- terms: ?var | <iri> | pre:local | "lit"
   *     OPTIONAL { s p o } .       -- exactly one triple per OPTIONAL
   *     FILTER(expr) .             -- ?v comparisons, && || !, REGEX/
+  *     FILTER EXISTS { … } .      -- existence gate (semi join); NOT
+  *                                --   EXISTS anti-joins; full
+  *                                --   fragment inside (recursive)
   *     VALUES ?v { "a" <i> } .    -- inline bindings; also (?a ?b) rows
   *     BIND(expr AS ?v) .         -- computed binding, FILTER's language
   *   }                            --   CONTAINS/STRSTARTS/STRENDS/
@@ -34,9 +37,12 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   * { … }` with any number of branches, each branch its own
   * BGP/OPTIONAL group — or a `{ … } MINUS { … }` pair (left anti join
   * on the shared variables) — plus property paths in the predicate
-  * position: `<p>+` and `(<p1>|<p2>)+` (one-or-more over a predicate
-  * union) compiled to the hop-bounded distributed closure, sequence
-  * paths `seg1/seg2/…` desugared into pattern chains through hidden
+  * position: `<p>+` / `(<p1>|<p2>)+` (one-or-more over a predicate
+  * union) compiled to the hop-bounded distributed closure, `<p>*`
+  * (zero-or-more: the closure unioned with SPARQL's ZeroLengthPath —
+  * a ground endpoint contributes itself, two variables range over
+  * the graph's nodes) and `<p>?` (zero-or-one), sequence paths
+  * `seg1/seg2/…` desugared into pattern chains through hidden
   * fresh variables, inverse segments `^p` (endpoint swap, `^p+` =
   * `^(p+)` per the SPARQL grammar), and the `a` keyword for rdf:type.
   * Against a QUAD frame (s, p, o, g) the dataset surface also works:
@@ -44,8 +50,8 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   * `GRAPH <iri> { … }` (full fragment inside, over one pruned graph),
   * and `GRAPH ?g { … }` (plain patterns; g binds per solution).
   * Anything outside the fragment (subqueries, `?p` predicate
-  * variables with paths, bare alternation without `+`, zero-or-more
-  * `*`, UNION/MINUS mixes, GRAPH against a 3-column frame, nested
+  * variables with paths, bare alternation without a modifier,
+  * UNION/MINUS mixes, GRAPH against a 3-column frame, nested
   * GRAPH, FROM NAMED, …) is rejected with a message naming the
   * construct — never silently misparsed.
   *
@@ -105,7 +111,11 @@ object Sparql {
       // GRAPH groups: (graph term — "?var" or ground IRI, patterns,
       // OPTIONAL indices within the group)
       graphGroups: Seq[(String, Seq[(String, String, String)], Set[Int])] =
-        Seq.empty
+        Seq.empty,
+      // FILTER [NOT] EXISTS groups: (negated, synthetic SELECT *
+      // query text the group re-parses as — outer PREFIX/FROM
+      // serialized back in, so the full fragment works inside)
+      existsGroups: Seq[(Boolean, String)] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -257,9 +267,27 @@ object Sparql {
     val withBinds = p.binds.foldLeft(withValues) { case (acc, (v, sql)) =>
       acc.withColumn(v, expr(sql))
     }
-    val matched =
+    val withFilter =
       if (pushFilter) withBinds
       else p.filterSql.map(expr).fold(withBinds)(withBinds.filter)
+    // FILTER [NOT] EXISTS: each group re-enters run() on the same
+    // dataset and gates the solutions with a LEFT SEMI join (anti
+    // when negated) on the shared variables — SPARQL's existence test
+    // as the one-shuffle semi-join idiom, never materializing the
+    // inner solutions per outer row. A group sharing NO variable
+    // degenerates to an any-solution-at-all gate: a broadcast
+    // limit(1) probe of the inner plan, so the scan short-circuits.
+    // Null shared bindings (OPTIONAL misses) never match — the same
+    // single-shared-var exactness contract MINUS documents above;
+    // partially-bound multi-var rows are out of this fragment.
+    val matched = p.existsGroups.foldLeft(withFilter) { case (acc, (neg, sub)) =>
+      val inner = run(triples, sub, maxPathHops)
+      val shared = acc.columns.intersect(inner.columns).toSeq
+      val joinType = if (neg) "left_anti" else "left_semi"
+      if (shared.nonEmpty)
+        acc.join(inner.select(shared.map(col): _*), shared, joinType)
+      else acc.join(broadcast(inner.limit(1)), lit(true), joinType)
+    }
     // ASK: does at least one solution survive the chain? limit(1)
     // short-circuits the scan; the result is one boolean row.
     if (p.isAsk)
@@ -378,7 +406,11 @@ object Sparql {
 
   def parse(query: String): ParsedQuery = {
     val noComments = stripComments(query)
-    val (noFilters, filterBodies) = extractFilters(noComments)
+    // EXISTS extraction runs FIRST: `FILTER [NOT] EXISTS { … }`
+    // carries a braced group, which plain-FILTER extraction would
+    // reject as "not parenthesized".
+    val (noExists, existsRaw) = extractExists(noComments)
+    val (noFilters, filterBodies) = extractFilters(noExists)
     val (noBinds, bindBodies) = extractBinds(noFilters)
     val toks = tokenize(noBinds)
     val st = new TokenStream(toks)
@@ -554,33 +586,37 @@ object Sparql {
     def pathSegment(): (String, Boolean) = {
       var inverted = false
       if (st.peek == Some("^")) { st.next(); inverted = true }
+      // Optional trailing modifier: `+` (one-or-more), `*` (zero-or-
+      // more), `?` (zero-or-one). The `?` here is a LONE punctuation
+      // token — a `?var` object lexes as one token and never matches.
+      def modifier(): String = st.peek match {
+        case Some("+") => st.next(); "+"
+        case Some("*") => st.next(); "*"
+        case Some("?") => st.next(); "?"
+        case _         => ""
+      }
       val pred =
         if (st.peek == Some("(")) {
           st.next()
           var alts = Vector(term(st.next()))
           while (st.peek == Some("|")) { st.next(); alts :+= term(st.next()) }
           st.expect(")")
-          if (st.peek == Some("+")) { st.next(); s"(${alts.mkString("|")})+" }
-          else
+          val m = modifier()
+          if (m.isEmpty)
             throw SparqlParseError(
-              "bare alternation without '+' is not supported (use (p1|p2)+)")
+              "bare alternation without a path modifier is not supported (use (p1|p2)+ / * / ?)")
+          s"(${alts.mkString("|")})$m"
         } else {
           val t = st.next()
           // SPARQL's `a` keyword == rdf:type, predicate position only
           val base =
             if (t == "a") "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
             else term(t)
-          if (st.peek == Some("+")) {
-            st.next()
-            if (base.startsWith("?"))
-              throw SparqlParseError("property paths over a ?variable are not supported")
-            base + "+"
-          } else base
+          val m = modifier()
+          if (m.nonEmpty && base.startsWith("?"))
+            throw SparqlParseError("property paths over a ?variable are not supported")
+          base + m
         }
-      if (st.peek == Some("*"))
-        throw SparqlParseError("zero-or-more '*' paths are not supported (use '+')")
-      if (st.peek == Some("?") )
-        throw SparqlParseError("zero-or-one '?' paths are not supported")
       (pred, inverted)
     }
 
@@ -705,7 +741,7 @@ object Sparql {
               if (gOpt.nonEmpty)
                 throw SparqlParseError(
                   "OPTIONAL inside GRAPH ?var is not supported (ground GRAPH IRIs take the full fragment)")
-              if (gPats.exists(_._2.endsWith("+")))
+              if (gPats.exists(p => Seq("+", "*", "?").exists(p._2.endsWith)))
                 throw SparqlParseError(
                   "property paths inside GRAPH ?var are not supported (ground GRAPH IRIs take the full fragment)")
             }
@@ -840,12 +876,27 @@ object Sparql {
       case Seq()  => None
       case exprs  => Some(exprs.map(e => s"($e)").mkString(" AND "))
     }
+    // Each EXISTS group becomes a standalone SELECT * query (outer
+    // PREFIX declarations and FROM dataset serialized back into the
+    // text) and re-enters this parser — so property paths, OPTIONAL,
+    // inner FILTER, even nested EXISTS all work inside, and a
+    // malformed body rejects NOW with the construct named rather than
+    // at run time.
+    val existsGroups = existsRaw.map { case (neg, body) =>
+      val prefixText =
+        prefixes.map { case (k, v) => s"PREFIX $k: <$v> " }.mkString
+      val fromText = fromGraphs.map(g => s"FROM <$g> ").mkString
+      val sub = s"${prefixText}SELECT * ${fromText}WHERE { $body }"
+      parse(sub)
+      (neg, sub)
+    }
     ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit,
       distinct, aggregates, groupBy, projection, branches.tail, internalVars,
       offset, valuesBlocks,
       bindBodies.map { case (v, body) => (v, translateFilter(body)) },
       minusBranch, isAsk, isConstruct, template,
-      fromGraphs = fromGraphs, graphGroups = graphGroups)
+      fromGraphs = fromGraphs, graphGroups = graphGroups,
+      existsGroups = existsGroups)
   }
 
   // ------------------------------------------------------------- lexing
@@ -910,6 +961,52 @@ object Sparql {
       }
     }
     (out.toString, bodies.result())
+  }
+
+  /** Splice every `FILTER [NOT] EXISTS { … }` out of the text
+    * (balanced braces, quote-aware, '.' terminator tolerated) and
+    * return the remaining text plus (negated, group body) pairs.
+    * Runs BEFORE plain-FILTER extraction: an EXISTS filter carries a
+    * braced group, not a parenthesized expression. Group-level like
+    * FILTER — wherever it appears, it gates the final bindings. */
+  private def extractExists(s: String): (String, Seq[(Boolean, String)]) = {
+    val groups = Vector.newBuilder[(Boolean, String)]
+    val out = new StringBuilder(s.length)
+    val kw = "(?i)\\bFILTER(\\s+NOT)?\\s+EXISTS\\b".r
+    var rest = s
+    var done = false
+    while (!done) {
+      kw.findAllMatchIn(rest)
+        .find(m => rest.substring(0, m.start).count(_ == '"') % 2 == 0) match {
+        case None => out.append(rest); done = true
+        case Some(m) =>
+          out.append(rest.substring(0, m.start))
+          val negated = m.group(1) != null
+          var i = m.end
+          while (i < rest.length && rest.charAt(i).isWhitespace) i += 1
+          if (i >= rest.length || rest.charAt(i) != '{')
+            throw SparqlParseError(
+              "FILTER EXISTS must be followed by a braced group")
+          var depth = 0
+          var inStr = false
+          val start = i
+          var end = -1
+          while (i < rest.length && end < 0) {
+            val c = rest.charAt(i)
+            if (c == '"') inStr = !inStr
+            else if (!inStr && c == '{') depth += 1
+            else if (!inStr && c == '}') { depth -= 1; if (depth == 0) end = i }
+            i += 1
+          }
+          if (end < 0)
+            throw SparqlParseError("unbalanced braces in FILTER EXISTS")
+          groups += ((negated, rest.substring(start + 1, end)))
+          rest = rest.substring(end + 1)
+          val trimmed = rest.dropWhile(_.isWhitespace)
+          if (trimmed.startsWith(".")) rest = trimmed.drop(1)
+      }
+    }
+    (out.toString, groups.result())
   }
 
   // '/' and '^' are path operators; FILTER bodies are spliced out
@@ -1058,6 +1155,10 @@ object Sparql {
     segs.result().map {
       case (txt, true) => "'" + txt.replace("'", "''") + "'"
       case (txt, false) =>
+        if ("(?i)\\bEXISTS\\b".r.findFirstIn(txt).isDefined)
+          throw SparqlParseError(
+            "EXISTS inside a parenthesized FILTER is not supported " +
+              "(write FILTER [NOT] EXISTS { … })")
         var t = txt
         t = t.replaceAll("\\?([A-Za-z_]\\w*)", "$1")
         t = "(?i)\\bBOUND\\s*\\(\\s*(\\w+)\\s*\\)".r

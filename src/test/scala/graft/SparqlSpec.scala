@@ -196,15 +196,55 @@ class SparqlSpec extends AnyFunSuite {
     val a = Sparql.parse("SELECT ?x WHERE { ?x a <skos:Concept> }")
     assert(a.patterns ==
       Seq(("?x", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "skos:Concept")))
-    // rejections: *, ?, and sequences inside OPTIONAL
+    // * and ? parse as path modifiers (lone tokens, never a ?var)
+    assert(Sparql.parse("SELECT ?x WHERE { ?x <p>* ?y }").patterns ==
+      Seq(("?x", "p*", "?y")))
+    assert(Sparql.parse("SELECT ?x WHERE { ?x <p> ? ?y }").patterns ==
+      Seq(("?x", "p?", "?y")))
+    assert(Sparql.parse("SELECT ?x WHERE { ?x (<p>|<q>)* ?y }").patterns ==
+      Seq(("?x", "(p|q)*", "?y")))
+    // rejections: sequences inside OPTIONAL
     def rejects(q: String, fragment: String): Unit = {
       val e = intercept[SparqlParseError](Sparql.parse(q))
       assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
     }
-    rejects("SELECT ?x WHERE { ?x <p>* ?y }", "zero-or-more")
-    rejects("SELECT ?x WHERE { ?x <p> ? ?y }", "zero-or-one")
     rejects("SELECT ?x WHERE { ?x <p> ?y . OPTIONAL { ?x <q>/<r> ?z } }",
       "sequence paths inside OPTIONAL")
+  }
+
+  test("zero-or-more and zero-or-one path execution") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // chain a -in-> b -in-> c, with one labeled node
+    val t = Seq(
+      ("a", "in", "b"),
+      ("b", "in", "c"),
+      ("b", "label", "B")
+    ).toDF("s", "p", "o")
+
+    // ground start: zero-length self + descendants
+    val star = Sparql.run(t, "SELECT ?o WHERE { <a> <in>* ?o } ORDER BY ?o")
+      .collect().map(_.getString(0))
+    assert(star.toSeq == Seq("a", "b", "c"))
+
+    // zero-or-one: self + one hop only
+    val opt = Sparql.run(t, "SELECT ?o WHERE { <a> <in>? ?o } ORDER BY ?o")
+      .collect().map(_.getString(0))
+    assert(opt.toSeq == Seq("a", "b"))
+
+    // ground OBJECT: itself + everything that reaches it
+    val into = Sparql.run(t, "SELECT ?s WHERE { ?s <in>* <c> } ORDER BY ?s")
+      .collect().map(_.getString(0))
+    assert(into.toSeq == Seq("a", "b", "c"))
+
+    // two variables: nodes {a,b,c,B} self-pair + closure (a,b),(a,c),(b,c)
+    assert(Sparql.run(t, "SELECT ?s ?o WHERE { ?s <in>* ?o }").count() == 7)
+
+    // composes in a sequence path: reach* then label
+    val seq = Sparql.run(t,
+      "SELECT ?s ?l WHERE { ?s <in>*/<label> ?l } ORDER BY ?s")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(seq.toSeq == Seq(("a", "B"), ("b", "B")))
   }
 
   test("parses UNION branches; a single braced group degrades to plain") {
@@ -578,5 +618,71 @@ class SparqlSpec extends AnyFunSuite {
     val e2 = intercept[SparqlParseError](Sparql.run(triples,
       "SELECT ?s WHERE { GRAPH <g:x> { ?s <in> ?o } }"))
     assert(e2.getMessage.contains("quad frame"))
+  }
+
+  test("FILTER EXISTS semi-joins, NOT EXISTS anti-joins; disjoint groups gate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val triples = Seq(
+      ("cust:1", "in_nation", "nat:1"),
+      ("nat:1", "in_region", "reg:1"),
+      ("nat:2", "in_region", "reg:1"),
+      ("nat:1", "label", "FRANCE"),
+      ("nat:2", "label", "GERMANY"),
+      ("nat:2", "flagged", "true")
+    ).toDF("s", "p", "o")
+
+    // EXISTS keeps only nations with at least one customer.
+    val ex = Sparql.run(triples,
+      "SELECT ?n WHERE { ?n <in_region> ?r . FILTER EXISTS { ?c <in_nation> ?n } } ORDER BY ?n"
+    ).collect().map(_.getString(0))
+    assert(ex.toSeq == Seq("nat:1"))
+
+    // NOT EXISTS drops the flagged nation.
+    val nex = Sparql.run(triples,
+      """SELECT ?n WHERE { ?n <in_region> ?r .
+        |  FILTER NOT EXISTS { ?n <flagged> "true" } } ORDER BY ?n""".stripMargin
+    ).collect().map(_.getString(0))
+    assert(nex.toSeq == Seq("nat:1"))
+
+    // Disjoint groups (no shared variable) gate on any-solution-at-all.
+    assert(Sparql.run(triples,
+      """SELECT ?n WHERE { ?n <in_region> ?r .
+        |  FILTER EXISTS { ?x <label> "FRANCE" } }""".stripMargin).count() == 2)
+    assert(Sparql.run(triples,
+      """SELECT ?n WHERE { ?n <in_region> ?r .
+        |  FILTER EXISTS { ?x <label> "ATLANTIS" } }""".stripMargin).count() == 0)
+    assert(Sparql.run(triples,
+      """SELECT ?n WHERE { ?n <in_region> ?r .
+        |  FILTER NOT EXISTS { ?x <label> "ATLANTIS" } }""".stripMargin).count() == 2)
+
+    // The full fragment works inside: an inner FILTER…
+    val inner = Sparql.run(triples,
+      """SELECT ?n WHERE {
+        |  ?n <in_region> ?r .
+        |  FILTER EXISTS { ?n <label> ?l . FILTER(STRSTARTS(?l, "G")) }
+        |} ORDER BY ?n""".stripMargin).collect().map(_.getString(0))
+    assert(inner.toSeq == Seq("nat:2"))
+
+    // …and a nested NOT EXISTS inside an EXISTS.
+    val nested = Sparql.run(triples,
+      """SELECT ?n WHERE {
+        |  ?n <in_region> ?r .
+        |  FILTER EXISTS { ?n <label> ?l .
+        |    FILTER NOT EXISTS { ?n <flagged> "true" } }
+        |} ORDER BY ?n""".stripMargin).collect().map(_.getString(0))
+    assert(nested.toSeq == Seq("nat:1"))
+
+    // Rejections, each naming the construct.
+    def rejects(q: String, frag: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' missing '$frag'")
+    }
+    rejects("SELECT ?s WHERE { ?s <p> ?o . FILTER EXISTS ?s <q> ?o }",
+      "braced group")
+    rejects("SELECT ?s WHERE { ?s <p> ?o . FILTER (EXISTS { ?s <q> ?o }) }",
+      "parenthesized FILTER")
+    rejects("SELECT ?s WHERE { ?s <p> ?o . FILTER EXISTS { } }",
+      "no triple patterns")
   }
 }
