@@ -114,6 +114,7 @@ object SparkEntry {
     "graph18_sparql_graphs" -> q(Graph.graph18SparqlGraphs),
     "graph19_sparql_exists" -> q(Graph.graph19SparqlExists),
     "graph20_sparql_path_star" -> q(Graph.graph20SparqlPathStar),
+    "graph21_sparql_subquery" -> q(Graph.graph21SparqlSubquery),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2497,6 +2498,22 @@ object SparkEntry {
         |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r) JOIN p4 USING (n)
         |GROUP BY nl
         |ORDER BY nl""".stripMargin,
+    // graph21: the subquery de-sugars to a pre-aggregated derived
+    // table joined on the shared var, filtered on the alias.
+    "graph21_sparql_subquery" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation),
+        |agg AS (
+        |  SELECT o AS n, CAST(COUNT(s) AS BIGINT) AS n_customers
+        |  FROM triples WHERE p = 'in_nation' GROUP BY o),
+        |lab AS (SELECT s AS n, o AS nl FROM triples WHERE p = 'label')
+        |SELECT lab.nl, agg.n_customers
+        |FROM agg JOIN lab ON agg.n = lab.n
+        |WHERE agg.n_customers >= 5
+        |ORDER BY lab.nl""".stripMargin,
     // graph20: p* = ZeroLengthPath ∪ p+ — the oracle replays the
     // node self-pairs (set-union with the in_region edge set, which
     // is single-hop in this store) and the label join.

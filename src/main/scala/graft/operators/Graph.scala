@@ -474,6 +474,28 @@ object Graph {
         |ORDER BY ?start ?anc""".stripMargin
     )
 
+  /** graph21: SPARQL subquery as TEXT — `{ SELECT … GROUP BY … }`
+    * inside WHERE, the spec's aggregate-in-pattern construct (§12)
+    * and the idiom behind "concepts with more than N members". The
+    * subquery evaluates bottom-up against the same store, joins into
+    * the outer group on its shared variable, and the outer FILTER
+    * reads the aggregate alias — the HAVING idiom without HAVING. At
+    * scale this is the pre-aggregate-then-join plan one writes by
+    * hand: the count partial-aggregates map-side before the join,
+    * never shipping per-customer rows through the label join. */
+  def graph21SparqlSubquery(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?nl ?n_customers
+        |WHERE {
+        |  { SELECT ?n (COUNT(?c) AS ?n_customers)
+        |    WHERE { ?c <in_nation> ?n } GROUP BY ?n }
+        |  ?n <label> ?nl .
+        |  FILTER(?n_customers >= 5)
+        |}
+        |ORDER BY ?nl""".stripMargin
+    )
+
   /** graph15: SPARQL ASK as TEXT — the reference surface's other
     * query form (sparql_query.py's run_query prints `Result: bool`
     * when oxigraph returns one). Two probes in one frame: the sparse

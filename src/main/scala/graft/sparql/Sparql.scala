@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   *     FILTER EXISTS { … } .      -- existence gate (semi join); NOT
   *                                --   EXISTS anti-joins; full
   *                                --   fragment inside (recursive)
+  *     { SELECT … } .             -- subquery: full recursion, joins
+  *                                --   on shared vars (SPARQL §12)
   *     VALUES ?v { "a" <i> } .    -- inline bindings; also (?a ?b) rows
   *     BIND(expr AS ?v) .         -- computed binding, FILTER's language
   *   }                            --   CONTAINS/STRSTARTS/STRENDS/
@@ -49,11 +51,16 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   * `FROM <iri>` (default graph = merge of the listed graphs),
   * `GRAPH <iri> { … }` (full fragment inside, over one pruned graph),
   * and `GRAPH ?g { … }` (plain patterns; g binds per solution).
-  * Anything outside the fragment (subqueries, `?p` predicate
-  * variables with paths, bare alternation without a modifier,
-  * UNION/MINUS mixes, GRAPH against a 3-column frame, nested
-  * GRAPH, FROM NAMED, …) is rejected with a message naming the
-  * construct — never silently misparsed.
+  * Subqueries `{ SELECT … }` evaluate bottom-up against the outer
+  * default graph and join into their group on shared variables —
+  * aggregates, DISTINCT, ORDER/LIMIT all work inside via the same
+  * recursive parse (only the subquery's projected variables are
+  * visible outside, per SPARQL 1.1 §12).
+  * Anything outside the fragment (`?p` predicate variables with
+  * paths, bare alternation without a modifier, UNION/MINUS mixes
+  * with each other or with subqueries, GRAPH against a 3-column
+  * frame, nested GRAPH, FROM NAMED, …) is rejected with a message
+  * naming the construct — never silently misparsed.
   *
   * The compiled query runs as ordinary Catalyst plans: each pattern is
   * a constant-filtered scan of the (s, p, o) triple frame, patterns
@@ -115,7 +122,11 @@ object Sparql {
       // FILTER [NOT] EXISTS groups: (negated, synthetic SELECT *
       // query text the group re-parses as — outer PREFIX/FROM
       // serialized back in, so the full fragment works inside)
-      existsGroups: Seq[(Boolean, String)] = Seq.empty
+      existsGroups: Seq[(Boolean, String)] = Seq.empty,
+      // `{ SELECT … }` subqueries: complete query texts (outer PREFIX
+      // prepended) run recursively against the outer default graph
+      // and joined into the group on their shared variables
+      subSelects: Seq[String] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -181,7 +192,8 @@ object Sparql {
     // AND together).
     val pushFilter =
       p.moreBranches.isEmpty && p.values.isEmpty && p.binds.isEmpty &&
-        p.minusBranch.isEmpty && p.graphGroups.isEmpty
+        p.minusBranch.isEmpty && p.graphGroups.isEmpty &&
+        p.subSelects.isEmpty
     // GRAPH groups compile separately: a ground IRI prunes the quad
     // frame to one graph and runs the ordinary BGP plan over it (at a
     // graph-partitioned 100 TB store that filter is partition
@@ -225,12 +237,20 @@ object Sparql {
             .reduce(_.unionByName(_, allowMissingColumns = true))
         )
       }
-    // GRAPH groups AND with the surrounding group: join on shared
-    // variables (cross join when disjoint — SPARQL's cartesian rule).
-    val matchedRaw = (mainFrame.toSeq ++ graphFrames).reduceLeft { (a, f) =>
-      val shared = a.columns.intersect(f.columns).toSeq
-      if (shared.nonEmpty) a.join(f, shared) else a.crossJoin(f)
-    }
+    // Subqueries evaluate bottom-up against the outer default graph
+    // (SPARQL 1.1 §12) and join into the group like any other pattern
+    // frame — only their projected variables are visible. Aggregating
+    // subqueries partial-aggregate before the join, the
+    // pre-aggregate-then-join shape one writes by hand at scale.
+    val subFrames = p.subSelects.map(run(defaultGraph, _, maxPathHops))
+    // GRAPH groups and subqueries AND with the surrounding group: join
+    // on shared variables (cross join when disjoint — SPARQL's
+    // cartesian rule).
+    val matchedRaw =
+      (mainFrame.toSeq ++ graphFrames ++ subFrames).reduceLeft { (a, f) =>
+        val shared = a.columns.intersect(f.columns).toSeq
+        if (shared.nonEmpty) a.join(f, shared) else a.crossJoin(f)
+      }
     // MINUS: a LEFT ANTI join on the branches' shared variables —
     // solutions drop when the right group binds the same values.
     // Exact-equality semantics: a left row with a NULL shared binding
@@ -406,11 +426,12 @@ object Sparql {
 
   def parse(query: String): ParsedQuery = {
     val noComments = stripComments(query)
-    // EXISTS extraction runs FIRST: `FILTER [NOT] EXISTS { … }`
-    // carries a braced group, which plain-FILTER extraction would
-    // reject as "not parenthesized".
-    val (noExists, existsRaw) = extractExists(noComments)
-    val (noFilters, filterBodies) = extractFilters(noExists)
+    // EXISTS + subquery extraction runs FIRST: `FILTER [NOT] EXISTS
+    // { … }` carries a braced group (plain-FILTER extraction would
+    // reject it as "not parenthesized"), and a subquery's inner
+    // FILTERs must stay its own.
+    val (noGroups, existsRaw, subSelectsRaw) = extractGroups(noComments)
+    val (noFilters, filterBodies) = extractFilters(noGroups)
     val (noBinds, bindBodies) = extractBinds(noFilters)
     val toks = tokenize(noBinds)
     val st = new TokenStream(toks)
@@ -578,7 +599,12 @@ object Sparql {
     // ASK's WHERE keyword is optional in the SPARQL grammar
     if (st.peekKeyword("WHERE")) st.next()
     else if (!isAsk) throw SparqlParseError("expected WHERE")
-    st.expect("{")
+    // `WHERE { SELECT … }` is legal SPARQL (the grammar lets the
+    // group's braces wrap a bare SubSelect); the subquery splice then
+    // removed the braces along with the block, so a WHERE whose
+    // entire group was one subquery has no '{' left to consume.
+    val soleSubquery = st.peek != Some("{") && subSelectsRaw.nonEmpty
+    if (!soleSubquery) st.expect("{")
 
     // One path segment in the predicate position: plain term, term+,
     // (t1|t2|...)+, each optionally '^'-inverted (SPARQL grammar:
@@ -755,7 +781,8 @@ object Sparql {
         }
       }
       st.next() // }
-      if (patterns.isEmpty && graphGroups.length == graphsBefore)
+      if (patterns.isEmpty && graphGroups.length == graphsBefore &&
+        subSelectsRaw.isEmpty)
         throw SparqlParseError("group has no triple patterns")
       (patterns, optionalIdx)
     }
@@ -767,7 +794,8 @@ object Sparql {
     // mix in this fragment.
     var branches = Vector.empty[(Vector[(String, String, String)], Set[Int])]
     var minusBranch = Option.empty[(Vector[(String, String, String)], Set[Int])]
-    if (st.peek == Some("{")) {
+    if (soleSubquery) branches :+= ((Vector.empty, Set.empty[Int]))
+    else if (st.peek == Some("{")) {
       var more = true
       while (more) {
         st.expect("{")
@@ -798,6 +826,11 @@ object Sparql {
     val (patterns, optionalIdx) = branches.head
     if (graphGroups.nonEmpty && (branches.length > 1 || minusBranch.nonEmpty))
       throw SparqlParseError("GRAPH doesn't mix with UNION/MINUS in this fragment")
+    // A subquery splice loses its branch position, so its group-level
+    // AND semantics can't attribute it to one UNION/MINUS branch.
+    if (subSelectsRaw.nonEmpty && (branches.length > 1 || minusBranch.nonEmpty))
+      throw SparqlParseError(
+        "subqueries don't mix with UNION/MINUS in this fragment")
 
     if (noProjection)
       Seq("GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING").foreach { kw =>
@@ -890,13 +923,24 @@ object Sparql {
       parse(sub)
       (neg, sub)
     }
+    // Subquery bodies are already complete SELECT queries (the splice
+    // matched `{ SELECT`); prepend the outer PREFIX set and validate
+    // by recursion. They run against the outer query's default graph,
+    // so FROM needs no serialization here.
+    val subSelects = subSelectsRaw.map { body =>
+      val prefixText =
+        prefixes.map { case (k, v) => s"PREFIX $k: <$v> " }.mkString
+      val sub = prefixText + body
+      parse(sub)
+      sub
+    }
     ParsedQuery(selectVars, patterns, optionalIdx, filterSql, orderBy, limit,
       distinct, aggregates, groupBy, projection, branches.tail, internalVars,
       offset, valuesBlocks,
       bindBodies.map { case (v, body) => (v, translateFilter(body)) },
       minusBranch, isAsk, isConstruct, template,
       fromGraphs = fromGraphs, graphGroups = graphGroups,
-      existsGroups = existsGroups)
+      existsGroups = existsGroups, subSelects = subSelects)
   }
 
   // ------------------------------------------------------------- lexing
@@ -963,23 +1007,57 @@ object Sparql {
     (out.toString, bodies.result())
   }
 
-  /** Splice every `FILTER [NOT] EXISTS { … }` out of the text
-    * (balanced braces, quote-aware, '.' terminator tolerated) and
-    * return the remaining text plus (negated, group body) pairs.
-    * Runs BEFORE plain-FILTER extraction: an EXISTS filter carries a
-    * braced group, not a parenthesized expression. Group-level like
-    * FILTER — wherever it appears, it gates the final bindings. */
-  private def extractExists(s: String): (String, Seq[(Boolean, String)]) = {
-    val groups = Vector.newBuilder[(Boolean, String)]
+  /** Splice every `FILTER [NOT] EXISTS { … }` and every subquery
+    * `{ SELECT … }` out of the text (balanced braces, quote-aware,
+    * '.' terminator tolerated) and return the remaining text plus
+    * (negated, body) pairs for EXISTS and the subquery bodies. ONE
+    * left-to-right pass taking the EARLIEST match each step, so the
+    * constructs nest correctly in either direction: a subquery inside
+    * an EXISTS body travels WITH the EXISTS body (and vice versa) and
+    * is handled by the recursive re-parse, never double-extracted.
+    * Runs BEFORE plain-FILTER extraction — an EXISTS filter carries a
+    * braced group, not a parenthesized expression, and a subquery's
+    * inner FILTERs must stay its own. Both constructs are group-level
+    * in this fragment, like FILTER. */
+  private def extractGroups(
+      s: String
+  ): (String, Seq[(Boolean, String)], Seq[String]) = {
+    val exists = Vector.newBuilder[(Boolean, String)]
+    val subs = Vector.newBuilder[String]
     val out = new StringBuilder(s.length)
-    val kw = "(?i)\\bFILTER(\\s+NOT)?\\s+EXISTS\\b".r
+    val exKw = "(?i)\\bFILTER(\\s+NOT)?\\s+EXISTS\\b".r
+    val subKw = "(?i)\\{\\s*SELECT\\b".r
     var rest = s
     var done = false
+    // Balanced-brace scan from index `from` (which must sit on '{');
+    // returns the index of the matching '}'.
+    def braceEnd(from: Int): Int = {
+      var i = from
+      var depth = 0
+      var inStr = false
+      var end = -1
+      while (i < rest.length && end < 0) {
+        val c = rest.charAt(i)
+        if (c == '"') inStr = !inStr
+        else if (!inStr && c == '{') depth += 1
+        else if (!inStr && c == '}') { depth -= 1; if (depth == 0) end = i }
+        i += 1
+      }
+      end
+    }
+    def dropTerminator(): Unit = {
+      val trimmed = rest.dropWhile(_.isWhitespace)
+      if (trimmed.startsWith(".")) rest = trimmed.drop(1)
+    }
     while (!done) {
-      kw.findAllMatchIn(rest)
-        .find(m => rest.substring(0, m.start).count(_ == '"') % 2 == 0) match {
-        case None => out.append(rest); done = true
-        case Some(m) =>
+      def outsideString(start: Int) =
+        rest.substring(0, start).count(_ == '"') % 2 == 0
+      val em = exKw.findAllMatchIn(rest).find(m => outsideString(m.start))
+      val sm = subKw.findAllMatchIn(rest).find(m => outsideString(m.start))
+      (em, sm) match {
+        case (None, None) => out.append(rest); done = true
+        case _ if em.isDefined && sm.forall(_.start > em.get.start) =>
+          val m = em.get
           out.append(rest.substring(0, m.start))
           val negated = m.group(1) != null
           var i = m.end
@@ -987,26 +1065,24 @@ object Sparql {
           if (i >= rest.length || rest.charAt(i) != '{')
             throw SparqlParseError(
               "FILTER EXISTS must be followed by a braced group")
-          var depth = 0
-          var inStr = false
-          val start = i
-          var end = -1
-          while (i < rest.length && end < 0) {
-            val c = rest.charAt(i)
-            if (c == '"') inStr = !inStr
-            else if (!inStr && c == '{') depth += 1
-            else if (!inStr && c == '}') { depth -= 1; if (depth == 0) end = i }
-            i += 1
-          }
+          val end = braceEnd(i)
           if (end < 0)
             throw SparqlParseError("unbalanced braces in FILTER EXISTS")
-          groups += ((negated, rest.substring(start + 1, end)))
+          exists += ((negated, rest.substring(i + 1, end)))
           rest = rest.substring(end + 1)
-          val trimmed = rest.dropWhile(_.isWhitespace)
-          if (trimmed.startsWith(".")) rest = trimmed.drop(1)
+          dropTerminator()
+        case _ =>
+          val m = sm.get
+          out.append(rest.substring(0, m.start))
+          val end = braceEnd(m.start)
+          if (end < 0)
+            throw SparqlParseError("unbalanced braces in subquery")
+          subs += rest.substring(m.start + 1, end)
+          rest = rest.substring(end + 1)
+          dropTerminator()
       }
     }
-    (out.toString, groups.result())
+    (out.toString, exists.result(), subs.result())
   }
 
   // '/' and '^' are path operators; FILTER bodies are spliced out

@@ -685,4 +685,63 @@ class SparqlSpec extends AnyFunSuite {
     rejects("SELECT ?s WHERE { ?s <p> ?o . FILTER EXISTS { } }",
       "no triple patterns")
   }
+
+  test("subqueries: aggregate-in-pattern, sole-group forms, nesting, rejections") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      ("c1", "in", "n1"),
+      ("c2", "in", "n1"),
+      ("c3", "in", "n2"),
+      ("n1", "label", "A"),
+      ("n2", "label", "B")
+    ).toDF("s", "p", "o")
+
+    // Aggregate subquery joins on the shared var; the outer FILTER
+    // reads the aggregate alias (the HAVING idiom without HAVING).
+    val agg = Sparql.run(t,
+      """SELECT ?l ?cnt WHERE {
+        |  { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c <in> ?n } GROUP BY ?n }
+        |  ?n <label> ?l .
+        |  FILTER(?cnt >= 2)
+        |} ORDER BY ?l""".stripMargin
+    ).collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(agg.toSeq == Seq(("A", 2L)))
+
+    // WHERE { SELECT … } — the group's braces wrap the SubSelect
+    // directly (legal grammar), and the doubly-braced spelling too.
+    val sole = Sparql.run(t,
+      "SELECT ?n WHERE { SELECT DISTINCT ?n WHERE { ?c <in> ?n } } ORDER BY ?n"
+    ).collect().map(_.getString(0))
+    assert(sole.toSeq == Seq("n1", "n2"))
+    assert(Sparql.run(t,
+      "SELECT ?n WHERE { { SELECT DISTINCT ?n WHERE { ?c <in> ?n } } } ORDER BY ?n"
+    ).count() == 2)
+
+    // Only the subquery's projected variables are visible outside.
+    val hidden = intercept[SparqlParseError](Sparql.run(t,
+      "SELECT ?c WHERE { { SELECT DISTINCT ?n WHERE { ?c <in> ?n } } }"))
+    assert(hidden.getMessage.contains("not bound"))
+
+    // EXISTS inside a subquery (travels with the subquery splice).
+    val exIn = Sparql.run(t,
+      """SELECT ?n WHERE { { SELECT ?n WHERE { ?c <in> ?n .
+        |  FILTER NOT EXISTS { ?n <label> "B" } } } } ORDER BY ?n""".stripMargin
+    ).collect().map(_.getString(0))
+    assert(exIn.toSeq == Seq("n1", "n1")) // bag semantics, two customers
+
+    // Subquery inside an EXISTS body (travels with the EXISTS splice).
+    val subInEx = Sparql.run(t,
+      """SELECT ?l WHERE { ?n <label> ?l .
+        |  FILTER EXISTS { { SELECT ?n (COUNT(?c) AS ?k)
+        |    WHERE { ?c <in> ?n } GROUP BY ?n } FILTER(?k >= 2) }
+        |} ORDER BY ?l""".stripMargin
+    ).collect().map(_.getString(0))
+    assert(subInEx.toSeq == Seq("A"))
+
+    // UNION/MINUS don't mix with a spliced subquery.
+    val mix = intercept[SparqlParseError](Sparql.parse(
+      "SELECT ?x WHERE { { ?x <p> ?y } UNION { { SELECT ?x WHERE { ?x <q> ?z } } } }"))
+    assert(mix.getMessage.contains("don't mix"))
+  }
 }
