@@ -115,6 +115,7 @@ object SparkEntry {
     "graph19_sparql_exists" -> q(Graph.graph19SparqlExists),
     "graph20_sparql_path_star" -> q(Graph.graph20SparqlPathStar),
     "graph21_sparql_subquery" -> q(Graph.graph21SparqlSubquery),
+    "graph22_sparql_negated_props" -> q(Graph.graph22SparqlNegatedProps),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2498,6 +2499,28 @@ object SparkEntry {
         |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r) JOIN p4 USING (n)
         |GROUP BY nl
         |ORDER BY nl""".stripMargin,
+    // graph22: the negated property set is one NOT IN predicate
+    // filter; only in_region survives the exclusion here.
+    "graph22_sparql_negated_props" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'in_region',
+        |    'reg:' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || CAST(r_regionkey AS VARCHAR), 'label', r_name FROM region
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0),
+        |neg AS (SELECT s, o FROM triples
+        |        WHERE p NOT IN ('in_nation', 'label', 'flagged')),
+        |lab AS (SELECT s AS o, o AS l FROM triples WHERE p = 'label')
+        |SELECT neg.s, neg.o, lab.l
+        |FROM neg JOIN lab ON neg.o = lab.o
+        |ORDER BY neg.s""".stripMargin,
     // graph21: the subquery de-sugars to a pre-aggregated derived
     // table joined on the shared var, filtered on the alias.
     "graph21_sparql_subquery" ->

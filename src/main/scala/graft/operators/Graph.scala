@@ -170,6 +170,17 @@ object Graph {
       // plus the same zero-length solutions. All bind on (s, o) like
       // any other pattern; path solutions are SETS per the spec,
       // hence the distinct after the zero union.
+      // Negated property set `!p` / `!(p1|p2)`: every triple whose
+      // predicate is NOT in the set — one NOT IN filter on the scan
+      // (bag semantics like a plain pattern; on a predicate-
+      // partitioned store this is partition-pruning's complement).
+      case p if p.startsWith("!") =>
+        val preds = p.drop(1).stripPrefix("(").stripSuffix(")")
+          .split('|').toSeq
+        bind(
+          triples.filter(!col("p").isin(preds: _*)).select(col("s"), col("o")),
+          Seq("s" -> pat._1, "o" -> pat._3)
+        )
       case p if !p.startsWith("?") &&
           (p.endsWith("+") || p.endsWith("*") || p.endsWith("?")) =>
         val mod = p.last
@@ -494,6 +505,25 @@ object Graph {
         |  FILTER(?n_customers >= 5)
         |}
         |ORDER BY ?nl""".stripMargin
+    )
+
+  /** graph22: SPARQL negated property set as TEXT — `!(p1|p2|…)`
+    * matches every triple whose predicate is OUTSIDE the set (SPARQL
+    * PathNegatedPropertySet), the "any edge except the boring ones"
+    * exploration idiom (e.g. skip rdfs:label/rdf:type when walking an
+    * unknown ontology). Compiles to one NOT IN filter on the scan —
+    * the complement of predicate partition pruning. Excluding the
+    * three annotation predicates leaves exactly the topology edges,
+    * which then join to their endpoint labels. */
+  def graph22SparqlNegatedProps(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?s ?o ?l
+        |WHERE {
+        |  ?s !(<in_nation>|<label>|<flagged>) ?o .
+        |  ?o <label> ?l .
+        |}
+        |ORDER BY ?s""".stripMargin
     )
 
   /** graph15: SPARQL ASK as TEXT — the reference surface's other

@@ -356,6 +356,10 @@ object Sparql {
             case ("COUNT", false) => count(arg)
             case ("MIN", _)       => min(arg)
             case ("MAX", _)       => max(arg)
+            // SPARQL SAMPLE may return ANY value of the group; this
+            // engine picks the minimum so results are deterministic
+            // under any partitioning (first/any_value are not).
+            case ("SAMPLE", _)    => min(arg)
             case other            => throw SparqlParseError(s"unreachable aggregate $other")
           }
           c.as(a.alias)
@@ -489,9 +493,9 @@ object Sparql {
           case Some("(") =>
             st.next()
             val fn = st.next().toUpperCase(java.util.Locale.ROOT)
-            if (!Set("COUNT", "MIN", "MAX")(fn))
+            if (!Set("COUNT", "MIN", "MAX", "SAMPLE")(fn))
               throw SparqlParseError(
-                s"aggregate $fn is not supported (COUNT/MIN/MAX over the string store)")
+                s"aggregate $fn is not supported (COUNT/MIN/MAX/SAMPLE over the string store)")
             st.expect("(")
             var isDistinct = false
             if (st.peekKeyword("DISTINCT")) { st.next(); isDistinct = true }
@@ -622,7 +626,29 @@ object Sparql {
         case _         => ""
       }
       val pred =
-        if (st.peek == Some("(")) {
+        if (st.peek.exists(_.startsWith("!"))) {
+          // Negated property set `!<p>` / `!(p1|p2)`: forward
+          // predicates only (the spec's `!^p` inverse members are out
+          // of fragment), no closure modifiers on the set.
+          val t0 = st.next()
+          var alts = Vector.empty[String]
+          if (t0 == "!") {
+            if (st.peek == Some("(")) {
+              st.next()
+              alts :+= term(st.next())
+              while (st.peek == Some("|")) { st.next(); alts :+= term(st.next()) }
+              st.expect(")")
+            } else alts :+= term(st.next())
+          } else alts :+= term(t0.drop(1)) // combined token: !pre:local
+          if (alts.exists(_.startsWith("?")))
+            throw SparqlParseError(
+              "negated property sets take ground predicates, not ?variables")
+          if (Seq("+", "*", "?").exists(x => st.peek.contains(x)))
+            throw SparqlParseError(
+              "path modifiers on a negated property set are not supported")
+          if (alts.length == 1) "!" + alts.head
+          else s"!(${alts.mkString("|")})"
+        } else if (st.peek == Some("(")) {
           st.next()
           var alts = Vector(term(st.next()))
           while (st.peek == Some("|")) { st.next(); alts :+= term(st.next()) }
@@ -767,7 +793,9 @@ object Sparql {
               if (gOpt.nonEmpty)
                 throw SparqlParseError(
                   "OPTIONAL inside GRAPH ?var is not supported (ground GRAPH IRIs take the full fragment)")
-              if (gPats.exists(p => Seq("+", "*", "?").exists(p._2.endsWith)))
+              if (gPats.exists(p =>
+                  Seq("+", "*", "?").exists(p._2.endsWith) ||
+                    p._2.startsWith("!")))
                 throw SparqlParseError(
                   "property paths inside GRAPH ?var are not supported (ground GRAPH IRIs take the full fragment)")
             }

@@ -744,4 +744,49 @@ class SparqlSpec extends AnyFunSuite {
       "SELECT ?x WHERE { { ?x <p> ?y } UNION { { SELECT ?x WHERE { ?x <q> ?z } } } }"))
     assert(mix.getMessage.contains("don't mix"))
   }
+
+  test("negated property sets and the SAMPLE aggregate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      ("n1", "in", "r1"),
+      ("n1", "label", "A"),
+      ("n1", "flag", "true"),
+      ("n2", "in", "r1"),
+      ("r1", "label", "R")
+    ).toDF("s", "p", "o")
+
+    // !(p1|p2) matches every OTHER predicate's triples.
+    assert(Sparql.parse("SELECT ?s WHERE { ?s !(<label>|<flag>) ?o }").patterns ==
+      Seq(("?s", "!(label|flag)", "?o")))
+    val neg = Sparql.run(t,
+      "SELECT ?s ?o WHERE { ?s !(<label>|<flag>) ?o } ORDER BY ?s")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(neg.toSeq == Seq(("n1", "r1"), ("n2", "r1")))
+
+    // single-member form, and the combined !prefix:local token shape
+    val single = Sparql.run(t,
+      """PREFIX x: <la> SELECT ?s ?o WHERE { ?s !x:bel ?o . ?s !<flag> ?o }
+        |ORDER BY ?s ?o""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // (s,o) pairs in BOTH complements: only the `in` edges survive
+    assert(single.toSeq == Seq(("n1", "r1"), ("n2", "r1")))
+
+    // SAMPLE picks the deterministic minimum per group.
+    val samp = Sparql.run(t,
+      """SELECT ?o (SAMPLE(?s) AS ?rep) WHERE { ?s <in> ?o } GROUP BY ?o""")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(samp.toSeq == Seq(("r1", "n1")))
+
+    // rejections: ?var members, modifiers on a negated set
+    def rejects(q: String, frag: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' missing '$frag'")
+    }
+    rejects("SELECT ?s WHERE { ?s !?p ?o }", "ground predicates")
+    rejects("SELECT ?s WHERE { ?s !(<p>|<q>)+ ?o }",
+      "modifiers on a negated property set")
+    rejects("SELECT ?s WHERE { GRAPH ?g { ?s !<p> ?o } }",
+      "property paths inside GRAPH ?var")
+  }
 }
