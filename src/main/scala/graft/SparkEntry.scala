@@ -116,6 +116,7 @@ object SparkEntry {
     "graph20_sparql_path_star" -> q(Graph.graph20SparqlPathStar),
     "graph21_sparql_subquery" -> q(Graph.graph21SparqlSubquery),
     "graph22_sparql_negated_props" -> q(Graph.graph22SparqlNegatedProps),
+    "graph23_sparql_optional_group" -> q(Graph.graph23SparqlOptionalGroup),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2499,6 +2500,24 @@ object SparkEntry {
         |FROM p1 JOIN p2 USING (n) JOIN p3 USING (r) JOIN p4 USING (n)
         |GROUP BY nl
         |ORDER BY nl""".stripMargin,
+    // graph23: the multi-triple OPTIONAL left-joins the inner-joined
+    // group as a unit — nations lacking EITHER predicate bind neither.
+    "graph23_sparql_optional_group" ->
+      """WITH triples AS (
+        |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,
+        |    'nat:' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'label', n_name FROM nation
+        |  UNION ALL
+        |  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'flagged', 'true'
+        |    FROM nation WHERE n_nationkey % 3 = 0),
+        |flg AS (SELECT s AS n, o AS f FROM triples WHERE p = 'flagged'),
+        |lab AS (SELECT s AS n, o AS fl FROM triples WHERE p = 'label'),
+        |grp AS (SELECT flg.n, flg.f, lab.fl FROM flg JOIN lab ON flg.n = lab.n),
+        |cn AS (SELECT s AS c, o AS n FROM triples WHERE p = 'in_nation')
+        |SELECT cn.c, cn.n, grp.f, grp.fl
+        |FROM cn LEFT JOIN grp ON cn.n = grp.n
+        |ORDER BY cn.c""".stripMargin,
     // graph22: the negated property set is one NOT IN predicate
     // filter; only in_region survives the exclusion here.
     "graph22_sparql_negated_props" ->

@@ -526,6 +526,24 @@ object Graph {
         |ORDER BY ?s""".stripMargin
     )
 
+  /** graph23: multi-triple OPTIONAL as TEXT — `OPTIONAL { A . B }`
+    * left-joins the A⋈B SOLUTIONS as one unit (SPARQL leftjoin), so
+    * the group's bindings are both-or-nothing: a nation that has a
+    * label but no `flagged` annotation binds NEITHER here, where two
+    * separate OPTIONALs would bind the label alone. That distinction
+    * is the whole construct; the plan is the group's inner join
+    * feeding one left join — no per-row probing. */
+  def graph23SparqlOptionalGroup(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?c ?n ?f ?fl
+        |WHERE {
+        |  ?c <in_nation> ?n .
+        |  OPTIONAL { ?n <flagged> ?f . ?n <label> ?fl }
+        |}
+        |ORDER BY ?c""".stripMargin
+    )
+
   /** graph15: SPARQL ASK as TEXT — the reference surface's other
     * query form (sparql_query.py's run_query prints `Result: bool`
     * when oxigraph returns one). Two probes in one frame: the sparse

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   *                                --   reference prints Result: bool)
   *   WHERE {                      --   aggregates: COUNT/MIN/MAX
   *     s p o .                    -- terms: ?var | <iri> | pre:local | "lit"
-  *     OPTIONAL { s p o } .       -- exactly one triple per OPTIONAL
+  *     OPTIONAL { s p o . … } .   -- multi-triple groups left-join as
+  *                                --   a unit (both-or-nothing)
   *     FILTER(expr) .             -- ?v comparisons, && || !, REGEX/
   *     FILTER EXISTS { … } .      -- existence gate (semi join); NOT
   *                                --   EXISTS anti-joins; full
@@ -126,7 +127,11 @@ object Sparql {
       // `{ SELECT … }` subqueries: complete query texts (outer PREFIX
       // prepended) run recursively against the outer default graph
       // and joined into the group on their shared variables
-      subSelects: Seq[String] = Seq.empty
+      subSelects: Seq[String] = Seq.empty,
+      // multi-triple OPTIONAL groups: each inner-joins its own
+      // patterns, then LEFT-joins the group on the shared variables
+      // (SPARQL leftjoin — bindings are both-or-nothing per group)
+      optionalGroups: Seq[Seq[(String, String, String)]] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -193,7 +198,7 @@ object Sparql {
     val pushFilter =
       p.moreBranches.isEmpty && p.values.isEmpty && p.binds.isEmpty &&
         p.minusBranch.isEmpty && p.graphGroups.isEmpty &&
-        p.subSelects.isEmpty
+        p.subSelects.isEmpty && p.optionalGroups.isEmpty
     // GRAPH groups compile separately: a ground IRI prunes the quad
     // frame to one graph and runs the ordinary BGP plan over it (at a
     // graph-partitioned 100 TB store that filter is partition
@@ -246,11 +251,24 @@ object Sparql {
     // GRAPH groups and subqueries AND with the surrounding group: join
     // on shared variables (cross join when disjoint — SPARQL's
     // cartesian rule).
-    val matchedRaw =
+    val matchedInner =
       (mainFrame.toSeq ++ graphFrames ++ subFrames).reduceLeft { (a, f) =>
         val shared = a.columns.intersect(f.columns).toSeq
         if (shared.nonEmpty) a.join(f, shared) else a.crossJoin(f)
       }
+    // Multi-triple OPTIONAL groups: the group's patterns inner-join
+    // among themselves (via bgpMatch), then the WHOLE group left-joins
+    // on the shared variables — SPARQL's leftjoin, so the group's
+    // bindings appear both-or-nothing (two separate single-triple
+    // OPTIONALs would bind independently; this is the difference).
+    val matchedRaw = p.optionalGroups.foldLeft(matchedInner) { (acc, pats) =>
+      val f = Graph.bgpMatch(defaultGraph, pats, maxPathHops = maxPathHops)
+      val shared = acc.columns.intersect(f.columns).toSeq
+      if (shared.isEmpty)
+        throw SparqlParseError(
+          "OPTIONAL group shares no variable with the surrounding group")
+      acc.join(f, shared, "left")
+    }
     // MINUS: a LEFT ANTI join on the branches' shared variables —
     // solutions drop when the right group binds the same values.
     // Exact-equality semantics: a left row with a NULL shared binding
@@ -683,6 +701,8 @@ object Sparql {
     // GRAPH groups, collected like VALUES (group-level AND semantics).
     var graphGroups =
       Vector.empty[(String, Seq[(String, String, String)], Set[Int])]
+    // Multi-triple OPTIONAL groups: each left-joins as a unit.
+    var optionalGroups = Vector.empty[Seq[(String, String, String)]]
     def triple(): Seq[(String, String, String)] = {
       val s = term(st.next())
       var segs = Vector(pathSegment())
@@ -713,18 +733,31 @@ object Sparql {
           case Some(t) if t.equalsIgnoreCase("OPTIONAL") =>
             st.next()
             st.expect("{")
-            val pats = triple()
-            if (pats.length > 1)
-              throw SparqlParseError(
-                "sequence paths inside OPTIONAL are not supported")
-            patterns :+= pats.head
-            optionalIdx += (patterns.length - 1)
-            if (st.peek == Some(".")) st.next()
-            if (st.peek != Some("}"))
-              throw SparqlParseError(
-                "OPTIONAL groups with more than one triple are not supported")
+            // A single-triple OPTIONAL stays on the in-chain left-join
+            // path (optionalIdx); a multi-triple group — including a
+            // sequence path, which desugars to several patterns —
+            // becomes an optionalGroup: its patterns inner-join among
+            // THEMSELVES first, then the whole group left-joins, so
+            // the bindings are both-or-nothing per SPARQL's leftjoin.
+            var pats = Vector.empty[(String, String, String)]
+            while (st.peek != Some("}")) {
+              if (st.peek.exists(_.equalsIgnoreCase("OPTIONAL")))
+                throw SparqlParseError(
+                  "nested OPTIONAL groups are not supported")
+              pats ++= triple()
+              if (st.peek == Some(".")) st.next()
+            }
             st.next() // }
             if (st.peek == Some(".")) st.next()
+            if (pats.isEmpty)
+              throw SparqlParseError("OPTIONAL group has no triple patterns")
+            if (pats.length == 1) {
+              patterns :+= pats.head
+              optionalIdx += (patterns.length - 1)
+            } else if (inGraph)
+              throw SparqlParseError(
+                "multi-triple OPTIONAL inside GRAPH is not supported")
+            else optionalGroups :+= pats
           case Some(t) if t.equalsIgnoreCase("UNION") =>
             throw SparqlParseError(
               "UNION branches must each be a braced group: { … } UNION { … }")
@@ -859,6 +892,12 @@ object Sparql {
     if (subSelectsRaw.nonEmpty && (branches.length > 1 || minusBranch.nonEmpty))
       throw SparqlParseError(
         "subqueries don't mix with UNION/MINUS in this fragment")
+    // Multi-triple OPTIONAL groups apply group-level (after the basic
+    // patterns), so they can't attribute to one UNION/MINUS branch.
+    if (optionalGroups.nonEmpty &&
+      (branches.length > 1 || minusBranch.nonEmpty))
+      throw SparqlParseError(
+        "multi-triple OPTIONAL doesn't mix with UNION/MINUS in this fragment")
 
     if (noProjection)
       Seq("GROUP", "ORDER", "LIMIT", "OFFSET", "HAVING").foreach { kw =>
@@ -968,7 +1007,8 @@ object Sparql {
       bindBodies.map { case (v, body) => (v, translateFilter(body)) },
       minusBranch, isAsk, isConstruct, template,
       fromGraphs = fromGraphs, graphGroups = graphGroups,
-      existsGroups = existsGroups, subSelects = subSelects)
+      existsGroups = existsGroups, subSelects = subSelects,
+      optionalGroups = optionalGroups)
   }
 
   // ------------------------------------------------------------- lexing

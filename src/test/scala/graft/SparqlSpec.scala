@@ -159,8 +159,10 @@ class SparqlSpec extends AnyFunSuite {
     rejects("SELECT ?s WHERE { { ?s <p> ?o } MINUS { ?s <q> ?o } MINUS { ?s <r> ?o } }",
       "only one MINUS")
     rejects(
-      "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { ?s <q> ?a . ?s <r> ?b } }",
-      "OPTIONAL groups with more than one triple")
+      "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { OPTIONAL { ?s <q> ?a } } }",
+      "nested OPTIONAL")
+    rejects("SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { } }",
+      "OPTIONAL group has no triple patterns")
     rejects("SELECT ?s WHERE { ?s (<p>|<q>) ?o }", "bare alternation")
     rejects("SELECT ?s WHERE { ?s ?p+ ?o }", "paths over a ?variable")
     rejects("SELECT ?s WHERE { ?s unknown:p ?o }", "unknown prefix")
@@ -203,13 +205,12 @@ class SparqlSpec extends AnyFunSuite {
       Seq(("?x", "p?", "?y")))
     assert(Sparql.parse("SELECT ?x WHERE { ?x (<p>|<q>)* ?y }").patterns ==
       Seq(("?x", "(p|q)*", "?y")))
-    // rejections: sequences inside OPTIONAL
-    def rejects(q: String, fragment: String): Unit = {
-      val e = intercept[SparqlParseError](Sparql.parse(q))
-      assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
-    }
-    rejects("SELECT ?x WHERE { ?x <p> ?y . OPTIONAL { ?x <q>/<r> ?z } }",
-      "sequence paths inside OPTIONAL")
+    // a sequence path inside OPTIONAL desugars into a multi-triple
+    // optional group (left-joined as a unit)
+    val seqOpt = Sparql.parse(
+      "SELECT ?x WHERE { ?x <p> ?y . OPTIONAL { ?x <q>/<r> ?z } }")
+    assert(seqOpt.optionalGroups.length == 1)
+    assert(seqOpt.optionalGroups.head.length == 2)
   }
 
   test("zero-or-more and zero-or-one path execution") {
@@ -743,6 +744,62 @@ class SparqlSpec extends AnyFunSuite {
     val mix = intercept[SparqlParseError](Sparql.parse(
       "SELECT ?x WHERE { { ?x <p> ?y } UNION { { SELECT ?x WHERE { ?x <q> ?z } } } }"))
     assert(mix.getMessage.contains("don't mix"))
+  }
+
+  test("multi-triple OPTIONAL groups left-join as a unit") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      ("c1", "in", "n1"),
+      ("c2", "in", "n2"),
+      ("n1", "flag", "true"),
+      ("n1", "label", "A"),
+      ("n2", "label", "B") // label but NO flag
+    ).toDF("s", "p", "o")
+
+    // both-or-nothing: n2 has a label but no flag, so BOTH stay null —
+    // the semantic two separate single-triple OPTIONALs would not give
+    val grp = Sparql.run(t,
+      """SELECT ?c ?f ?l WHERE {
+        |  ?c <in> ?n .
+        |  OPTIONAL { ?n <flag> ?f . ?n <label> ?l }
+        |} ORDER BY ?c""".stripMargin
+    ).collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(grp.toSeq == Seq(
+      ("c1", Some("true"), Some("A")),
+      ("c2", None, None)
+    ))
+
+    // contrast: two single-triple OPTIONALs bind independently
+    val indep = Sparql.run(t,
+      """SELECT ?c ?f ?l WHERE {
+        |  ?c <in> ?n .
+        |  OPTIONAL { ?n <flag> ?f } .
+        |  OPTIONAL { ?n <label> ?l }
+        |} ORDER BY ?c""".stripMargin
+    ).collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(indep.toSeq == Seq(
+      ("c1", Some("true"), Some("A")),
+      ("c2", None, Some("B"))
+    ))
+
+    // group-level FILTER can read optional-group bindings
+    val filt = Sparql.run(t,
+      """SELECT ?c WHERE {
+        |  ?c <in> ?n .
+        |  OPTIONAL { ?n <flag> ?f . ?n <label> ?l }
+        |  FILTER(BOUND(?f))
+        |} ORDER BY ?c""".stripMargin
+    ).collect().map(_.getString(0))
+    assert(filt.toSeq == Seq("c1"))
+
+    // mix rejection with UNION
+    val e = intercept[SparqlParseError](Sparql.parse(
+      """SELECT ?c WHERE { { ?c <in> ?n . OPTIONAL { ?n <flag> ?f . ?n <label> ?l } }
+        |UNION { ?c <in> ?n } }""".stripMargin))
+    assert(e.getMessage.contains("multi-triple OPTIONAL doesn't mix"))
   }
 
   test("negated property sets and the SAMPLE aggregate") {
