@@ -1,7 +1,8 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Catalog over a directory of parquet tables — the Spark-native analog
   * of the reference's view-only DuckDB file (reference:
@@ -28,16 +29,30 @@ final case class Lake(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  /** events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    * schema converter rejects outright. Read it as raw nanos
-    * (legacy.parquet.nanosAsLong) and truncate to microseconds — the
-    * same truncation DuckDB applies when it loads ns timestamps. */
+  /** events.ts normalizer — the generated file has shipped with two
+    * physical layouts across testdata generations, and every operator
+    * downstream expects one logical type (TIMESTAMP, UTC session):
+    *   - TIMESTAMP(NANOS): Spark's schema converter rejects it, so read
+    *     raw nanos (legacy.parquet.nanosAsLong) and truncate to micros —
+    *     the same truncation DuckDB applies when it loads ns timestamps.
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+    *     TIMESTAMP_NTZ; cast to TIMESTAMP — value-identical under the
+    *     UTC session zone GraftSession/Verify pin.
+    * Branch on the observed schema so either layout works. */
   def events: DataFrame = {
+    // Harmless when ts is already micros; required before the scan can
+    // even resolve a nanos schema.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // `ts div 1000`, NOT `ts / 1000`: Column./ is double division and
-    // 19-digit nano values exceed double's 2^53 mantissa — the float
-    // round-trip shifts timestamps by up to a microsecond.
-    table("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table("events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // `ts div 1000`, NOT `ts / 1000`: Column./ is double division and
+        // 19-digit nano values exceed double's 2^53 mantissa — the float
+        // round-trip shifts timestamps by up to a microsecond.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
@@ -92,11 +107,16 @@ final case class Lake(spark: SparkSession, dir: String) {
       val path = s"$dir/$n.parquet"
       val sel =
         if (n == "events") {
+          // Same per-layout normalization as `events`, baked into the
+          // permanent-view text (a permanent view may not reference a
+          // temp view, so the conversion must be inline SQL).
+          val tsExpr = table("events").schema("ts").dataType match {
+            case LongType         => "timestamp_micros(ts div 1000) AS ts"
+            case TimestampNTZType => "CAST(ts AS TIMESTAMP) AS ts"
+            case _                => "ts"
+          }
           val cols = table("events").schema.fieldNames
-            .map {
-              case "ts" => "timestamp_micros(ts div 1000) AS ts"
-              case c    => s"`$c`"
-            }
+            .map { case "ts" => tsExpr; case c => s"`$c`" }
             .mkString(", ")
           s"SELECT $cols FROM parquet.`$path`"
         } else s"SELECT * FROM parquet.`$path`"
