@@ -128,6 +128,7 @@ object SparkEntry {
     "txt26_line_dedup" -> q(TextAnalysis.txt26LineDedup(_)),
     "txt27_char_entropy" -> q(TextAnalysis.txt27CharEntropy),
     "txt28_ngram_novelty" -> q(TextAnalysis.txt28NgramNovelty(_)),
+    "txt29_model_quality" -> q(TextAnalysis.txt29ModelQuality(_)),
     "samp02_source_mixture" -> q(TextAnalysis.samp02SourceMixture),
     "samp03_temperature_mixture" -> q(TextAnalysis.samp03TemperatureMixture),
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
@@ -2034,6 +2035,27 @@ object SparkEntry {
         |  CAST(SUM(rep) AS BIGINT) AS n_repeated,
         |  ROUND(CAST(SUM(rep) AS DOUBLE) / COUNT(*), 4) AS repeated_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // txt29: the oracle replays the hashing-trick classifier exactly —
+    // same md5-derived bucket + milli-weight, integer sum (no float
+    // associativity), one double division at the end. DuckDB parses
+    // the 8 hex chars via ('0x'||…)::BIGINT; Spark via conv(…,16,10).
+    "txt29_model_quality" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk),
+        |s AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
+        |    CAST(list_sum(list_transform(feats, f ->
+        |      ('0x' || substr(md5('w:' || CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000))
+        |      AS BIGINT) AS s_milli
+        |  FROM f)
+        |SELECT doc_id, n_feats,
+        |  ROUND(s_milli / 1000.0 / n_feats, 4) AS q_score,
+        |  (ROUND(s_milli / 1000.0 / n_feats, 4) > 0) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     // txt27: DuckDB's string_split(text,'') is per code point, as is
     // the CharInfo loop; both sides round the double sum to 4.
     "txt27_char_entropy" ->

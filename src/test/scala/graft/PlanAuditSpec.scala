@@ -344,6 +344,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.contains("doc_id")), p)
   }
 
+  test("txt29: hashed classifier is one map-side pass — no join, no aggregate, no explode") {
+    val p = plan(TextAnalysis.txt29ModelQuality(lake))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    assert(!p.contains("Generate"), p) // features fold inside the row, never explode
+    // the only exchange is the final presentation sort's range partition
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), p)
+  }
+
   test("txt27: char entropy is one map-side pass — no join, no aggregate") {
     val p = plan(TextAnalysis.txt27CharEntropy(lake))
     assert(p.contains("char_info"), p)

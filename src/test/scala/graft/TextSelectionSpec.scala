@@ -230,6 +230,32 @@ class TextSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("model quality: exact replay of the hashed linear classifier") {
+    // Brute-force re-derivation of txt29 in plain Scala: same md5
+    // bucket hash, same integer milli-weights, same HALF_UP rounding.
+    def hex32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+    val expected = lake.documents.select("doc_id", "text").collect().map { r =>
+      val ws = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+      val feats = ws.toSeq ++ ws.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+      val s = feats.map(f => hex32("w:" + (hex32(f) % 4096)) % 2001 - 1000).sum
+      val q = java.math.BigDecimal
+        .valueOf(s / 1000.0 / feats.length)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+      r.getLong(0) -> ((feats.length.toLong, q, q > 0))
+    }.toMap
+    val got = TextAnalysis.txt29ModelQuality(lake).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    assert(got == expected, "classifier differs from plain-Scala replay")
+    // the stub weights are balanced: both classes occur on a real corpus
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
   test("ngram novelty equals a brute-force first-seen scan; earliest doc is all-novel") {
     val k = 8
     val docs = lake.documents
