@@ -146,6 +146,7 @@ object SparkEntry {
     "xref09_blocking_quality" -> q(Linkage.xref09BlockingQuality(_)),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "sim09_prefix_rerank" -> q(Similarity.sim09PrefixRerank(_)),
+    "sim10_sq_ann" -> q(Similarity.sim10SqAnn(_)),
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "evt09_interval_join" -> q(Events.evt09IntervalJoin(_)),
@@ -1143,6 +1144,27 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
+         |FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    // sim10: the SQ8 train/encode/decode/search pipeline replayed
+    // verbatim — per-dim min/max, affine 0..255 code, reconstruction,
+    // asymmetric cosine. Parallel UNNESTs zip, so (x, i) stay aligned.
+    "sim10_sq_ann" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |d AS (SELECT vec_id, UNNEST(v) AS x, UNNEST(range(1, len(v) + 1)) AS i FROM e),
+         |mm AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY i),
+         |c AS (SELECT vec_id, i,
+         |    CASE WHEN hi > lo THEN round((x - lo) / (hi - lo) * 255) ELSE 0 END AS code,
+         |    lo, hi FROM d JOIN mm USING (i)),
+         |dv AS (SELECT vec_id, LIST(code / 255.0 * (hi - lo) + lo ORDER BY i) AS dec
+         |  FROM c GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |s AS (SELECT query_id, dv.vec_id, ${dkCos("qv", "dec")} AS cos_sq
+         |      FROM q JOIN dv ON dv.vec_id != query_id),
+         |r AS (SELECT query_id, vec_id, cos_sq, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_sq DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_sq, 4) AS cos_sq
          |FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
     // sim09: the two-stage plan replayed verbatim — prefix-16 cosine

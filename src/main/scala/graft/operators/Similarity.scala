@@ -718,4 +718,82 @@ object Similarity {
       )
       .orderBy("query_id", "rank")
   }
+
+  /** sim10: SCALAR-QUANTIZATION ANN — FAISS's IndexScalarQuantizer
+    * QT_8bit with asymmetric distance (full-precision query against
+    * 8-bit-reconstructed database vectors). Train = one per-dimension
+    * (min, max) pass; encode = affine-map each coordinate into 0..255;
+    * search ranks by cosine between the raw query and the decoded
+    * reconstruction. Completes the quantization spectrum between sim01
+    * (no compression) and sim07 (PQ: 8 subspace codes/vector): SQ8
+    * keeps one code PER DIMENSION, so it is 4× smaller than float32
+    * with far better fidelity than PQ — the FAISS default when memory,
+    * not compute, is the binding constraint.
+    *
+    * Scale shape: training shuffles only per-partition partial
+    * (dim, min, max) triples (map-side combine — #partitions × d rows,
+    * never the corpus); the d-row stats frame broadcasts back, so
+    * encoding is map-only. The scan side streams once against the
+    * broadcast query block exactly like sim01's kernel — at 100 TB the
+    * stored table is the int8 codes plus one d-row header, quartering
+    * scan bandwidth the way sim09 quarters it by truncation. Every
+    * step is deterministic arithmetic, so the DuckDB oracle replays it
+    * end-to-end (no recall tolerance needed). */
+  def sim10SqAnn(lake: Lake, k: Int = 10, nQueries: Int = 10): DataFrame = {
+    val all = vecs(lake)
+    val mm = all
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min("x").as("lo"), max("x").as("hi"))
+    // one broadcastable row: (lo, hi) arrays aligned by dimension
+    val stats = mm
+      .agg(collect_list(struct(col("i"), col("lo"), col("hi"))).as("s"))
+      .select(
+        transform(array_sort(col("s")), e => e("lo")).as("lo"),
+        transform(array_sort(col("s")), e => e("hi")).as("hi")
+      )
+    val enc = all
+      .crossJoin(broadcast(stats))
+      .withColumn("rng", zip_with(col("hi"), col("lo"), (h, l) => h - l))
+      // code c_d = round((x_d - lo_d) / rng_d * 255); a constant
+      // dimension (rng 0) encodes 0 and reconstructs exactly to lo_d
+      .withColumn(
+        "code",
+        zip_with(
+          zip_with(col("v"), col("lo"), (x, l) => x - l),
+          col("rng"),
+          (y, r) => when(r > 0, round(y / r * 255)).otherwise(0.0).cast("long")
+        )
+      )
+      .withColumn(
+        "dec",
+        zip_with(
+          zip_with(col("code"), col("rng"), (c, r) => c / 255.0 * r),
+          col("lo"),
+          (a, l) => a + l
+        )
+      )
+      .select(col("vec_id"), col("dec"))
+      .withColumn("dnrm", vectors.norm(col("dec")))
+    val queries = all
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val w =
+      Window.partitionBy("query_id").orderBy(col("cos_sq").desc, col("vec_id"))
+    enc
+      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "cos_sq",
+        vectors.dot(col("qv"), col("dec")) / (col("qnrm") * col("dnrm"))
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("cos_sq"), 4).as("cos_sq")
+      )
+      .orderBy("query_id", "rank")
+  }
 }

@@ -539,6 +539,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall below floor")
   }
 
+  test("SQ8 ANN: reconstruction within half a quantization step; recall floor vs brute force") {
+    import org.apache.spark.sql.functions.col
+    // replay train+encode+decode in plain Scala and bound the error
+    val vs = lake.embeddings
+      .select(col("vec_id"), graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val d = vs.head._2.length
+    val lo = Array.tabulate(d)(i => vs.map(_._2(i)).min)
+    val hi = Array.tabulate(d)(i => vs.map(_._2(i)).max)
+    vs.foreach { case (_, v) =>
+      (0 until d).foreach { i =>
+        val rng = hi(i) - lo(i)
+        val dec =
+          if (rng > 0)
+            java.math.BigDecimal.valueOf((v(i) - lo(i)) / rng * 255)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .doubleValue / 255.0 * rng + lo(i)
+          else lo(i)
+        // half a step = rng/510, plus float slack; rng=0 dims are exact
+        assert(math.abs(dec - v(i)) <= rng / 510.0 + 1e-9,
+          s"dim $i reconstruction off by ${math.abs(dec - v(i))}")
+      }
+    }
+    // 8-bit codes are high fidelity: neighbor recall@10 stays high
+    val brute = Similarity.sim01TopKBruteForce(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = Similarity.sim10SqAnn(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.8, s"SQ8 recall $recall below floor")
+  }
+
   test("exact-substring spans equal a brute-force scan; planted passages recovered") {
     val k = 8
     val docs = lake.documents
