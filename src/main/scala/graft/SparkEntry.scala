@@ -117,6 +117,7 @@ object SparkEntry {
     "graph21_sparql_subquery" -> q(Graph.graph21SparqlSubquery),
     "graph22_sparql_negated_props" -> q(Graph.graph22SparqlNegatedProps),
     "graph23_sparql_optional_group" -> q(Graph.graph23SparqlOptionalGroup),
+    "graph24_sparql_having" -> q(Graph.graph24SparqlHaving),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2546,6 +2547,18 @@ object SparkEntry {
         |ORDER BY nl""".stripMargin,
     // graph23: the multi-triple OPTIONAL left-joins the inner-joined
     // group as a unit — nations lacking EITHER predicate bind neither.
+    // graph24: HAVING + GROUP_CONCAT replayed on the star schema —
+    // nation labels are unique, so COUNT(DISTINCT iri) == COUNT
+    // (DISTINCT label); the engine sorts GROUP_CONCAT values
+    // (determinism rule), mirrored by list_sort.
+    "graph24_sparql_having" ->
+      """WITH nr AS (SELECT r.r_name AS rl, n.n_name AS nl
+        |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey),
+        |g AS (SELECT rl, COUNT(DISTINCT nl) AS n_nations,
+        |    array_to_string(list_sort(list_distinct(LIST(nl))), ', ') AS nations,
+        |    MIN(nl) AS mn
+        |  FROM nr GROUP BY rl)
+        |SELECT rl, n_nations, nations FROM g WHERE mn < 'NATION_12' ORDER BY rl""".stripMargin,
     "graph23_sparql_optional_group" ->
       """WITH triples AS (
         |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,

@@ -544,6 +544,31 @@ object Graph {
         |ORDER BY ?c""".stripMargin
     )
 
+  /** graph24: SPARQL HAVING + GROUP_CONCAT through the text
+    * front-end — the last two grouped-query constructs the fragment
+    * lacked. HAVING's aggregate call is computed as an internal column
+    * in the SAME partial-aggregating groupBy (rewritten to a
+    * `_having0` reference, filtered, dropped at projection — never a
+    * second pass over the store); GROUP_CONCAT sorts each group's
+    * values before joining so the string is deterministic under any
+    * partitioning (the engine's SAMPLE→min rule). The MIN(?nl)
+    * predicate is scale-stable: region→nation labels are fixed at
+    * every SF, so the same two regions survive at sf0.001 and sf100. */
+  def graph24SparqlHaving(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?rl (COUNT(DISTINCT ?n) AS ?n_nations)
+        |       (GROUP_CONCAT(DISTINCT ?nl; SEPARATOR=", ") AS ?nations)
+        |WHERE {
+        |  ?n <in_region> ?r .
+        |  ?r <label> ?rl .
+        |  ?n <label> ?nl
+        |}
+        |GROUP BY ?rl
+        |HAVING(MIN(?nl) < "NATION_12")
+        |ORDER BY ?rl""".stripMargin
+    )
+
   /** graph15: SPARQL ASK as TEXT — the reference surface's other
     * query form (sparql_query.py's run_query prints `Result: bool`
     * when oxigraph returns one). Two probes in one frame: the sparse

@@ -2,7 +2,7 @@ package graft.sparql
 
 import graft.operators.Graph
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, expr, lit, max, min}
+import org.apache.spark.sql.functions.{array_join, array_sort, broadcast, col, collect_list, collect_set, count, countDistinct, expr, lit, max, min}
 
 /** SPARQL *text* front-end — the reference's actual graph interface is
   * a string (reference: scripts/sparql_query.py:89 `run_query(store,
@@ -72,13 +72,15 @@ import org.apache.spark.sql.functions.{broadcast, col, count, countDistinct, exp
   */
 object Sparql {
 
-  /** One `(FN(?v) AS ?alias)` projection: fn ∈ COUNT/MIN/MAX,
-    * `variable` is None for COUNT(*). */
+  /** One `(FN(?v) AS ?alias)` projection: fn ∈ COUNT/MIN/MAX/SAMPLE/
+    * GROUP_CONCAT, `variable` is None for COUNT(*). `sep` is
+    * GROUP_CONCAT's SEPARATOR (default single space, per SPARQL). */
   final case class Aggregate(
       fn: String,
       isDistinct: Boolean,
       variable: Option[String],
-      alias: String
+      alias: String,
+      sep: String = " "
   )
 
   final case class ParsedQuery(
@@ -131,7 +133,12 @@ object Sparql {
       // multi-triple OPTIONAL groups: each inner-joins its own
       // patterns, then LEFT-joins the group on the shared variables
       // (SPARQL leftjoin — bindings are both-or-nothing per group)
-      optionalGroups: Seq[Seq[(String, String, String)]] = Seq.empty
+      optionalGroups: Seq[Seq[(String, String, String)]] = Seq.empty,
+      // HAVING: Spark SQL text over group keys + the internal
+      // aggregates below (aggregate calls in the body are rewritten
+      // to _having{i} references; computed, filtered on, then dropped)
+      havingSql: Option[String] = None,
+      havingAggs: Seq[Aggregate] = Seq.empty
   )
 
   final case class SparqlParseError(msg: String)
@@ -356,7 +363,8 @@ object Sparql {
         .orderBy("s", "p", "o")
     }
     val referenced =
-      p.selectVars ++ p.groupBy ++ p.aggregates.flatMap(_.variable)
+      p.selectVars ++ p.groupBy ++ p.aggregates.flatMap(_.variable) ++
+        p.havingAggs.flatMap(_.variable)
     referenced.distinct.filterNot(matched.columns.contains) match {
       case missing if missing.nonEmpty =>
         throw SparqlParseError(
@@ -364,10 +372,12 @@ object Sparql {
       case _ =>
     }
     val selected =
-      if (p.aggregates.nonEmpty) {
+      if (p.aggregates.nonEmpty || p.havingAggs.nonEmpty) {
         // GROUP BY + aggregates — a plain partial-aggregating groupBy
         // (COUNT DISTINCT expands to Spark's two-stage distinct agg).
-        val aggCols = p.aggregates.map { a =>
+        // HAVING's internal aggregates compute alongside, filter, and
+        // drop at the projection.
+        val aggCols = (p.aggregates ++ p.havingAggs).map { a =>
           val arg = a.variable.map(col).getOrElse(lit(1))
           val c = (a.fn, a.isDistinct) match {
             case ("COUNT", true)  => countDistinct(arg)
@@ -378,6 +388,13 @@ object Sparql {
             // engine picks the minimum so results are deterministic
             // under any partitioning (first/any_value are not).
             case ("SAMPLE", _)    => min(arg)
+            // SPARQL leaves GROUP_CONCAT order implementation-defined;
+            // this engine sorts the group's values so the result is
+            // deterministic under any partitioning (SAMPLE's rule).
+            case ("GROUP_CONCAT", false) =>
+              array_join(array_sort(collect_list(arg)), a.sep)
+            case ("GROUP_CONCAT", true) =>
+              array_join(array_sort(collect_set(arg)), a.sep)
             case other            => throw SparqlParseError(s"unreachable aggregate $other")
           }
           c.as(a.alias)
@@ -385,9 +402,9 @@ object Sparql {
         val grouped =
           if (p.groupBy.isEmpty) matched.groupBy()
           else matched.groupBy(p.groupBy.map(col): _*)
-        grouped
-          .agg(aggCols.head, aggCols.tail: _*)
-          .select(p.projection.map(col): _*) // SELECT-clause order
+        val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
+        val havinged = p.havingSql.fold(agged)(h => agged.where(expr(h)))
+        havinged.select(p.projection.map(col): _*) // SELECT-clause order
       } else if (p.selectVars.isEmpty)
         // SELECT *: the path-desugar's fresh variables are plumbing,
         // not user bindings
@@ -455,7 +472,10 @@ object Sparql {
     val (noGroups, existsRaw, subSelectsRaw) = extractGroups(noComments)
     val (noFilters, filterBodies) = extractFilters(noGroups)
     val (noBinds, bindBodies) = extractBinds(noFilters)
-    val toks = tokenize(noBinds)
+    // HAVING bodies carry comparison operators ('<' would lex as an
+    // IRI opener), so they splice out of the raw text like FILTERs.
+    val (noHaving, havingBodies) = extractHaving(noBinds)
+    val toks = tokenize(noHaving)
     val st = new TokenStream(toks)
 
     // PREFIX decls. A query that declares NONE gets the common W3C
@@ -511,9 +531,9 @@ object Sparql {
           case Some("(") =>
             st.next()
             val fn = st.next().toUpperCase(java.util.Locale.ROOT)
-            if (!Set("COUNT", "MIN", "MAX", "SAMPLE")(fn))
+            if (!Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")(fn))
               throw SparqlParseError(
-                s"aggregate $fn is not supported (COUNT/MIN/MAX/SAMPLE over the string store)")
+                s"aggregate $fn is not supported (COUNT/MIN/MAX/SAMPLE/GROUP_CONCAT over the string store)")
             st.expect("(")
             var isDistinct = false
             if (st.peekKeyword("DISTINCT")) { st.next(); isDistinct = true }
@@ -526,6 +546,22 @@ object Sparql {
               case other =>
                 throw SparqlParseError(s"aggregate argument must be ?var or * (got '$other')")
             }
+            // GROUP_CONCAT(?v; SEPARATOR="…") — the one aggregate with
+            // a scalar argument in the SPARQL grammar.
+            var sep = " "
+            if (st.peek == Some(";")) {
+              if (fn != "GROUP_CONCAT")
+                throw SparqlParseError(s"only GROUP_CONCAT takes a ';' argument (got $fn)")
+              st.next()
+              if (!st.peekKeyword("SEPARATOR"))
+                throw SparqlParseError("expected SEPARATOR after ';' in GROUP_CONCAT")
+              st.next()
+              st.expect("=")
+              val lit = st.next()
+              if (!(lit.length >= 2 && lit.startsWith("\"") && lit.endsWith("\"")))
+                throw SparqlParseError(s"SEPARATOR must be a \"string\" (got '$lit')")
+              sep = lit.substring(1, lit.length - 1)
+            }
             st.expect(")")
             if (!st.peekKeyword("AS"))
               throw SparqlParseError("aggregates need an (… AS ?alias) binding")
@@ -534,7 +570,7 @@ object Sparql {
             if (!alias.startsWith("?"))
               throw SparqlParseError(s"AS must bind a ?alias (got '$alias')")
             st.expect(")")
-            aggregates :+= Aggregate(fn, isDistinct, arg, alias.drop(1))
+            aggregates :+= Aggregate(fn, isDistinct, arg, alias.drop(1), sep)
             projection :+= alias.drop(1)
           case _ => more = false
         }
@@ -561,8 +597,8 @@ object Sparql {
     // form (`DESCRIBE obo:GO_0008150`): every triple the resource
     // participates in, either side. Fully handled here.
     if (isDescribe) {
-      if (filterBodies.nonEmpty || bindBodies.nonEmpty)
-        throw SparqlParseError("DESCRIBE takes no FILTER or BIND")
+      if (filterBodies.nonEmpty || bindBodies.nonEmpty || havingBodies.nonEmpty)
+        throw SparqlParseError("DESCRIBE takes no FILTER, BIND, or HAVING")
       var iris = Vector.empty[String]
       while (st.peek.isDefined) {
         val t = st.next()
@@ -916,8 +952,8 @@ object Sparql {
     }
     // SPARQL: with aggregates, every plain selected var must be grouped.
     if (aggregates.nonEmpty || groupBy.nonEmpty) {
-      if (aggregates.isEmpty)
-        throw SparqlParseError("GROUP BY without an aggregate in SELECT")
+      if (aggregates.isEmpty && havingBodies.isEmpty)
+        throw SparqlParseError("GROUP BY without an aggregate in SELECT or HAVING")
       selectVars.filterNot(groupBy.contains) match {
         case bad if bad.nonEmpty =>
           throw SparqlParseError(
@@ -976,6 +1012,40 @@ object Sparql {
       case Seq()  => None
       case exprs  => Some(exprs.map(e => s"($e)").mkString(" AND "))
     }
+    // HAVING: rewrite each aggregate call in the body to an internal
+    // `_having{i}` aggregate (computed in the same groupBy, filtered
+    // on, dropped at projection); the rest of the body translates
+    // exactly like a FILTER. Multiple HAVING clauses AND together.
+    var havingAggs = Vector.empty[Aggregate]
+    val havingSqlOpt = havingBodies match {
+      case Seq() => None
+      case bodies =>
+        if (noProjection)
+          throw SparqlParseError(
+            s"${if (isAsk) "ASK" else "CONSTRUCT"} takes no HAVING clause in this fragment")
+        val aggCall =
+          "(?i)\\b(COUNT|MIN|MAX|SAMPLE|SUM|AVG|GROUP_CONCAT)\\s*\\(\\s*(DISTINCT\\s+)?(\\*|\\?[A-Za-z_]\\w*)\\s*\\)".r
+        val parts = bodies.map { b =>
+          val rewritten = aggCall.replaceAllIn(b, m => {
+            val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
+            if (!Set("COUNT", "MIN", "MAX", "SAMPLE")(fn))
+              throw SparqlParseError(
+                s"$fn in HAVING is not supported (COUNT/MIN/MAX/SAMPLE)")
+            val arg = m.group(3) match {
+              case "*" =>
+                if (fn != "COUNT")
+                  throw SparqlParseError(s"$fn(*) is not valid SPARQL")
+                None
+              case v => Some(v.drop(1))
+            }
+            val alias = s"_having${havingAggs.length}"
+            havingAggs :+= Aggregate(fn, m.group(2) != null, arg, alias)
+            alias
+          })
+          s"(${translateFilter(rewritten)})"
+        }
+        Some(parts.mkString(" AND "))
+    }
     // Each EXISTS group becomes a standalone SELECT * query (outer
     // PREFIX declarations and FROM dataset serialized back into the
     // text) and re-enters this parser — so property paths, OPTIONAL,
@@ -1008,7 +1078,8 @@ object Sparql {
       minusBranch, isAsk, isConstruct, template,
       fromGraphs = fromGraphs, graphGroups = graphGroups,
       existsGroups = existsGroups, subSelects = subSelects,
-      optionalGroups = optionalGroups)
+      optionalGroups = optionalGroups,
+      havingSql = havingSqlOpt, havingAggs = havingAggs)
   }
 
   // ------------------------------------------------------------- lexing
@@ -1035,14 +1106,25 @@ object Sparql {
     * quote-aware) and return the remaining text plus the raw bodies.
     * FILTER is group-level in this fragment, so position is
     * irrelevant — all bodies AND together over the final bindings. */
-  private def extractFilters(s: String): (String, Seq[String]) = {
+  private def extractFilters(s: String): (String, Seq[String]) =
+    extractParenBodies(s, "FILTER")
+
+  /** HAVING(...) splices out exactly like FILTER: its body carries
+    * comparison operators the lexer would mis-tokenize ('<' opens an
+    * IRI). Solution-modifier position is enforced loosely (the bodies
+    * AND together; a HAVING in an EXISTS/subquery body travels with
+    * that group's recursive re-parse). */
+  private def extractHaving(s: String): (String, Seq[String]) =
+    extractParenBodies(s, "HAVING")
+
+  private def extractParenBodies(s: String, kwWord: String): (String, Seq[String]) = {
     val bodies = Vector.newBuilder[String]
     val out = new StringBuilder(s.length)
-    val kw = "(?i)\\bFILTER\\b".r
+    val kw = s"(?i)\\b$kwWord\\b".r
     var rest = s
     var done = false
     while (!done) {
-      // Ignore FILTER spelled inside a string literal (odd count of
+      // Ignore the keyword spelled inside a string literal (odd count of
       // '"' before the match means we're mid-literal).
       kw.findAllMatchIn(rest)
         .find(m => rest.substring(0, m.start).count(_ == '"') % 2 == 0) match {
@@ -1052,7 +1134,7 @@ object Sparql {
           var i = m.end
           while (i < rest.length && rest.charAt(i).isWhitespace) i += 1
           if (i >= rest.length || rest.charAt(i) != '(')
-            throw SparqlParseError("FILTER must be followed by a parenthesized expression")
+            throw SparqlParseError(s"$kwWord must be followed by a parenthesized expression")
           var depth = 0
           var inStr = false
           val start = i
@@ -1064,10 +1146,10 @@ object Sparql {
             else if (!inStr && c == ')') { depth -= 1; if (depth == 0) end = i }
             i += 1
           }
-          if (end < 0) throw SparqlParseError("unbalanced parentheses in FILTER")
+          if (end < 0) throw SparqlParseError(s"unbalanced parentheses in $kwWord")
           bodies += rest.substring(start + 1, end)
           rest = rest.substring(end + 1)
-          // A '.' terminator after the FILTER is legal noise.
+          // A '.' terminator after the clause is legal noise.
           val trimmed = rest.dropWhile(_.isWhitespace)
           if (trimmed.startsWith(".")) rest = trimmed.drop(1)
       }
@@ -1220,7 +1302,10 @@ object Sparql {
     (out.toString, bodies.result())
   }
 
-  private val Punct = Set('{', '}', '(', ')', '.', '|', '+', '*', '/', '^')
+  // ';' and '=' exist for GROUP_CONCAT's `; SEPARATOR="…"` argument;
+  // comparison operators never reach the lexer (FILTER/BIND/HAVING
+  // bodies splice out of the raw text first).
+  private val Punct = Set('{', '}', '(', ')', '.', '|', '+', '*', '/', '^', ';', '=')
 
   private def tokenize(s: String): Vector[String] = {
     val out = Vector.newBuilder[String]

@@ -846,4 +846,58 @@ class SparqlSpec extends AnyFunSuite {
     rejects("SELECT ?s WHERE { GRAPH ?g { ?s !<p> ?o } }",
       "property paths inside GRAPH ?var")
   }
+
+  test("HAVING and GROUP_CONCAT: execution, determinism, rejections") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      ("c1", "in", "n1"), ("c2", "in", "n1"), ("c3", "in", "n1"),
+      ("c4", "in", "n2"),
+      ("n1", "label", "B"), ("n1", "label", "A"), ("n2", "label", "Z")
+    ).toDF("s", "p", "o")
+
+    // HAVING's aggregate computes in the same groupBy and is dropped
+    // from the projection.
+    val h = Sparql.run(t,
+      """SELECT ?n (COUNT(?c) AS ?k) WHERE { ?c <in> ?n }
+        |GROUP BY ?n HAVING(COUNT(?c) > 1) ORDER BY ?n""".stripMargin)
+    assert(h.columns.toSeq == Seq("n", "k"))
+    assert(h.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("n1", 3L)))
+
+    // HAVING over a var with no SELECT aggregate (legal SPARQL).
+    val hv = Sparql.run(t,
+      """SELECT ?n WHERE { ?c <in> ?n } GROUP BY ?n
+        |HAVING(COUNT(DISTINCT ?c) = 1)""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(hv.toSeq == Seq("n2"))
+
+    // GROUP_CONCAT sorts the group's values (deterministic under any
+    // partitioning); DISTINCT + SEPARATOR compose.
+    val gc = Sparql.run(t,
+      """SELECT ?n (GROUP_CONCAT(?l; SEPARATOR="|") AS ?labels)
+        |WHERE { ?n <label> ?l } GROUP BY ?n ORDER BY ?n""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(gc.toSeq == Seq(("n1", "A|B"), ("n2", "Z")))
+    val gcd = Sparql.run(t,
+      """SELECT (GROUP_CONCAT(DISTINCT ?p) AS ?preds)
+        |WHERE { ?s ?p ?o }""".stripMargin)
+      .collect().head.getString(0)
+    assert(gcd == "in label")
+
+    def rejects(q: String, frag: String): Unit = {
+      val e = intercept[SparqlParseError](Sparql.parse(q))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' missing '$frag'")
+    }
+    rejects("SELECT ?n WHERE { ?c <in> ?n } GROUP BY ?n HAVING(SUM(?c) > 1)",
+      "SUM in HAVING is not supported")
+    rejects("ASK { ?c <in> ?n } HAVING(COUNT(?c) > 1)",
+      "takes no HAVING")
+    rejects("""SELECT (GROUP_CONCAT(?p; SEP="x") AS ?z) WHERE { ?s ?p ?o }""",
+      "expected SEPARATOR")
+    rejects("""SELECT (COUNT(?p; SEPARATOR="x") AS ?z) WHERE { ?s ?p ?o }""",
+      "only GROUP_CONCAT takes a ';' argument")
+    rejects("SELECT (GROUP_CONCAT(*) AS ?z) WHERE { ?s ?p ?o }",
+      "GROUP_CONCAT(*) is not valid SPARQL")
+  }
 }
