@@ -118,6 +118,7 @@ object SparkEntry {
     "graph22_sparql_negated_props" -> q(Graph.graph22SparqlNegatedProps),
     "graph23_sparql_optional_group" -> q(Graph.graph23SparqlOptionalGroup),
     "graph24_sparql_having" -> q(Graph.graph24SparqlHaving),
+    "graph25_sparql_from_named" -> q(Graph.graph25SparqlFromNamed),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2547,6 +2548,15 @@ object SparkEntry {
         |ORDER BY nl""".stripMargin,
     // graph23: the multi-triple OPTIONAL left-joins the inner-joined
     // group as a unit — nations lacking EITHER predicate bind neither.
+    // graph25: FROM NAMED replayed on the star schema — the labels
+    // graph is nation+region labels, the flags graph every third
+    // nation; people/topology are excluded by the named list.
+    "graph25_sparql_from_named" ->
+      """WITH q AS (
+        |  SELECT 'graph:labels' AS g FROM nation
+        |  UNION ALL SELECT 'graph:labels' FROM region
+        |  UNION ALL SELECT 'graph:flags' FROM nation WHERE n_nationkey % 3 = 0)
+        |SELECT g, COUNT(*) AS n_triples FROM q GROUP BY g ORDER BY g""".stripMargin,
     // graph24: HAVING + GROUP_CONCAT replayed on the star schema —
     // nation labels are unique, so COUNT(DISTINCT iri) == COUNT
     // (DISTINCT label); the engine sorts GROUP_CONCAT values

@@ -439,6 +439,26 @@ object Graph {
         |ORDER BY ?n""".stripMargin
     )
 
+  /** graph25: SPARQL FROM NAMED as TEXT — the dataset clause that
+    * completes the §13.2 surface: declaring it pins which graphs
+    * `GRAPH ?g` may range over, so the any-predicate group below
+    * binds solutions from the labels and flags graphs ONLY (people
+    * and topology exist in the store but are not named). On a
+    * graph-partitioned 100 TB store the named list compiles to an
+    * `isin` partition prune, identical to a ground GRAPH IRI. The
+    * per-graph counts depend only on the fixed 25-nation/5-region
+    * tables, so the result is scale-stable. */
+  def graph25SparqlFromNamed(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      quads(lake),
+      """SELECT ?g (COUNT(*) AS ?n_triples)
+        |FROM NAMED <graph:labels>
+        |FROM NAMED <graph:flags>
+        |WHERE { GRAPH ?g { ?s ?p2 ?o } }
+        |GROUP BY ?g
+        |ORDER BY ?g""".stripMargin
+    )
+
   /** graph19: SPARQL FILTER EXISTS / NOT EXISTS as TEXT — the
     * spec's existence test, the OTHER negation idiom next to MINUS
     * (and the one real ontology queries reach for first: "concepts

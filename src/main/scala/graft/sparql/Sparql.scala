@@ -60,7 +60,7 @@ import org.apache.spark.sql.functions.{array_join, array_sort, broadcast, col, c
   * Anything outside the fragment (`?p` predicate variables with
   * paths, bare alternation without a modifier, UNION/MINUS mixes
   * with each other or with subqueries, GRAPH against a 3-column
-  * frame, nested GRAPH, FROM NAMED, …) is rejected with a message
+  * frame, nested GRAPH, …) is rejected with a message
   * naming the construct — never silently misparsed.
   *
   * The compiled query runs as ordinary Catalyst plans: each pattern is
@@ -118,6 +118,10 @@ object Sparql {
       // FROM <iri> dataset clauses: the default graph is the RDF merge
       // (set union) of the named graphs listed
       fromGraphs: Seq[String] = Seq.empty,
+      // FROM NAMED <iri> dataset clauses: the graphs GRAPH may range
+      // over (when either clause kind is present, the dataset is
+      // exactly what is declared)
+      fromNamedGraphs: Seq[String] = Seq.empty,
       // GRAPH groups: (graph term — "?var" or ground IRI, patterns,
       // OPTIONAL indices within the group)
       graphGroups: Seq[(String, Seq[(String, String, String)], Set[Int])] =
@@ -161,12 +165,15 @@ object Sparql {
     * (s, p, o) triple frame — or an (s, p, o, g) QUAD frame, which
     * additionally enables the dataset surface: `FROM <iri>` restricts
     * the default graph to the RDF merge (set union) of the listed
-    * graphs, `GRAPH <iri> { … }` matches a group against one named
+    * graphs, `FROM NAMED <iri>` restricts which graphs GRAPH ranges
+    * over, `GRAPH <iri> { … }` matches a group against one named
     * graph (the full fragment works inside — OPTIONAL, paths), and
     * `GRAPH ?g { … }` binds the graph name per solution (plain
-    * patterns inside). With no FROM, a quad frame's default graph is
-    * the union of all graphs (the union-default-graph convention the
-    * reference's store uses; set semantics, hence the distinct). */
+    * patterns inside). With no dataset clause, a quad frame's default
+    * graph is the union of all graphs (the union-default-graph
+    * convention the reference's store uses; set semantics, hence the
+    * distinct) and GRAPH ranges over every graph; with one, the
+    * dataset is exactly what is declared (spec §13.2). */
   def run(triples: DataFrame, query: String, maxPathHops: Int = 8): DataFrame = {
     val p = parse(query)
     val hasG = triples.columns.contains("g")
@@ -174,17 +181,32 @@ object Sparql {
       if (!hasG)
         throw SparqlParseError(
           s"$what needs a named-graph (s, p, o, g) quad frame")
+    // A dataset clause of either kind pins the WHOLE dataset (spec
+    // §13.2): FROM NAMED alone leaves the default graph empty, FROM
+    // alone leaves GRAPH nothing to range over.
+    val datasetDeclared = p.fromGraphs.nonEmpty || p.fromNamedGraphs.nonEmpty
+    if (datasetDeclared) needQuads("FROM")
     // The default graph every non-GRAPH pattern matches against.
     val defaultGraph =
-      if (p.fromGraphs.nonEmpty) {
-        needQuads("FROM")
-        val f = triples
-          .filter(col("g").isin(p.fromGraphs: _*))
-          .select("s", "p", "o")
-        // one graph is already a set; a merge of several must dedupe
-        if (p.fromGraphs.lengthCompare(1) > 0) f.distinct() else f
+      if (datasetDeclared) {
+        if (p.fromGraphs.isEmpty) triples.filter(lit(false)).select("s", "p", "o")
+        else {
+          val f = triples
+            .filter(col("g").isin(p.fromGraphs: _*))
+            .select("s", "p", "o")
+          // one graph is already a set; a merge of several must dedupe
+          if (p.fromGraphs.lengthCompare(1) > 0) f.distinct() else f
+        }
       } else if (hasG) triples.select("s", "p", "o").distinct()
       else triples
+    // The quad frame GRAPH clauses range over: every graph by
+    // default; exactly the FROM NAMED list once a dataset is
+    // declared. On a graph-partitioned store the isin is partition
+    // pruning, same as a ground GRAPH IRI.
+    val namedScope =
+      if (!datasetDeclared) triples
+      else if (p.fromNamedGraphs.isEmpty) triples.filter(lit(false))
+      else triples.filter(col("g").isin(p.fromNamedGraphs: _*))
     // DESCRIBE: every triple the resource participates in, either
     // side — one predicate-pushed scan, set semantics. The isin
     // filters push to the parquet scan; no join, no shuffle beyond
@@ -213,10 +235,10 @@ object Sparql {
     // variable column.
     val graphFrames = p.graphGroups.map { case (gTerm, pats, optIdx) =>
       needQuads("GRAPH")
-      if (gTerm.startsWith("?")) quadGroup(triples, gTerm.drop(1), pats)
+      if (gTerm.startsWith("?")) quadGroup(namedScope, gTerm.drop(1), pats)
       else
         Graph.bgpMatch(
-          triples.filter(col("g") === gTerm).select("s", "p", "o"),
+          namedScope.filter(col("g") === gTerm).select("s", "p", "o"),
           pats,
           optionalIdx = optIdx,
           maxPathHops = maxPathHops
@@ -640,18 +662,22 @@ object Sparql {
     }
 
     // Dataset clause (SPARQL grammar: DatasetClause* before WHERE for
-    // every query form): `FROM <iri>`, any number — the default graph
-    // becomes the merge of the listed graphs. FROM NAMED is rejected:
-    // this fragment's GRAPH always ranges over ALL graphs in the frame.
+    // every query form): any mix of `FROM <iri>` (the default graph
+    // becomes the merge of the listed graphs) and `FROM NAMED <iri>`
+    // (the named graphs GRAPH may range over). Declaring EITHER kind
+    // pins the whole dataset, per the spec: FROM NAMED alone leaves
+    // the default graph EMPTY, FROM alone leaves GRAPH nothing to
+    // match.
     var fromGraphs = Vector.empty[String]
+    var fromNamedGraphs = Vector.empty[String]
     while (st.peekKeyword("FROM")) {
       st.next()
-      if (st.peekKeyword("NAMED"))
-        throw SparqlParseError("FROM NAMED is not supported (plain FROM only)")
+      val named = st.peekKeyword("NAMED")
+      if (named) st.next()
       val iri = term(st.next())
       if (iri.startsWith("?"))
         throw SparqlParseError("FROM needs a ground IRI, not a variable")
-      fromGraphs :+= iri
+      if (named) fromNamedGraphs :+= iri else fromGraphs :+= iri
     }
 
     // ASK's WHERE keyword is optional in the SPARQL grammar
@@ -1055,7 +1081,8 @@ object Sparql {
     val existsGroups = existsRaw.map { case (neg, body) =>
       val prefixText =
         prefixes.map { case (k, v) => s"PREFIX $k: <$v> " }.mkString
-      val fromText = fromGraphs.map(g => s"FROM <$g> ").mkString
+      val fromText = (fromGraphs.map(g => s"FROM <$g> ") ++
+        fromNamedGraphs.map(g => s"FROM NAMED <$g> ")).mkString
       val sub = s"${prefixText}SELECT * ${fromText}WHERE { $body }"
       parse(sub)
       (neg, sub)
@@ -1076,7 +1103,8 @@ object Sparql {
       offset, valuesBlocks,
       bindBodies.map { case (v, body) => (v, translateFilter(body)) },
       minusBranch, isAsk, isConstruct, template,
-      fromGraphs = fromGraphs, graphGroups = graphGroups,
+      fromGraphs = fromGraphs, fromNamedGraphs = fromNamedGraphs,
+      graphGroups = graphGroups,
       existsGroups = existsGroups, subSelects = subSelects,
       optionalGroups = optionalGroups,
       havingSql = havingSqlOpt, havingAggs = havingAggs)

@@ -598,7 +598,9 @@ class SparqlSpec extends AnyFunSuite {
       val e = intercept[SparqlParseError](Sparql.run(quads, q))
       assert(e.getMessage.contains(frag), s"'${e.getMessage}' missing '$frag'")
     }
-    rejects("SELECT ?s FROM NAMED <g:x> WHERE { ?s <in> ?o }", "FROM NAMED")
+    // FROM NAMED is supported now: alone it empties the default graph
+    assert(Sparql.run(quads,
+      "SELECT ?s FROM NAMED <g:x> WHERE { ?s <in> ?o }").collect().isEmpty)
     rejects(
       "SELECT ?s WHERE { GRAPH ?g { GRAPH <g:x> { ?s <in> ?o } } }",
       "nested GRAPH")
@@ -845,6 +847,44 @@ class SparqlSpec extends AnyFunSuite {
       "modifiers on a negated property set")
     rejects("SELECT ?s WHERE { GRAPH ?g { ?s !<p> ?o } }",
       "property paths inside GRAPH ?var")
+  }
+
+  test("FROM NAMED pins the dataset: GRAPH scope, empty default graph, all combinations") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val quads = Seq(
+      ("a", "p", "1", "g1"),
+      ("b", "p", "2", "g2"),
+      ("c", "p", "3", "g3")
+    ).toDF("s", "p", "o", "g")
+    def gs(q: String): Seq[(String, String)] =
+      Sparql.run(quads, q).collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    // no dataset clause: GRAPH ?g ranges over every graph
+    assert(gs("SELECT ?g ?s WHERE { GRAPH ?g { ?s <p> ?o } } ORDER BY ?g") ==
+      Seq(("g1", "a"), ("g2", "b"), ("g3", "c")))
+    // FROM NAMED restricts GRAPH ?g to the named list
+    assert(gs("""SELECT ?g ?s FROM NAMED <g1> FROM NAMED <g3>
+      |WHERE { GRAPH ?g { ?s <p> ?o } } ORDER BY ?g""".stripMargin) ==
+      Seq(("g1", "a"), ("g3", "c")))
+    // a ground GRAPH outside the named list matches nothing
+    assert(gs("""SELECT ?s ?o FROM NAMED <g1>
+      |WHERE { GRAPH <g2> { ?s <p> ?o } }""".stripMargin).isEmpty)
+    // FROM NAMED alone leaves the default graph EMPTY (spec §13.2)
+    assert(gs("""SELECT ?s ?o FROM NAMED <g1>
+      |WHERE { ?s <p> ?o }""".stripMargin).isEmpty)
+    // FROM alone leaves GRAPH nothing to range over
+    assert(gs("""SELECT ?g ?s FROM <g1>
+      |WHERE { GRAPH ?g { ?s <p> ?o } }""".stripMargin).isEmpty)
+    // both kinds compose: default graph from FROM, GRAPH from NAMED
+    assert(gs("""SELECT ?s ?s2 FROM <g1> FROM NAMED <g2>
+      |WHERE { ?s <p> "1" . GRAPH ?g { ?s2 <p> ?o } }""".stripMargin) ==
+      Seq(("a", "b")))
+    // a triple frame still rejects any dataset clause by name
+    val e = intercept[SparqlParseError](
+      Sparql.run(Seq(("a", "p", "1")).toDF("s", "p", "o"),
+        "SELECT ?s FROM NAMED <g1> WHERE { ?s <p> ?o }"))
+    assert(e.getMessage.contains("quad frame"))
   }
 
   test("HAVING and GROUP_CONCAT: execution, determinism, rejections") {
