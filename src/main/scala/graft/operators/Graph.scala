@@ -429,8 +429,13 @@ object Graph {
   def graph18SparqlGraphs(lake: Lake): DataFrame =
     graft.sparql.Sparql.run(
       quads(lake),
+      // A dataset clause pins the WHOLE dataset (spec §13.2), so the
+      // graphs the GRAPH groups touch must be declared FROM NAMED
+      // alongside the FROM default graph.
       """SELECT ?n ?name ?g
         |FROM <graph:topology>
+        |FROM NAMED <graph:labels>
+        |FROM NAMED <graph:flags>
         |WHERE {
         |  ?n <in_region> ?reg .
         |  GRAPH <graph:labels> { ?n <label> ?name } .
