@@ -77,6 +77,7 @@ object SparkEntry {
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),
     "rel13_pivot" -> q(Relational.rel13Pivot),
+    "rel15_grouping_sets" -> q(Relational.rel15GroupingSets),
     "dedup01_exact" -> q(Dedup.dedup01Exact),
     "dedup02_keep_canonical" -> q(Dedup.dedup02KeepCanonical),
     "dedup03_ngram_jaccard" -> q(Dedup.dedup03NgramJaccard(_)),
@@ -898,6 +899,16 @@ object SparkEntry {
         |GROUP BY CUBE(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "rel15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_items,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
     "rel13_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,

@@ -341,6 +341,34 @@ object Relational {
     )
   }
 
+  /** rel15: non-hierarchical GROUPING SETS — the grouped-aggregation
+    * form ROLLUP (rel08/rel09) and CUBE (rel12) cannot express:
+    * independent marginals ((returnflag), (linestatus)) with no
+    * combined cell and no grand total. One pass — Spark expands the
+    * sets through a single Expand node feeding one partial-aggregating
+    * exchange, where the hand-written alternative (UNION ALL of two
+    * groupBys) scans the fact table once per set at 100 TB. Uses
+    * Spark 4's DataFrame-native Dataset.groupingSets (rel12 pins the
+    * SQL-text spelling of the same family); GROUPING() markers
+    * disambiguate a real NULL key from a set's absent column. */
+  def rel15GroupingSets(lake: Lake): DataFrame =
+    lake.lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"),
+        col("l_linestatus")
+      )
+      .agg(
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        count(lit(1)).as("n_items"),
+        round(sum("l_quantity"), 4).as("sum_qty")
+      )
+      .orderBy(
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first
+      )
+
   /** Status pivot: one row per priority, one count column per order
     * status. Spark's `pivot` with EXPLICIT values — at scale an
     * implicit pivot first runs a distinct-values job over the fact

@@ -344,6 +344,13 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows.nonEmpty && windows.forall(_.contains("doc_id")), p)
   }
 
+  test("rel15: grouping sets is ONE scan through a single Expand — not a union of groupBys") {
+    val p = plan(graft.operators.Relational.rel15GroupingSets(lake))
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+    assert("Expand".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("txt29: hashed classifier is one map-side pass — no join, no aggregate, no explode") {
     val p = plan(TextAnalysis.txt29ModelQuality(lake))
     assert(!p.contains("Join"), p)

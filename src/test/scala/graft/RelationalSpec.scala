@@ -74,6 +74,28 @@ class RelationalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("grouping sets equals the composed union of its per-set groupBys") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    val got = Relational.rel15GroupingSets(lake).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+      .toSet
+    val byFlag = lake.lineitem.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("q"))
+      .collect()
+      .map(r => (Option(r.getString(0)), None: Option[String],
+        0L, 1L, r.getLong(1), r.getDouble(2)))
+    val byStatus = lake.lineitem.groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 4).as("q"))
+      .collect()
+      .map(r => (None: Option[String], Option(r.getString(0)),
+        1L, 0L, r.getLong(1), r.getDouble(2)))
+    assert(got == (byFlag ++ byStatus).toSet,
+      "grouping sets differ from the composed per-set aggregates")
+  }
+
   test("q01 pricing summary has expected shape") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
     assert(df.columns.toSet.contains("sum_qty"))
