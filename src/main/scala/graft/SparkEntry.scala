@@ -153,6 +153,7 @@ object SparkEntry {
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "evt09_interval_join" -> q(Events.evt09IntervalJoin(_)),
+    "evt10_lateness_profile" -> q(Events.evt10LatenessProfile(_)),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
@@ -670,6 +671,25 @@ object SparkEntry {
          |  n_stop_distinct, fail_reasons, fail_reasons = '' AS passes
          |FROM c
          |ORDER BY doc_id""".stripMargin,
+    // evt10: the oracle replays the md5 ingest-delay model and the
+    // lateness scan with ONE global window (exact at oracle scale);
+    // the Spark side's sharded two-level prefix max must be
+    // value-identical.
+    "evt10_lateness_profile" ->
+      """WITH e AS (SELECT event_id, ts, epoch_us(ts) AS tus,
+        |    epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 7200 * 1000000 AS aus
+        |  FROM events),
+        |h AS (SELECT ts, tus, MAX(tus) OVER (ORDER BY aus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM e),
+        |l AS (SELECT date_trunc('day', ts) AS day,
+        |    CASE WHEN hwm > tus THEN hwm - tus ELSE 0 END AS late_us FROM h)
+        |SELECT day, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(SUM(CASE WHEN late_us >= 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
+        |  CAST(SUM(CASE WHEN late_us >= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+        |  ROUND(MAX(late_us) / 1000000.0, 4) AS max_late_s
+        |FROM l GROUP BY day ORDER BY day""".stripMargin,
     "evt08_daily_anomalies" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    COUNT(*) AS n_events

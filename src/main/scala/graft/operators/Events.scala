@@ -284,4 +284,79 @@ object Events {
       )
       .orderBy("purchase_id", "view_id")
   }
+
+  /** evt10: LATENESS PROFILE for watermark tuning — per event-time
+    * day, how far behind the already-observed event-time high-water
+    * mark events ARRIVE. THE question a streaming deployment must
+    * answer before picking `withWatermark`: a 1-minute watermark drops
+    * exactly the `n_late_1m` rows this report counts, so these
+    * thresholds are the streaming module's configuration evidence,
+    * computed in batch over history.
+    *
+    * The events table carries no ingest timestamp (event_id order IS
+    * event-time order — zero disorder), so arrival is modeled by a
+    * deterministic md5-derived ingest delay of 0..2h per event — the
+    * bounded-disorder shape of a partitioned message bus. The delay
+    * column is the STUB (emb01's contract): with a real ingest-time
+    * column, `aus` is that column and nothing else changes.
+    *
+    * The high-water mark is a running max over GLOBAL arrival order —
+    * the naive form is one corpus-wide window task. Same cure as
+    * samp04's distributed prefix sum, for max: shard by arrival-time
+    * bucket (`aus div shardUs`), per-shard running max (S-way parallel
+    * windows), then a shard-level prefix max over the S-row header
+    * frame broadcast back; bucketing by arrival TIME keeps
+    * earlier-shard ⟹ earlier-arrival, so the two-level max is exactly
+    * the global one. The header window runs on one partition by
+    * construction — S rows, not the corpus. An event is compared
+    * against STRICTLY EARLIER arrivals only (rowsBetween …, -1), so
+    * the first arrival is never late. */
+  def evt10LatenessProfile(
+      lake: Lake,
+      shardUs: Long = 21600000000L // 6h of arrival time per shard
+  ): DataFrame = {
+    val delayUs =
+      conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 7200L * 1000000L
+    val ev = lake.events
+      .select(
+        col("event_id"),
+        col("ts"),
+        unix_micros(col("ts")).as("tus"),
+        (unix_micros(col("ts")) + delayUs).as("aus")
+      )
+      .withColumn("shard", expr(s"aus div $shardUs"))
+    val wIn = Window
+      .partitionBy("shard")
+      .orderBy("aus", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardMax = ev.groupBy("shard").agg(max("tus").as("smax"))
+    val wSh = Window
+      .orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val shardPrior = shardMax
+      .withColumn("prior", max("smax").over(wSh))
+      .select("shard", "prior")
+    ev
+      .withColumn("prev_in", max("tus").over(wIn))
+      .join(broadcast(shardPrior), Seq("shard"))
+      // greatest ignores nulls; both null (global first arrival) keeps
+      // the condition null => otherwise(0): on time.
+      .withColumn("hwm", greatest(col("prev_in"), col("prior")))
+      .withColumn(
+        "late_us",
+        when(col("hwm") > col("tus"), col("hwm") - col("tus")).otherwise(0L)
+      )
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late_us") >= 60L * 1000000L, 1L).otherwise(0L))
+          .as("n_late_1m"),
+        sum(when(col("late_us") >= 3600L * 1000000L, 1L).otherwise(0L))
+          .as("n_late_1h"),
+        round(max("late_us") / 1000000.0, 4).as("max_late_s")
+      )
+      .orderBy("day")
+  }
 }

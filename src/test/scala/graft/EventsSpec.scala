@@ -59,4 +59,26 @@ class EventsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(2))
     window1.foreach(s => assert(s == 1L))
   }
+
+  test("lateness profile: sharded prefix max equals one global window; delays create real inversions") {
+    def rows(shardUs: Long) =
+      Events.evt10LatenessProfile(lake, shardUs).collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    // a shard wider than the table's time span is the naive
+    // single-window form — the distributed re-keying must be
+    // value-identical at ANY bucket width
+    val base = rows(Long.MaxValue)
+    Seq(600000000L /* 10 min */, 21600000000L /* 6 h */)
+      .foreach(s => assert(rows(s) == base, s"shardUs=$s diverged"))
+    // totals partition the table; thresholds are monotone; the 0..2h
+    // delay model must actually produce late arrivals (non-degenerate)
+    assert(base.map(_._2).sum == lake.events.count())
+    assert(base.map(_._3).sum > 0, "delay model produced zero inversions")
+    base.foreach { case (_, n, late, m1, h1, mx) =>
+      assert(late <= n && m1 <= late && h1 <= m1)
+      assert((late == 0) == (mx == 0.0))
+      assert(mx <= 7200.0, s"lateness $mx exceeds the 2h delay bound")
+    }
+  }
 }
