@@ -2091,9 +2091,10 @@ object SparkEntry {
         |  ROUND(CAST(SUM(rep) AS DOUBLE) / COUNT(*), 4) AS repeated_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // txt29: the oracle replays the hashing-trick classifier exactly —
-    // same md5-derived bucket + milli-weight, integer sum (no float
-    // associativity), one double division at the end. DuckDB parses
-    // the 8 hex chars via ('0x'||…)::BIGINT; Spark via conv(…,16,10).
+    // same md5-derived bucket, same multiplicative milli-weight mix,
+    // integer sum (no float associativity), one double division at
+    // the end. DuckDB parses the 8 hex chars via ('0x'||…)::BIGINT;
+    // Spark via conv(…,16,10).
     "txt29_model_quality" ->
       """WITH tk AS (SELECT doc_id,
         |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
@@ -2104,7 +2105,7 @@ object SparkEntry {
         |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk),
         |s AS (SELECT doc_id, CAST(len(feats) AS BIGINT) AS n_feats,
         |    CAST(list_sum(list_transform(feats, f ->
-        |      ('0x' || substr(md5('w:' || CAST(('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000))
+        |      ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 * 2654435761 % 2001 - 1000))
         |      AS BIGINT) AS s_milli
         |  FROM f)
         |SELECT doc_id, n_feats,

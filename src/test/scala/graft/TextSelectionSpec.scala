@@ -241,7 +241,7 @@ class TextSelectionSpec extends AnyFunSuite {
     val expected = lake.documents.select("doc_id", "text").collect().map { r =>
       val ws = r.getString(1).toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
       val feats = ws.toSeq ++ ws.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
-      val s = feats.map(f => hex32("w:" + (hex32(f) % 4096)) % 2001 - 1000).sum
+      val s = feats.map(f => hex32(f) % 4096 * 2654435761L % 2001 - 1000).sum
       val q = java.math.BigDecimal
         .valueOf(s / 1000.0 / feats.length)
         .setScale(4, java.math.RoundingMode.HALF_UP)
