@@ -86,32 +86,51 @@ object Bench {
     // below this machine's run-to-run noise anyway.
     def f3(d: Double): String = // Locale.ROOT: a comma decimal point is not JSON
       "%.3f".formatLocal(java.util.Locale.ROOT, d)
-    // The driver tail-captures only the LAST 2000 chars of stdout, and
-    // ~75 of those go to sbt's trailing "[success]" line: with 90+
-    // queries even 3-decimal timings under full names (~2.6 KB) lose
-    // their head. Key the per-query dict by each name's unique prefix
-    // before the first '_' ("dedup08_cluster_resolve" -> "dedup08");
-    // BASELINE.md documents the same short keys next to the full names.
-    def short(n: String): String = n.takeWhile(_ != '_')
-    require(
-      names.map(short).distinct.size == names.size,
-      "bench short keys must stay unique — rename the colliding query"
-    )
-    val qs = names
-      .map(n =>
-        s"\"" + short(n) + "\":" + f3(
-          best.getOrElse(n, failedElapsed.getOrElse(n, 0.0))
-        )
-      )
-      .mkString("{", ",", "}")
     // A query that never succeeded appears in `errors` and is excluded
     // from the headline total: a broken query must not look like a
     // fast one.
     val failed = names.filter(n => errors.contains(n))
-    val errJson = failed.map(n => s"\"${short(n)}\":\"${esc(errors(n))}\"").mkString("{", ",", "}")
+    val errJson = failed.map(n => s"\"${esc(n)}\":\"${esc(errors(n))}\"").mkString("{", ",", "}")
     val total = names.filterNot(errors.contains).map(best(_)).sum
-    val json =
+    // The driver tail-captures only the LAST 2000 chars of stdout.
+    // Per-query timings in that line do NOT survive suite growth:
+    // short keys bought headroom to ~130 queries, then BENCH_r06's 154
+    // keys overflowed the capture again and the round lost its suite
+    // total. So the per-query map goes to a FILE, and stdout gets only
+    // a compact summary (total + counts + slowest-5) that stays under
+    // ~500 chars at any suite size.
+    val qs = names
+      .map(n =>
+        s"\"" + esc(n) + "\":" + f3(
+          best.getOrElse(n, failedElapsed.getOrElse(n, 0.0))
+        )
+      )
+      .mkString("{", ",", "}")
+    val sfName = new java.io.File(sfDir).getName
+    val detailPath = s"tools/runs/bench_${sfName}_latest.json"
+    val detailJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+    locally {
+      val f = new java.io.File(detailPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(detailJson)
+      finally w.close()
+    }
+    val slowest = names
+      .filterNot(errors.contains)
+      .sortBy(n => -best(n))
+      .take(5)
+      .map(n => s"\"${esc(n)}\":${f3(best(n))}")
+      .mkString("{", ",", "}")
+    // Failures must still be visible in the official record even
+    // without the detail file: name the first 3 (messages truncated).
+    val errBrief = failed
+      .take(3)
+      .map(n => s"\"${esc(n)}\":\"${esc(errors(n).take(60))}\"")
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
     // The JSON line must be the LAST thing on stdout: silence every
     // logger first (Spark's stop/shutdown hooks log at INFO/WARN and
     // the driver may merge stderr into the captured stream), stop the

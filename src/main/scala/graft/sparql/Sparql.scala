@@ -185,7 +185,10 @@ object Sparql {
     // §13.2): FROM NAMED alone leaves the default graph empty, FROM
     // alone leaves GRAPH nothing to range over.
     val datasetDeclared = p.fromGraphs.nonEmpty || p.fromNamedGraphs.nonEmpty
-    if (datasetDeclared) needQuads("FROM")
+    // Name whichever clause kind is actually present: a FROM NAMED-only
+    // query must not be told "FROM needs a quad frame".
+    if (datasetDeclared)
+      needQuads(if (p.fromGraphs.nonEmpty) "FROM" else "FROM NAMED")
     // The default graph every non-GRAPH pattern matches against.
     val defaultGraph =
       if (datasetDeclared) {
@@ -394,7 +397,12 @@ object Sparql {
       case _ =>
     }
     val selected =
-      if (p.aggregates.nonEmpty || p.havingAggs.nonEmpty) {
+      // The grouped branch must also fire for GROUP BY with a
+      // no-aggregate HAVING (legal SPARQL: SELECT ?n … GROUP BY ?n
+      // HAVING(?n != "a")) — gating on aggregates alone silently
+      // dropped both the grouping and the HAVING filter.
+      if (p.aggregates.nonEmpty || p.havingAggs.nonEmpty ||
+          p.groupBy.nonEmpty || p.havingSql.nonEmpty) {
         // GROUP BY + aggregates — a plain partial-aggregating groupBy
         // (COUNT DISTINCT expands to Spark's two-stage distinct agg).
         // HAVING's internal aggregates compute alongside, filter, and
@@ -424,7 +432,12 @@ object Sparql {
         val grouped =
           if (p.groupBy.isEmpty) matched.groupBy()
           else matched.groupBy(p.groupBy.map(col): _*)
-        val agged = grouped.agg(aggCols.head, aggCols.tail: _*)
+        // Zero aggregate columns (GROUP BY + HAVING on group keys
+        // only): the group frame is just the distinct key tuples —
+        // same shuffle as the agg, no aggregation buffer.
+        val agged =
+          if (aggCols.isEmpty) matched.select(p.groupBy.map(col): _*).distinct()
+          else grouped.agg(aggCols.head, aggCols.tail: _*)
         val havinged = p.havingSql.fold(agged)(h => agged.where(expr(h)))
         havinged.select(p.projection.map(col): _*) // SELECT-clause order
       } else if (p.selectVars.isEmpty)
@@ -1052,26 +1065,38 @@ object Sparql {
         val aggCall =
           "(?i)\\b(COUNT|MIN|MAX|SAMPLE|SUM|AVG|GROUP_CONCAT)\\s*\\(\\s*(DISTINCT\\s+)?(\\*|\\?[A-Za-z_]\\w*)\\s*\\)".r
         val parts = bodies.map { b =>
-          val rewritten = aggCall.replaceAllIn(b, m => {
-            val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
-            if (!Set("COUNT", "MIN", "MAX", "SAMPLE")(fn))
-              throw SparqlParseError(
-                s"$fn in HAVING is not supported (COUNT/MIN/MAX/SAMPLE)")
-            val arg = m.group(3) match {
-              case "*" =>
-                if (fn != "COUNT")
-                  throw SparqlParseError(s"$fn(*) is not valid SPARQL")
-                None
-              case v => Some(v.drop(1))
-            }
-            val alias = s"_having${havingAggs.length}"
-            havingAggs :+= Aggregate(fn, m.group(2) != null, arg, alias)
-            alias
-          })
+          // The rewrite runs only on non-string segments (like
+          // translateFilter's operator rewrites): aggregate-looking
+          // text inside a "…" literal is data, not a call.
+          val rewritten = mapOutsideStrings(b, "HAVING") { code =>
+            aggCall.replaceAllIn(code, m => {
+              val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
+              if (!Set("COUNT", "MIN", "MAX", "SAMPLE")(fn))
+                throw SparqlParseError(
+                  s"$fn in HAVING is not supported (COUNT/MIN/MAX/SAMPLE)")
+              val arg = m.group(3) match {
+                case "*" =>
+                  if (fn != "COUNT")
+                    throw SparqlParseError(s"$fn(*) is not valid SPARQL")
+                  None
+                case v => Some(v.drop(1))
+              }
+              val alias = s"_having${havingAggs.length}"
+              havingAggs :+= Aggregate(fn, m.group(2) != null, arg, alias)
+              alias
+            })
+          }
           s"(${translateFilter(rewritten)})"
         }
         Some(parts.mkString(" AND "))
     }
+    // HAVING with no GROUP BY, no SELECT aggregate, and no aggregate
+    // call of its own has no group to filter — reject rather than
+    // guess (with GROUP BY it is legal and runs the grouped branch).
+    if (havingSqlOpt.nonEmpty && groupBy.isEmpty &&
+        aggregates.isEmpty && havingAggs.isEmpty)
+      throw SparqlParseError(
+        "HAVING without GROUP BY needs an aggregate in SELECT or HAVING")
     // Each EXISTS group becomes a standalone SELECT * query (outer
     // PREFIX declarations and FROM dataset serialized back into the
     // text) and re-enters this parser — so property paths, OPTIONAL,
@@ -1384,6 +1409,29 @@ object Sparql {
     "STRSTARTS" -> "startswith", "STRENDS" -> "endswith",
     "STRLEN" -> "length", "LCASE" -> "lower", "UCASE" -> "upper"
   )
+
+  /** Apply `f` to the non-string segments of `body`, leaving "…"
+    * literals byte-for-byte intact (quotes re-emitted, so the result
+    * can feed translateFilter, which re-splits the same way). */
+  private def mapOutsideStrings(body: String, where: String)(
+      f: String => String): String = {
+    val out = new StringBuilder(body.length)
+    var segStart = 0
+    var inStr = false
+    var i = 0
+    while (i < body.length) {
+      if (body.charAt(i) == '"') {
+        val seg = body.substring(segStart, i)
+        out ++= (if (inStr) "\"" + seg + "\"" else f(seg))
+        segStart = i + 1
+        inStr = !inStr
+      }
+      i += 1
+    }
+    if (inStr) throw SparqlParseError(s"unterminated string literal in $where")
+    out ++= f(body.substring(segStart))
+    out.result()
+  }
 
   /** Translate a SPARQL FILTER body to Spark SQL: `?v` → column name,
     * `"lit"` → `'lit'`, `&&`/`||`/`!` → AND/OR/NOT, `BOUND(x)` →

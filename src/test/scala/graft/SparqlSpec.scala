@@ -939,5 +939,38 @@ class SparqlSpec extends AnyFunSuite {
       "only GROUP_CONCAT takes a ';' argument")
     rejects("SELECT (GROUP_CONCAT(*) AS ?z) WHERE { ?s ?p ?o }",
       "GROUP_CONCAT(*) is not valid SPARQL")
+
+    // GROUP BY + HAVING with NO aggregate anywhere (legal SPARQL):
+    // must group (distinct keys) and apply the HAVING filter, not
+    // silently return ungrouped unfiltered rows.
+    val nk = Sparql.run(t,
+      """SELECT ?n WHERE { ?c <in> ?n } GROUP BY ?n
+        |HAVING(?n != "n1") ORDER BY ?n""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(nk.toSeq == Seq("n2"))
+
+    // Aggregate-looking text inside a HAVING string literal is data:
+    // the rewrite must not corrupt it or register a spurious aggregate.
+    val lit = Sparql.run(t,
+      """SELECT ?n WHERE { ?c <in> ?n } GROUP BY ?n
+        |HAVING(?n != "COUNT(?x)") ORDER BY ?n""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(lit.toSeq == Seq("n1", "n2"))
+
+    // HAVING with no GROUP BY and no aggregate: no group to filter.
+    rejects("""SELECT ?n WHERE { ?c <in> ?n } HAVING(?n != "a")""",
+      "HAVING without GROUP BY needs an aggregate")
+  }
+
+  test("FROM NAMED-only dataset clause on a triple frame is rejected by name") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(("a", "p", "1")).toDF("s", "p", "o")
+    val e = intercept[SparqlParseError](
+      Sparql.run(t, "SELECT ?s FROM NAMED <g1> WHERE { ?s <p> ?o }"))
+    assert(e.getMessage.contains("FROM NAMED needs"))
+    val e2 = intercept[SparqlParseError](
+      Sparql.run(t, "SELECT ?s FROM <g1> WHERE { ?s <p> ?o }"))
+    assert(e2.getMessage.contains("FROM needs"))
   }
 }
