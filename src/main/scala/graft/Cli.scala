@@ -99,6 +99,85 @@ object Cli {
       }
   }
 
+  /** Dataset-conversion registry — the datalake_cli.py `convert` /
+    * `update` dispatch (reference: scripts/datalake_cli.py:252
+    * cmd_convert, :264 cmd_update discover convert_<dataset>.py by
+    * name and run them). Each named dataset maps to the Spark
+    * ingestion path that re-expresses its converter:
+    *   - openalex / s2ag: chunked JSONL dumps -> one parquet dataset
+    *     (convert_openalex.py's chunk loop; schema drift across chunks
+    *     is survived by per-chunk schemas + union-schema reads).
+    *   - sciscinet: CSV tables -> parquet (convert_sciscinet.py).
+    *   - ontologies: .obo/.ttl/.rdf/.nt files -> ONE named-graph quad
+    *     store, one graph per file (convert_ontologies.py; the store
+    *     the SPARQL front-end's FROM/GRAPH constructs query).
+    * `download_*.py` is remote acquisition — out of scope by design,
+    * so `update` is convert -> refreshed views (the reference's
+    * pipeline minus the download step). */
+  private[graft] val ConvertDatasets: Seq[String] =
+    Seq("openalex", "s2ag", "sciscinet", "ontologies")
+
+  /** Files under `inPath` (a file or a directory) with one of `exts`,
+    * sorted by name so chunk append order is deterministic. */
+  private def inputFiles(inPath: String, exts: Set[String]): Seq[String] = {
+    val f = new java.io.File(inPath)
+    def ok(n: String) = exts.exists(n.toLowerCase(java.util.Locale.ROOT).endsWith)
+    if (f.isFile) { if (ok(f.getName)) Seq(f.getPath) else Seq.empty }
+    else if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .filter(c => c.isFile && ok(c.getName))
+        .map(_.getPath).toSeq.sorted
+    else Seq.empty
+  }
+
+  /** Convert one named dataset from `inPath` into parquet at
+    * `outPath`. Returns Left(reason) for an unknown dataset (listing
+    * what IS available, the reference's cmd_convert behavior) or
+    * missing/empty input; Right(summary) on success. */
+  private[graft] def convertDataset(
+      spark: org.apache.spark.sql.SparkSession,
+      dataset: String,
+      inPath: String,
+      outPath: String
+  ): Either[String, String] = dataset match {
+    case "openalex" | "s2ag" =>
+      val files = inputFiles(inPath, Set(".jsonl", ".ndjson", ".json"))
+      if (files.isEmpty) Left(s"no JSONL chunks under $inPath")
+      else {
+        // One inference pass per chunk is the ingestion-time cost of
+        // schema drift; steady-state readers pin the union schema.
+        val chunks = files.map(p => (p, spark.read.json(p).schema))
+        graft.sources.Ingest.convertChunked(spark, chunks, outPath)
+        val n = graft.sources.Ingest.readMerged(spark, outPath).count()
+        Right(s"$dataset: ${files.size} chunk(s) -> $outPath ($n rows)")
+      }
+    case "sciscinet" =>
+      val files = inputFiles(inPath, Set(".csv"))
+      if (files.isEmpty) Left(s"no CSV files under $inPath")
+      else {
+        val df = spark.read
+          .option("header", "true").option("inferSchema", "true")
+          .csv(files: _*)
+        graft.sources.Ingest.writeParquet(df, outPath, targetPartitions = 4)
+        Right(s"sciscinet: ${files.size} file(s) -> $outPath (${df.count()} rows)")
+      }
+    case "ontologies" =>
+      val files =
+        inputFiles(inPath, Set(".nt", ".ttl", ".rdf", ".owl", ".obo", ".xml"))
+      if (files.isEmpty) Left(s"no ontology files under $inPath")
+      else {
+        val store =
+          if (files.lengthCompare(1) == 0)
+            graft.sources.Rdf.readOntology(spark, files.head)
+          else graft.sources.Rdf.readOntologies(spark, files)
+        graft.sources.Ingest.writeParquet(store, outPath, targetPartitions = 4)
+        val n = spark.read.parquet(outPath).count()
+        Right(s"ontologies: ${files.size} file(s) -> $outPath ($n triples)")
+      }
+    case other =>
+      Left(s"no converter for: $other (available: ${ConvertDatasets.mkString(", ")})")
+  }
+
   /** Read-eval-print loop over the registered views — the
     * datalake_cli.py:357 `cmd_shell` analog (its Python fallback
     * shape: prompt, quit/exit/.quit/.exit, `.tables` listing, per-
@@ -152,7 +231,9 @@ object Cli {
           |       graft.Cli views <tableDir>
           |       graft.Cli shell <tableDir>
           |       graft.Cli catalog <tableDir> [outFile.md]
-          |       graft.Cli export <tableDir> <outDir>""".stripMargin
+          |       graft.Cli export <tableDir> <outDir>
+          |       graft.Cli convert <dataset> <inPath> <outDir>
+          |       graft.Cli update <tableDir> <dataset> <inPath>""".stripMargin
       )
       sys.exit(2)
     }
@@ -237,6 +318,45 @@ object Cli {
             md.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           println(s"wrote ${args(2)}")
         } else print(md)
+      case "convert" =>
+        // datalake_cli.py:252 cmd_convert: dispatch by dataset name;
+        // unknown dataset lists what IS available and exits 1. Here
+        // args(1) is the DATASET (no lake needed to convert).
+        if (args.length < 4) {
+          System.err.println("usage: graft.Cli convert <dataset> <inPath> <outDir>")
+          sys.exit(2)
+        }
+        convertDataset(spark, args(1), args(2), args(3)) match {
+          case Left(err) =>
+            System.err.println(err)
+            spark.stop()
+            sys.exit(1)
+          case Right(summary) => println(summary)
+        }
+      case "update" =>
+        // datalake_cli.py:264 cmd_update minus the download step:
+        // convert the dataset's input INTO the lake directory (the
+        // table lands as <tableDir>/<dataset>.parquet), then rebuild
+        // the view catalog — the "full update pipeline" the reference
+        // runs per dataset.
+        if (args.length < 4) {
+          System.err.println("usage: graft.Cli update <tableDir> <dataset> <inPath>")
+          sys.exit(2)
+        }
+        convertDataset(spark, args(2), args(3), s"$dir/${args(2)}.parquet") match {
+          case Left(err) =>
+            System.err.println(err)
+            spark.stop()
+            sys.exit(1)
+          case Right(summary) =>
+            println(summary)
+            lake.registerViews()
+            // The fresh table is not in the star-schema catalog; expose
+            // it as a flat view alongside the registered ones.
+            spark.read.parquet(s"$dir/${args(2)}.parquet")
+              .createOrReplaceTempView(args(2))
+            println(s"${lake.tableNames.size + 1} views registered")
+        }
       case "views" =>
         // The datalake_cli.py:315 `cmd_views` analog: (re)build the
         // schema-namespaced view catalog, then list what registered.

@@ -44,6 +44,7 @@ object SparkEntry {
     "evt05_retention" -> q(Events.evt05Retention),
     "evt06_moving_avg" -> q(Events.evt06MovingAvg),
     "samp01_stratified" -> q(TextAnalysis.samp01Stratified(_)),
+    "samp08_seeded_sample" -> q(TextAnalysis.samp08SeededSample(_)),
     "xref01_id_map" -> q(Linkage.xref01IdMap),
     "xref02_unified_entities" -> q(Linkage.xref02UnifiedEntities),
     "xref03_coverage_stats" -> q(Linkage.xref03CoverageStats),
@@ -89,6 +90,7 @@ object SparkEntry {
     "sim03_lsh_ann" -> q(Similarity.sim03LshAnn(_)),
     "sim05_ivf_ann" -> q(Similarity.sim05IvfAnn(_)),
     "sim08_knn_graph" -> q(Similarity.sim08KnnGraph(_)),
+    "sim11_knn_graph_ann" -> q(Similarity.sim11KnnGraphAnn(_)),
     "sim04_label_centroids" -> q(Similarity.sim04LabelCentroids),
     "evt01_windowed_counts" -> q(Events.evt01WindowedCounts),
     "evt02_sessionization" -> q(Events.evt02Sessionization(_)),
@@ -120,6 +122,7 @@ object SparkEntry {
     "graph23_sparql_optional_group" -> q(Graph.graph23SparqlOptionalGroup),
     "graph24_sparql_having" -> q(Graph.graph24SparqlHaving),
     "graph25_sparql_from_named" -> q(Graph.graph25SparqlFromNamed),
+    "graph26_sparql_numeric_agg" -> q(Graph.graph26SparqlNumericAgg),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -407,6 +410,15 @@ object SparkEntry {
         |WHERE doc_id % 100 < 30
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // samp08: same md5 hash-threshold keep rule, replayed verbatim —
+    // both engines emit lowercase-hex md5 and compare strings
+    // lexicographically (the USING SAMPLE analog; RNG sampling is
+    // deliberately not oracle-checkable, see SURVEY §2).
+    "samp08_seeded_sample" ->
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 4) < '3333'
+        |ORDER BY doc_id""".stripMargin,
     "xref01_id_map" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS source, LOWER(REPLACE(c_name, 'Customer#', '')) AS key,
@@ -1318,6 +1330,51 @@ object SparkEntry {
          |SELECT src, dst, ROUND(MAX(cos_raw), 4) AS cos
          |FROM u GROUP BY src, dst HAVING COUNT(*) = 2
          |ORDER BY src, dst""".stripMargin,
+    // sim11: the ANN-backed mutual kNN graph replays END TO END — the
+    // trained quantizer is sim06's unrolled 3-iteration Lloyd CTE
+    // verbatim (seeds = 10 lowest vec_ids, ties to lowest cluster),
+    // every vector probes its nprobe=4 cells, candidates are the
+    // probed cells' home members, and the mutuality fold is sim08's.
+    // Float-safety as sim06: exact cosines are deterministic per
+    // pair; only centroid AVGs carry distributed-sum noise.
+    "sim11_knn_graph_ann" -> {
+      val iter = (1 to 3).map { i =>
+        s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+           |  FROM e CROSS JOIN c${i - 1} c),
+           |f$i AS (SELECT cluster, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x
+           |  FROM a$i WHERE r = 1),
+           |c$i AS (SELECT cluster, LIST(c ORDER BY pos) AS centroid FROM (
+           |    SELECT cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2)
+           |  GROUP BY cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
+         |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= 10),
+         |$iter,
+         |cells AS (SELECT vec_id AS dst, v AS bv, cluster FROM (
+         |    SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+         |    FROM e CROSS JOIN c3 c) WHERE r = 1),
+         |p AS (SELECT src, av, cluster FROM (
+         |    SELECT e.vec_id AS src, e.v AS av, c.cluster, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS crank
+         |    FROM e CROSS JOIN c3 c) WHERE crank <= 4),
+         |s AS (SELECT p.src, cells.dst, ${dkCos("p.av", "cells.bv")} AS cos_raw
+         |      FROM cells JOIN p ON cells.cluster = p.cluster AND cells.dst != p.src),
+         |r AS (SELECT src, dst, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY src ORDER BY cos_raw DESC, dst) AS rank
+         |  FROM s),
+         |k AS (SELECT src, dst, cos_raw FROM r WHERE rank <= 5),
+         |u AS (SELECT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst, cos_raw FROM k)
+         |SELECT src, dst, ROUND(MAX(cos_raw), 4) AS cos
+         |FROM u GROUP BY src, dst HAVING COUNT(*) = 2
+         |ORDER BY src, dst""".stripMargin
+    },
     // sim06: the TRAINED quantizer, oracle-checked by UNROLLING the 3
     // Lloyd iterations as CTE triples (seed -> assign -> positional
     // mean), the graph06 unrolled-recursion trick. Deterministic on
@@ -2589,6 +2646,18 @@ object SparkEntry {
         |  UNION ALL SELECT 'graph:labels' FROM region
         |  UNION ALL SELECT 'graph:flags' FROM nation WHERE n_nationkey % 3 = 0)
         |SELECT g, COUNT(*) AS n_triples FROM q GROUP BY g ORDER BY g""".stripMargin,
+    // graph26: SUM/AVG over typed decimal literals — the engine
+    // strips `"lex"^^<datatype>` and sums doubles; decimal→string→
+    // double round-trips exactly, so the oracle aggregates the base
+    // column directly. Both sides round to 4dp.
+    "graph26_sparql_numeric_agg" ->
+      """SELECT n_name AS nation,
+        |  ROUND(SUM(CAST(c_acctbal AS DOUBLE)), 4) AS total_bal,
+        |  ROUND(AVG(CAST(c_acctbal AS DOUBLE)), 4) AS avg_bal,
+        |  COUNT(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     // graph24: HAVING + GROUP_CONCAT replayed on the star schema —
     // nation labels are unique, so COUNT(DISTINCT iri) == COUNT
     // (DISTINCT label); the engine sorts GROUP_CONCAT values

@@ -630,6 +630,46 @@ object Graph {
         |ORDER BY ?nl""".stripMargin
     )
 
+  /** graph26: NUMERIC aggregates over TYPED literals — the one
+    * SPARQL-fragment reject a reference corpus could plausibly hit
+    * (ontology annotation values like counts and scores are
+    * `"5"^^xsd:integer` literals; VERDICT r6 #8). The store gains a
+    * `balance` predicate whose objects are `"lex"^^xsd:decimal`
+    * typed literals built from customer balances; the query SUMs and
+    * AVGs them per nation through the text front-end — the engine
+    * strips the literal syntax, numeric-guards the cast, and
+    * propagates any non-numeric binding as an UNBOUND aggregate (the
+    * spec's error semantics, exercised in SparqlSpec). Post-rounds to
+    * 4dp for cross-engine float stability. */
+  def graph26SparqlNumericAgg(lake: Lake): DataFrame = {
+    val bal = lake.customer.select(
+      concat(lit("cust:"), col("c_custkey")).as("s"),
+      lit("balance").as("p"),
+      concat(
+        lit("\""), col("c_acctbal").cast("string"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#decimal>")).as("o")
+    )
+    graft.sparql.Sparql
+      .run(
+        triples(lake).unionAll(bal),
+        """SELECT ?nl (SUM(?b) AS ?total_bal) (AVG(?b) AS ?avg_bal)
+          |       (COUNT(?b) AS ?n_cust)
+          |WHERE {
+          |  ?c <balance> ?b .
+          |  ?c <in_nation> ?n .
+          |  ?n <label> ?nl
+          |}
+          |GROUP BY ?nl
+          |ORDER BY ?nl""".stripMargin
+      )
+      .select(
+        col("nl").as("nation"),
+        round(col("total_bal"), 4).as("total_bal"),
+        round(col("avg_bal"), 4).as("avg_bal"),
+        col("n_cust")
+      )
+  }
+
   /** graph07: OPTIONAL + FILTER over the triple store — `?n in_region
     * ?r . ?r label ?rl . OPTIONAL { ?n flagged ?fl } . FILTER(?rl !=
     * "ASIA")`. Nations keep their row whether or not the sparse

@@ -421,10 +421,20 @@ object Linkage {
     * match.
     *
     * Scale shape: gold is one fingerprint self-join (linear + group
-    * sizes); each candidate set is its scheme's own linear blocked
-    * join (never n²); metrics fold to one row per scheme via scalar
-    * crossJoins of single-row aggregates. The candidate frames are
-    * localCheckpointed because each feeds two aggregates (count +
+    * sizes); the content candidate set is its own linear blocked join
+    * (never n²); the length-band scheme is ANALYTIC — neither of its
+    * two outputs needs the pair set, so none is built (VERDICT r6:
+    * on a skewed real-corpus length distribution the materialized
+    * band-pair set re-creates the near-quadratic blowup the metric is
+    * supposed to be measuring):
+    *   - n_candidates = Σ per-length density products over the ±W
+    *     band (dedup09's analytic pair math) — the join runs over the
+    *     LENGTH HISTOGRAM (|distinct lengths| rows), not the corpus;
+    *   - gold_covered = an O(|gold|) filter on the gold pairs' own
+    *     length difference — no join at all.
+    * Metrics fold to one row per scheme via scalar crossJoins of
+    * single-row aggregates; the content candidate frame is
+    * localCheckpointed because it feeds two aggregates (count +
     * gold semi-join). */
   def xref09BlockingQuality(
       lake: Lake,
@@ -432,11 +442,16 @@ object Linkage {
       maxDf: Int = 10000
   ): DataFrame = {
     val docs = lake.documents.select(col("doc_id"), col("n_chars"), col("text"))
-    val fp = docs.select(col("doc_id"), text.bagFingerprint(col("text")).as("f"))
+    val fp = docs.select(
+      col("doc_id"), col("n_chars"), text.bagFingerprint(col("text")).as("f"))
+    // Gold pairs carry BOTH endpoint lengths so the length-band
+    // coverage check is a predicate on this frame, not a re-join.
     val gold = fp
-      .join(fp.select(col("doc_id").as("b"), col("f")), "f")
+      .join(
+        fp.select(col("doc_id").as("b"), col("n_chars").as("nb"), col("f")),
+        "f")
       .filter(col("doc_id") < col("b"))
-      .select(col("doc_id").as("a"), col("b"))
+      .select(col("doc_id").as("a"), col("b"), col("n_chars").as("na"), col("nb"))
       .localCheckpoint()
     // scheme 1: content blocking — the df-capped shingle index
     val ix = docs
@@ -462,34 +477,26 @@ object Linkage {
       .select(col("doc_id").as("a"), col("b"))
       .distinct()
       .localCheckpoint()
-    // scheme 2: attribute blocking — length bands; one-sided 3-bin
-    // replication means each within-window pair joins exactly once
-    val lens = docs.select(col("doc_id"), col("n_chars"))
-    val probe = lens.withColumn(
-      "bin",
-      explode(array(
-        expr(s"n_chars div $lenWindow") - 1,
-        expr(s"n_chars div $lenWindow"),
-        expr(s"n_chars div $lenWindow") + 1))
-    )
-    val build = lens
-      .select(col("doc_id").as("b"), col("n_chars").as("cb"))
-      .withColumn("bin", expr(s"cb div $lenWindow"))
-    val candLength = probe
-      .join(build, Seq("bin"))
-      .filter(col("doc_id") < col("b") &&
-        abs(col("n_chars") - col("cb")) <= lenWindow)
-      .select(col("doc_id").as("a"), col("b"))
-      .localCheckpoint()
+    // scheme 2: attribute blocking — length bands, ANALYTIC. The pair
+    // count a band join WOULD produce (each |diff| <= W pair exactly
+    // once) from the length histogram: within-length c·(c−1)/2 plus
+    // cross-length c_l·c_m for 0 < m−l <= W, the cross terms met via
+    // the same one-sided 3-bin band join — but over |distinct
+    // lengths| histogram rows, never |docs| rows.
+    val nCandLength = lengthBandPairCount(docs, lenWindow)
+    val goldCoveredLength = gold
+      .filter(abs(col("na") - col("nb")) <= lenWindow)
+      .agg(count(lit(1)).as("gold_covered"))
     val totals = docs.agg(count(lit(1)).cast("double").as("n"))
     val goldTotal = gold.agg(count(lit(1)).as("gold_total"))
-    def schemeRow(name: String, cand: DataFrame): DataFrame =
-      cand
-        .agg(count(lit(1)).as("n_candidates"))
+    def schemeRow(
+        name: String,
+        nCand: DataFrame,
+        goldCovered: DataFrame
+    ): DataFrame =
+      nCand
         .crossJoin(broadcast(goldTotal))
-        .crossJoin(broadcast(
-          gold.join(cand, Seq("a", "b"), "left_semi")
-            .agg(count(lit(1)).as("gold_covered"))))
+        .crossJoin(broadcast(goldCovered))
         .crossJoin(broadcast(totals))
         .select(
           lit(name).as("scheme"),
@@ -503,8 +510,48 @@ object Linkage {
           round(col("gold_covered") / col("gold_total").cast("double"), 4)
             .as("completeness")
         )
-    schemeRow("content_shingle", candContent)
-      .unionAll(schemeRow("length_band", candLength))
+    schemeRow(
+      "content_shingle",
+      candContent.agg(count(lit(1)).as("n_candidates")),
+      gold.join(candContent, Seq("a", "b"), "left_semi")
+        .agg(count(lit(1)).as("gold_covered"))
+    )
+      .unionAll(schemeRow("length_band", nCandLength, goldCoveredLength))
       .orderBy("scheme")
+  }
+
+  /** The number of unordered doc pairs with |n_chars diff| <= W,
+    * computed from the length HISTOGRAM (dedup09's analytic density
+    * products; VERDICT r6 #3) — one row per distinct length, so the
+    * band join's input is |distinct lengths| whatever the corpus
+    * size, and no doc-level pair ever exists. Returns one row,
+    * column `n_candidates` (long, matching a count(*)). */
+  private[graft] def lengthBandPairCount(
+      docs: DataFrame,
+      lenWindow: Int
+  ): DataFrame = {
+    val hist = docs
+      .groupBy(col("n_chars").as("len"))
+      .agg(count(lit(1)).as("c"))
+    val probe = hist.withColumn(
+      "bin",
+      explode(array(
+        expr(s"len div $lenWindow") - 1,
+        expr(s"len div $lenWindow"),
+        expr(s"len div $lenWindow") + 1))
+    )
+    val build = hist
+      .select(col("len").as("m"), col("c").as("cm"))
+      .withColumn("bin", expr(s"m div $lenWindow"))
+    val cross = probe
+      .join(build, Seq("bin"))
+      .filter(col("len") < col("m") && col("m") - col("len") <= lenWindow)
+      .agg(coalesce(sum(col("c") * col("cm")), lit(0L)).as("x"))
+    // c·(c−1) is always even, so `div 2` is exact.
+    val within = hist.agg(
+      coalesce(expr("sum(c * (c - 1) div 2)"), lit(0L)).as("w"))
+    cross
+      .crossJoin(broadcast(within))
+      .select((col("x") + col("w")).as("n_candidates"))
   }
 }

@@ -649,6 +649,90 @@ object Similarity {
       .orderBy("src", "dst")
   }
 
+  /** sim11: ANN-backed mutual k-NN graph — sim08's semantics with the
+    * O(n²) kernel replaced by IVF candidate generation (the scale
+    * path sim08's Scaladoc names; reference analog:
+    * build_embedding_linkage.py:246-273 searching a FAISS index
+    * instead of brute force). Every vector probes its `nprobe`
+    * nearest coarse cells (sim05's label-centroid quantizer), the
+    * candidate set is the vectors whose HOME cell is probed, exact
+    * cosine + per-src top-k run within candidates only, and the
+    * mutuality fold (orient to (min, max), COUNT == 2) is sim08's
+    * verbatim.
+    *
+    * The quantizer is the TRAINED k-means one (sim06), not sim05's
+    * label cells: the documents' class labels have no cosine locality
+    * on this corpus (≈9% of top-5 neighbors share a label — measured;
+    * labels are semantic, cells must be geometric), while Lloyd cells
+    * partition the sphere by construction.
+    *
+    * Scale shape: the corpus never meets itself — the only
+    * corpus×corpus contact is an EQUI-join keyed on the cell id, so
+    * per-vector candidate volume is ~nprobe/nlist of the corpus, and
+    * total kernel work is nprobe/nlist · n² instead of n² (with
+    * nlist grown as √n the kernel is ~n^1.5). Probe ranking is
+    * |corpus| × nlist against a BROADCAST k-row centroid frame;
+    * top-k stays a partial WindowGroupLimit so the shuffle carries
+    * n·k rows. Recall vs the exact sim08 graph is spec-asserted
+    * (eval02's machinery); sim08 remains the exact oracle kernel.
+    *
+    * Recall note (measured, sf0.001): this synthetic corpus is
+    * near-uniform on the sphere (sim03's parameter note — max
+    * pairwise cosine ≈ 0.51, no cluster structure), so edge recall
+    * tracks probe COVERAGE: 0.32/0.40/0.51/0.62/0.73 at nprobe
+    * 2/3/4/5/6 of 10 cells — slightly above the nprobe/nlist
+    * coverage fraction, which is the information-theoretic limit
+    * when there is no locality to exploit. The spec asserts exactly
+    * that (recall > coverage, full probe ≡ exact sim08). On real
+    * clustered embedding spaces the same machinery reaches high
+    * recall at small nprobe/nlist; tune per corpus. */
+  def sim11KnnGraphAnn(
+      lake: Lake,
+      k: Int = 5,
+      nprobe: Int = 4,
+      nlist: Int = 10,
+      iters: Int = 3
+  ): DataFrame = {
+    val all = vecs(lake).localCheckpoint()
+    val cents = kmeans(all, nlist, iters)
+    val cells = argmaxCell(all, cents, Seq("v", "nrm"))
+      .select(
+        col("vec_id").as("dst"), col("cluster"),
+        col("v").as("bv"), col("nrm").as("bnrm"))
+    val cellRank = Window
+      .partitionBy("src")
+      .orderBy(col("ccos").desc, col("cluster"))
+    val probed = all
+      .select(col("vec_id").as("src"), col("v").as("av"), col("nrm").as("anrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", vectors.cosine(col("av"), col("centroid")))
+      .withColumn("crank", row_number().over(cellRank))
+      .filter(col("crank") <= nprobe)
+      .select("src", "av", "anrm", "cluster")
+    val w = Window.partitionBy("src").orderBy(col("cos_raw").desc, col("dst"))
+    val knn = cells
+      .join(probed, Seq("cluster"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn(
+        "cos_raw",
+        vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm"))
+      )
+      .select("src", "dst", "cos_raw")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    knn
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"),
+        col("cos_raw")
+      )
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("deg"), round(max("cos_raw"), 4).as("cos"))
+      .filter(col("deg") === 2)
+      .select("src", "dst", "cos")
+      .orderBy("src", "dst")
+  }
+
   /** sim09: PREFIX-DIMENSION prefilter + exact rerank — the
     * coarse-then-refine ANN pattern (FAISS's two-stage
     * refine/RFlat idiom; also how Matryoshka-style truncatable

@@ -379,6 +379,32 @@ object TextAnalysis {
       .orderBy("shard", "pos")
   }
 
+  /** Seeded random sample — the reference's `USING SAMPLE` idiom
+    * (reference: scripts/build_embedding_linkage.py:653,
+    * scripts/generate_paper_figures.py:131) with the RNG replaced by
+    * a seeded HASH threshold: keep a row iff the first 4 hex chars of
+    * md5(doc_id ":" seed) sort below the rate's threshold string.
+    * md5 hex is uniform, so P(keep) = 0x3333/0x10000 ≈ 20%; changing
+    * the seed re-deals the sample. DuckDB's `USING SAMPLE` (Bernoulli
+    * or reservoir) draws from engine-private RNG state, so its exact
+    * row set is NOT replayable across engines — the hash-threshold
+    * form is the oracle-checkable equivalent with the same marginal
+    * statistics, and unlike Bernoulli it is stable under retries,
+    * partitioning, and cluster size (a failed 100 TB stage re-samples
+    * IDENTICALLY on retry; an RNG sample does not).
+    *
+    * Scale shape: map-only scan — the predicate is a per-row hash
+    * compare, no shuffle at all; at any corpus size the sample is one
+    * pass over the ids. */
+  def samp08SeededSample(lake: Lake, seed: Int = 7): DataFrame =
+    lake.documents
+      .filter(
+        substring(
+          md5(concat(col("doc_id").cast("string"), lit(":" + seed))),
+          1, 4) < lit("3333"))
+      .select("doc_id", "source", "lang", "n_chars")
+      .orderBy("doc_id")
+
   def samp01Stratified(lake: Lake, pct: Int = 30): DataFrame =
     lake.documents
       .filter(pmod(col("doc_id"), lit(100)) < pct)

@@ -2,7 +2,8 @@ package graft.sparql
 
 import graft.operators.Graph
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{array_join, array_sort, broadcast, col, collect_list, collect_set, count, countDistinct, expr, lit, max, min}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{array_join, array_sort, avg, broadcast, col, collect_list, collect_set, count, countDistinct, expr, lit, max, min, regexp_replace, sum, sum_distinct, when}
 
 /** SPARQL *text* front-end — the reference's actual graph interface is
   * a string (reference: scripts/sparql_query.py:89 `run_query(store,
@@ -409,11 +410,26 @@ object Sparql {
         // drop at the projection.
         val aggCols = (p.aggregates ++ p.havingAggs).map { a =>
           val arg = a.variable.map(col).getOrElse(lit(1))
+          // SUM/AVG read the NUMERIC value of each binding: the
+          // lexical form of a typed/plain literal ("5"^^xsd:integer,
+          // "5.2", bare 5), cast only when it looks numeric (the
+          // regex guard keeps ANSI cast from throwing). A group
+          // holding any non-numeric binding aggregates to UNBOUND
+          // (null) — the spec's error propagation, not SQL's
+          // ignore-NULLs.
+          lazy val nv = numericLiteral(arg)
+          lazy val bad = count(when(arg.isNotNull && nv.isNull, 1))
+          def strict(agg: Column): Column =
+            when(bad > 0, lit(null).cast("double")).otherwise(agg)
           val c = (a.fn, a.isDistinct) match {
             case ("COUNT", true)  => countDistinct(arg)
             case ("COUNT", false) => count(arg)
             case ("MIN", _)       => min(arg)
             case ("MAX", _)       => max(arg)
+            case ("SUM", false)   => strict(sum(nv))
+            case ("SUM", true)    => strict(sum_distinct(nv))
+            case ("AVG", false)   => strict(avg(nv))
+            case ("AVG", true)    => strict(sum_distinct(nv) / countDistinct(nv))
             // SPARQL SAMPLE may return ANY value of the group; this
             // engine picks the minimum so results are deterministic
             // under any partitioning (first/any_value are not).
@@ -566,9 +582,9 @@ object Sparql {
           case Some("(") =>
             st.next()
             val fn = st.next().toUpperCase(java.util.Locale.ROOT)
-            if (!Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT")(fn))
+            if (!Set("COUNT", "MIN", "MAX", "SAMPLE", "GROUP_CONCAT", "SUM", "AVG")(fn))
               throw SparqlParseError(
-                s"aggregate $fn is not supported (COUNT/MIN/MAX/SAMPLE/GROUP_CONCAT over the string store)")
+                s"aggregate $fn is not supported (COUNT/MIN/MAX/SUM/AVG/SAMPLE/GROUP_CONCAT)")
             st.expect("(")
             var isDistinct = false
             if (st.peekKeyword("DISTINCT")) { st.next(); isDistinct = true }
@@ -1071,9 +1087,9 @@ object Sparql {
           val rewritten = mapOutsideStrings(b, "HAVING") { code =>
             aggCall.replaceAllIn(code, m => {
               val fn = m.group(1).toUpperCase(java.util.Locale.ROOT)
-              if (!Set("COUNT", "MIN", "MAX", "SAMPLE")(fn))
+              if (!Set("COUNT", "MIN", "MAX", "SAMPLE", "SUM", "AVG")(fn))
                 throw SparqlParseError(
-                  s"$fn in HAVING is not supported (COUNT/MIN/MAX/SAMPLE)")
+                  s"$fn in HAVING is not supported (COUNT/MIN/MAX/SUM/AVG/SAMPLE)")
               val arg = m.group(3) match {
                 case "*" =>
                   if (fn != "COUNT")
@@ -1409,6 +1425,19 @@ object Sparql {
     "STRSTARTS" -> "startswith", "STRENDS" -> "endswith",
     "STRLEN" -> "length", "LCASE" -> "lower", "UCASE" -> "upper"
   )
+
+  /** The numeric value of a stored term, for SUM/AVG: strip one level
+    * of literal syntax (`"lex"^^<datatype>` / `"lex"@lang` / `"lex"`
+    * → lex; anything else passes through as its own lexical form),
+    * then cast — guarded by a numeric-shape regex so a non-numeric
+    * lexical form becomes NULL instead of an ANSI cast error. */
+  private def numericLiteral(c: Column): Column = {
+    val lex = regexp_replace(
+      c, "^\"(.*)\"(\\^\\^<[^>]*>|@[A-Za-z0-9-]+)?$", "$1")
+    when(
+      lex.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+      lex.cast("double"))
+  }
 
   /** Apply `f` to the non-string segments of `body`, leaving "…"
     * literals byte-for-byte intact (quotes re-emitted, so the result

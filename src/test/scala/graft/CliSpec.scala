@@ -98,6 +98,55 @@ class CliSpec extends AnyFunSuite {
     assert(md.contains("`trade.nation` — 25 rows"))
   }
 
+  test("convert: unknown dataset is rejected by name, listing what is available") {
+    import TestSpark._
+    val out = Cli.convertDataset(spark, "nosuch", "/tmp/in", "/tmp/out")
+    assert(out.isLeft)
+    assert(out.left.exists(_.contains("no converter for: nosuch")))
+    assert(out.left.exists(_.contains("openalex")), "must list available datasets")
+    // a known dataset with an empty input dir fails on the INPUT, not
+    // the name
+    val tmp = java.nio.file.Files.createTempDirectory("cli_empty").toString
+    val miss = Cli.convertDataset(spark, "openalex", tmp, "/tmp/out2")
+    assert(miss.isLeft && miss.left.exists(_.contains("no JSONL chunks")))
+  }
+
+  test("convert: chunked JSONL with schema drift lands as one union-schema parquet") {
+    import TestSpark._
+    val in = java.nio.file.Files.createTempDirectory("cli_jsonl")
+    // chunk 2 adds a field chunk 1 lacks — the dump-over-dump reality
+    java.nio.file.Files.write(in.resolve("chunk_000.jsonl"),
+      "{\"id\":1,\"t\":\"a\"}\n{\"id\":2,\"t\":\"b\"}\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(in.resolve("chunk_001.jsonl"),
+      "{\"id\":3,\"t\":\"c\",\"extra\":9}\n".getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("cli_pq").toString + "/openalex"
+    val res = Cli.convertDataset(spark, "openalex", in.toString, out)
+    assert(res.isRight, res)
+    assert(res.exists(_.contains("2 chunk(s)")))
+    val back = graft.sources.Ingest.readMerged(spark, out)
+    assert(back.count() == 3)
+    // union schema: the drifted column exists, null-filled for chunk 1
+    assert(back.columns.contains("extra"))
+    assert(back.filter(back.col("extra").isNull).count() == 2)
+  }
+
+  test("convert: ontology files land as a named-graph quad store") {
+    import TestSpark._
+    val in = java.nio.file.Files.createTempDirectory("cli_onto")
+    java.nio.file.Files.write(in.resolve("a.nt"),
+      "<s1> <p> <o1> .\n<s2> <p> <o2> .\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(in.resolve("b.nt"),
+      "<s3> <p> <o3> .\n".getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("cli_store").toString + "/onto"
+    val res = Cli.convertDataset(spark, "ontologies", in.toString, out)
+    assert(res.isRight, res)
+    val store = spark.read.parquet(out)
+    assert(store.columns.toSeq.sorted == Seq("g", "is_literal", "o", "p", "s"))
+    assert(store.count() == 3)
+    // one graph per file, so SPARQL's dataset surface works over it
+    assert(store.select("g").distinct().count() == 2)
+  }
+
   test("shell: EOF without exit terminates cleanly") {
     import TestSpark._
     val lake = graft.catalog.Lake(spark, sfDir)

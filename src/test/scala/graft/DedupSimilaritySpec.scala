@@ -333,6 +333,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rechunked == expected, "chunk count changed the result")
   }
 
+  test("ANN-backed mutual kNN: full probe equals exact sim08; partial probe keeps recall, no corpus pair join") {
+    val exact = Similarity.sim08KnnGraph(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing every cell makes candidate generation exhaustive — the
+    // ANN graph must equal the exact graph edge for edge
+    val full = Similarity.sim11KnnGraphAnn(lake, nprobe = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == exact, s"full-probe ANN graph != exact (${full.size} vs ${exact.size})")
+    // This corpus is near-uniform on the sphere (no cluster
+    // structure), so recall cannot beat probe coverage by much —
+    // the honest assertion is that cells capture what locality
+    // exists: recall must EXCEED the raw nprobe/nlist coverage
+    // fraction (0.4 here; measured 0.51 at sf0.001), and clear a
+    // floor below the measurement's noise band.
+    val ann = Similarity.sim11KnnGraphAnn(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    info(s"ANN mutual-graph recall = $recall")
+    assert(recall > 0.4, s"ANN recall $recall does not beat probe coverage")
+    assert(ann.forall { case (s, d) => s < d }, "edges not min/max oriented")
+    // scale pin: the corpus meets itself ONLY through the cell-keyed
+    // equi-join — the two BNLJs are the broadcast nlist-row centroid
+    // cross joins (home assignment + probe ranking, sim05/06's
+    // accepted shape); pairs never form outside cells
+    val p = Similarity.sim11KnnGraphAnn(lake)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 2, p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("IVF ANN with full probe reproduces brute force exactly; partial probe trades recall") {
     val bf = Similarity
       .sim01TopKBruteForce(lake)

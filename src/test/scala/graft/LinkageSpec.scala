@@ -63,6 +63,15 @@ class LinkageSpec extends AnyFunSuite {
     }
     // the blocking trade: content blocking prunes far harder
     assert(rows("content_shingle")._2 > rows("length_band")._2)
+    // ANALYTIC pin (VERDICT r6 #3): the length-band count must never
+    // build doc-level pairs — every join in its plan runs over the
+    // length histogram, so no join node may reference doc_id.
+    val bandPlan = graft.operators.Linkage
+      .lengthBandPairCount(lake.documents.select("doc_id", "n_chars"), 40)
+      .queryExecution.executedPlan.toString
+    bandPlan.linesIterator.filter(_.contains("Join")).foreach { l =>
+      assert(!l.contains("doc_id"), s"doc-level pair join in band plan: $l")
+    }
     // independent reference for completeness: gold = same word SET
     // (bag fingerprint), so shuffled variants are gold WITHOUT sharing
     // trigrams — content completeness is legitimately < 1 on this

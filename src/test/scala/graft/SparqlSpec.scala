@@ -92,7 +92,7 @@ class SparqlSpec extends AnyFunSuite {
       val e = intercept[SparqlParseError](Sparql.parse(q))
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    rejects("SELECT (SUM(?v) AS ?s) WHERE { ?a <p> ?v }", "SUM is not supported")
+    rejects("SELECT (MEDIAN(?v) AS ?s) WHERE { ?a <p> ?v }", "MEDIAN is not supported")
     rejects("SELECT (COUNT(?v)) WHERE { ?a <p> ?v }", "AS ?alias")
     rejects("SELECT ?a (COUNT(?v) AS ?n) WHERE { ?a <p> ?v }", "must appear in GROUP BY")
     rejects("SELECT ?a WHERE { ?a <p> ?v } GROUP BY ?a", "without an aggregate")
@@ -929,8 +929,8 @@ class SparqlSpec extends AnyFunSuite {
       val e = intercept[SparqlParseError](Sparql.parse(q))
       assert(e.getMessage.contains(frag), s"'${e.getMessage}' missing '$frag'")
     }
-    rejects("SELECT ?n WHERE { ?c <in> ?n } GROUP BY ?n HAVING(SUM(?c) > 1)",
-      "SUM in HAVING is not supported")
+    rejects("SELECT ?n WHERE { ?c <in> ?n } GROUP BY ?n HAVING(GROUP_CONCAT(?c) > 1)",
+      "GROUP_CONCAT in HAVING is not supported")
     rejects("ASK { ?c <in> ?n } HAVING(COUNT(?c) > 1)",
       "takes no HAVING")
     rejects("""SELECT (GROUP_CONCAT(?p; SEP="x") AS ?z) WHERE { ?s ?p ?o }""",
@@ -960,6 +960,45 @@ class SparqlSpec extends AnyFunSuite {
     // HAVING with no GROUP BY and no aggregate: no group to filter.
     rejects("""SELECT ?n WHERE { ?c <in> ?n } HAVING(?n != "a")""",
       "HAVING without GROUP BY needs an aggregate")
+  }
+
+  test("SUM/AVG aggregate typed numeric literals; non-numeric groups go unbound") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      ("a", "score", "\"2\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("a", "score", "\"3.5\"^^<http://www.w3.org/2001/XMLSchema#decimal>"),
+      ("a", "score", "\"2\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("b", "score", "4"),             // bare lexical form
+      ("b", "score", "\"1.5\""),       // plain literal
+      ("c", "score", "\"oops\"@en"),   // non-numeric → group unbound
+      ("c", "score", "\"9\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+    ).toDF("s", "p", "o")
+    val rows = Sparql.run(t,
+      """SELECT ?s (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+        |WHERE { ?s <score> ?v } GROUP BY ?s ORDER BY ?s""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0),
+        Option(r.get(1)).map(_.asInstanceOf[Double]),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq == Seq(
+      ("a", Some(7.5), Some(2.5)),
+      ("b", Some(5.5), Some(2.75)),
+      // spec error propagation: any non-numeric binding in the group
+      // makes the aggregate UNBOUND, not silently skipped
+      ("c", None, None)))
+    // DISTINCT collapses the duplicated "2" before summing
+    val d = Sparql.run(t,
+      """SELECT ?s (SUM(DISTINCT ?v) AS ?total)
+        |WHERE { ?s <score> ?v } GROUP BY ?s ORDER BY ?s""".stripMargin)
+      .collect().map(r => (r.getString(0), Option(r.get(1))))
+    assert(d.head == ("a", Some(5.5)))
+    // SUM works in HAVING too (same machinery)
+    val h = Sparql.run(t,
+      """SELECT ?s WHERE { ?s <score> ?v } GROUP BY ?s
+        |HAVING(SUM(?v) > 6) ORDER BY ?s""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(h.toSeq == Seq("a"))
   }
 
   test("FROM NAMED-only dataset clause on a triple frame is rejected by name") {

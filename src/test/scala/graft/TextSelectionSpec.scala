@@ -35,6 +35,30 @@ class TextSelectionSpec extends AnyFunSuite {
       assert(all(base.length).getLong(2) > 3000L)
   }
 
+  test("seeded sample: ~rate kept, seed re-deals, retry-stable, map-only") {
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    val total = lake.documents.count().toDouble
+    val s7 = graft.operators.TextAnalysis.samp08SeededSample(lake, seed = 7)
+    val k7 = s7.count().toDouble
+    // md5 uniformity: 0x3333/0x10000 ≈ 20% — allow a generous band at
+    // 500 docs (sd ≈ 1.8%)
+    assert(k7 / total > 0.10 && k7 / total < 0.30, s"rate ${k7 / total}")
+    // deterministic: the same seed picks the same rows on every run
+    val again = graft.operators.TextAnalysis.samp08SeededSample(lake, seed = 7)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == s7.collect().map(_.getLong(0)).toSeq)
+    // a different seed re-deals the sample (overlap ≈ rate², not 1)
+    val s8ids = graft.operators.TextAnalysis.samp08SeededSample(lake, seed = 8)
+      .collect().map(_.getLong(0)).toSet
+    val s7ids = again.toSet
+    assert(s7ids != s8ids)
+    // The sample itself is map-only: the only exchange is the final
+    // presentation sort's range partitioning — no hash shuffle exists.
+    val plan = s7.queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
   test("shuffle-shard: balanced shards, contiguous positions, source-decorrelated, seed-keyed") {
     val out = TextAnalysis.samp06ShuffleShard(lake).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
