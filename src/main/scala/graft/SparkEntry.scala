@@ -1331,14 +1331,14 @@ object SparkEntry {
          |FROM u GROUP BY src, dst HAVING COUNT(*) = 2
          |ORDER BY src, dst""".stripMargin,
     // sim11: the ANN-backed mutual kNN graph replays END TO END — the
-    // trained quantizer is sim06's unrolled 3-iteration Lloyd CTE
-    // verbatim (seeds = 10 lowest vec_ids, ties to lowest cluster),
-    // every vector probes its nprobe=4 cells, candidates are the
-    // probed cells' home members, and the mutuality fold is sim08's.
-    // Float-safety as sim06: exact cosines are deterministic per
-    // pair; only centroid AVGs carry distributed-sum noise.
+    // trained quantizer is sim06's unrolled Lloyd CTE (2 iterations,
+    // dedup11's count; seeds = 10 lowest vec_ids, ties to lowest
+    // cluster), every vector probes its nprobe=4 cells, candidates
+    // are the probed cells' home members, and the mutuality fold is
+    // sim08's. Float-safety as sim06: exact cosines are deterministic
+    // per pair; only centroid AVGs carry distributed-sum noise.
     "sim11_knn_graph_ann" -> {
-      val iter = (1 to 3).map { i =>
+      val iter = (1 to 2).map { i =>
         s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
            |    PARTITION BY e.vec_id
            |    ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
@@ -1358,12 +1358,12 @@ object SparkEntry {
          |    SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
          |      PARTITION BY e.vec_id
          |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
-         |    FROM e CROSS JOIN c3 c) WHERE r = 1),
+         |    FROM e CROSS JOIN c2 c) WHERE r = 1),
          |p AS (SELECT src, av, cluster FROM (
          |    SELECT e.vec_id AS src, e.v AS av, c.cluster, ROW_NUMBER() OVER (
          |      PARTITION BY e.vec_id
          |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS crank
-         |    FROM e CROSS JOIN c3 c) WHERE crank <= 4),
+         |    FROM e CROSS JOIN c2 c) WHERE crank <= 4),
          |s AS (SELECT p.src, cells.dst, ${dkCos("p.av", "cells.bv")} AS cos_raw
          |      FROM cells JOIN p ON cells.cluster = p.cluster AND cells.dst != p.src),
          |r AS (SELECT src, dst, cos_raw, ROW_NUMBER() OVER (

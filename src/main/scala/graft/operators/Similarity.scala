@@ -330,32 +330,51 @@ object Similarity {
       )
   }
 
-  def kmeans(all: DataFrame, k: Int = 10, iters: Int = 3): DataFrame = {
+  /** `materialize = true` (the default) localCheckpoints every Lloyd
+    * step — right when callers re-derive several frames from the
+    * centroids. `materialize = false` keeps the whole train LAZY so
+    * it folds into the consumer's single job: each Spark job on this
+    * box costs a ~0.3 s scheduling floor, and at nlist ≈ 10 the
+    * per-iteration compute (n × nlist scorings) is far below it, so
+    * iters × 2 checkpoint jobs dominate the wall clock of any
+    * operator that trains inline (sim11 measured 1.4 s of its 3.2 s
+    * in train-job floors). The recompute the laziness trades away is
+    * that same tiny n × nlist scan. */
+  def kmeans(
+      all: DataFrame,
+      k: Int = 10,
+      iters: Int = 3,
+      materialize: Boolean = true
+  ): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (materialize) df.localCheckpoint() else df
     val seedW = Window.orderBy("vec_id")
-    var cents = all
-      .orderBy("vec_id")
-      .limit(k)
-      .select(
-        (row_number().over(seedW) - 1).as("cluster"),
-        col("v").as("centroid")
-      )
-      .localCheckpoint()
+    var cents = mat(
+      all
+        .orderBy("vec_id")
+        .limit(k)
+        .select(
+          (row_number().over(seedW) - 1).as("cluster"),
+          col("v").as("centroid")
+        )
+    )
     var i = 0
     while (i < iters) {
       val assigned = argmaxCell(all, cents, Seq("v"))
         .select(col("cluster"), col("v"))
-      cents = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos")
-        .agg(avg("x").as("c"))
-        .groupBy("cluster")
-        .agg(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("c")))),
-            s => s.getField("c")
-          ).as("centroid")
-        )
-        .localCheckpoint()
+      cents = mat(
+        assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cluster", "pos")
+          .agg(avg("x").as("c"))
+          .groupBy("cluster")
+          .agg(
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("c")))),
+              s => s.getField("c")
+            ).as("centroid")
+          )
+      )
       i += 1
     }
     cents
@@ -691,27 +710,52 @@ object Similarity {
       k: Int = 5,
       nprobe: Int = 4,
       nlist: Int = 10,
-      iters: Int = 3
+      iters: Int = 2,
+      salts: Int = 32
   ): DataFrame = {
+    // all IS checkpointed (one job): the lazy train below references
+    // it once per Lloyd iteration plus once for scoring — uncached,
+    // re-decoding the parquet scan per reference measured SLOWER
+    // (3.1 s vs 2.0 s) than the one checkpoint job it saves.
     val all = vecs(lake).localCheckpoint()
-    val cents = kmeans(all, nlist, iters)
-    val cells = argmaxCell(all, cents, Seq("v", "nrm"))
+    // Lazy train: the whole Lloyd chain folds into the scoring job
+    // below (see kmeans's materialize note) — at nlist=10 the
+    // recompute is noise and the saved job floors are not.
+    val cents = kmeans(all, nlist, iters, materialize = false)
+    // ONE centroid-scoring pass serves both roles: rank 1 is the home
+    // assignment (argmaxCell's tiebreak — best ccos, then lowest
+    // cluster), ranks 1..nprobe are the probe set. Materialized once
+    // (narrow: id + cluster + vector) because two consumers read it.
+    val cellRank = Window
+      .partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cluster"))
+    val scored = all
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", vectors.cosine(col("v"), col("centroid")))
+      .withColumn("crank", row_number().over(cellRank))
+      .filter(col("crank") <= math.max(nprobe, 1))
+      .select("vec_id", "cluster", "crank", "v", "nrm")
+      .localCheckpoint()
+    // SALTED cell join: `cluster` alone has only nlist distinct
+    // values, so an unsalted equi-join caps parallelism at nlist
+    // tasks whatever the cluster size. Salt by a hash of the HOME
+    // side's id and replicate the probe side once per salt — bounded
+    // S× replication of the (nprobe · n)-row probe frame, and the
+    // kernel fans out across nlist × salts tasks. The corpus still
+    // only ever meets itself through the (cluster, salt) equi-join.
+    val cells = scored
+      .filter(col("crank") === 1)
       .select(
         col("vec_id").as("dst"), col("cluster"),
-        col("v").as("bv"), col("nrm").as("bnrm"))
-    val cellRank = Window
-      .partitionBy("src")
-      .orderBy(col("ccos").desc, col("cluster"))
-    val probed = all
-      .select(col("vec_id").as("src"), col("v").as("av"), col("nrm").as("anrm"))
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", vectors.cosine(col("av"), col("centroid")))
-      .withColumn("crank", row_number().over(cellRank))
-      .filter(col("crank") <= nprobe)
-      .select("src", "av", "anrm", "cluster")
+        col("v").as("bv"), col("nrm").as("bnrm"),
+        pmod(col("vec_id"), lit(salts)).cast("int").as("salt"))
+    val probed = scored
+      .select(col("vec_id").as("src"), col("cluster"),
+        col("v").as("av"), col("nrm").as("anrm"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
     val w = Window.partitionBy("src").orderBy(col("cos_raw").desc, col("dst"))
     val knn = cells
-      .join(probed, Seq("cluster"))
+      .join(probed.hint("shuffle_hash"), Seq("cluster", "salt"))
       .filter(col("src") =!= col("dst"))
       .withColumn(
         "cos_raw",
