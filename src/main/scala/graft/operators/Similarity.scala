@@ -339,7 +339,12 @@ object Similarity {
     * iters × 2 checkpoint jobs dominate the wall clock of any
     * operator that trains inline (sim11 measured 1.4 s of its 3.2 s
     * in train-job floors). The recompute the laziness trades away is
-    * that same tiny n × nlist scan. */
+    * that same tiny n × nlist scan — which is why laziness only pays
+    * when the CENTROIDS HAVE ONE CONSUMER: sim06 and dedup11 read
+    * them from two branches (assign + probe / assign + pairs), and
+    * measured SLOWER lazy (1.70→1.97 s, 3.4→3.8 s) because each
+    * branch re-executes the chain, one of them inside a broadcast
+    * build. Keep the default for multi-consumer callers. */
   def kmeans(
       all: DataFrame,
       k: Int = 10,
