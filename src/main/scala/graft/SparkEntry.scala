@@ -45,6 +45,8 @@ object SparkEntry {
     "evt06_moving_avg" -> q(Events.evt06MovingAvg),
     "samp01_stratified" -> q(TextAnalysis.samp01Stratified(_)),
     "samp08_seeded_sample" -> q(TextAnalysis.samp08SeededSample(_)),
+    "dedup14_bloom_decontaminate" -> q(Dedup.dedup14BloomDecontaminate(_)),
+    "eval05_score_calibration" -> q(Evaluation.eval05ScoreCalibration(_)),
     "xref01_id_map" -> q(Linkage.xref01IdMap),
     "xref02_unified_entities" -> q(Linkage.xref02UnifiedEntities),
     "xref03_coverage_stats" -> q(Linkage.xref03CoverageStats),
@@ -410,6 +412,54 @@ object SparkEntry {
         |WHERE doc_id % 100 < 30
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // eval05: txt29's hashed-classifier score CTE + txt20's Gopher
+    // verdict CTE joined per doc, then every threshold's counts as
+    // FILTERed aggregates grouped by a VALUES threshold grid — the
+    // same one-pass conditional-sum curve the Spark side computes.
+    // dedup14 is [rows-only]: the Bloom filter's bit layout is
+    // engine-private (no SQL oracle can replay might_contain).
+    "eval05_score_calibration" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk),
+        |sc AS (SELECT doc_id,
+        |    ROUND(CAST(list_sum(list_transform(feats, f ->
+        |      ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 * 2654435761 % 2001 - 1000))
+        |      AS BIGINT) / 1000.0 / CAST(len(feats) AS BIGINT), 4) AS q_score
+        |  FROM f),
+        |gt AS (SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |ga AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(LENGTH(w)) AS BIGINT) AS sum_len,
+        |  COUNT(*) FILTER (WHERE NOT regexp_matches(w, '[A-Za-z0-9]')) AS n_symbol,
+        |  COUNT(DISTINCT CASE WHEN w IN ('the','a','of','and') THEN w END) AS n_stop_distinct
+        |  FROM gt GROUP BY 1),
+        |gb AS (SELECT doc_id,
+        |  (n_tokens >= 50 AND n_tokens <= 100000
+        |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) >= 3
+        |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) <= 10
+        |   AND ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) < 0.1
+        |   AND n_stop_distinct >= 2) AS passes
+        |  FROM ga),
+        |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
+        |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id),
+        |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+        |       FROM (VALUES (-0.10),(-0.05),(0.00),(0.05),(0.10),(0.15),(0.20)) t(x)),
+        |tot AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE passes) AS pos FROM j)
+        |SELECT th.threshold,
+        |  COUNT(*) FILTER (WHERE q_score >= th.threshold) AS n_kept,
+        |  ROUND(COUNT(*) FILTER (WHERE q_score >= th.threshold) / CAST(tot.n AS DOUBLE), 4) AS kept_frac,
+        |  CASE WHEN COUNT(*) FILTER (WHERE q_score >= th.threshold) > 0 THEN
+        |    ROUND(COUNT(*) FILTER (WHERE q_score >= th.threshold AND passes)
+        |      / CAST(COUNT(*) FILTER (WHERE q_score >= th.threshold) AS DOUBLE), 4) END AS precision,
+        |  ROUND(COUNT(*) FILTER (WHERE q_score >= th.threshold AND passes)
+        |    / CAST(tot.pos AS DOUBLE), 4) AS recall
+        |FROM j CROSS JOIN th CROSS JOIN tot
+        |GROUP BY th.threshold, tot.n, tot.pos
+        |ORDER BY threshold""".stripMargin,
     // samp08: same md5 hash-threshold keep rule, replayed verbatim —
     // both engines emit lowercase-hex md5 and compare strings
     // lexicographically (the USING SAMPLE analog; RNG sampling is

@@ -353,6 +353,70 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup14: BLOOM-FILTER decontamination — dedup07's semantics
+    * (per-doc count of shingles shared with the benchmark set) with
+    * the broadcast join replaced by the structure a 100 TB pipeline
+    * actually ships: a Bloom filter over the benchmark shingles,
+    * built distributed (`DataFrameStatFunctions.bloomFilter` is a
+    * treeAggregate — executors OR partial bitsets, the driver sees
+    * only the final ~KBs-per-million-items array), broadcast once,
+    * probed MAP-ONLY inside mapPartitions (the emb01 pattern: the
+    * filter deserializes once per partition, the probe is
+    * `mightContainLong` per 8-byte shingle hash — no join, no
+    * shuffle, no per-row allocation). This is how decontamination
+    * runs against a benchmark suite too large to broadcast as an
+    * exact set: at fpp=1e-6 a 10M-shingle benchmark is a ~34 MB
+    * filter vs ~80+ MB of raw longs in a hash set — and the filter
+    * size is tunable per the memory budget while a set is not.
+    *
+    * Exactness contract: NO FALSE NEGATIVES ever (Bloom guarantee —
+    * every truly contaminated doc is flagged at its full overlap
+    * count), false positives inflate `n_overlap` with probability
+    * <= fpp per probe. [rows-only]: the filter's bit layout is
+    * engine-private, so no SQL oracle can replay it; the spec pins
+    * the superset relation against exact dedup07 and equality at
+    * tight fpp on this corpus.
+    *
+    * Reference analog: the contamination check materialize_fulltext
+    * -style pipelines run against eval benchmarks before training. */
+  def dedup14BloomDecontaminate(
+      lake: Lake,
+      nBench: Int = 10,
+      minOverlap: Int = 5,
+      fpp: Double = 1e-6
+  ): DataFrame = {
+    val spark = lake.spark
+    import spark.implicits._
+    val shingled = lake.documents.select(
+      col("doc_id"),
+      graft.plans.ShingleHashes(col("text"), 3).as("sh")
+    )
+    val bench = shingled
+      .filter(col("doc_id") < nBench)
+      .select(explode(col("sh")).as("s"))
+      .distinct()
+    // Expected-item count from the actual benchmark (one small
+    // aggregate over the bench side only — never the corpus); the
+    // stat.bloomFilter build itself is the distributed treeAggregate.
+    val nItems = math.max(bench.count(), 1L)
+    val filter = bench.stat.bloomFilter("s", nItems, fpp)
+    val bcast = spark.sparkContext.broadcast(filter)
+    shingled
+      .filter(col("doc_id") >= nBench)
+      .as[(Long, Seq[Long])]
+      .mapPartitions { it =>
+        val f = bcast.value
+        it.map { case (id, sh) =>
+          var n = 0L
+          sh.foreach(h => if (f.mightContainLong(h)) n += 1)
+          (id, n)
+        }
+      }
+      .toDF("doc_id", "n_overlap")
+      .filter(col("n_overlap") >= minOverlap)
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup pairs within a label block (cosine >= t).
     *
     * Scale design — chunked exact join, not LSH pruning. The output

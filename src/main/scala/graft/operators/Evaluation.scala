@@ -237,4 +237,68 @@ object Evaluation {
       )
       .orderBy("label")
   }
+
+  /** eval05: CALIBRATION CURVE for the model-based quality score —
+    * the acceptance test a curation pipeline runs before replacing an
+    * expensive rule pipeline with a cheap learned scorer: at each
+    * keep-threshold, how much of the corpus survives and how well the
+    * kept set agrees with the rule verdict (txt20's Gopher `passes`
+    * as the reference labels, txt29's hashed-classifier score as the
+    * ranker). Emits one row per threshold: kept count/fraction,
+    * precision (kept docs the rules also pass), recall (rule-passing
+    * docs kept).
+    *
+    * Scale shape: both signal frames are MAP-ONLY passes over the
+    * corpus; they meet in one doc_id equi-join, and every threshold's
+    * counts are conditional sums inside ONE partial-aggregating
+    * pass — the whole curve costs one scan + one 1-row aggregate,
+    * then unpivots driver-side via stack. Thresholds are a fixed
+    * grid (the score is a bounded per-token average), so the output
+    * is |grid| rows at any corpus size. */
+  def eval05ScoreCalibration(lake: Lake, dim: Int = 4096): DataFrame = {
+    val thresholds = Seq(-0.10, -0.05, 0.0, 0.05, 0.10, 0.15, 0.20)
+    val scored = lake.documents
+      .select(
+        col("doc_id"),
+        graft.plans.HashedClassifierScore(col("text"), dim).as("m")
+      )
+      .select(
+        col("doc_id"),
+        round(col("m.s_milli") / 1000.0 / col("m.n_feats"), 4).as("q_score")
+      )
+    val gold = TextAnalysis
+      .gopherVerdict(lake.documents)
+      .select(col("doc_id"), col("passes"))
+    val j = scored.join(gold, "doc_id")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("q_score") >= t, 1L).otherwise(0L)).as(s"k$i"),
+        sum(when(col("q_score") >= t && col("passes"), 1L).otherwise(0L))
+          .as(s"tp$i")
+      )
+    } ++ Seq(
+      count(lit(1)).as("n"),
+      sum(when(col("passes"), 1L).otherwise(0L)).as("pos")
+    )
+    val stackArgs = thresholds.indices
+      .map(i => s"CAST(${thresholds(i)} AS DOUBLE), k$i, tp$i")
+      .mkString(", ")
+    j.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(
+        "n",
+        "pos",
+        s"stack(${thresholds.size}, $stackArgs) AS (threshold, n_kept, n_true_kept)"
+      )
+      .select(
+        col("threshold"),
+        col("n_kept"),
+        round(col("n_kept") / col("n").cast("double"), 4).as("kept_frac"),
+        when(
+          col("n_kept") > 0,
+          round(col("n_true_kept") / col("n_kept").cast("double"), 4)
+        ).as("precision"),
+        round(col("n_true_kept") / col("pos").cast("double"), 4).as("recall")
+      )
+      .orderBy("threshold")
+  }
 }

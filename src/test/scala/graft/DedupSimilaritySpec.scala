@@ -364,6 +364,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("bloom decontamination: no false negatives vs exact dedup07; equal at tight fpp; map-only probe") {
+    val exact = Dedup.dedup07Decontaminate(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val bloom = Dedup.dedup14BloomDecontaminate(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // Bloom guarantee: every contaminated doc is flagged with AT
+    // LEAST its true overlap (false positives only inflate)
+    exact.foreach { case (id, n) =>
+      assert(bloom.contains(id), s"false negative: doc $id lost")
+      assert(bloom(id) >= n, s"doc $id undercounted: ${bloom(id)} < $n")
+    }
+    // at fpp=1e-6 on this corpus the filter is effectively exact
+    assert(bloom == exact, "unexpected false positives at tight fpp")
+    // the probe stage is map-only: no join anywhere in the plan (the
+    // filter rides the closure, not a join side)
+    val p = Dedup.dedup14BloomDecontaminate(lake)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.linesIterator.take(10).mkString("\n"))
+  }
+
   test("IVF ANN with full probe reproduces brute force exactly; partial probe trades recall") {
     val bf = Similarity
       .sim01TopKBruteForce(lake)

@@ -35,6 +35,26 @@ class TextSelectionSpec extends AnyFunSuite {
       assert(all(base.length).getLong(2) > 3000L)
   }
 
+  test("score calibration: curve is monotone, bounded, and consistent with its own counts") {
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    val rows = graft.operators.Evaluation.eval05ScoreCalibration(lake)
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getDouble(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]), r.getDouble(4)))
+    assert(rows.length == 7)
+    // raising the threshold can only shrink the kept set and recall
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2, s"n_kept not monotone: $lo -> $hi")
+      assert(hi._5 <= lo._5 + 1e-9, s"recall not monotone: $lo -> $hi")
+    }
+    rows.foreach { case (t, kept, frac, prec, rec) =>
+      assert(frac >= 0.0 && frac <= 1.0 && rec >= 0.0 && rec <= 1.0)
+      prec.foreach(p => assert(p >= 0.0 && p <= 1.0, s"precision $p at $t"))
+      assert((kept == 0) == prec.isEmpty, "precision defined iff anything kept")
+    }
+  }
+
   test("seeded sample: ~rate kept, seed re-deals, retry-stable, map-only") {
     import TestSpark._
     val lake = graft.catalog.Lake(spark, sfDir)
