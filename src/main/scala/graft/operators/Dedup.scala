@@ -913,6 +913,108 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The static MinHash band index of a corpus — (doc_id, band,
+    * bucket) rows, the build side dedup12 probes and the static side
+    * of the STREAMING probe below. */
+  def bandIndexOf(
+      docs: DataFrame,
+      numPerm: Int = 128,
+      bands: Int = 64
+  ): DataFrame = {
+    val rows = numPerm / bands
+    shingleCorpus(docs)
+      .select(
+        col("doc_id"),
+        explode(
+          hashing.bandKeys(
+            hashing.minhashSignature(col("sh"), numPerm), bands, rows)).as("bk"))
+      .select(
+        col("doc_id"),
+        col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+  }
+
+  /** (doc_id, sh) shingle-hash projection of a (doc_id, text) frame. */
+  def shingleCorpus(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        graft.plans.ShingleHashes(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** STREAMING-COMPATIBLE incremental dedup probe — dedup12's verdict
+    * semantics for a delta frame that may be a STREAM: each arriving
+    * (doc_id, text) computes its signature map-side, probes the
+    * STATIC band index by stream-static left join, fetches candidate
+    * shingles from the static corpus, and folds to one verdict row
+    * per doc through a single streaming aggregation (run the sink in
+    * update/complete mode; there is no watermark because the state is
+    * one row per delta doc, the batch-side contract).
+    *
+    * Divergences from the batch path, both deliberate streaming
+    * constraints: candidates are NOT distinct-ed before the verify
+    * (streaming dedup would need its own state store — duplicate band
+    * collisions only repeat the exact check and cannot change
+    * MIN(dup_of)), and the left joins keep zero-collision docs so
+    * 'keep' verdicts surface without a second stream join.
+    *
+    * The production shape this models: a continuously-ingesting
+    * corpus where the band index of everything already accepted is
+    * the static (periodically refreshed) side and new documents
+    * stream through the probe — the same index dedup12 rebuilds
+    * per batch. */
+  def dedupProbe(
+      delta: DataFrame,
+      bandIndex: DataFrame,
+      corpusShingles: DataFrame,
+      threshold: Double = 0.5,
+      numPerm: Int = 128,
+      bands: Int = 64
+  ): DataFrame = {
+    val rows = numPerm / bands
+    val bk = shingleCorpus(delta)
+      .select(
+        col("doc_id"),
+        col("sh"),
+        explode(
+          hashing.bandKeys(
+            hashing.minhashSignature(col("sh"), numPerm), bands, rows)).as("bk"))
+      .select(
+        col("doc_id"), col("sh"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = bk
+      .join(
+        bandIndex.select(
+          col("doc_id").as("doc_a"), col("band"), col("bucket")),
+        Seq("band", "bucket"),
+        "left_outer")
+      // Only strictly-older corpus docs count. NULL-ify (don't
+      // filter) non-qualifying hits: when the index covers the whole
+      // corpus a doc always collides with at least ITSELF, and
+      // dropping those rows would drop the doc's only rows — every
+      // doc must keep at least one row so 'keep' verdicts surface.
+      .withColumn(
+        "doc_a", when(col("doc_a") < col("doc_id"), col("doc_a")))
+      .join(
+        corpusShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        Seq("doc_a"),
+        "left_outer")
+    val ic = graft.plans.SortedIntersectCount(col("sh"), col("sh_a"))
+    val jac =
+      ic.cast("double") /
+        (size(col("sh")) + size(col("sh_a")) - ic).cast("double")
+    cand
+      .groupBy("doc_id")
+      .agg(
+        min(
+          when(col("sh_a").isNotNull && round(jac, 4) >= threshold, col("doc_a"))
+        ).as("dup_of"))
+      .select(
+        col("doc_id"),
+        col("dup_of"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication"): cluster the
     * embedding space with k-means, call two items semantic duplicates

@@ -11,6 +11,57 @@ class StreamingSpec extends AnyFunSuite {
   import TestSpark._
   private lazy val lake = Lake(spark, sfDir)
 
+  test("streaming incremental dedup probe matches batch dedup12 verdicts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference: dedup12's delta verdicts (newest 20% of ids
+    // probed against the older corpus's band index)
+    val batch = graft.operators.Dedup
+      .dedup12Incremental(lake)
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getString(2)))
+      .sortBy(_._1)
+    val maxId = lake.documents.agg(max("doc_id")).head().getLong(0)
+    val cut = (0.8 * (maxId + 1)).toLong
+    // static sides: band index + shingles of everything ingested so
+    // far — dedup12's own build side (the full index), so a delta doc
+    // can match an earlier delta doc (the doc_a < doc_id filter keeps
+    // the ordering); the index refresh cadence is the deployment knob
+    val allDocs = lake.documents.select("doc_id", "text")
+    val index = graft.operators.Dedup.bandIndexOf(allDocs).cache()
+    val shingles = graft.operators.Dedup.shingleCorpus(allDocs).cache()
+    // the delta arrives as a STREAM, in two micro-batches
+    val delta = lake.documents
+      .filter(col("doc_id") >= cut)
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .toSeq
+    val (first, second) = delta.splitAt(delta.length / 2)
+    val stream = MemoryStream[(Long, String)]
+    val query = graft.operators.Dedup
+      .dedupProbe(stream.toDS().toDF("doc_id", "text"), index, shingles)
+      .writeStream
+      .format("memory")
+      .queryName("probe_verdicts")
+      .outputMode("complete")
+      .start()
+    stream.addData(first)
+    query.processAllAvailable()
+    stream.addData(second)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark
+      .sql("SELECT * FROM probe_verdicts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+        r.getString(2)))
+      .sortBy(_._1)
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming windowed counts match the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
