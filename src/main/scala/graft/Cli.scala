@@ -352,8 +352,10 @@ object Cli {
             println(summary)
             lake.registerViews()
             // The fresh table is not in the star-schema catalog; expose
-            // it as a flat view alongside the registered ones.
-            spark.read.parquet(s"$dir/${args(2)}.parquet")
+            // it as a flat view alongside the registered ones — under
+            // the UNION schema, so columns added by later chunks of a
+            // drifting JSONL dataset are visible null-filled.
+            graft.sources.Ingest.readMerged(spark, s"$dir/${args(2)}.parquet")
               .createOrReplaceTempView(args(2))
             println(s"${lake.tableNames.size + 1} views registered")
         }

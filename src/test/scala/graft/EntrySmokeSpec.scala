@@ -17,7 +17,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     val rowsOnly = Set(
       "dedup05_simhash", "mm01_binary_meta",
       "rel11_approx_stats", "rel14_heavy_hitters",
-      "txt18_bpe_encode", "emb01_hash_embeddings"
+      "txt18_bpe_encode", "emb01_hash_embeddings",
+      // Bloom filter bit layout is engine-private — no SQL oracle can
+      // replay might_contain; spec-pinned against exact dedup07
+      "dedup14_bloom_decontaminate"
     )
     assert(q -- o == rowsOnly, s"unexpected rows-only set: ${q -- o}")
   }
