@@ -215,6 +215,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("eval05: the whole calibration curve is one aggregation pass — no window, no cartesian") {
+    val p = plan(Evaluation.eval05ScoreCalibration(lake))
+    // every threshold is a conditional sum in ONE partial-aggregating
+    // pass; a per-threshold window or a thresholds-cross-corpus
+    // cartesian would re-scan the corpus |grid| times at scale
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("graph11/13/14: SPARQL union aligns without cartesians; VALUES broadcasts; MINUS anti-joins") {
     // union branches are independent BGP plans — alignment must not
     // introduce a cartesian or nested-loop join

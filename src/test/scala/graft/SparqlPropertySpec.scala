@@ -138,4 +138,58 @@ class SparqlPropertySpec extends AnyFunSuite {
       assert(parsed.patterns == Seq(("?x", "p", s)), s)
     }
   }
+
+  test("SUM/AVG over random typed literals match a Scala reference on every seed") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // value pool mixes the three literal spellings plus a non-numeric
+    val genVal: Gen[(String, Option[Double])] = Gen.oneOf(
+      Gen.chooseNum(-99, 99).map(n =>
+        (s""""$n"^^<http://www.w3.org/2001/XMLSchema#integer>""", Some(n.toDouble))),
+      Gen.chooseNum(-999, 999).map(n =>
+        (s""""${n / 10.0}"^^<http://www.w3.org/2001/XMLSchema#decimal>""",
+          Some(n / 10.0))),
+      Gen.chooseNum(0, 50).map(n => (n.toString, Some(n.toDouble))),
+      Gen.const(("\"oops\"@en", None))
+    )
+    val genGroup: Gen[(String, List[(String, Option[Double])])] = for {
+      key <- Gen.oneOf("a", "b", "c", "d")
+      vs <- Gen.nonEmptyListOf(genVal)
+    } yield (key, vs.take(6))
+    val cases = samples(Gen.nonEmptyListOf(genGroup).map(_.take(5)), n = 40)
+    cases.zipWithIndex.foreach { case (groups, i) =>
+      val rows = groups.flatMap { case (k, vs) => vs.map(v => (k, "score", v._1)) }
+      val df = rows.toDF("s", "p", "o")
+      val got = Sparql.run(df,
+        """SELECT ?s (SUM(?v) AS ?total) (AVG(?v) AS ?mean)
+          |WHERE { ?s <score> ?v } GROUP BY ?s ORDER BY ?s""".stripMargin)
+        .collect()
+        .map(r => r.getString(0) ->
+          (Option(r.get(1)).map(_.asInstanceOf[Double]),
+            Option(r.get(2)).map(_.asInstanceOf[Double])))
+        .toMap
+      // Scala reference with the spec's error propagation: any
+      // non-numeric binding in a group makes both aggregates unbound
+      val want = groups.groupBy(_._1).map { case (k, gs) =>
+        val vs = gs.flatMap(_._2)
+        k -> (if (vs.exists(_._2.isEmpty)) (None, None)
+              else {
+                val nums = vs.flatMap(_._2)
+                (Some(nums.sum), Some(nums.sum / nums.length))
+              })
+      }
+      assert(got.keySet == want.keySet, s"seed $i: group keys")
+      want.foreach { case (k, (ws, wm)) =>
+        val (gs2, gm) = got(k)
+        (ws, gs2) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"seed $i sum($k)")
+          case (a, b)             => assert(a.isEmpty == b.isEmpty, s"seed $i sum($k): $a vs $b")
+        }
+        (wm, gm) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-9, s"seed $i avg($k)")
+          case (a, b)             => assert(a.isEmpty == b.isEmpty, s"seed $i avg($k): $a vs $b")
+        }
+      }
+    }
+  }
 }
