@@ -130,6 +130,21 @@ class CliSpec extends AnyFunSuite {
     assert(back.filter(back.col("extra").isNull).count() == 2)
   }
 
+  test("convert: CSV tables land as parquet with inferred schema") {
+    import TestSpark._
+    val in = java.nio.file.Files.createTempDirectory("cli_csv")
+    java.nio.file.Files.write(in.resolve("t.csv"),
+      "id,name,score\n1,alpha,0.5\n2,beta,1.5\n".getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("cli_csvpq").toString + "/sciscinet"
+    val res = Cli.convertDataset(spark, "sciscinet", in.toString, out)
+    assert(res.isRight, res)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2)
+    // header + inferSchema: typed columns, not all-strings
+    assert(back.schema("id").dataType.typeName == "integer")
+    assert(back.schema("score").dataType.typeName == "double")
+  }
+
   test("convert: ontology files land as a named-graph quad store") {
     import TestSpark._
     val in = java.nio.file.Files.createTempDirectory("cli_onto")
