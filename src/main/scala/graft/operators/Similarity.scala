@@ -710,6 +710,14 @@ object Similarity {
     * that (recall > coverage, full probe ≡ exact sim08). On real
     * clustered embedding spaces the same machinery reaches high
     * recall at small nprobe/nlist; tune per corpus. */
+  /** `nlist <= 0` requests AUTO-nlist = ⌈√N⌉ (dedup11's auto-k rule,
+    * and the source of the n^1.5 kernel claim above): a FIXED nlist
+    * silently re-quadratifies the kernel as the corpus grows — at
+    * nlist=10 and a billion vectors each probe scans nprobe/10 of
+    * everything. √N keeps cell count and expected cell size both at
+    * √N for one count() over the checkpointed frame. The explicit
+    * default stays 10 because the entry's DuckDB oracle unrolls the
+    * Lloyd CTEs with the literal. */
   def sim11KnnGraphAnn(
       lake: Lake,
       k: Int = 5,
@@ -726,7 +734,10 @@ object Similarity {
     // Lazy train: the whole Lloyd chain folds into the scoring job
     // below (see kmeans's materialize note) — at nlist=10 the
     // recompute is noise and the saved job floors are not.
-    val cents = kmeans(all, nlist, iters, materialize = false)
+    val nlistEff =
+      if (nlist > 0) nlist
+      else math.ceil(math.sqrt(all.count().toDouble)).toInt.max(1)
+    val cents = kmeans(all, nlistEff, iters, materialize = false)
     // ONE centroid-scoring pass serves both roles: rank 1 is the home
     // assignment (argmaxCell's tiebreak — best ccos, then lowest
     // cluster), ranks 1..nprobe are the probe set. Materialized once

@@ -353,6 +353,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     info(s"ANN mutual-graph recall = $recall")
     assert(recall > 0.4, s"ANN recall $recall does not beat probe coverage")
     assert(ann.forall { case (s, d) => s < d }, "edges not min/max oriented")
+    // auto-nlist (nlist <= 0 → ceil(sqrt(N)), dedup11's rule): the
+    // scale contract that keeps the kernel n^1.5; at 500 vectors the
+    // 23 cells still produce a valid mutual graph
+    val auto = Similarity.sim11KnnGraphAnn(lake, nlist = 0, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto.nonEmpty && auto.forall { case (s, d) => s < d })
     // scale pin: the corpus meets itself ONLY through the cell-keyed
     // equi-join — the two BNLJs are the broadcast nlist-row centroid
     // cross joins (home assignment + probe ranking, sim05/06's
