@@ -453,6 +453,82 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Persist a trained IVF index as two parquet tables — the FAISS
+    * write_index analog (the reference builds its FAISS index once
+    * and reuses it across queries, build_embedding_linkage.py:246):
+    * `centroids/` (cluster, centroid) and `cells/` (vec_id, cluster).
+    * At 100 TB retraining the quantizer per session is the
+    * anti-pattern; the index is a TABLE, rebuilt on the ingestion
+    * cadence and read by every query. The assignments stay narrow
+    * (two longs per vector) — vectors are re-attached from the
+    * embeddings table by id at query time, so the index adds ~16
+    * bytes/vector however wide the embeddings are. */
+  def writeIvfIndex(
+      lake: Lake,
+      dir: String,
+      nlist: Int = 10,
+      iters: Int = 3
+  ): Unit = {
+    val all = vecs(lake).localCheckpoint()
+    val cents = kmeans(all, nlist, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    argmaxCell(all, cents, Seq.empty)
+      .select(col("vec_id"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** IVF ANN over a PERSISTED index (read_index + search): identical
+    * results to sim06IvfTrained at the same build parameters — the
+    * quantizer is deterministic, so index-then-search and
+    * train-then-search are the same function of the data
+    * (spec-asserted). The probe path is sim06's: broadcast the
+    * centroid table, rank cells per query, scan only the probed
+    * cells' inverted lists (the cells table join prunes the corpus
+    * BEFORE vectors attach). */
+  def ivfAnnFromIndex(
+      lake: Lake,
+      dir: String,
+      k: Int = 10,
+      nQueries: Int = 10,
+      nprobe: Int = 3
+  ): DataFrame = {
+    val spark = lake.spark
+    val all = vecs(lake)
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val cellRank = Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("cluster"))
+    val probed = all
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qcos", vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(cellRank))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "qnrm", "cluster")
+    val w = Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_raw").desc, col("vec_id"))
+    cells
+      .join(broadcast(probed), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(all.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .withColumn(
+        "cos_raw",
+        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+      )
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(
+        col("query_id"),
+        col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"),
+        round(col("cos_raw"), 4).as("cos")
+      )
+      .orderBy("query_id", "rank")
+  }
+
   /** sim07: Product-quantization ANN — the remaining FAISS index
     * family next to flat (sim01) and IVF (sim05/06). Vectors are
     * L2-normalized (the reference's own convention,

@@ -333,6 +333,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rechunked == expected, "chunk count changed the result")
   }
 
+  test("persisted IVF index: index-then-search equals train-then-search exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    Similarity.writeIvfIndex(lake, dir)
+    // the quantizer is deterministic, so searching the persisted
+    // index must reproduce the inline-trained results row for row
+    val fromIndex = Similarity.ivfAnnFromIndex(lake, dir)
+      .collect().map(_.toSeq)
+    val inline = Similarity.sim06IvfTrained(lake)
+      .collect().map(_.toSeq)
+    assert(fromIndex.toSeq == inline.toSeq)
+    // the index is narrow: assignments carry ids only, never vectors
+    val cells = TestSpark.spark.read.parquet(s"$dir/cells")
+    assert(cells.columns.toSeq.sorted == Seq("cluster", "vec_id"))
+  }
+
   test("ANN-backed mutual kNN: full probe equals exact sim08; partial probe keeps recall, no corpus pair join") {
     val exact = Similarity.sim08KnnGraph(lake).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
