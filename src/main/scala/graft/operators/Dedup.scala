@@ -672,6 +672,12 @@ object Dedup {
         .head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
+    // Per-iteration convergence check, deliberately: halving the
+    // checksum cadence (edges(t) == edges(t-2) also implies the
+    // fixpoint) was MEASURED SLOWER on every star-CC consumer
+    // (dedup08 2.7→3.3 s, samp05 2.4→3.2, samp07 2.6→3.0) — parity
+    // rounding forces one extra idempotent round (~0.7 s of
+    // groupBys/distincts) to save ~0.12 s checksum jobs.
     var prev = (-1L, -1L)
     var cur = checksum(edges)
     var iter = 0
