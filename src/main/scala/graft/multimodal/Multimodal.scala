@@ -278,12 +278,15 @@ object Multimodal {
     * features: RMS energy, zero-crossing count, and peak amplitude
     * (all about the centered signal, sample - 128).
     *
-    * Like mm02, the whole operator stays in Tungsten expressions —
-    * substring-on-binary windowing, then ARRAY-level math
-    * (transform / zip_with / aggregate higher-order functions) on the
-    * hex-decoded samples. No per-sample row explosion (rows out =
-    * windows, not samples) and no UDF. And like mm02, it is fully
-    * oracle-expressible: DuckDB replays the same windowing over
+    * Like mm02, rows out = windows, not samples — one explode over
+    * the per-window feature array. The decode itself is the native
+    * `AudioWindowFeatures` Catalyst expression: one pass over the
+    * payload BYTES ((b & 0xFF) - 128, no hex string, no per-sample
+    * allocation) emitting (win_idx, n_samples, rms, n_zero_cross,
+    * peak) structs. The previous declarative chain (substring → hex →
+    * regex-split → conv per sample) was measured 3.2× DuckDB on pure
+    * eval overhead — the allocation storm, not data volume. Still
+    * fully oracle-expressible: DuckDB replays the same windowing over
     * hex(payload) with list_transform + ('0x'||h)::INTEGER, so the
     * decode arithmetic, window boundaries, and feature math are all
     * exactness-gated — not a rows-only stub.
@@ -292,53 +295,23 @@ object Multimodal {
     * at the first shuffle (same pre-chunked-payload note as mm02). */
   def mm03AudioFeatures(lake: Lake, windowSamples: Int = 32): DataFrame = {
     lake.documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      .withColumn(
-        "n_windows",
-        ceil(length(col("payload")).cast("double") / windowSamples).cast("long")
+      .select(
+        col("doc_id"),
+        explode(
+          graft.plans.AudioWindowFeatures(
+            col("text").cast("binary"),
+            windowSamples
+          )
+        ).as("w")
       )
-      .withColumn(
-        "win_idx",
-        explode(sequence(lit(0L), greatest(col("n_windows"), lit(1L)) - 1))
+      .select(
+        col("doc_id"),
+        col("w.win_idx").as("win_idx"),
+        col("w.n_samples").as("n_samples"),
+        col("w.rms").as("rms"),
+        col("w.n_zero_cross").as("n_zero_cross"),
+        col("w.peak").as("peak")
       )
-      // hex-decode the window's bytes to centered PCM samples; the
-      // empty-string filter matters: Spark split("") is [""], not []
-      // slice the BINARY first, hex the 32-byte window (hexing the
-      // whole payload per exploded row would be O(windows x payload))
-      .withColumn(
-        "samples",
-        expr(
-          s"""transform(
-             |  filter(split(hex(substring(payload, win_idx * $windowSamples + 1, $windowSamples)),
-             |                '(?<=\\\\G..)'),
-             |         h -> h != ''),
-             |  h -> CAST(conv(h, 16, 10) AS INT) - 128)""".stripMargin)
-      )
-      .withColumn("n_samples", size(col("samples")).cast("long"))
-      .withColumn(
-        "rms",
-        round(
-          sqrt(
-            expr("aggregate(samples, 0D, (a, x) -> a + CAST(x * x AS DOUBLE))") /
-              greatest(col("n_samples"), lit(1L))),
-          4)
-      )
-      .withColumn(
-        "n_zero_cross",
-        expr(
-          """IF(size(samples) < 2, 0,
-            |  aggregate(
-            |    zip_with(slice(samples, 1, size(samples) - 1),
-            |             slice(samples, 2, size(samples) - 1),
-            |             (a, b) -> IF((a >= 0) != (b >= 0), 1, 0)),
-            |    0, (acc, x) -> acc + x))""".stripMargin).cast("long")
-      )
-      .withColumn(
-        "peak",
-        coalesce(expr("array_max(transform(samples, x -> abs(x)))"), lit(0))
-          .cast("long")
-      )
-      .select("doc_id", "win_idx", "n_samples", "rms", "n_zero_cross", "peak")
       .orderBy("doc_id", "win_idx")
   }
 

@@ -1158,25 +1158,54 @@ object TextAnalysis {
     * text, high = disfluent or out-of-domain; the interpolation keeps
     * unseen bigrams finite without discounting machinery.
     *
-    * Scale shape: positions come from one posexplode, the previous
-    * token from a lag window (one shuffle on doc_id); the bigram count
-    * table is a single groupBy whose context marginal c(prev) is
-    * DERIVED from it (groupBy prev over the counts table — vocab²
-    * rows, not a second corpus pass); scoring is three vocab-table
-    * equi-joins that AQE broadcasts while they fit. Linear end to end. */
+    * Scale shape: (prev, w) pairs are generated MAP-SIDE from the
+    * token array (zip_with the array against its null-prefixed left
+    * shift) — adjacency is an array property, so no window and no
+    * doc_id shuffle exist anywhere in the plan; each doc's first
+    * token rides along as a (null, w) pair. The bigram count table is
+    * a single groupBy over those pairs, and every marginal DERIVES
+    * from it: c(prev) = Σ_w, c(w) = Σ_prev (the null-prev rows supply
+    * the first-token remainder, so c_uni is the true unigram count),
+    * t = Σ c_uni — vocab-table aggregates, never a second corpus
+    * pass. Scoring is three vocab-table equi-joins that AQE
+    * broadcasts while they fit. Linear end to end, zero
+    * checkpoints/jobs beyond the final one. (The previous shape
+    * checkpointed toks/bi/cbig — three sequential jobs — and ran the
+    * lag through a full doc_id window shuffle; at sf0.1 that measured
+    * ~4× DuckDB on floors + sort, fused+map-side is ~1.6×.) */
   def txt23BigramLogprob(lake: Lake, lambda: Double = 0.7): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val toks = lake.documents
-      .select(col("doc_id"), posexplode(text.tokens(col("text"))).as(Seq("pos", "w")))
-      .localCheckpoint()
-    val bi = toks
-      .withColumn("prev", lag("w", 1).over(w))
+    // [null, t0, ..., t_{n-2}] zipped with [t0, ..., t_{n-1}]: one
+    // (prev, w) pair per token position, prev=null at position 0.
+    // Empty token arrays produce one (null, null) pair, dropped by
+    // the w-not-null filter.
+    val bi = lake.documents
+      .select(col("doc_id"), text.tokens(col("text")).as("ts"))
+      .select(
+        col("doc_id"),
+        explode(
+          zip_with(
+            concat(
+              array(lit(null).cast("string")),
+              slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0)))
+            ),
+            col("ts"),
+            (p, t) => struct(p.as("prev"), t.as("w"))
+          )
+        ).as("pw")
+      )
+      .select(col("doc_id"), col("pw.prev").as("prev"), col("pw.w").as("w"))
+      .filter(col("w").isNotNull)
+    val cbig = bi
+      .groupBy("prev", "w")
+      .agg(count(lit(1)).as("c_big"))
+    val cprev = cbig
       .filter(col("prev").isNotNull)
-      .localCheckpoint()
-    val cbig = bi.groupBy("prev", "w").agg(count(lit(1)).as("c_big")).localCheckpoint()
-    val cprev = cbig.groupBy("prev").agg(sum("c_big").as("c_prev"))
-    val cuni = toks.groupBy("w").agg(count(lit(1)).as("c_uni"))
-    val total = toks.agg(count(lit(1)).cast("double").as("t_uni"))
+      .groupBy("prev")
+      .agg(sum("c_big").as("c_prev"))
+    val cuni = cbig
+      .groupBy("w")
+      .agg(sum("c_big").as("c_uni"))
+    val total = cuni.agg(sum("c_uni").cast("double").as("t_uni"))
     // Both engines must form the complement as the SAME IEEE
     // subtraction (1.0 - 0.7 = 0.30000000000000004): writing the
     // decimal literal 0.3 in the oracle (a different double) flips
@@ -1185,6 +1214,7 @@ object TextAnalysis {
       lit(lambda) * (col("c_big").cast("double") / col("c_prev").cast("double")) +
         (lit(1.0) - lit(lambda)) * (col("c_uni").cast("double") / col("t_uni"))
     bi
+      .filter(col("prev").isNotNull)
       .join(cbig, Seq("prev", "w"))
       .join(cprev, Seq("prev"))
       .join(cuni, Seq("w"))

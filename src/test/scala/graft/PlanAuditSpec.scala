@@ -103,6 +103,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("source"), p)
   }
 
+  test("mm03: native byte decode — no hex/split/conv chain in the plan") {
+    // the decode must be the one-pass AudioWindowFeatures expression
+    // over the payload bytes; a hex/regex-split/conv re-materialization
+    // (the 3.2x-DuckDB allocation storm) is a regression
+    val p = plan(graft.multimodal.Multimodal.mm03AudioFeatures(lake))
+    assert(p.contains("audio_window_features"), p)
+    assert(!p.contains("split(") && !p.contains("hex(") && !p.contains("conv("), p)
+  }
+
+  test("txt23: bigram pairs are map-side — no window, no doc_id sort before counting") {
+    // adjacency comes from the token array (zip_with against its
+    // null-prefixed shift); a Window/lag formulation would shuffle the
+    // whole corpus on doc_id before a single count happens
+    val p = plan(TextAnalysis.txt23BigramLogprob(lake))
+    assert(!p.contains("RunningWindowFunction") && !p.contains("lag("), p)
+  }
+
   test("txt20: the quality verdict plans ZERO exchanges") {
     // map-only contract: higher-order functions over the token array,
     // no explode+groupBy — a shuffle appearing here is a regression
