@@ -107,7 +107,13 @@ object Bench {
       )
       .mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
-    val detailPath = s"tools/runs/bench_${sfName}_latest.json"
+    // Anchor the detail file to an explicit base (env override) or the
+    // cwd made ABSOLUTE in the summary JSON — run from outside the
+    // repo root, a bare relative path would land the file elsewhere
+    // while the stdout summary still advertised the repo-relative one.
+    val detailBase = sys.env.getOrElse("SPARK_GRAFT_RUNS_DIR", "tools/runs")
+    val detailPath =
+      new java.io.File(detailBase, s"bench_${sfName}_latest.json").getAbsolutePath
     val detailJson =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
     locally {

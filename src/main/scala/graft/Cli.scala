@@ -357,7 +357,12 @@ object Cli {
             // drifting JSONL dataset are visible null-filled.
             graft.sources.Ingest.readMerged(spark, s"$dir/${args(2)}.parquet")
               .createOrReplaceTempView(args(2))
-            println(s"${lake.tableNames.size + 1} views registered")
+            // Count what actually registered, not tableNames + 1: a
+            // dataset named after a built-in table shadows that view
+            // rather than adding one.
+            val nViews = spark.catalog.listTables()
+              .filter("tableType = 'TEMPORARY'").count()
+            println(s"$nViews views registered")
         }
       case "views" =>
         // The datalake_cli.py:315 `cmd_views` analog: (re)build the

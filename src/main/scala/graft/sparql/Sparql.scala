@@ -3,7 +3,7 @@ package graft.sparql
 import graft.operators.Graph
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{array_join, array_sort, avg, broadcast, col, collect_list, collect_set, count, countDistinct, expr, lit, max, min, regexp_replace, sum, sum_distinct, when}
+import org.apache.spark.sql.functions.{aggregate, array_join, array_sort, avg, broadcast, coalesce, col, collect_list, collect_set, count, countDistinct, expr, lit, max, min, regexp_replace, size, sum, sum_distinct, when}
 
 /** SPARQL *text* front-end — the reference's actual graph interface is
   * a string (reference: scripts/sparql_query.py:89 `run_query(store,
@@ -421,15 +421,28 @@ object Sparql {
           lazy val bad = count(when(arg.isNotNull && nv.isNull, 1))
           def strict(agg: Column): Column =
             when(bad > 0, lit(null).cast("double")).otherwise(agg)
+          // DISTINCT applies at the RDF-TERM level, not the parsed
+          // numeric value: "2"^^xsd:integer and "2.00"^^xsd:decimal
+          // are distinct terms that BOTH contribute, even though they
+          // parse to the same 2.0 (sum_distinct over the numeric
+          // column would collapse them). collect_set gathers the
+          // distinct terms; the numeric parse happens per element.
+          lazy val distinctTerms = collect_set(arg)
+          lazy val sumOfDistinctTerms =
+            aggregate(distinctTerms, lit(0.0), (acc, x) => acc + numericLiteral(x))
           val c = (a.fn, a.isDistinct) match {
             case ("COUNT", true)  => countDistinct(arg)
             case ("COUNT", false) => count(arg)
             case ("MIN", _)       => min(arg)
             case ("MAX", _)       => max(arg)
-            case ("SUM", false)   => strict(sum(nv))
-            case ("SUM", true)    => strict(sum_distinct(nv))
+            // Sum of the empty multiset is 0 by definition (SPARQL
+            // 18.5.1.5), not unbound — hence the coalesce; AVG over
+            // empty stays unbound (its definition divides by COUNT=0).
+            case ("SUM", false)   => strict(coalesce(sum(nv), lit(0.0)))
+            case ("SUM", true)    => strict(sumOfDistinctTerms)
             case ("AVG", false)   => strict(avg(nv))
-            case ("AVG", true)    => strict(sum_distinct(nv) / countDistinct(nv))
+            case ("AVG", true) =>
+              strict(sumOfDistinctTerms / size(distinctTerms))
             // SPARQL SAMPLE may return ANY value of the group; this
             // engine picks the minimum so results are deterministic
             // under any partitioning (first/any_value are not).
@@ -1186,6 +1199,19 @@ object Sparql {
   private def extractHaving(s: String): (String, Seq[String]) =
     extractParenBodies(s, "HAVING")
 
+  /** True when `pos` falls inside a "…" literal of `s` — the scan
+    * honors the ECHAR rule (`\"` does not close the literal), matching
+    * mapOutsideStrings/translateFilter. */
+  private def inLiteralAt(s: String, pos: Int): Boolean = {
+    var inStr = false
+    var i = 0
+    while (i < pos) {
+      if (inStr && s.charAt(i) == '\\') i += 2
+      else { if (s.charAt(i) == '"') inStr = !inStr; i += 1 }
+    }
+    inStr
+  }
+
   private def extractParenBodies(s: String, kwWord: String): (String, Seq[String]) = {
     val bodies = Vector.newBuilder[String]
     val out = new StringBuilder(s.length)
@@ -1193,10 +1219,9 @@ object Sparql {
     var rest = s
     var done = false
     while (!done) {
-      // Ignore the keyword spelled inside a string literal (odd count of
-      // '"' before the match means we're mid-literal).
+      // Ignore the keyword spelled inside a string literal.
       kw.findAllMatchIn(rest)
-        .find(m => rest.substring(0, m.start).count(_ == '"') % 2 == 0) match {
+        .find(m => !inLiteralAt(rest, m.start)) match {
         case None => out.append(rest); done = true
         case Some(m) =>
           out.append(rest.substring(0, m.start))
@@ -1210,7 +1235,8 @@ object Sparql {
           var end = -1
           while (i < rest.length && end < 0) {
             val c = rest.charAt(i)
-            if (c == '"') inStr = !inStr
+            if (inStr && c == '\\') i += 1 // ECHAR: skip the escaped char
+            else if (c == '"') inStr = !inStr
             else if (!inStr && c == '(') depth += 1
             else if (!inStr && c == ')') { depth -= 1; if (depth == 0) end = i }
             i += 1
@@ -1441,7 +1467,10 @@ object Sparql {
 
   /** Apply `f` to the non-string segments of `body`, leaving "…"
     * literals byte-for-byte intact (quotes re-emitted, so the result
-    * can feed translateFilter, which re-splits the same way). */
+    * can feed translateFilter, which re-splits the same way —
+    * including the escape rule below). A backslash inside a string
+    * skips the next character, so `"a\"b"` is ONE literal containing
+    * a quote, not two code/data segment flips (SPARQL's ECHAR rule). */
   private def mapOutsideStrings(body: String, where: String)(
       f: String => String): String = {
     val out = new StringBuilder(body.length)
@@ -1449,13 +1478,16 @@ object Sparql {
     var inStr = false
     var i = 0
     while (i < body.length) {
-      if (body.charAt(i) == '"') {
-        val seg = body.substring(segStart, i)
-        out ++= (if (inStr) "\"" + seg + "\"" else f(seg))
-        segStart = i + 1
-        inStr = !inStr
+      if (inStr && body.charAt(i) == '\\') i += 2
+      else {
+        if (body.charAt(i) == '"') {
+          val seg = body.substring(segStart, i)
+          out ++= (if (inStr) "\"" + seg + "\"" else f(seg))
+          segStart = i + 1
+          inStr = !inStr
+        }
+        i += 1
       }
-      i += 1
     }
     if (inStr) throw SparqlParseError(s"unterminated string literal in $where")
     out ++= f(body.substring(segStart))
@@ -1473,15 +1505,20 @@ object Sparql {
     var segStart = 0
     var inStr = false
     while (i < body.length) {
-      if (body.charAt(i) == '"') {
-        if (!inStr) {
-          segs += ((body.substring(segStart, i), false)); segStart = i + 1
-        } else {
-          segs += ((body.substring(segStart, i), true)); segStart = i + 1
+      // same ECHAR rule as mapOutsideStrings: `\"` inside a string is
+      // an escaped quote, not a segment flip
+      if (inStr && body.charAt(i) == '\\') i += 2
+      else {
+        if (body.charAt(i) == '"') {
+          if (!inStr) {
+            segs += ((body.substring(segStart, i), false)); segStart = i + 1
+          } else {
+            segs += ((body.substring(segStart, i), true)); segStart = i + 1
+          }
+          inStr = !inStr
         }
-        inStr = !inStr
+        i += 1
       }
-      i += 1
     }
     if (inStr) throw SparqlParseError("unterminated string literal in FILTER")
     segs += ((body.substring(segStart), false))

@@ -1001,6 +1001,40 @@ class SparqlSpec extends AnyFunSuite {
     assert(h.toSeq == Seq("a"))
   }
 
+  test("aggregate edge semantics: term-level DISTINCT, empty SUM = 0, escaped quotes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      // same numeric VALUE (2.0) under two distinct RDF terms: both
+      // must contribute to SUM(DISTINCT) — value-level dedup would
+      // collapse them to one 2.0
+      ("a", "score", "\"2\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("a", "score", "\"2.00\"^^<http://www.w3.org/2001/XMLSchema#decimal>"),
+      ("b", "score", "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("a\"b", "score", "\"7\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+    ).toDF("s", "p", "o")
+    val d = Sparql.run(t,
+      """SELECT ?s (SUM(DISTINCT ?v) AS ?total) (AVG(DISTINCT ?v) AS ?mean)
+        |WHERE { ?s <score> ?v } GROUP BY ?s ORDER BY ?s""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(d.toSeq == Seq(("a", 4.0, 2.0), ("a\"b", 7.0, 7.0), ("b", 5.0, 5.0)))
+    // SPARQL 18.5.1.5: Sum of the empty solution multiset is 0, not
+    // unbound (a global SUM with zero matches must still bind).
+    val empty = Sparql.run(t,
+      """SELECT (SUM(?v) AS ?total) WHERE { ?s <missing> ?v }""")
+      .collect()
+    assert(empty.length == 1 && empty.head.getDouble(0) == 0.0)
+    // A HAVING string literal with an escaped quote is ONE literal:
+    // the escape must not flip the code/data segmentation (and the
+    // comparison must see the unescaped value).
+    val h = Sparql.run(t,
+      """SELECT ?s (SUM(?v) AS ?total) WHERE { ?s <score> ?v }
+        |GROUP BY ?s HAVING(?s != "a\"b") ORDER BY ?s""".stripMargin)
+      .collect().map(_.getString(0))
+    assert(h.toSeq == Seq("a", "b"))
+  }
+
   test("FROM NAMED-only dataset clause on a triple frame is rejected by name") {
     val spark = TestSpark.spark
     import spark.implicits._
