@@ -111,11 +111,15 @@ object Cli {
     *   - ontologies: .obo/.ttl/.rdf/.nt files -> ONE named-graph quad
     *     store, one graph per file (convert_ontologies.py; the store
     *     the SPARQL front-end's FROM/GRAPH constructs query).
+    *   - fulltext: JSONL chunks of full-text papers -> the unified
+    *     fulltext schema, priority-deduped per cleaned DOI
+    *     (convert_fulltext.py + materialize_fulltext.py via
+    *     sources.Fulltext — the lake's biggest converter).
     * `download_*.py` is remote acquisition — out of scope by design,
     * so `update` is convert -> refreshed views (the reference's
     * pipeline minus the download step). */
   private[graft] val ConvertDatasets: Seq[String] =
-    Seq("openalex", "s2ag", "sciscinet", "ontologies")
+    Seq("openalex", "s2ag", "sciscinet", "ontologies", "fulltext")
 
   /** Files under `inPath` (a file or a directory) with one of `exts`,
     * sorted by name so chunk append order is deterministic. */
@@ -150,6 +154,21 @@ object Cli {
         graft.sources.Ingest.convertChunked(spark, chunks, outPath)
         val n = graft.sources.Ingest.readMerged(spark, outPath).count()
         Right(s"$dataset: ${files.size} chunk(s) -> $outPath ($n rows)")
+      }
+    case "fulltext" =>
+      val files = inputFiles(inPath, Set(".jsonl", ".ndjson", ".json"))
+      if (files.isEmpty) Left(s"no JSONL chunks under $inPath")
+      else {
+        // Per-chunk normalize (each chunk may carry any subset of the
+        // unified columns), union by name, keep-best per DOI.
+        val unified = graft.sources.Fulltext.unify(
+          files
+            .map(p => graft.sources.Fulltext.normalize(spark.read.json(p)))
+            .reduce(_ unionByName _)
+        )
+        graft.sources.Ingest.writeParquet(unified, outPath, targetPartitions = 4)
+        val n = spark.read.parquet(outPath).count()
+        Right(s"fulltext: ${files.size} chunk(s) -> $outPath ($n unified rows)")
       }
     case "sciscinet" =>
       val files = inputFiles(inPath, Set(".csv"))

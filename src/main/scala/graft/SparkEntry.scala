@@ -76,6 +76,7 @@ object SparkEntry {
     "ing08_rdfxml_skos" -> q(graft.sources.Rdf.ing08RdfXmlSkos),
     "ing09_graph_store" -> q(graft.sources.Rdf.ing09GraphStore),
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
+    "emb02_pca_projection" -> q(Embedding.emb02PcaProject(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),
@@ -211,7 +212,51 @@ object SparkEntry {
   private def dkCos(a: String, b: String) =
     s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 
+  /** emb02 oracle: replay the WHOLE PCA pipeline in SQL — moment
+    * aggregation, covariance, two fixed-count power iterations
+    * (unrolled CTE chains, the sim06 unrolled-Lloyd precedent), the
+    * deflation step, unit-normalization, and the centered projection.
+    * The iteration count must match emb02PcaProject's default; the
+    * max-abs normalizer (ORDER BY ABS(wx) DESC, i LIMIT 1) is the
+    * same smallest-index tie rule as the Scala powerIteration.
+    * Float-safety: only the AVG/SUM aggregation orders differ between
+    * engines (~1e-15); power iteration with a fixed count is a smooth
+    * function of its inputs, so the 4dp rounding absorbs it (the
+    * sim05 centroid argument). */
+  private def emb02OracleSql(iters: Int): String = {
+    def chain(covName: String, p: String): String =
+      (1 to iters).map { t =>
+        s"""${p}w$t AS MATERIALIZED (SELECT c.i, SUM(c.val * v.x) AS wx FROM $covName c JOIN ${p}v${t - 1} v ON c.j = v.i GROUP BY c.i),
+           |${p}n$t AS (SELECT wx AS s FROM ${p}w$t ORDER BY ABS(wx) DESC, i LIMIT 1),
+           |${p}v$t AS MATERIALIZED (SELECT i, wx / (SELECT s FROM ${p}n$t) AS x FROM ${p}w$t)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |flat AS MATERIALIZED (SELECT vec_id, generate_subscripts(v, 1) AS i, UNNEST(v) AS x FROM e),
+       |mu AS MATERIALIZED (SELECT i, AVG(x) AS m FROM flat GROUP BY i),
+       |mom AS (SELECT a.i AS i, b.i AS j, AVG(a.x * b.x) AS m2
+       |  FROM flat a JOIN flat b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       |cov AS MATERIALIZED (SELECT mom.i, mom.j, mom.m2 - ma.m * mb.m AS val
+       |  FROM mom JOIN mu ma ON mom.i = ma.i JOIN mu mb ON mom.j = mb.i),
+       |av0 AS (SELECT i, 1.0 AS x FROM mu),
+       |${chain("cov", "a")},
+       |aq AS (SELECT SUM(x * x) AS q FROM av$iters),
+       |au AS (SELECT i, x / (SELECT SQRT(q) FROM aq) AS x FROM av$iters),
+       |cov2 AS MATERIALIZED (SELECT c.i, c.j,
+       |    c.val - (SELECT s FROM an$iters) * va.x * vb.x / (SELECT q FROM aq) AS val
+       |  FROM cov c JOIN av$iters va ON c.i = va.i JOIN av$iters vb ON c.j = vb.i),
+       |bv0 AS (SELECT i, 1.0 AS x FROM mu),
+       |${chain("cov2", "b")},
+       |bu AS (SELECT i, x / (SELECT SQRT(SUM(x * x)) FROM bv$iters) AS x FROM bv$iters),
+       |cent AS (SELECT f.vec_id, f.i, f.x - mu.m AS cx FROM flat f JOIN mu ON f.i = mu.i),
+       |proj AS (SELECT c.vec_id, SUM(c.cx * a.x) AS p1, SUM(c.cx * b.x) AS p2
+       |  FROM cent c JOIN au a ON c.i = a.i JOIN bu b ON c.i = b.i GROUP BY c.vec_id)
+       |SELECT e.vec_id, e.label, ROUND(p.p1, 4) AS p1, ROUND(p.p2, 4) AS p2
+       |FROM proj p JOIN e ON p.vec_id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "emb02_pca_projection" -> emb02OracleSql(15),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,

@@ -117,4 +117,119 @@ object Embedding {
       )
       .orderBy("vec_id")
   }
+
+  /** Dominant eigenvector of a small symmetric matrix by fixed-count
+    * power iteration with max-abs normalization — the deterministic
+    * driver-side eigen kernel of emb02. Every step is defined
+    * operationally (so the DuckDB oracle can replay it verbatim):
+    * start from all-ones, w = C·v, normalize by the SIGNED component
+    * of w with the largest |value| (ties → smallest index). The
+    * normalizer doubles as the sign convention (the chosen component
+    * converges to +1) and, at convergence, as the eigenvalue
+    * estimate. Returns (v, lastNormalizer). */
+  private[graft] def powerIteration(
+      c: Array[Array[Double]],
+      iters: Int
+  ): (Array[Double], Double) = {
+    val d = c.length
+    var v = Array.fill(d)(1.0)
+    var s = 1.0
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+      var imax = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(w(i)) > math.abs(w(imax))) imax = i
+        i += 1
+      }
+      s = w(imax)
+      v = w.map(_ / s)
+      t += 1
+    }
+    (v, s)
+  }
+
+  /** emb02: 2-D PCA projection of the embedding space — the
+    * embedding-space map behind the reference's UMAP figure
+    * (reference: scripts/generate_paper_figures.py fig4 — a 2-D
+    * layout of the corpus embeddings; docs/fig4_umap_embedding_space
+    * .png). UMAP is stochastic and neighbor-graph-based; the
+    * oracle-checkable Spark-native analog is deterministic PCA: the
+    * same "project d-dim vectors to a 2-D plane that preserves the
+    * big structure" step, with every stage replayable in SQL.
+    *
+    * Stages and their scale shapes:
+    *  1. One distributed pass over the corpus aggregates the raw
+    *     first/second moments: d per-dimension means + the d×d
+    *     E[x_i·x_j] table via double posexplode + groupBy(i,j) —
+    *     map-side partial aggregation means the shuffle carries
+    *     ~d²·partitions rows, never the corpus.
+    *  2. The d×d covariance (C = M − μμᵀ), eigen-solved DRIVER-SIDE:
+    *     a 64×64 double matrix is KBs — the bounded-collect contract
+    *     (learnBpe's rule). Top-2 eigenvectors by fixed-count power
+    *     iteration + one deflation step (C₂ = C − λ·vvᵀ/vᵀv), all
+    *     arithmetic operationally pinned (see powerIteration) so the
+    *     oracle's unrolled-CTE replay tracks it to float noise.
+    *  3. Map-only projection: p_k = x·u_k − μ·u_k with the unit
+    *     eigenvectors embedded as plan literals — embarrassingly
+    *     parallel at any corpus size.
+    *
+    * Output: (vec_id, label, p1, p2) rounded to 4 — the scatter-plot
+    * coordinates, label carried for the figure's coloring.
+    *
+    * Near-flat spectra: hash-projection embeddings are close to
+    * isotropic (top eigenvalues within ~2%), so a fixed iteration
+    * count may land the two near-tied axes in either order. That is
+    * inherent to PCA on a flat spectrum, not an engine artifact — the
+    * pinned property is that BOTH engines run the identical
+    * fixed-count recurrence and land on the same plane (the oracle
+    * gate), with axis quality spec-checked to a near-tie tolerance. */
+  def emb02PcaProject(lake: Lake, iters: Int = 15): DataFrame = {
+    val spark = lake.spark
+    val emb = lake.embeddings
+      .select(col("vec_id"), col("label"), vectors.toDouble(col("embedding")).as("v"))
+    val d = emb.select(size(col("v"))).head().getInt(0)
+    // one corpus pass for means; one for the second-moment table
+    // (both tiny on the wire: 64 + 4096 aggregated rows)
+    val flat = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val mu = new Array[Double](d)
+    flat
+      .groupBy("i")
+      .agg(avg("x").as("m"))
+      .collect()
+      .foreach(r => mu(r.getInt(0)) = r.getDouble(1))
+    val mom = Array.ofDim[Double](d, d)
+    emb
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(avg(col("xi") * col("xj")).as("m2"))
+      .collect()
+      .foreach(r => mom(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    val cov = Array.tabulate(d, d)((i, j) => mom(i)(j) - mu(i) * mu(j))
+    val (v1, lam1) = powerIteration(cov, iters)
+    val q1 = v1.map(x => x * x).sum
+    val cov2 = Array.tabulate(d, d)((i, j) => cov(i)(j) - lam1 * v1(i) * v1(j) / q1)
+    val (v2, _) = powerIteration(cov2, iters)
+    def unit(v: Array[Double]): Array[Double] = {
+      val nr = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nr)
+    }
+    val u1 = unit(v1)
+    val u2 = unit(v2)
+    val c1 = u1.indices.map(k => mu(k) * u1(k)).sum
+    val c2 = u2.indices.map(k => mu(k) * u2(k)).sum
+    emb.select(
+      col("vec_id"),
+      col("label"),
+      round(vectors.dot(col("v"), typedLit(u1.toSeq)) - c1, 4).as("p1"),
+      round(vectors.dot(col("v"), typedLit(u2.toSeq)) - c2, 4).as("p2")
+    ).orderBy("vec_id")
+  }
 }

@@ -83,6 +83,42 @@ class CliSpec extends AnyFunSuite {
     assert(!output.contains("Exception"), output)
   }
 
+  test("shell: the console example-query set replays over the lake's views") {
+    // The interactive console ships a dropdown of canned example
+    // queries (reference: app.py:41-152 EXAMPLE_QUERIES — row-count
+    // overview, top-N by metric, per-year aggregates, cross-source
+    // comparison, coverage flags, join+topic distribution, term
+    // lookup). Each example's SHAPE replayed here over graft's
+    // schema-qualified views, through the same read-only gate the
+    // console enforces (app.py:204-216 ≙ validateReadOnly) — any
+    // example the view layer can't serve is a named gap, not a skip.
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    lake.registerViews()
+    val script =
+      // 1. Quick overview: row counts per dataset (UNION ALL counts)
+      """SELECT 'documents' AS dataset, COUNT(*) AS n_rows FROM corpus.documents UNION ALL SELECT 'orders', COUNT(*) FROM trade.orders UNION ALL SELECT 'events', COUNT(*) FROM activity.events ORDER BY n_rows DESC
+        |SELECT doc_id, n_chars, lang FROM corpus.documents WHERE n_chars IS NOT NULL ORDER BY n_chars DESC, doc_id LIMIT 10
+        |SELECT YEAR(o_orderdate) AS yr, COUNT(*) AS n, ROUND(AVG(o_totalprice), 4) AS avg_price FROM trade.orders WHERE o_orderstatus = 'F' GROUP BY YEAR(o_orderdate) ORDER BY yr
+        |SELECT d.source, COUNT(*) AS n_docs, ROUND(AVG(d.n_chars), 1) AS avg_chars, ABS(COUNT(*) - 25) AS diff_from_uniform FROM corpus.documents d GROUP BY d.source ORDER BY diff_from_uniform DESC, d.source LIMIT 20
+        |SELECT lang = 'en' AS is_en, n_chars > 300 AS is_long, COUNT(*) AS papers FROM corpus.documents GROUP BY lang = 'en', n_chars > 300 ORDER BY papers DESC
+        |SELECT n.n_name AS topic, r.r_name AS domain, COUNT(*) AS paper_count FROM trade.customer c JOIN trade.nation n ON c.c_nationkey = n.n_nationkey JOIN trade.region r ON n.n_regionkey = r.r_regionkey GROUP BY n.n_name, r.r_name ORDER BY paper_count DESC, topic LIMIT 20
+        |SELECT DISTINCT event_type AS label FROM activity.events ORDER BY label LIMIT 20
+        |exit
+        |""".stripMargin
+    val in = new java.io.BufferedReader(new java.io.StringReader(script))
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = new java.io.PrintStream(buf, true, "UTF-8")
+    Cli.runShell(spark, lake, in, out)
+    val output = buf.toString("UTF-8")
+    assert(!output.contains("rejected") && !output.contains("query error"), output)
+    // overview counts: every dataset row materialized
+    assert(output.contains("documents") && output.contains("500"), output)
+    assert(output.contains("orders") && output.contains("1500"), output)
+    // 7 timed result sets (one per example), each through the gate
+    assert("\\(\\d+\\.\\d\\d s\\)".r.findAllIn(output).length == 7, output)
+  }
+
   test("catalog: markdown derives schemas, tables, columns, and counts from the lake") {
     import TestSpark._
     val lake = graft.catalog.Lake(spark, sfDir)
@@ -128,6 +164,55 @@ class CliSpec extends AnyFunSuite {
     // union schema: the drifted column exists, null-filled for chunk 1
     assert(back.columns.contains("extra"))
     assert(back.filter(back.col("extra").isNull).count() == 2)
+  }
+
+  test("convert: fulltext chunks unify, clean, and priority-dedup per DOI") {
+    import TestSpark._
+    val in = java.nio.file.Files.createTempDirectory("cli_ft")
+    // chunk 1: s2orc rows — one malformed DOI with an embedded
+    // doi.org URL, messy whitespace in the text
+    java.nio.file.Files.write(in.resolve("chunk_000.jsonl"),
+      ("{\"doi\":\"10.1/ABC\",\"source\":\"s2orc\",\"title\":\"T1\"," +
+        "\"text\":\"body  with   runs\\n\\n\\n\\nand gaps \",\"year\":2020,\"source_id\":\"s1\"}\n" +
+        "{\"doi\":\"10.1002/https://doi.org/10.6028/nist.ir.7942\"," +
+        "\"source\":\"s2orc\",\"title\":\"T2\",\"text\":\"x\",\"source_id\":\"s2\"}\n" +
+        "{\"doi\":\"bad\",\"source\":\"s2orc\",\"title\":\"dropped\",\"text\":\"y\",\"source_id\":\"s3\"}\n")
+        .getBytes("UTF-8"))
+    // chunk 2: pmc beats s2orc on the shared DOI despite SHORTER text;
+    // schema drift: no year column, adds license
+    java.nio.file.Files.write(in.resolve("chunk_001.jsonl"),
+      ("{\"doi\":\"10.1/abc\",\"source\":\"pmc\",\"title\":\"T1-pmc\"," +
+        "\"text\":\"pmc body\",\"license\":\"cc-by\",\"source_id\":\"p1\"}\n")
+        .getBytes("UTF-8"))
+    val out = java.nio.file.Files.createTempDirectory("cli_ftpq").toString + "/fulltext"
+    val res = Cli.convertDataset(spark, "fulltext", in.toString, out)
+    assert(res.isRight, res)
+    val back = spark.read.parquet(out).collect()
+      .map(r => r.getAs[String]("doi") -> r).toMap
+    // "bad" (len<5) dropped; the two valid DOIs remain
+    assert(back.keySet == Set("10.1/abc", "10.6028/nist.ir.7942"))
+    val best = back("10.1/abc")
+    // pmc outranks s2orc regardless of text_length
+    assert(best.getAs[String]("source") == "pmc")
+    assert(best.getAs[String]("title") == "T1-pmc")
+    assert(best.getAs[String]("license") == "cc-by")
+    assert(best.getAs[Boolean]("has_full_text"))
+    // the embedded-URL DOI was extracted and lowercased
+    val fixed = back("10.6028/nist.ir.7942")
+    assert(fixed.getAs[String]("title") == "T2")
+    // unified schema is complete even where chunks drifted
+    assert(spark.read.parquet(out).columns.toSeq.sorted == Seq(
+      "abstract", "doi", "has_full_text", "language", "license",
+      "source", "source_id", "text", "text_length", "title", "year"))
+  }
+
+  test("fulltext clean_text collapses runs and newlines like the reference") {
+    import TestSpark._
+    import spark.implicits._
+    val df = Seq("a  b\tc\n\n\n\nd  ", "  x ", "").toDF("t")
+      .select(graft.sources.Fulltext.cleanText(org.apache.spark.sql.functions.col("t")).as("c"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("a b c\n\nd", "x", ""))
   }
 
   test("convert: CSV tables land as parquet with inferred schema") {

@@ -20,9 +20,13 @@ import duckdb
 sfdir = sys.argv[1]
 sql = sys.stdin.read()
 con = duckdb.connect()
+import os
 for t in %s:
+    src = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(src):  # multi-part dataset (GenScale output)
+        src += "/*.parquet"
     con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 t0 = time.time()
 con.sql(sql).fetchall()
 print(json.dumps({"sec": round(time.time() - t0, 3)}))
