@@ -37,6 +37,16 @@ object GraftSession {
       // testdata events.parquet carries TIMESTAMP(NANOS); see Lake.events
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // ObjectHashAggregate (the exec behind TypedImperativeAggregate
+      // — graft's topk_by_score) falls back to SORT-based aggregation
+      // after this many distinct keys per task. The default (128) is
+      // calibrated for huge per-group sketches; topk buffers are
+      // k·16 bytes, so the sort fallback would re-create exactly the
+      // candidate-stream sort the aggregate exists to avoid (sim08's
+      // measured 23 s kernel vs 275 s sorted top-k at sf1). 2^20
+      // groups · ~200 B ≈ 200 MB per task worst case — bounded.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -93,7 +93,9 @@ object SparkEntry {
     "sim03_lsh_ann" -> q(Similarity.sim03LshAnn(_)),
     "sim05_ivf_ann" -> q(Similarity.sim05IvfAnn(_)),
     "sim08_knn_graph" -> q(Similarity.sim08KnnGraph(_)),
-    "sim11_knn_graph_ann" -> q(Similarity.sim11KnnGraphAnn(_)),
+    // nlist=0 → auto-⌈√N⌉ cells: the n^1.5 kernel contract (a fixed
+    // nlist re-quadratifies as the corpus grows — measured at sf1)
+    "sim11_knn_graph_ann" -> q(Similarity.sim11KnnGraphAnn(_, nlist = 0)),
     "sim04_label_centroids" -> q(Similarity.sim04LabelCentroids),
     "evt01_windowed_counts" -> q(Events.evt01WindowedCounts),
     "evt02_sessionization" -> q(Events.evt02Sessionization(_)),
@@ -1427,11 +1429,14 @@ object SparkEntry {
          |ORDER BY src, dst""".stripMargin,
     // sim11: the ANN-backed mutual kNN graph replays END TO END — the
     // trained quantizer is sim06's unrolled Lloyd CTE (2 iterations,
-    // dedup11's count; seeds = 10 lowest vec_ids, ties to lowest
-    // cluster), every vector probes its nprobe=4 cells, candidates
-    // are the probed cells' home members, and the mutuality fold is
-    // sim08's. Float-safety as sim06: exact cosines are deterministic
-    // per pair; only centroid AVGs carry distributed-sum noise.
+    // dedup11's count; seeds = the ⌈√N⌉ lowest vec_ids — the AUTO
+    // nlist the entry registers with, computed by a scalar subquery
+    // so the same SQL is correct at every scale factor; ties to
+    // lowest cluster), every vector probes its nprobe=4 cells,
+    // candidates are the probed cells' home members, and the
+    // mutuality fold is sim08's. Float-safety as sim06: exact
+    // cosines are deterministic per pair; only centroid AVGs carry
+    // distributed-sum noise.
     "sim11_knn_graph_ann" -> {
       val iter = (1 to 2).map { i =>
         s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
@@ -1445,9 +1450,10 @@ object SparkEntry {
            |  GROUP BY cluster)""".stripMargin
       }.mkString(",\n")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |nl AS (SELECT CAST(CEIL(SQRT(COUNT(*))) AS INT) AS n FROM e),
          |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
          |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
-         |  WHERE rn <= 10),
+         |  WHERE rn <= (SELECT n FROM nl)),
          |$iter,
          |cells AS (SELECT vec_id AS dst, v AS bv, cluster FROM (
          |    SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (

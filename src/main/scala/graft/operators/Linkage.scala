@@ -321,24 +321,42 @@ object Linkage {
     * (the Customer#/Supplier# prefixes normalize away — the UMLS-CUI
     * alias folding analog).
     *
-    * Scale: one self-equi-join of the id map on the normalized key
-    * with a source-order predicate (a < b, so each bridge appears
-    * once) — shuffles once on the key; no pairwise-source loop is
-    * materialized because source is just a column. */
+    * Scale: aggregate the id map to ONE row per (key, source) — the
+    * per-source id list — BEFORE the key self-join, then explode the
+    * two lists of each cross-source row. A row-level self-join with a
+    * post-join `source_1 < source_2` filter is the naive shape and a
+    * measured scale bug (round-8 sf1 sweep: 27× on 10× data): the
+    * predicate references both sides, so it cannot prune below the
+    * join, and every SAME-source key group — part names are a
+    * low-cardinality vocabulary, so their groups grow linearly with
+    * the corpus — materializes its full quadratic pair set only to
+    * be discarded. After the pre-aggregation a key group holds at
+    * most one row per source (#sources is a catalog constant), and
+    * the only pairs the two explodes ever generate are genuine
+    * cross-source bridges. */
   def xref08Bridges(lake: Lake): DataFrame = {
     val ids = xref01IdMap(lake)
+      .groupBy("key", "source")
+      .agg(sort_array(collect_list(col("source_id"))).as("ids"))
     ids
-      .select(col("source").as("source_1"), col("key"), col("source_id").as("id_1"))
+      .select(col("source").as("source_1"), col("key"), col("ids").as("ids_1"))
       .join(
-        ids.select(col("source").as("source_2"), col("key"), col("source_id").as("id_2")),
+        ids.select(col("source").as("source_2"), col("key"), col("ids").as("ids_2")),
         Seq("key")
       )
       .filter(col("source_1") < col("source_2"))
       .select(
         col("source_1"),
+        explode(col("ids_1")).as("id_1"),
+        col("source_2"),
+        col("ids_2"),
+        col("key")
+      )
+      .select(
+        col("source_1"),
         col("id_1"),
         col("source_2"),
-        col("id_2"),
+        explode(col("ids_2")).as("id_2"),
         col("key").as("bridge_id")
       )
       .orderBy("source_1", "source_2", "bridge_id", "id_1", "id_2")

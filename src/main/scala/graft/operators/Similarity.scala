@@ -704,16 +704,21 @@ object Similarity {
     * Scale shape: the exact all-pairs kernel is blocked like sim02 —
     * src side hash-partitioned into `chunks`, dst side replicated
     * once per chunk via an equi-join (no data-dependent broadcast,
-    * no BroadcastNestedLoop). Top-k per src is a window whose
-    * `rank <= k` filter plans a partial WindowGroupLimit, so each
-    * map task keeps only k candidates per src BEFORE the exchange —
-    * the shuffle carries n*k rows, not n²/chunks. Mutuality is NOT a
-    * self-join (that would recompute the quadratic kernel or cache
-    * it): orienting each directed edge to (min, max) and counting
-    * per undirected pair sees 2 exactly when both directions
-    * survived — one map-side-combinable groupBy on an n*k-row frame.
-    * At 100 TB the exact kernel swaps for IVF cell-restricted
-    * candidates (sim05's probe path) with identical downstream
+    * no BroadcastNestedLoop). Top-k per src is the NATIVE
+    * topk_by_score aggregate (graft.plans.TopKByScore), not a
+    * row_number window: the window formulation sorts the full n²/
+    * chunks candidate slice per map task before discarding rows
+    * beyond k — the round-8 sf1 probe measured the sort at 12× the
+    * kernel (23 s kernel+sum vs 275 s kernel+window on 4·10^8
+    * candidates). The aggregate feeds candidates into a k-bounded
+    * heap per src (map-side partial via ObjectHashAggregate), so the
+    * exchange carries n·k pairs and nothing is ever sorted.
+    * Mutuality is NOT a self-join (that would recompute the
+    * quadratic kernel or cache it): orienting each directed edge to
+    * (min, max) and counting per undirected pair sees 2 exactly when
+    * both directions survived — one map-side-combinable groupBy on
+    * an n*k-row frame. At 100 TB the exact kernel swaps for IVF
+    * cell-restricted candidates (sim11) with identical downstream
     * top-k/mutuality machinery. */
   def sim08KnnGraph(lake: Lake, k: Int = 5, chunks: Int = 32): DataFrame = {
     val all = vecs(lake)
@@ -723,7 +728,6 @@ object Similarity {
     val dsts = all
       .select(col("vec_id").as("dst"), col("v").as("bv"), col("nrm").as("bnrm"))
       .withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
-    val w = Window.partitionBy("src").orderBy(col("cos_raw").desc, col("dst"))
     val knn = srcs
       .join(dsts.hint("shuffle_hash"), Seq("chunk"))
       .filter(col("src") =!= col("dst"))
@@ -731,9 +735,10 @@ object Similarity {
         "cos_raw",
         vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm"))
       )
-      .select("src", "dst", "cos_raw")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy("src")
+      .agg(graft.plans.TopKByScore(col("cos_raw"), col("dst"), k).as("nb"))
+      .select(col("src"), explode(col("nb")).as("nbr"))
+      .select(col("src"), col("nbr.id").as("dst"), col("nbr.score").as("cos_raw"))
     knn
       .select(
         least(col("src"), col("dst")).as("src"),
@@ -791,9 +796,14 @@ object Similarity {
     * silently re-quadratifies the kernel as the corpus grows — at
     * nlist=10 and a billion vectors each probe scans nprobe/10 of
     * everything. √N keeps cell count and expected cell size both at
-    * √N for one count() over the checkpointed frame. The explicit
-    * default stays 10 because the entry's DuckDB oracle unrolls the
-    * Lloyd CTEs with the literal. */
+    * √N for one count() over the checkpointed frame. The round-8 sf1
+    * sweep measured exactly this failure: the entry originally ran
+    * nlist=10, so at 20k vectors each probe scanned 40% of the
+    * corpus and the "ANN" ran at 0.4× the exact kernel — the entry
+    * now registers with nlist=0 (auto), and the DuckDB oracle
+    * computes ⌈√N⌉ with a scalar subquery instead of a literal. The
+    * signature default stays 10 for the spec fixtures, whose
+    * full-probe/recall assertions pin against a known cell count. */
   def sim11KnnGraphAnn(
       lake: Lake,
       k: Int = 5,
@@ -845,7 +855,8 @@ object Similarity {
       .select(col("vec_id").as("src"), col("cluster"),
         col("v").as("av"), col("nrm").as("anrm"))
       .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
-    val w = Window.partitionBy("src").orderBy(col("cos_raw").desc, col("dst"))
+    // top-k per src via the native bounded-heap aggregate (sim08's
+    // rewiring rationale — no candidate-stream sort, n·k exchange)
     val knn = cells
       .join(probed.hint("shuffle_hash"), Seq("cluster", "salt"))
       .filter(col("src") =!= col("dst"))
@@ -853,9 +864,10 @@ object Similarity {
         "cos_raw",
         vectors.dot(col("av"), col("bv")) / (col("anrm") * col("bnrm"))
       )
-      .select("src", "dst", "cos_raw")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .groupBy("src")
+      .agg(graft.plans.TopKByScore(col("cos_raw"), col("dst"), k).as("nb"))
+      .select(col("src"), explode(col("nb")).as("nbr"))
+      .select(col("src"), col("nbr.id").as("dst"), col("nbr.score").as("cos_raw"))
     knn
       .select(
         least(col("src"), col("dst")).as("src"),

@@ -147,6 +147,12 @@ object GraftExtensions {
           constInt(args(1), "capacity"),
           constInt(args(2), "k")
         )
+    ),
+    d(
+      "topk_by_score",
+      classOf[TopKByScore],
+      3,
+      args => TopKByScore(args(0), args(1), constInt(args(2), "k"))
     )
   )
 

@@ -382,7 +382,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     assert("BroadcastNestedLoop".r.findAllIn(p).length <= 2, p)
-    assert(p.contains("WindowGroupLimit"), p)
+    // top-k is the native bounded-heap aggregate, never a sorted
+    // window over the candidate stream (round-8 rewiring)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("WindowGroupLimit"), p)
   }
 
   test("bloom decontamination: no false negatives vs exact dedup07; equal at tight fpp; map-only probe") {

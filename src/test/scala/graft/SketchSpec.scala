@@ -71,4 +71,72 @@ class SketchSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out.head.getSeq[Any](0).size == 5)
   }
+
+  // deterministic pseudo-random candidate stream WITH planted score
+  // ties (score quantized to 0.01) so the tie-break contract is
+  // actually exercised
+  private lazy val candidates = {
+    import spark.implicits._
+    (0 until 20000).map { i =>
+      val g = i % 37
+      val id = i.toLong
+      val score = math.round(math.sin(i * 0.7123) * 100.0) / 100.0
+      (g, id, score)
+    }.toDF("g", "id", "score")
+  }
+
+  test("topk_by_score equals the row_number window formulation, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 7
+    val viaAgg = candidates
+      .groupBy("g")
+      .agg(graft.plans.TopKByScore(col("score"), col("id"), k).as("nb"))
+      .select(col("g"), posexplode(col("nb")).as(Seq("r", "nbr")))
+      .select(col("g"), (col("r") + 1).as("rank"), col("nbr.id").as("id"),
+        col("nbr.score").as("score"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+    val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+    val viaWindow = candidates
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(viaAgg.toSeq == viaWindow.toSeq)
+  }
+
+  test("topk_by_score: k larger than the group returns the whole group sorted; merge across partitions is lossless") {
+    // 64 input partitions force real partial-buffer merges
+    val out = candidates
+      .repartition(64)
+      .filter(col("g") === 3)
+      .groupBy("g")
+      .agg(graft.plans.TopKByScore(col("score"), col("id"), 10000).as("nb"))
+      .select(explode(col("nb")).as("nbr"))
+      .select(col("nbr.score"), col("nbr.id"))
+      .collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val expected = candidates
+      .filter(col("g") === 3)
+      .collect()
+      .map(r => (r.getDouble(2), r.getLong(1)))
+      .sortBy { case (s, i) => (-s, i) }
+    assert(out.toSeq == expected.toSeq)
+  }
+
+  test("topk_by_score is callable from SQL and plans a partial ObjectHashAggregate") {
+    graft.plans.GraftExtensions.register(spark)
+    candidates.createOrReplaceTempView("topk_cands")
+    val df = spark.sql(
+      "SELECT g, topk_by_score(score, id, 3) AS top FROM topk_cands GROUP BY g"
+    )
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_topk_by_score"), plan)
+    val rows = df.collect()
+    assert(rows.length == 37)
+    assert(rows.forall(_.getSeq[Any](1).size == 3))
+  }
 }
