@@ -30,6 +30,34 @@ object Similarity {
       vectors.toDouble(col("embedding")).as("v")
     ).withColumn("nrm", vectors.norm(col("v")))
 
+  /** Per-query top-k over a scored candidate frame — shared tail of
+    * the whole ANN family (sim01/03/05/06/07/09/10), via the native
+    * bounded-heap aggregate (TopKByScore; sim08's rationale). The
+    * row_number-window alternative ORDERS each query's candidate
+    * slice before its rank<=k filter — corpus-sized for brute force,
+    * ~nprobe/nlist·n for the IVF family — and that sort is the
+    * dominant cost at scale (measured 12× the kernel on sim08's sf1
+    * stream). Input contract: (query_id, vec_id, cos_raw [+ any]);
+    * output matches the window formulation row for row:
+    * (query_id, rank, neighbor_id, score-rounded-4) ordered
+    * (cos_raw desc, vec_id asc) per query. */
+  private def topkPerQuery(
+      scored: DataFrame,
+      k: Int,
+      scoreName: String = "cos"
+  ): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore(col("cos_raw"), col("vec_id"), k).as("nb"))
+      .select(col("query_id"), posexplode(col("nb")).as(Seq("r", "nbr")))
+      .select(
+        col("query_id"),
+        (col("r") + 1).cast("long").as("rank"),
+        col("nbr.id").as("neighbor_id"),
+        round(col("nbr.score"), 4).as(scoreName)
+      )
+      .orderBy("query_id", "rank")
+
   /** Exact cosine top-k for a set of query vectors (vec_id < nQueries),
     * brute force with a broadcast query side. */
   def sim01TopKBruteForce(lake: Lake, k: Int = 10, nQueries: Int = 10): DataFrame = {
@@ -37,24 +65,15 @@ object Similarity {
     val queries = all
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    all
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn(
-        "cos_raw",
-        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos")
-      )
-      .orderBy("query_id", "rank")
+    topkPerQuery(
+      all
+        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn(
+          "cos_raw",
+          vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+        ),
+      k
+    )
   }
 
   /** Cosine-threshold similarity join: "topics" (label < 2) matched
@@ -204,23 +223,13 @@ object Similarity {
     val candidates = candIds
       .join(all.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    candidates
-      .withColumn(
+    topkPerQuery(
+      candidates.withColumn(
         "cos_raw",
         vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos")
-      )
-      .orderBy("query_id", "rank")
+      ),
+      k
+    )
   }
 
   /** Per-label centroids (posexplode + positional mean) and
@@ -432,25 +441,16 @@ object Similarity {
       .withColumn("crank", row_number().over(cellRank))
       .filter(col("crank") <= nprobe)
       .select("query_id", "qv", "qnrm", "cluster")
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    cells
-      .join(broadcast(probed), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn(
-        "cos_raw",
-        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos")
-      )
-      .orderBy("query_id", "rank")
+    topkPerQuery(
+      cells
+        .join(broadcast(probed), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn(
+          "cos_raw",
+          vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+        ),
+      k
+    )
   }
 
   /** Persist a trained IVF index as two parquet tables — the FAISS
@@ -507,26 +507,17 @@ object Similarity {
       .withColumn("crank", row_number().over(cellRank))
       .filter(col("crank") <= nprobe)
       .select("query_id", "qv", "qnrm", "cluster")
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    cells
-      .join(broadcast(probed), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(all.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
-      .withColumn(
-        "cos_raw",
-        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos")
-      )
-      .orderBy("query_id", "rank")
+    topkPerQuery(
+      cells
+        .join(broadcast(probed), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(all.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+        .withColumn(
+          "cos_raw",
+          vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+        ),
+      k
+    )
   }
 
   /** sim07: Product-quantization ANN — the remaining FAISS index
@@ -630,23 +621,15 @@ object Similarity {
         col("cluster"),
         vectors.dot(col("qsv"), col("centroid")).as("pdot")
       )
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("score").desc, col("vec_id"))
-    codes
-      .join(broadcast(lut), Seq("sub_id", "cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum("pdot").as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"),
-        round(col("score"), 4).as("adc_score")
-      )
-      .orderBy("query_id", "rank")
+    topkPerQuery(
+      codes
+        .join(broadcast(lut), Seq("sub_id", "cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum("pdot").as("cos_raw")),
+      k,
+      scoreName = "adc_score"
+    )
   }
 
   def sim05IvfAnn(
@@ -671,25 +654,16 @@ object Similarity {
       .withColumn("crank", row_number().over(cellRank))
       .filter(col("crank") <= nprobe)
       .select("query_id", "qv", "qnrm", "label")
-    val w = Window
-      .partitionBy("query_id")
-      .orderBy(col("cos_raw").desc, col("vec_id"))
-    all
-      .join(broadcast(probed), Seq("label"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn(
-        "cos_raw",
-        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos")
-      )
-      .orderBy("query_id", "rank")
+    topkPerQuery(
+      all
+        .join(broadcast(probed), Seq("label"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn(
+          "cos_raw",
+          vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+        ),
+      k
+    )
   }
 
   /** sim08: MUTUAL k-NN graph over the whole embedding corpus — the
@@ -917,38 +891,32 @@ object Similarity {
         col("vp").as("qvp"),
         col("pnrm").as("qpnrm")
       )
-    val wPre =
-      Window.partitionBy("query_id").orderBy(col("pcos").desc, col("vec_id"))
+    // stage-1 prefilter: per-query top-`overfetch` on prefix cosine —
+    // the heap aggregate again; candidate ids only, vectors never
+    // carried
     val candidates = pre
       .join(broadcast(qPre), col("vec_id") =!= col("query_id"))
       .withColumn(
         "pcos",
         vectors.dot(col("qvp"), col("vp")) / (col("qpnrm") * col("pnrm"))
       )
-      .withColumn("prank", row_number().over(wPre))
-      .filter(col("prank") <= overfetch)
-      .select("query_id", "vec_id")
+      .groupBy("query_id")
+      .agg(graft.plans.TopKByScore(col("pcos"), col("vec_id"), overfetch).as("nb"))
+      .select(col("query_id"), explode(col("nb")).as("nbr"))
+      .select(col("query_id"), col("nbr.id").as("vec_id"))
     val qFull = all
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val wFull =
-      Window.partitionBy("query_id").orderBy(col("cos_raw").desc, col("vec_id"))
-    candidates
-      .join(all.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
-      .join(broadcast(qFull), Seq("query_id"))
-      .withColumn(
-        "cos_raw",
-        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-      )
-      .withColumn("rank", row_number().over(wFull))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"),
-        round(col("cos_raw"), 4).as("cos")
-      )
-      .orderBy("query_id", "rank")
+    topkPerQuery(
+      candidates
+        .join(all.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+        .join(broadcast(qFull), Seq("query_id"))
+        .withColumn(
+          "cos_raw",
+          vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+        ),
+      k
+    )
   }
 
   /** sim10: SCALAR-QUANTIZATION ANN — FAISS's IndexScalarQuantizer
@@ -1010,22 +978,15 @@ object Similarity {
     val queries = all
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    val w =
-      Window.partitionBy("query_id").orderBy(col("cos_sq").desc, col("vec_id"))
-    enc
-      .join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn(
-        "cos_sq",
-        vectors.dot(col("qv"), col("dec")) / (col("qnrm") * col("dnrm"))
-      )
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(
-        col("query_id"),
-        col("rank").cast("long").as("rank"),
-        col("vec_id").as("neighbor_id"),
-        round(col("cos_sq"), 4).as("cos_sq")
-      )
-      .orderBy("query_id", "rank")
+    topkPerQuery(
+      enc
+        .join(broadcast(queries), col("vec_id") =!= col("query_id"))
+        .withColumn(
+          "cos_raw",
+          vectors.dot(col("qv"), col("dec")) / (col("qnrm") * col("dnrm"))
+        ),
+      k,
+      scoreName = "cos_sq"
+    )
   }
 }

@@ -222,14 +222,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
-  test("sim08: blocked kernel shuffles (no data-dependent broadcast); top-k is a partial WindowGroupLimit") {
+  test("sim08: blocked kernel shuffles (no data-dependent broadcast); top-k is the heap aggregate, no candidate sort") {
     val p = plan(Similarity.sim08KnnGraph(lake))
     // the all-pairs kernel must stay a chunk equi-join — never a
     // BroadcastNestedLoop/cartesian, never a broadcast of the corpus
     assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"), p)
     assert(p.contains("ShuffledHashJoin"), p)
-    // per-src top-k prunes to k rows per src BEFORE the exchange
-    assert(p.contains("WindowGroupLimit"), p)
+    // per-src top-k is the k-bounded heap aggregate with a map-side
+    // partial pass (round 8: the row_number window SORTED the full
+    // n²/chunks candidate slice per task — measured 12× the kernel
+    // at sf1); nothing may sort or window the candidate stream
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topk_by_score"), p)
+    assert(!p.contains("WindowGroupLimit") && !p.contains("WindowExec"), p)
   }
 
   test("eval05: the whole calibration curve is one aggregation pass — no window, no cartesian") {
