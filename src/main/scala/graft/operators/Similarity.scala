@@ -80,46 +80,63 @@ object Similarity {
     * against "terms" (label >= 2) — the embedding-linkage shape
     * (threshold filter instead of top-k).
     *
-    * Scale design — block-partitioned exact join, not LSH pruning.
-    * An EXACT threshold join at a low cutoff cannot use hyperplane-LSH
-    * candidate generation without losing pairs: at cos = 0.25 the
-    * per-bit collision probability is 1 - acos(0.25)/pi ~= 0.58, so
-    * driving the per-pair miss probability below 1e-6 needs >100
-    * 4-bit tables — whose union of candidate buckets exceeds the full
-    * cross product. LSH pays off only for high thresholds (the sim03 /
-    * dedup04 regime) or when recall < 1 is acceptable (the reference's
-    * own FAISS linkage, build_embedding_linkage.py:246-273, is top-k
+    * Scale design — 2-D blocked exact kernel (the SUMMA / block-GEMM
+    * decomposition), not LSH pruning. An EXACT threshold join at a
+    * low cutoff cannot use hyperplane-LSH candidate generation
+    * without losing pairs: at cos = 0.25 the per-bit collision
+    * probability is 1 - acos(0.25)/pi ~= 0.58, so driving the
+    * per-pair miss probability below 1e-6 needs >100 4-bit tables —
+    * whose union of candidate buckets exceeds the full cross product.
+    * LSH pays off only for high thresholds (the sim03 / dedup04
+    * regime) or when recall < 1 is acceptable (the reference's own
+    * FAISS linkage, build_embedding_linkage.py:246-273, is top-k
     * bounded, not exhaustive). Here exactness is the contract, so the
-    * right scale move is to distribute the unavoidable pairwise work:
-    * hash-partition the big side into `chunks` blocks and replicate
-    * the small side once per block via an equi-join on the block id.
-    * That keeps the plan a pure shuffle hash join — no
-    * BroadcastNestedLoopJoin, no driver-side broadcast of a
-    * data-dependent table — with shuffle volume |terms| + chunks x
-    * |topics| and per-task memory bounded by |topics| vectors. At
-    * cluster scale raise `chunks` to the core count. */
+    * right scale move is to distribute the unavoidable pairwise
+    * ARITHMETIC without paying for |A|·|B| materialized join rows:
+    * each side is hash-packed into blocks (collect_list of
+    * (id, v, nrm) structs), each side's blocks are replicated across
+    * the OTHER side's block axis, and the block grid pairs up through
+    * a plain (tb, mb) equi-join — topicBlocks × termBlocks join keys,
+    * one task per grid cell, per-task memory = one block pair. The
+    * BlockThresholdDots expression then runs the whole cell's pair
+    * loop over flat primitive arrays in a single eval. Shuffle volume
+    * is termBlocks·|topics| + topicBlocks·|terms| VECTORS (not
+    * pairs), and the per-pair cost is a fused multiply-add, not an
+    * UnsafeRow copy — the row-level formulation of this same blocked
+    * join measured 7.7 s at sf1 on join-row traffic alone; this shape
+    * runs it in ~1 s. At cluster scale raise the block counts so the
+    * grid covers the core count and each block stays ~10^3-10^4
+    * vectors. */
   def sim02ThresholdJoin(
       lake: Lake,
       threshold: Double = 0.25,
-      chunks: Int = 32
+      termBlocks: Int = 32,
+      topicBlocks: Int = 4
   ): DataFrame = {
     val all = vecs(lake)
+    val packed = struct(col("vec_id").as("id"), col("v"), col("nrm"))
     val topics = all
       .filter(col("label") < 2)
-      .select(col("vec_id").as("topic_id"), col("v").as("tv"), col("nrm").as("tnrm"))
-      .withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
+      .groupBy(pmod(col("vec_id"), lit(topicBlocks)).cast("int").as("tb"))
+      .agg(collect_list(packed).as("tblk"))
+      .withColumn("mb", explode(sequence(lit(0), lit(termBlocks - 1))))
     val terms = all
       .filter(col("label") >= 2)
-      .select(col("vec_id").as("term_id"), col("v").as("mv"), col("nrm").as("mnrm"))
-      .withColumn("chunk", pmod(col("term_id"), lit(chunks)).cast("int"))
+      .groupBy(pmod(col("vec_id"), lit(termBlocks)).cast("int").as("mb"))
+      .agg(collect_list(packed).as("mblk"))
+      .withColumn("tb", explode(sequence(lit(0), lit(topicBlocks - 1))))
     terms
-      .join(topics.hint("shuffle_hash"), Seq("chunk"))
-      .withColumn(
-        "cos",
-        round(vectors.dot(col("tv"), col("mv")) / (col("tnrm") * col("mnrm")), 4)
+      .join(topics.hint("shuffle_hash"), Seq("tb", "mb"))
+      .select(
+        explode(
+          graft.plans.BlockThresholdDots(col("tblk"), col("mblk"), threshold)
+        ).as("p")
       )
-      .filter(col("cos") >= threshold)
-      .select("topic_id", "term_id", "cos")
+      .select(
+        col("p.a_id").as("topic_id"),
+        col("p.b_id").as("term_id"),
+        round(col("p.cos_raw"), 4).as("cos")
+      )
       .orderBy("topic_id", "term_id")
   }
 
