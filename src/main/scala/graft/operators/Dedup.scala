@@ -419,27 +419,30 @@ object Dedup {
 
   /** Embedding near-dup pairs within a label block (cosine >= t).
     *
-    * Scale design — chunked exact join, not LSH pruning. The output
-    * contract is EXACT (every pair at cos >= t), and at t = 0.4 the
-    * hyperplane-LSH per-bit collision probability for a qualifying
-    * pair is 1 - acos(0.4)/pi ~= 0.63, so recall ~1 needs ~36 2-bit
-    * tables whose candidate volume exceeds the within-label cross
-    * product — LSH candidate generation only wins at high thresholds
-    * (cos >= 0.8, the usual near-dup regime) or when misses are
-    * acceptable (the sim03 ANN path). The unavoidable O(n_label^2)
-    * compare is therefore distributed instead of pruned: the left
-    * side keeps one chunk id (vec_id mod chunks), the right side is
-    * replicated once per chunk, and the equi-join on (label, chunk)
-    * splits every label block into `chunks` bounded tasks — a giant
-    * label no longer has to fit one executor, and the plan is a pure
-    * shuffle join (no BroadcastNestedLoopJoin). Shuffle volume is
-    * n + chunks x n narrow vector rows. At cluster scale raise
-    * `chunks`; for high-threshold corpora switch the candidate step
-    * to the sim03 hyperplane buckets and keep the exact-cos verify. */
+    * Scale design — 2-D blocked exact kernel (sim02's SUMMA shape),
+    * not LSH pruning. The output contract is EXACT (every pair at
+    * cos >= t), and at t = 0.4 the hyperplane-LSH per-bit collision
+    * probability for a qualifying pair is 1 - acos(0.4)/pi ~= 0.63,
+    * so recall ~1 needs ~36 2-bit tables whose candidate volume
+    * exceeds the within-label cross product — LSH candidate
+    * generation only wins at high thresholds (cos >= 0.8, the usual
+    * near-dup regime) or when misses are acceptable (the sim03 ANN
+    * path). The unavoidable O(n_label^2) arithmetic is therefore
+    * distributed WITHOUT materializing it as join rows: each label's
+    * vectors hash-pack into `blocks` blocks, every (i, j) block cell
+    * pairs up through a plain (label, i, j) equi-join — one task per
+    * cell, per-task memory = one block pair — and the native
+    * BlockThresholdDots expression runs the cell's pair loop over
+    * flat primitive arrays, emitting only threshold survivors. The
+    * row-level formulation of the same chunked join measured 3.0 s at
+    * sf1 copying two 64-double arrays into every candidate row; this
+    * shape runs it in ~1 s. Shuffle volume is 2 x blocks x n narrow
+    * vector rows; a giant label never has to fit one executor. At
+    * cluster scale raise `blocks` so cells stay ~10^3-10^4 vectors. */
   def dedup06EmbeddingNearDup(
       lake: Lake,
       threshold: Double = 0.4,
-      chunks: Int = 16
+      blocks: Int = 8
   ): DataFrame = {
     import graft.functions.vectors
     val e = lake.embeddings.select(
@@ -447,28 +450,32 @@ object Dedup {
       col("label"),
       vectors.toDouble(col("embedding")).as("v")
     ).withColumn("nrm", vectors.norm(col("v")))
-    val a = e.select(
-      col("vec_id").as("vec_a"),
-      col("label"),
-      col("v").as("va"),
-      col("nrm").as("na")
-    ).withColumn("chunk", pmod(col("vec_a"), lit(chunks)).cast("int"))
-    val b = e.select(
-      col("vec_id").as("vec_b"),
-      col("label"),
-      col("v").as("vb"),
-      col("nrm").as("nb")
-    ).withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
-    // Build the hash table on the chunked side (n_label/chunks rows per
-    // task); the replicated side streams through it.
-    a.hint("shuffle_hash").join(b, Seq("label", "chunk"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn(
-        "cos",
-        round(vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+    val packed = struct(col("vec_id").as("id"), col("v"), col("nrm"))
+    // full blocks^2 grid per label; the a_id < b_id filter below
+    // dedupes orientations (pmod blocking carries no id order, so a
+    // triangular grid would still need both orientations per cell)
+    val a = e
+      .groupBy(col("label"), pmod(col("vec_id"), lit(blocks)).cast("int").as("ab"))
+      .agg(collect_list(packed).as("ablk"))
+      .withColumn("bb", explode(sequence(lit(0), lit(blocks - 1))))
+    val b = e
+      .groupBy(col("label"), pmod(col("vec_id"), lit(blocks)).cast("int").as("bb"))
+      .agg(collect_list(packed).as("bblk"))
+      .withColumn("ab", explode(sequence(lit(0), lit(blocks - 1))))
+    a.hint("shuffle_hash").join(b, Seq("label", "ab", "bb"))
+      .select(
+        col("label"),
+        explode(
+          graft.plans.BlockThresholdDots(col("ablk"), col("bblk"), threshold)
+        ).as("p")
       )
-      .filter(col("cos") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("label"), col("cos"))
+      .filter(col("p.a_id") < col("p.b_id"))
+      .select(
+        col("p.a_id").as("vec_a"),
+        col("p.b_id").as("vec_b"),
+        col("label"),
+        round(col("p.cos_raw"), 4).as("cos")
+      )
       .orderBy("vec_a", "vec_b")
   }
 
@@ -1150,7 +1157,14 @@ object Dedup {
   def dedup13ExactSubstring(
       lake: Lake,
       k: Int = 8,
-      minDocs: Int = 2
+      minDocs: Int = 2,
+      // true would checkpoint the repartitioned gram stream; the
+      // default relies on ReuseExchange instead — both consumers (df
+      // aggregation, semi-join stream side) share the IDENTICAL
+      // repartition subtree, so the shuffle runs once and the
+      // blocking materialization job is pure overhead (measured
+      // 1.7 s vs 2.2 s at sf1)
+      materialize: Boolean = false
   ): DataFrame = {
     val prefix =
       "shared prefix banner alpha beta gamma delta epsilon zeta eta "
@@ -1171,34 +1185,71 @@ object Dedup {
         col("doc_id"),
         posexplode(graft.plans.ShingleHashSeq(planted, k)).as(Seq("pos", "gh"))
       )
-    val dup = grams
+      // both consumers (the df aggregation and the semi-join's stream
+      // side) key on gh: partition the window-hash stream once —
+      // the two consumer subtrees are identical, so ReuseExchange
+      // runs this shuffle ONCE and both read its files; neither
+      // re-runs scan+hash or pays its own corpus-stream exchange
+      .repartition(col("gh"))
+    val gramsM = if (materialize) grams.localCheckpoint() else grams
+    val dup = gramsM
       .groupBy("gh")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDocs)
       .select("gh")
-    val hits = grams.join(dup, Seq("gh"), "left_semi")
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val run = Window
-      .partitionBy("doc_id")
-      .orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hits = gramsM.join(dup, Seq("gh"), "left_semi")
+    // Span merge as a per-doc ARRAY fold, not a window: collect each
+    // doc's qualifying positions (one hash aggregation), sort the
+    // bounded per-doc array, and fold gap>k span-splitting in a
+    // single higher-order aggregate — where the round-7 shape ran two
+    // full-stream window passes (lag + running sum) over a doc_id
+    // sort plus two more shuffled aggregations. State: (prev pos,
+    // open-span start, closed count, closed length sum, closed max).
+    val folded = aggregate(
+      col("ps"),
+      struct(
+        lit(-1).as("prev"),
+        lit(-1).as("st"),
+        lit(0).as("n"),
+        lit(0).as("tot"),
+        lit(0).as("mx")
+      ),
+      (acc, x) => {
+        val isNew = acc.getField("st") === lit(-1) ||
+          x > acc.getField("prev") + lit(k)
+        val closes = isNew && acc.getField("st") =!= lit(-1)
+        val len = acc.getField("prev") + lit(k) - acc.getField("st")
+        struct(
+          x.as("prev"),
+          when(isNew, x).otherwise(acc.getField("st")).as("st"),
+          when(closes, acc.getField("n") + 1)
+            .otherwise(acc.getField("n")).as("n"),
+          when(closes, acc.getField("tot") + len)
+            .otherwise(acc.getField("tot")).as("tot"),
+          when(closes, greatest(acc.getField("mx"), len))
+            .otherwise(acc.getField("mx")).as("mx")
+        )
+      },
+      acc => {
+        // close the trailing span (groups are non-empty by
+        // construction: a doc appears only via qualifying hits)
+        val len = acc.getField("prev") + lit(k) - acc.getField("st")
+        struct(
+          (acc.getField("n") + 1).as("n"),
+          (acc.getField("tot") + len).as("tot"),
+          greatest(acc.getField("mx"), len).as("mx")
+        )
+      }
+    )
     hits
-      .withColumn(
-        "ns",
-        when(
-          lag("pos", 1).over(w).isNull ||
-            col("pos") > lag("pos", 1).over(w) + k,
-          1
-        ).otherwise(0)
-      )
-      .withColumn("sid", sum("ns").over(run))
-      .groupBy("doc_id", "sid")
-      .agg(min("pos").as("st"), (max("pos") + k).as("en"))
       .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_spans"),
-        sum(col("en") - col("st")).cast("long").as("dup_tokens"),
-        max(col("en") - col("st")).cast("long").as("max_span")
+      .agg(sort_array(collect_list("pos")).as("ps"))
+      .select(col("doc_id"), folded.as("sp"))
+      .select(
+        col("doc_id"),
+        col("sp.n").cast("long").as("n_spans"),
+        col("sp.tot").cast("long").as("dup_tokens"),
+        col("sp.mx").cast("long").as("max_span")
       )
       .orderBy("doc_id")
   }

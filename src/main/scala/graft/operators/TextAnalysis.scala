@@ -897,34 +897,31 @@ object TextAnalysis {
 
   /** Repetition scoring — the Gopher-style quality signal: fraction
     * of a document's bigrams taken by its single most frequent bigram
-    * (repetitive boilerplate scores high, natural text low). Raw
-    * (non-distinct) bigrams are built inline — the shingle helper
-    * dedupes, which would erase exactly the signal measured here.
-    * One explode + two aggregations, linear in corpus tokens. */
-  def txt14Repetition(lake: Lake): DataFrame = {
-    // Tokenize into a materialized column first: building the bigrams
-    // directly from the tokenizer expression references it from both
-    // slice children (4+ evaluations per row once higher-order
-    // functions block common-subexpression elimination).
-    val m = size(col("toks")) - 1
-    val rawBigrams = zip_with(
-      slice(col("toks"), lit(1), m),
-      slice(col("toks"), lit(2), m),
-      (a, b) => concat(a, lit(" "), b)
-    )
+    * (repetitive boilerplate scores high, natural text low).
+    *
+    * MAP-ONLY: every output column is a per-row function of the token
+    * array — total bigrams = len-1, and the max bigram count comes
+    * from the native one-pass [[graft.plans.TopBigramCount]]
+    * expression (the txt24 panel's kernel). The previous shape
+    * exploded the raw bigram stream (corpus-tokens rows) through two
+    * shuffled aggregations to recompute those same two numbers; at
+    * sf1 that measured 1.94 s vs 0.12 s for this scan-shaped plan.
+    * Docs with fewer than two tokens have no bigrams and are
+    * excluded, exactly as the explode formulation dropped them. */
+  def txt14Repetition(lake: Lake): DataFrame =
     lake.documents
       .select(col("doc_id"), text.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(rawBigrams).as("bg"))
-      .groupBy("doc_id", "bg")
-      .agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(
-        sum("n").as("n_bigrams"),
-        max("n").as("top_bigram_n"),
-        round(max("n").cast("double") / sum("n"), 4).as("top_bigram_frac")
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        (size(col("toks")) - 1).cast("long").as("n_bigrams"),
+        graft.plans.TopBigramCount(col("toks")).as("top_bigram_n")
+      )
+      .withColumn(
+        "top_bigram_frac",
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 4)
       )
       .orderBy("doc_id")
-  }
 
   /** Unigram log-probability scoring — the CCNet-style perplexity
     * proxy: score each document by the mean negative log corpus
@@ -1167,13 +1164,29 @@ object TextAnalysis {
     * from it: c(prev) = Σ_w, c(w) = Σ_prev (the null-prev rows supply
     * the first-token remainder, so c_uni is the true unigram count),
     * t = Σ c_uni — vocab-table aggregates, never a second corpus
-    * pass. Scoring is three vocab-table equi-joins that AQE
-    * broadcasts while they fit. Linear end to end, zero
-    * checkpoints/jobs beyond the final one. (The previous shape
-    * checkpointed toks/bi/cbig — three sequential jobs — and ran the
-    * lag through a full doc_id window shuffle; at sf0.1 that measured
-    * ~4× DuckDB on floors + sort, fused+map-side is ~1.6×.) */
-  def txt23BigramLogprob(lake: Lake, lambda: Double = 0.7): DataFrame = {
+    * pass. The marginals then fold into ONE vocab-keyed model table
+    * carrying a precomputed -ln(p) per distinct bigram, so the
+    * corpus-token stream is joined exactly once — and that stream is
+    * repartitioned by (prev, w) and checkpointed up front, so the
+    * count aggregation AND the scoring join both reuse the same
+    * exchange instead of each re-tokenizing and re-shuffling the
+    * corpus. (The round-7 shape joined the stream three times — cbig,
+    * cprev, cuni — and recomputed tokenize+explode for each; at sf1
+    * that measured 4.7 s vs 2.1 s for this single-join form. log()
+    * runs once per DISTINCT bigram in the model, not once per corpus
+    * token.) */
+  def txt23BigramLogprob(
+      lake: Lake,
+      lambda: Double = 0.7,
+      // false = skip the stream checkpoint so plan audits see the
+      // full lineage (localCheckpoint truncates the visible plan to
+      // Scan ExistingRDD); true keeps the one-exchange
+      // materialization: the count-side's pushed-down not-null filter
+      // makes the two stream subtrees non-identical, so ReuseExchange
+      // cannot dedupe them un-materialized (measured 2.4 s vs 1.8 s
+      // at sf1)
+      materialize: Boolean = true
+  ): DataFrame = {
     // [null, t0, ..., t_{n-2}] zipped with [t0, ..., t_{n-1}]: one
     // (prev, w) pair per token position, prev=null at position 0.
     // Empty token arrays produce one (null, null) pair, dropped by
@@ -1195,7 +1208,14 @@ object TextAnalysis {
       )
       .select(col("doc_id"), col("pw.prev").as("prev"), col("pw.w").as("w"))
       .filter(col("w").isNotNull)
-    val cbig = bi
+      // ONE exchange for the whole query: both consumers (the bigram
+      // count aggregation and the scoring join) key on (prev, w), so
+      // hash-partition the stream once and materialize it —
+      // otherwise each consumer re-runs tokenize+explode and pays its
+      // own shuffle of the corpus-token stream.
+      .repartition(col("prev"), col("w"))
+    val biM = if (materialize) bi.localCheckpoint() else bi
+    val cbig = biM
       .groupBy("prev", "w")
       .agg(count(lit(1)).as("c_big"))
     val cprev = cbig
@@ -1213,16 +1233,28 @@ object TextAnalysis {
     val p =
       lit(lambda) * (col("c_big").cast("double") / col("c_prev").cast("double")) +
         (lit(1.0) - lit(lambda)) * (col("c_uni").cast("double") / col("t_uni"))
-    bi
+    // vocab-table-sized model: the three marginals meet each other
+    // (never the stream), and the per-bigram score is evaluated here,
+    // once per distinct bigram
+    val model = cbig
       .filter(col("prev").isNotNull)
-      .join(cbig, Seq("prev", "w"))
       .join(cprev, Seq("prev"))
       .join(cuni, Seq("w"))
       .crossJoin(broadcast(total))
+      .select(col("prev"), col("w"), (-log(p)).as("neg_logp"))
+    // shuffle_hash on the MODEL side: the checkpointed stream is a
+    // LogicalRDD with no size stats, and the planner otherwise
+    // auto-broadcasts the 10^7-row stream itself (measured 9-11 s at
+    // sf1 building that hashed relation); the vocab-sized model is
+    // the build side, and the stream's (prev, w) partitioning is
+    // reused exchange-free.
+    biM
+      .filter(col("prev").isNotNull)
+      .join(model.hint("shuffle_hash"), Seq("prev", "w"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(-log(p)), 4).as("avg_neg_logp2")
+        round(avg(col("neg_logp")), 4).as("avg_neg_logp2")
       )
       .orderBy("doc_id")
   }

@@ -112,12 +112,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("split(") && !p.contains("hex(") && !p.contains("conv("), p)
   }
 
-  test("txt23: bigram pairs are map-side — no window, no doc_id sort before counting") {
+  test("txt23: bigram pairs are map-side — no window, one stream join") {
     // adjacency comes from the token array (zip_with against its
     // null-prefixed shift); a Window/lag formulation would shuffle the
-    // whole corpus on doc_id before a single count happens
-    val p = plan(TextAnalysis.txt23BigramLogprob(lake))
+    // whole corpus on doc_id before a single count happens.
+    // materialize=false so the audit sees the full lineage (the
+    // production checkpoint truncates the plan at Scan ExistingRDD)
+    val p = plan(TextAnalysis.txt23BigramLogprob(lake, materialize = false))
     assert(!p.contains("RunningWindowFunction") && !p.contains("lag("), p)
+    // -ln(p) is evaluated in the vocab-sized model build (once per
+    // DISTINCT bigram, under the model-side join), and the final
+    // aggregation averages the precomputed column — a plan where the
+    // doc_id aggregate itself computes ln() is per-token
+    // transcendentals again
+    assert(p.contains("ln("), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("ln(")), p)
   }
 
   test("txt20: the quality verdict plans ZERO exchanges") {
@@ -363,16 +373,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("*(1)") && p.contains("*(2) HashAggregate"), p)
   }
 
-  test("dedup13: hash-keyed index, islands window per doc, no cartesian") {
-    val p = plan(graft.operators.Dedup.dedup13ExactSubstring(lake))
+  test("dedup13: hash-keyed index, per-doc array fold, no window, no cartesian") {
+    // materialize=false: audit the full lineage, not the checkpoint's
+    // Scan ExistingRDD stump
+    val p = plan(
+      graft.operators.Dedup.dedup13ExactSubstring(lake, materialize = false)
+    )
     // the frequency index and semi-join key on the 8-byte window hash,
     // never on a gram string column
     assert(p.contains("shingle_hash_seq"), p)
     assert(!p.contains("array_join"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
-    // the islands merge windows per doc_id — never a global window
-    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
-    assert(windows.nonEmpty && windows.forall(_.contains("doc_id")), p)
+    // span merging is a HOF fold over each doc's sorted position
+    // array (embedded in the collect_list aggregate's result
+    // projection, so only its absence of machinery is visible) — the
+    // lag/running-sum window formulation (two full-stream window
+    // passes over a doc_id sort) must not reappear
+    assert(p.contains("collect_list"), p)
+    assert(!p.linesIterator.exists(_.contains("Window")), p)
+  }
+
+  test("txt14: repetition is scan-shaped — native kernel, no aggregation") {
+    // every output column is a per-row function of the token array
+    // (total bigrams = len-1, max count = the native TopBigramCount
+    // one-pass kernel); the explode+double-groupBy formulation
+    // shuffled the corpus-token bigram stream twice for the same rows
+    val p = plan(graft.operators.TextAnalysis.txt14Repetition(lake))
+    assert(p.contains("top_bigram_count"), p)
+    assert(!p.contains("HashAggregate") && !p.contains("explode"), p)
   }
 
   test("rel15: grouping sets is ONE scan through a single Expand — not a union of groupBys") {
