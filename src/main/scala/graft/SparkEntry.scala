@@ -134,7 +134,7 @@ object SparkEntry {
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
-    "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob),
+    "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob(_)),
     "txt25_ccnet_buckets" -> q(TextAnalysis.txt25CcnetBuckets),
     "txt26_line_dedup" -> q(TextAnalysis.txt26LineDedup(_)),
     "txt27_char_entropy" -> q(TextAnalysis.txt27CharEntropy),

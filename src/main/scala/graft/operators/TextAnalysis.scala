@@ -926,34 +926,47 @@ object TextAnalysis {
   /** Unigram log-probability scoring — the CCNet-style perplexity
     * proxy: score each document by the mean negative log corpus
     * probability of its tokens (gibberish and rare-token soup score
-    * high, plain prose low). Corpus unigram counts are one
-    * explode+agg pass; scoring is a broadcast join back over the same
-    * exploded tokens — two linear passes, no per-document model. */
-  def txt15UnigramLogprob(lake: Lake): DataFrame = {
-    val toks = lake.documents
+    * high, plain prose low).
+    *
+    * The txt23 discipline, downstream-shared (txt25's buckets and
+    * pipe02's funnel inherit it): the corpus-token stream is
+    * tokenized and shuffled ONCE — repartitioned by w and
+    * checkpointed so the vocabulary aggregation and the scoring join
+    * both reuse the same exchange (un-materialized, column pruning
+    * makes the two subtrees differ and ReuseExchange can't dedupe
+    * them) — and -ln(c/total) is precomputed in a vocab-sized MODEL
+    * table, once per distinct word instead of once per corpus token.
+    * The model is shuffle_hash-hinted: the checkpointed stream is a
+    * LogicalRDD with no size stats, and the planner otherwise
+    * auto-broadcasts the corpus-token stream itself; an explicit
+    * broadcast of the model would OOM once the vocabulary outgrows
+    * the driver. (Round-7 shape: stream consumed twice, per-token
+    * log — 1.55 s at sf1 vs 0.94 s for this form.) */
+  def txt15UnigramLogprob(
+      lake: Lake,
+      // false = skip the stream checkpoint so plan audits see the
+      // full lineage (localCheckpoint truncates the visible plan to
+      // Scan ExistingRDD)
+      materialize: Boolean = true
+  ): DataFrame = {
+    val toksRaw = lake.documents
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
-    // localCheckpoint materializes the vocabulary-sized counts table
-    // once: it feeds both the total aggregate and the scoring join,
-    // and unlike cache() its blocks are released when the frame is
-    // garbage collected (no CacheManager pinning across calls).
-    // (Blocks are executor-local and unreplicated: on a cluster an
-    // executor loss fails the job instead of recomputing — acceptable
-    // here because the counts table is one cheap agg to re-run; use
-    // reliable .checkpoint() if that tradeoff ever flips.) The
-    // corpus is tokenized exactly twice (counts pass + scoring pass).
-    // No broadcast hint on counts: the unigram vocabulary grows with
-    // the corpus; AQE broadcasts while it fits and falls back to a
-    // shuffle join instead of OOMing at scale.
-    val counts = toks.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
+      .repartition(col("w"))
+    val toks = if (materialize) toksRaw.localCheckpoint() else toksRaw
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").cast("double").as("total"))
-    toks
-      .join(counts, "w")
+    val model = counts
       .crossJoin(broadcast(total))
+      .select(
+        col("w"),
+        (-log(col("c").cast("double") / col("total"))).as("neg_logp")
+      )
+    toks
+      .join(model.hint("shuffle_hash"), Seq("w"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(-log(col("c").cast("double") / col("total"))), 4)
-          .as("avg_neg_logp")
+        round(avg(col("neg_logp")), 4).as("avg_neg_logp")
       )
       .orderBy("doc_id")
   }
@@ -1326,39 +1339,48 @@ object TextAnalysis {
     * degrades to shuffle, never OOM. */
   def txt21DsirImportance(
       lake: Lake,
-      targetSource: String = "src0"
+      targetSource: String = "src0",
+      // false = full-lineage plan audits (see txt15)
+      materialize: Boolean = true
   ): DataFrame = {
-    val toks = lake.documents
+    // txt15's one-exchange discipline: stream repartitioned by w and
+    // checkpointed (counts aggregation + scoring join share it); the
+    // per-word log-likelihood ratio is precomputed in the vocab-sized
+    // model, once per distinct word — the round-7 shape re-tokenized
+    // the corpus for each consumer and evaluated two log() calls per
+    // corpus token (3.0 s at sf1 vs 1.1 s for this form).
+    val toksRaw = lake.documents
       .select(
         col("doc_id"),
         (col("source") === targetSource).as("is_tgt"),
         explode(text.tokens(col("text"))).as("w")
       )
+      .repartition(col("w"))
+    val toks = if (materialize) toksRaw.localCheckpoint() else toksRaw
     val counts = toks
       .groupBy("w")
       .agg(
         count(lit(1)).as("c_raw"),
         count(when(col("is_tgt"), 1)).as("c_tgt")
       )
-      .localCheckpoint()
     val totals = counts.agg(
       sum("c_raw").cast("double").as("t_raw"),
       sum("c_tgt").cast("double").as("t_tgt"),
       count(lit(1)).cast("double").as("vocab")
     )
-    toks
-      .join(counts, "w")
+    val model = counts
       .crossJoin(broadcast(totals))
+      .select(
+        col("w"),
+        (log((col("c_tgt").cast("double") + 1.0) / (col("t_tgt") + col("vocab")))
+          - log(col("c_raw").cast("double") / col("t_raw"))).as("llr")
+      )
+    toks
+      .join(model.hint("shuffle_hash"), Seq("w"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(
-          avg(
-            log((col("c_tgt").cast("double") + 1.0) / (col("t_tgt") + col("vocab")))
-              - log(col("c_raw").cast("double") / col("t_raw"))
-          ),
-          4
-        ).as("avg_llr")
+        round(avg(col("llr")), 4).as("avg_llr")
       )
       .orderBy("doc_id")
   }
