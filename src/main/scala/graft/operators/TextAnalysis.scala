@@ -1422,17 +1422,30 @@ object TextAnalysis {
     * repeated WITHIN its first document counts as novel there (the
     * global first occurrence is that document) and repeated
     * everywhere later. */
-  def txt28NgramNovelty(lake: Lake, k: Int = 8): DataFrame = {
-    val grams = lake.documents
+  def txt28NgramNovelty(
+      lake: Lake,
+      k: Int = 8,
+      // false = full-lineage plan audits (see txt15)
+      materialize: Boolean = true
+  ): DataFrame = {
+    // one-exchange discipline (txt15): the window-hash stream feeds
+    // the first-seen aggregation AND the verdict join, both keyed on
+    // gh — partition once, checkpoint, reuse
+    val gramsRaw = lake.documents
       .select(
         col("doc_id"),
         explode(graft.plans.ShingleHashSeq(col("text"), k)).as("gh")
       )
+      .repartition(col("gh"))
+    val grams = if (materialize) gramsRaw.localCheckpoint() else gramsRaw
     val firstSeen = grams
       .groupBy("gh")
       .agg(min("doc_id").as("first_doc"))
+    // shuffle_hash on the aggregated side: the checkpointed stream
+    // has no size stats and the planner otherwise auto-broadcasts the
+    // corpus-window stream itself (the txt15/txt23 trap)
     grams
-      .join(firstSeen, Seq("gh"))
+      .join(firstSeen.hint("shuffle_hash"), Seq("gh"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_windows"),
