@@ -165,11 +165,16 @@ object Embedding {
     * big structure" step, with every stage replayable in SQL.
     *
     * Stages and their scale shapes:
-    *  1. One distributed pass over the corpus aggregates the raw
-    *     first/second moments: d per-dimension means + the d×d
-    *     E[x_i·x_j] table via double posexplode + groupBy(i,j) —
-    *     map-side partial aggregation means the shuffle carries
-    *     ~d²·partitions rows, never the corpus.
+    *  1. ONE distributed pass aggregates the raw first/second
+    *     moments via the native [[graft.plans.GramMoments]]
+    *     TypedImperativeAggregate: each map task folds its vectors
+    *     into a flat d² Gram accumulator, partials merge
+    *     elementwise, one struct row comes back. (The round-7 shape
+    *     double-posexploded every vector against itself — d² = 4096
+    *     rows per embedding through a (i, j) hash aggregate; fine at
+    *     d = 64, ~590k rows per vector at a real encoder's d = 768.
+    *     The aggregate's exchange carries one buffer per task at any
+    *     d.)
     *  2. The d×d covariance (C = M − μμᵀ), eigen-solved DRIVER-SIDE:
     *     a 64×64 double matrix is KBs — the bounded-collect contract
     *     (learnBpe's rule). Top-2 eigenvectors by fixed-count power
@@ -194,24 +199,19 @@ object Embedding {
     val spark = lake.spark
     val emb = lake.embeddings
       .select(col("vec_id"), col("label"), vectors.toDouble(col("embedding")).as("v"))
-    val d = emb.select(size(col("v"))).head().getInt(0)
-    // one corpus pass for means; one for the second-moment table
-    // (both tiny on the wire: 64 + 4096 aggregated rows)
-    val flat = emb.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-    val mu = new Array[Double](d)
-    flat
-      .groupBy("i")
-      .agg(avg("x").as("m"))
-      .collect()
-      .foreach(r => mu(r.getInt(0)) = r.getDouble(1))
-    val mom = Array.ofDim[Double](d, d)
-    emb
-      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
-      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
-      .groupBy("i", "j")
-      .agg(avg(col("xi") * col("xj")).as("m2"))
-      .collect()
-      .foreach(r => mom(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    // one corpus pass, one struct row back: n, Σv, Σv·vᵀ — the
+    // bounded-collect contract (a 64×64 moment block is KBs)
+    val g = emb
+      .agg(graft.plans.GramMoments(col("v")).as("g"))
+      .select(col("g.n"), col("g.s"), col("g.m"))
+      .head()
+    val n = g.getLong(0).toDouble
+    val sArr = g.getSeq[Double](1).toArray
+    val mArr = g.getSeq[Double](2).toArray
+    val d = sArr.length
+    // same sum/count division the avg() formulation performed
+    val mu = sArr.map(_ / n)
+    val mom = Array.tabulate(d, d)((i, j) => mArr(i * d + j) / n)
     val cov = Array.tabulate(d, d)((i, j) => mom(i)(j) - mu(i) * mu(j))
     val (v1, lam1) = powerIteration(cov, iters)
     val q1 = v1.map(x => x * x).sum

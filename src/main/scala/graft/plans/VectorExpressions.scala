@@ -278,6 +278,12 @@ object GraftExtensions {
       classOf[TopKByScore],
       3,
       args => TopKByScore(args(0), args(1), constInt(args(2), "k"))
+    ),
+    d(
+      "gram_moments",
+      classOf[GramMoments],
+      1,
+      args => GramMoments(args(0))
     )
   )
 

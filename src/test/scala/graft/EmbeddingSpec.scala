@@ -143,4 +143,52 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(varOf(p2) > 0.0)
     assert(math.abs(meanOf(p1)) < 1e-3 && math.abs(meanOf(p2)) < 1e-3)
   }
+
+  test("gram_moments equals the exploded moment formulation; merges are lossless") {
+    import graft.functions.vectors
+    val emb = lake.embeddings
+      .select(col("vec_id"), vectors.toDouble(col("embedding")).as("v"))
+    // one-pass aggregate, on two different partitionings (partial
+    // merge paths differ; results must not)
+    def gram(parts: Int) = {
+      val g = emb
+        .repartition(parts)
+        .agg(graft.plans.GramMoments(col("v")).as("g"))
+        .select(col("g.n"), col("g.s"), col("g.m"))
+        .head()
+      (g.getLong(0), g.getSeq[Double](1).toArray, g.getSeq[Double](2).toArray)
+    }
+    val (n2, s2, m2) = gram(2)
+    val (n7, s7, m7) = gram(7)
+    assert(n2 == n7)
+    s2.indices.foreach(i => assert(math.abs(s2(i) - s7(i)) < 1e-9))
+    m2.indices.foreach(k => assert(math.abs(m2(k) - m7(k)) < 1e-9))
+    // against the posexplode replay of the same moments
+    val d = s2.length
+    val n = n2.toDouble
+    val expl = emb
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("j", "xj")))
+      .groupBy("i", "j")
+      .agg(sum(col("xi") * col("xj")).as("sm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    (0 until d).foreach { i =>
+      (0 until d).foreach { j =>
+        assert(math.abs(m2(i * d + j) - expl((i, j))) < 1e-6,
+          s"moment ($i,$j)")
+      }
+    }
+    // SQL registration round-trips
+    graft.plans.GraftExtensions.register(spark)
+    emb.createOrReplaceTempView("gm_vecs")
+    val viaSql = spark.sql("SELECT gram_moments(v).n FROM gm_vecs").head().getLong(0)
+    assert(viaSql == n2)
+  }
+
+  test("emb02 plan: one aggregation pass, no posexplode") {
+    val p = Embedding.emb02PcaProject(lake).queryExecution.optimizedPlan.toString
+    assert(!p.contains("posexplode"), p)
+  }
 }
