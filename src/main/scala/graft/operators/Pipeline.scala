@@ -139,16 +139,28 @@ object Pipeline {
     val cleaned = TextAnalysis.lineDedupedDocs(lake, minDocs)
       .select("doc_id", "source", "lang", "text")
       .localCheckpoint()
-    // CCNet scoring over the cleaned corpus (txt15's two passes)
+    // CCNet scoring over the cleaned corpus — txt15's one-join model
+    // shape: the token stream is partitioned by w once and
+    // checkpointed (vocabulary aggregation + scoring join share the
+    // exchange), and -ln(c/total) is precomputed per DISTINCT word in
+    // a vocab-sized model, shuffle_hash-hinted so the planner can't
+    // auto-broadcast the stat-less checkpointed stream.
     val toks = cleaned
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
-    val counts = toks.groupBy("w").agg(count(lit(1)).as("c")).localCheckpoint()
+      .repartition(col("w"))
+      .localCheckpoint()
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").cast("double").as("total"))
-    val scored = toks
-      .join(counts, "w")
+    val model = counts
       .crossJoin(broadcast(total))
+      .select(
+        col("w"),
+        (-log(col("c").cast("double") / col("total"))).as("nlp")
+      )
+    val scored = toks
+      .join(model.hint("shuffle_hash"), Seq("w"))
       .groupBy("doc_id")
-      .agg(round(avg(-log(col("c").cast("double") / col("total"))), 4).as("s"))
+      .agg(round(avg(col("nlp")), 4).as("s"))
       .join(cleaned.select("doc_id", "source", "lang"), "doc_id")
     val cuts = scored
       .groupBy("lang")
