@@ -145,6 +145,7 @@ object SparkEntry {
     "samp04_token_budget" -> q(TextAnalysis.samp04TokenBudget(_)),
     "samp05_leakage_safe_split" -> q(Dedup.samp05LeakageSafeSplit(_)),
     "samp07_soft_dedup" -> q(Dedup.samp07SoftDedup(_)),
+    "samp09_cluster_balanced" -> q(Dedup.samp09ClusterBalanced(_)),
     "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
     "dedup13_exact_substring" -> q(Dedup.dedup13ExactSubstring(_)),
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
@@ -1562,6 +1563,42 @@ object SparkEntry {
          |  COALESCE(g.group_id, c.vec_id) = c.vec_id AS survivor
          |FROM cells c LEFT JOIN grp g ON c.vec_id = g.u
          |ORDER BY c.vec_id""".stripMargin
+    },
+    // samp09: dedup11's unrolled-Lloyd cells (same k=10, 2
+    // iterations, same seed/tiebreak rules), then a deterministic
+    // per-cell uniform draw: rank by md5 of the id string (identical
+    // bytes and binary collation in both engines), keep rank <= m.
+    "samp09_cluster_balanced" -> {
+      val iter = (1 to 2).map { i =>
+        s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+           |  FROM e CROSS JOIN c${i - 1} c),
+           |f$i AS (SELECT cluster, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x
+           |  FROM a$i WHERE r = 1),
+           |c$i AS (SELECT cluster, LIST(c ORDER BY pos) AS centroid FROM (
+           |    SELECT cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2)
+           |  GROUP BY cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
+         |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= 10),
+         |$iter,
+         |cells AS (SELECT vec_id, cluster FROM (
+         |    SELECT e.vec_id, c.cluster, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+         |    FROM e CROSS JOIN c2 c) WHERE r = 1),
+         |picks AS (SELECT cluster, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY cluster
+         |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+         |  FROM cells)
+         |SELECT CAST(cluster AS INTEGER) AS cluster, vec_id,
+         |  CAST(rnk AS INTEGER) AS rnk
+         |FROM picks WHERE rnk <= 20
+         |ORDER BY cluster, rnk""".stripMargin
     },
     // sim07: PQ oracle — all m=8 subspace codebooks train jointly in
     // the same unrolled-CTE style (2 Lloyd iterations, squared-L2

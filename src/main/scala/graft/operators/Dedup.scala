@@ -804,6 +804,43 @@ object Dedup {
     * partial-aggregating groupBy and one equi-join on cluster_id —
     * no window, no sort, both sides hash-partitioned on the same
     * key. */
+  /** samp09: cluster-BALANCED diversity sampling — draw up to `m`
+    * documents per semantic cell instead of m·(cell share) per cell,
+    * so tail topics survive subsampling and head topics stop
+    * dominating the mix (the SemDeDup/DiverseSelect follow-up step a
+    * pretraining sampler runs after dedup: cluster, then sample
+    * evenly across clusters).
+    *
+    * Cells are dedup11's k-means machinery verbatim (broadcast
+    * centroids, max_by argmax assignment). The per-cell draw is
+    * DETERMINISTIC uniform: order by md5(vec_id) — a seeded hash
+    * shuffle both engines compute identically — and keep rank <= m.
+    * Scale shape: the rank window partitions by cluster over the
+    * CORPUS stream (one shuffle), and WindowGroupLimit prunes each
+    * map task's slice to its top-m before the exchange, so the sort
+    * never materializes a full per-cell ordering; with auto-sqrt(N)
+    * cells upstream (dedup11's rule) cell count and cell size both
+    * stay ~sqrt(N). Fixed k=10 here keeps the unrolled-Lloyd oracle
+    * finite (the dedup11 contract). */
+  def samp09ClusterBalanced(
+      lake: Lake,
+      k: Int = 10,
+      iters: Int = 2,
+      m: Int = 20
+  ): DataFrame = {
+    val all = Similarity.vecs(lake).localCheckpoint()
+    val cents = Similarity.kmeans(all, k, iters)
+    val assigned = Similarity.argmaxCell(all, cents, Seq.empty)
+    val w = Window
+      .partitionBy("cluster")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= m)
+      .select(col("cluster").cast("int").as("cluster"), col("vec_id"), col("rnk"))
+      .orderBy("cluster", "rnk")
+  }
+
   def samp07SoftDedup(
       lake: Lake,
       threshold: Double = 0.5,

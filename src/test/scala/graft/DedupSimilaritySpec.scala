@@ -705,4 +705,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(dupToks >= 22, s"doc $id under-reports planted duplication")
     }
   }
+
+  test("samp09: per-cell draw is capped, contiguous, deterministic, and cell-consistent") {
+    val m = 20
+    val picks = Dedup.samp09ClusterBalanced(lake, m = m).collect()
+    assert(picks.nonEmpty)
+    // ranks within each cell are 1..n_picked, n_picked <= m
+    val byCell = picks.groupBy(_.getInt(0))
+    byCell.foreach { case (c, rows) =>
+      val rnks = rows.map(_.getInt(2)).sorted
+      assert(rnks.head == 1 && rnks.last == rnks.length && rnks.length <= m,
+        s"cell $c ranks $rnks")
+    }
+    // picks agree with dedup11's cell assignment (same machinery)
+    val cells = Dedup
+      .dedup11Semantic(lake)
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    picks.foreach { r =>
+      assert(cells(r.getLong(1)) == r.getInt(0),
+        s"vec ${r.getLong(1)} sampled from a different cell than assigned")
+    }
+    // deterministic end to end (hash order, not a random sample)
+    val again = Dedup.samp09ClusterBalanced(lake, m = m).collect()
+    assert(picks.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }

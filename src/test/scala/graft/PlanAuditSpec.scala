@@ -403,6 +403,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("HashAggregate") && !p.contains("explode"), p)
   }
 
+  test("samp09: the per-cell draw window group-limits before the exchange") {
+    val df = graft.operators.Dedup.samp09ClusterBalanced(lake)
+    val p = plan(df)
+    // WindowGroupLimit prunes each map task's slice to its top-m per
+    // cluster before shuffling — without it the window sorts and
+    // ships the whole corpus per cell
+    assert(p.contains("WindowGroupLimit"), p)
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(_.contains("cluster")), p)
+  }
+
   test("rel15: grouping sets is ONE scan through a single Expand — not a union of groupBys") {
     val p = plan(graft.operators.Relational.rel15GroupingSets(lake))
     assert("Scan parquet".r.findAllIn(p).length == 1, p)
