@@ -807,7 +807,7 @@ object Dedup {
   /** samp09: cluster-BALANCED diversity sampling — draw up to `m`
     * documents per semantic cell instead of m·(cell share) per cell,
     * so tail topics survive subsampling and head topics stop
-    * dominating the mix (the SemDeDup/DiverseSelect follow-up step a
+    * dominating the mix (the cluster-then-sample selection step a
     * pretraining sampler runs after dedup: cluster, then sample
     * evenly across clusters).
     *
