@@ -566,6 +566,26 @@ object Similarity {
       nQueries: Int = 10,
       iters: Int = 2
   ): DataFrame = {
+    val (subv, cents, codes) = pqTrain(lake, m, ks, iters)
+    pqSearch(
+      subv
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("sub_id"), col("sv").as("qsv")),
+      cents,
+      codes,
+      k
+    )
+  }
+
+  /** PQ training core shared by sim07PqAnn and the persisted-index
+    * path: subvector split, joint per-subspace codebooks, codes.
+    * Returns (subv, codebooks, codes). */
+  private[graft] def pqTrain(
+      lake: Lake,
+      m: Int,
+      ks: Int,
+      iters: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     val all = vecs(lake)
       .select(col("vec_id"), vectors.l2Normalize(col("v")).as("v"))
       .localCheckpoint()
@@ -627,10 +647,19 @@ object Similarity {
       .withColumn("r", row_number().over(assignW))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("sub_id"), col("cluster"))
-    val queries = subv
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("sub_id"), col("sv").as("qsv"))
-    val lut = queries
+    (subv, cents, codes)
+  }
+
+  /** ADC search tail shared by the trained and persisted-index PQ
+    * paths: per-query partial-dot lookup table against the
+    * codebooks, summed along each code word, heap top-k. */
+  private def pqSearch(
+      queriesSub: DataFrame,
+      cents: DataFrame,
+      codes: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val lut = queriesSub
       .join(broadcast(cents), Seq("sub_id"))
       .select(
         col("query_id"),
@@ -647,6 +676,60 @@ object Similarity {
       k,
       scoreName = "adc_score"
     )
+  }
+
+  /** PQ write_index analog, completing index persistence across the
+    * FAISS families graft implements (IVF already persists via
+    * writeIvfIndex): `codebooks/` (sub_id, cluster, centroid) and
+    * `codes/` (vec_id, sub_id, cluster). The codes table IS the
+    * compressed corpus — m single-byte-range code ids per vector
+    * (~m·16 bytes as parquet longs here; a production layout packs
+    * them to m bytes), so a 100 TB embedding store searches from a
+    * table ~d·4/m/16 times smaller, and re-encoding only happens on
+    * the ingestion cadence, never per query session. */
+  def writePqIndex(
+      lake: Lake,
+      dir: String,
+      m: Int = 8,
+      ks: Int = 16,
+      iters: Int = 2
+  ): Unit = {
+    val (_, cents, codes) = pqTrain(lake, m, ks, iters)
+    cents.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** PQ ANN over a PERSISTED index (read_index + search): identical
+    * results to sim07PqAnn at the same build parameters — training is
+    * deterministic, so index-then-search equals train-then-search
+    * (spec-asserted, the ivfAnnFromIndex contract). Queries re-derive
+    * their subvectors from the embeddings table (the index stores
+    * CODES, not vectors); scoring is the same broadcast-LUT ADC scan
+    * over the codes table. */
+  def pqAnnFromIndex(
+      lake: Lake,
+      dir: String,
+      m: Int = 8,
+      k: Int = 10,
+      nQueries: Int = 10
+  ): DataFrame = {
+    val spark = lake.spark
+    val cents = spark.read.parquet(s"$dir/codebooks")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val all = vecs(lake)
+      .select(col("vec_id"), vectors.l2Normalize(col("v")).as("v"))
+      .filter(col("vec_id") < nQueries)
+    val dDim = all.select(size(col("v"))).first().getInt(0)
+    require(dDim % m == 0, s"dim $dDim not divisible by m=$m")
+    val sd = dDim / m
+    val queriesSub = all
+      .withColumn("sub_id", explode(sequence(lit(0), lit(m - 1))))
+      .select(
+        col("vec_id").as("query_id"),
+        col("sub_id"),
+        slice(col("v"), col("sub_id") * sd + 1, lit(sd)).as("qsv")
+      )
+    pqSearch(queriesSub, cents, codes, k)
   }
 
   def sim05IvfAnn(

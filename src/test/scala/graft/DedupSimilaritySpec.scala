@@ -348,6 +348,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(cells.columns.toSeq.sorted == Seq("cluster", "vec_id"))
   }
 
+  test("persisted PQ index: index-then-search equals train-then-search exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("pq_index").toString
+    Similarity.writePqIndex(lake, dir)
+    // training is deterministic, so the persisted codebooks+codes
+    // must reproduce the inline-trained ADC results row for row
+    val fromIndex = Similarity.pqAnnFromIndex(lake, dir)
+      .collect().map(_.toSeq)
+    val inline = Similarity.sim07PqAnn(lake)
+      .collect().map(_.toSeq)
+    assert(fromIndex.toSeq == inline.toSeq)
+    // the codes table is the compressed corpus: ids only, no vectors
+    val codes = TestSpark.spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSeq.sorted == Seq("cluster", "sub_id", "vec_id"))
+  }
+
   test("ANN-backed mutual kNN: full probe equals exact sim08; partial probe keeps recall, no corpus pair join") {
     val exact = Similarity.sim08KnnGraph(lake).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
