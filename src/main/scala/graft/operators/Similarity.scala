@@ -1040,6 +1040,14 @@ object Similarity {
     * step is deterministic arithmetic, so the DuckDB oracle replays it
     * end-to-end (no recall tolerance needed). */
   def sim10SqAnn(lake: Lake, k: Int = 10, nQueries: Int = 10): DataFrame = {
+    val (stats, codes) = sqTrain(lake)
+    sqSearch(lake, stats, codes, k, nQueries)
+  }
+
+  /** SQ8 training core shared by sim10SqAnn and the persisted-index
+    * path: per-dimension (lo, hi) ranges as ONE broadcastable row,
+    * and the uint8 code arrays. */
+  private[graft] def sqTrain(lake: Lake): (DataFrame, DataFrame) = {
     val all = vecs(lake)
     val mm = all
       .select(posexplode(col("v")).as(Seq("i", "x")))
@@ -1052,7 +1060,7 @@ object Similarity {
         transform(array_sort(col("s")), e => e("lo")).as("lo"),
         transform(array_sort(col("s")), e => e("hi")).as("hi")
       )
-    val enc = all
+    val codes = all
       .crossJoin(broadcast(stats))
       .withColumn("rng", zip_with(col("hi"), col("lo"), (h, l) => h - l))
       // code c_d = round((x_d - lo_d) / rng_d * 255); a constant
@@ -1065,6 +1073,23 @@ object Similarity {
           (y, r) => when(r > 0, round(y / r * 255)).otherwise(0.0).cast("long")
         )
       )
+      .select(col("vec_id"), col("code"))
+    (stats, codes)
+  }
+
+  /** Decode + brute-force tail shared by the trained and
+    * persisted-index SQ paths. */
+  private def sqSearch(
+      lake: Lake,
+      stats: DataFrame,
+      codes: DataFrame,
+      k: Int,
+      nQueries: Int
+  ): DataFrame = {
+    val all = vecs(lake)
+    val enc = codes
+      .crossJoin(broadcast(stats))
+      .withColumn("rng", zip_with(col("hi"), col("lo"), (h, l) => h - l))
       .withColumn(
         "dec",
         zip_with(
@@ -1088,5 +1113,31 @@ object Similarity {
       k,
       scoreName = "cos_sq"
     )
+  }
+
+  /** SQ8 write_index analog: `params/` (one row of per-dimension lo
+    * and hi arrays) and `codes/` (vec_id, uint8-range code array) —
+    * the codes table is the 4x-compressed corpus (8 bits/dim vs
+    * float32), re-encoded only on the ingestion cadence. Completes
+    * parquet index persistence across every quantizing family graft
+    * implements: IVF (writeIvfIndex), PQ (writePqIndex), SQ8. */
+  def writeSqIndex(lake: Lake, dir: String): Unit = {
+    val (stats, codes) = sqTrain(lake)
+    stats.write.mode("overwrite").parquet(s"$dir/params")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** SQ8 ANN over a PERSISTED index: identical results to sim10SqAnn
+    * (deterministic encoding; spec-asserted). */
+  def sqAnnFromIndex(
+      lake: Lake,
+      dir: String,
+      k: Int = 10,
+      nQueries: Int = 10
+  ): DataFrame = {
+    val spark = lake.spark
+    val stats = spark.read.parquet(s"$dir/params")
+    val codes = spark.read.parquet(s"$dir/codes")
+    sqSearch(lake, stats, codes, k, nQueries)
   }
 }

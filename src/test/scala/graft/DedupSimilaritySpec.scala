@@ -363,6 +363,19 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(codes.columns.toSeq.sorted == Seq("cluster", "sub_id", "vec_id"))
   }
 
+  test("persisted SQ index: index-then-search equals train-then-search exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("sq_index").toString
+    Similarity.writeSqIndex(lake, dir)
+    val fromIndex = Similarity.sqAnnFromIndex(lake, dir)
+      .collect().map(_.toSeq)
+    val inline = Similarity.sim10SqAnn(lake)
+      .collect().map(_.toSeq)
+    assert(fromIndex.toSeq == inline.toSeq)
+    // codes are the compressed corpus: id + uint8-range array only
+    val codes = TestSpark.spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSeq.sorted == Seq("code", "vec_id"))
+  }
+
   test("ANN-backed mutual kNN: full probe equals exact sim08; partial probe keeps recall, no corpus pair join") {
     val exact = Similarity.sim08KnnGraph(lake).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
