@@ -225,7 +225,12 @@ object SparkEntry {
     * Float-safety: only the AVG/SUM aggregation orders differ between
     * engines (~1e-15); power iteration with a fixed count is a smooth
     * function of its inputs, so the 4dp rounding absorbs it (the
-    * sim05 centroid argument). */
+    * sim05 centroid argument). The final `+ 0.0` normalizes IEEE
+    * negative zero: DuckDB's ROUND carries the sign of a tiny
+    * negative value into `-0.0` while Spark's BigDecimal round
+    * yields `+0.0` — numerically equal but bitwise distinct, which
+    * broke the round-8 value-hash on exactly one row. `-0.0 + 0.0`
+    * is `+0.0` by IEEE 754 addition, closing the gap. */
   private def emb02OracleSql(iters: Int): String = {
     def chain(covName: String, p: String): String =
       (1 to iters).map { t =>
@@ -253,7 +258,8 @@ object SparkEntry {
        |cent AS (SELECT f.vec_id, f.i, f.x - mu.m AS cx FROM flat f JOIN mu ON f.i = mu.i),
        |proj AS (SELECT c.vec_id, SUM(c.cx * a.x) AS p1, SUM(c.cx * b.x) AS p2
        |  FROM cent c JOIN au a ON c.i = a.i JOIN bu b ON c.i = b.i GROUP BY c.vec_id)
-       |SELECT e.vec_id, e.label, ROUND(p.p1, 4) AS p1, ROUND(p.p2, 4) AS p2
+       |SELECT e.vec_id, e.label,
+       |  ROUND(p.p1, 4) + 0.0 AS p1, ROUND(p.p2, 4) + 0.0 AS p2
        |FROM proj p JOIN e ON p.vec_id = e.vec_id
        |ORDER BY e.vec_id""".stripMargin
   }
