@@ -159,6 +159,7 @@ object SparkEntry {
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "sim09_prefix_rerank" -> q(Similarity.sim09PrefixRerank(_)),
     "sim10_sq_ann" -> q(Similarity.sim10SqAnn(_)),
+    "sim12_range_search" -> q(Similarity.sim12RangeSearch(_)),
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "evt09_interval_join" -> q(Events.evt09IntervalJoin(_)),
@@ -1345,6 +1346,17 @@ object SparkEntry {
          |FROM m JOIN t ON TRUE
          |WHERE ROUND(${dkCos("tv", "mv")}, 4) >= 0.25
          |ORDER BY topic_id, term_id""".stripMargin,
+    // sim12: the cone prune is exact (triangle inequality on the
+    // sphere), so the oracle is plain brute force — every pair whose
+    // ROUNDED cosine clears the radius. Same rounded-admission rule
+    // on both sides (the sim02 discipline).
+    "sim12_range_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+         |SELECT q.query_id, e.vec_id, ROUND(${dkCos("qv", "v")}, 4) AS cos
+         |FROM q JOIN e ON e.vec_id <> q.query_id
+         |WHERE ROUND(${dkCos("qv", "v")}, 4) >= 0.3
+         |ORDER BY q.query_id, e.vec_id""".stripMargin,
     "sim04_label_centroids" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |flat AS (SELECT label, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x FROM e),

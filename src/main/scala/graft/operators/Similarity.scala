@@ -1140,4 +1140,142 @@ object Similarity {
     val codes = spark.read.parquet(s"$dir/codes")
     sqSearch(lake, stats, codes, k, nQueries)
   }
+
+  /** sim12: EXACT radius (range) search — FAISS `range_search`
+    * (the API sibling of the `search` top-k the rest of the family
+    * covers; reference: build_embedding_linkage.py:246-273 uses the
+    * top-k form, the range form is the other half of the same index
+    * API): for each query, EVERY corpus vector with cosine >= radius,
+    * not a fixed k.
+    *
+    * Scale design — cone pruning on the IVF cells, exactness kept.
+    * Top-k pruning arguments don't apply (no candidate budget), but
+    * the triangle inequality on the sphere does: for a member x of
+    * cell c, angle(q,x) >= angle(q,c) - max_angle(c), where
+    * max_angle(c) = acos(min member-centroid cosine) is the cell's
+    * cone aperture, recorded at assignment time. A (query, cell) pair
+    * whose lower bound exceeds acos(radius) provably contains no
+    * result, so the cell is skipped WITHOUT scanning members — unlike
+    * the ANN family this prune loses nothing (spec + oracle assert
+    * exact equality with brute force). Plan shape: centroids + cell
+    * bounds + surviving (query, cell) pairs are all <= nQueries*nlist
+    * rows and broadcast; the corpus makes two map-only passes (one
+    * for the cone bounds — the index-build half, persistable like
+    * writeIvfIndex — one for the probe) with NO corpus-sized shuffle
+    * in either. On a clustered real embedding space the
+    * apertures are narrow and most of the grid prunes; this
+    * near-uniform synthetic sphere is the worst case (apertures
+    * ~90 deg, little pruning), which exercises the exactness contract
+    * rather than the speedup. The 1e-9 slack absorbs acos roundoff so
+    * float noise can only widen the scan, never drop a qualifying
+    * cell.
+    *
+    * Cell provenance is a free knob, exactly as in the IVF family:
+    * `nlist = 0` (default) partitions by the existing label column
+    * (sim05's cells — zero training cost, one centroid aggregation),
+    * `nlist > 0` trains a k-means quantizer (sim06's cells). The
+    * result set is IDENTICAL either way (spec-pinned) because the
+    * prune is exact for ANY cell layout — measured, the label path
+    * cuts the sf0.1 wall time ~2x by deleting the train's checkpoint
+    * job floors. */
+  def sim12RangeSearch(
+      lake: Lake,
+      radius: Double = 0.3,
+      nQueries: Int = 10,
+      nlist: Int = 0,
+      iters: Int = 3
+  ): DataFrame = {
+    val all = vecs(lake)
+    // Assignment PARTITIONS only — the cone reference point is always
+    // the assigned cell's member-mean centroid (computed below), so
+    // the bound is sound for any cell provenance. Label cells:
+    // cluster = label, zero assignment cost. Trained cells: argmax
+    // over the k-centroid list in a single map-only HOF pass (NOT
+    // argmaxCell's crossJoin + groupBy(vec_id), which would
+    // re-shuffle the corpus to group an already-unique key); the
+    // cluster-sorted list + strict > keeps the smallest cluster on
+    // ties (argmaxCell's exact tiebreak).
+    val assigned = (if (nlist <= 0) {
+      all.withColumn("cluster", col("label").cast("long"))
+    } else {
+      val centRow = kmeans(all, nlist, iters)
+        .agg(collect_list(struct(col("cluster"), col("centroid"))).as("cs"))
+        .select(array_sort(col("cs")).as("cs"))
+      all
+        .crossJoin(broadcast(centRow))
+        .withColumn(
+          "cluster",
+          aggregate(
+            col("cs"),
+            struct(lit(-2.0).as("ccos"), lit(-1L).as("cluster")),
+            (acc, c) => {
+              val cc = vectors.cosine(col("v"), c.getField("centroid"))
+              when(
+                cc > acc.getField("ccos"),
+                struct(cc.as("ccos"), c.getField("cluster").as("cluster"))
+              ).otherwise(acc)
+            }
+          ).getField("cluster")
+        )
+    }).select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
+    // the cone reference point: each cell's member-mean centroid —
+    // one aggregation to k rows, checkpointed for its two consumers
+    // (the bound pass and the query grid)
+    val cellCents = assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(avg("x").as("c"))
+      .groupBy("cluster")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")
+        ).as("centroid")
+      )
+      .localCheckpoint()
+    // per-cell cone aperture: min member cosine to the cell mean.
+    // The ccos attach is a broadcast hash join (map-only); the
+    // aggregation shuffles only k partial rows.
+    val bounds = assigned
+      .join(broadcast(cellCents), "cluster")
+      .withColumn("ccos", vectors.cosine(col("v"), col("centroid")))
+      .groupBy("cluster")
+      .agg(min("ccos").as("min_ccos"))
+    val clamp1 = (c: org.apache.spark.sql.Column) =>
+      least(lit(1.0), greatest(lit(-1.0), c))
+    val queries = all
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    // nQueries x ncells grid, pruned by the cone bound — broadcastable
+    val qcells = queries
+      .crossJoin(broadcast(cellCents.join(bounds, "cluster")))
+      .withColumn("qccos", vectors.cosine(col("qv"), col("centroid")))
+      // prune against radius - 5e-5, not radius: admission tests the
+      // ROUNDED cosine (see below), which can accept a raw value up
+      // to half a 4dp ulp below the radius — the cone must keep any
+      // cell that could hold such a pair
+      .filter(
+        acos(clamp1(col("qccos"))) - acos(clamp1(col("min_ccos"))) <=
+          acos(lit(radius - 5e-5)) + lit(1e-9)
+      )
+      .select(col("cluster"), col("query_id"), col("qv"), col("qnrm"))
+    assigned
+      .join(broadcast(qcells), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "cos_raw",
+        vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+      )
+      // compare on the ROUNDED value (sim02's discipline): the
+      // admission test and the emitted column are then the same
+      // number in both engines, so a borderline pair can't be
+      // admitted by one engine and excluded by the other
+      .filter(round(col("cos_raw"), 4) >= radius)
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(col("cos_raw"), 4).as("cos")
+      )
+      .orderBy("query_id", "vec_id")
+  }
 }

@@ -333,6 +333,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rechunked == expected, "chunk count changed the result")
   }
 
+  test("range search equals brute force; cell layout is a physical choice only") {
+    val raw = lake.embeddings.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    // same HALF_UP 4dp rounding as Spark's round(), applied BEFORE
+    // the admission test (sim12's rounded-admission rule)
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val radius = 0.3
+    val expected = (for {
+      (q, qv) <- raw if q < 10
+      (o, ov) <- raw if o != q
+      c = r4(cos(qv, ov)) if c >= radius
+    } yield (q, o, c)).toSet
+    val got = Similarity.sim12RangeSearch(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"range set mismatch: ${got.size} vs ${expected.size}")
+    // the cone prune must be invisible in the result: any cell count /
+    // training depth yields the identical exact set
+    val alt = Similarity.sim12RangeSearch(lake, nlist = 23, iters = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(alt == expected, "cell layout changed the exact result")
+  }
+
   test("persisted IVF index: index-then-search equals train-then-search exactly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.writeIvfIndex(lake, dir)

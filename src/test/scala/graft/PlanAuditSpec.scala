@@ -181,6 +181,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sim12: probe is a broadcast equi-join; corpus is never shuffled") {
+    val p = plan(Similarity.sim12RangeSearch(lake))
+    assert(!p.contains("CartesianProduct"), p)
+    // the probe joins surviving (query, cell) pairs to the corpus by
+    // cluster as a broadcast hash join; the only nested loops are the
+    // bounded 1-row centroid-list / k-row grid broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    // map-only assignment: the corpus is never hash-exchanged on its
+    // own key (argmaxCell's groupBy(vec_id) shape would show here)
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+  }
+
   test("dedup11: cell pair generation is an equi-join on the cluster id") {
     val p = plan(Dedup.dedup11Semantic(lake))
     assert(!p.contains("CartesianProduct"), p)
