@@ -128,6 +128,7 @@ object SparkEntry {
     "graph24_sparql_having" -> q(Graph.graph24SparqlHaving),
     "graph25_sparql_from_named" -> q(Graph.graph25SparqlFromNamed),
     "graph26_sparql_numeric_agg" -> q(Graph.graph26SparqlNumericAgg),
+    "graph27_bfs_distances" -> q(Graph.graph27BfsDistances(_)),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2802,6 +2803,24 @@ object SparkEntry {
         |  UNION ALL SELECT 'graph:labels' FROM region
         |  UNION ALL SELECT 'graph:flags' FROM nation WHERE n_nationkey % 3 = 0)
         |SELECT g, COUNT(*) AS n_triples FROM q GROUP BY g ORDER BY g""".stripMargin,
+    // graph27: the recursive-CTE replay enumerates PATHS (UNION ALL)
+    // where the engine's frontier BFS expands each node once — MIN
+    // over path depths converges to the same hop distance; the hop
+    // bound keeps the path count finite.
+    "graph27_bfs_distances" ->
+      """WITH RECURSIVE
+        |e1 AS (SELECT DISTINCT l_orderkey*2 AS src, l_partkey*2+1 AS dst FROM lineitem),
+        |edges AS (SELECT src, dst FROM e1 UNION ALL SELECT dst AS src, src AS dst FROM e1),
+        |seed AS (SELECT MIN(l_orderkey)*2 AS node FROM lineitem),
+        |bfs(node, dist) AS (
+        |  SELECT node, CAST(0 AS BIGINT) FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, b.dist+1 FROM bfs b JOIN edges e ON e.src = b.node WHERE b.dist < 4
+        |),
+        |m AS (SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'ord:' || (node // 2)::VARCHAR
+        |            ELSE 'prt:' || ((node-1) // 2)::VARCHAR END AS node, dist
+        |FROM m ORDER BY dist, node""".stripMargin,
     // graph26: SUM/AVG over typed decimal literals — the engine
     // strips `"lex"^^<datatype>` and sums doubles; decimal→string→
     // double round-trips exactly, so the oracle aggregates the base

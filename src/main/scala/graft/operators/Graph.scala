@@ -898,4 +898,70 @@ object Graph {
       .limit(topK)
       .select(col("node"), col("r").as("rank_micro"))
   }
+
+  /** graph27: multi-source-capable frontier BFS — hop distances from
+    * a seed over the bidirected order↔part co-purchase graph (the
+    * "how far is everything from X" traversal the closure can't
+    * serve at scale: transitiveClosure materializes ALL-PAIRS
+    * reachability — quadratic output — while BFS from a seed set is
+    * linear in the visited nodes).
+    *
+    * Scale shape — the textbook distributed BFS: each level is one
+    * frontier ⋈ edges equi-join, a distinct on the expanded
+    * neighbors, and a left-anti join against the visited set, so
+    * every node is EXPANDED EXACTLY ONCE no matter how many paths
+    * reach it (the recursive-CTE replay enumerates paths — their
+    * count grows ~30x per level on this graph — which is exactly why
+    * the frontier form is the one that survives big graphs).
+    * Frontiers are lazily cached per level (see the cache-vs-
+    * checkpoint note below); the visited set stays a lazy union of
+    * those small cached frames. The loop runs on long
+    * node ids (order → 2k, part → 2k+1; graph06's rationale),
+    * display strings are derived once on output. */
+  def graph27BfsDistances(lake: Lake, maxDepth: Int = 4): DataFrame = {
+    val pairs = lake.lineitem
+      .select(expr("l_orderkey * 2L").as("a"), expr("l_partkey * 2L + 1L").as("b"))
+      .distinct()
+      // LAZY cache, not localCheckpoint: the loop is only maxDepth
+      // (~4) levels deep, so lineage never needs truncating — what
+      // must be avoided is RECOMPUTE (pairs is read 2x per level,
+      // each frontier 3x downstream). cache() gives exactly that
+      // while letting every level fold into ONE final job; eager
+      // per-level checkpoints measured 2.8 s at sf0.1 with the
+      // kernel work being milliseconds — pure job-floor overhead,
+      // the same floor arithmetic the kmeans laziness note walks
+      // through. Deep iterative loops (pagerankMicro,
+      // transitiveClosure at maxHops >= 4) still need checkpoints;
+      // a bounded-depth BFS does not.
+      .cache()
+    val edges = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    // deterministic seed: the smallest order key — kept as a LAZY
+    // 1-row frame (not a driver .head() scalar) so even the seed
+    // aggregation folds into the single final job
+    var visited = lake.lineitem
+      .agg((min("l_orderkey") * lit(2L)).cast("long").as("node"))
+      .select(col("node"), lit(0L).as("dist"))
+      .cache()
+    var frontier = visited
+    for (d <- 1 to maxDepth) {
+      frontier = frontier
+        .join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(d.toLong).as("dist"))
+        .cache()
+      visited = visited.unionAll(frontier)
+    }
+    visited
+      .select(
+        expr(
+          "IF(node % 2 = 0, concat('ord:', node div 2), concat('prt:', (node - 1) div 2))"
+        ).as("node"),
+        col("dist")
+      )
+      .orderBy("dist", "node")
+  }
 }

@@ -163,4 +163,34 @@ class GraphSpec extends AnyFunSuite {
     val total = star.values.sum
     assert(total <= 1000000000000L && total > 999999990000L, s"mass $total")
   }
+
+  test("frontier BFS equals a plain Scala BFS; one row per node") {
+    val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
+    // independent reference: queue BFS over the collected edge list
+    val pairs = lake.lineitem
+      .selectExpr("l_orderkey * 2 AS a", "l_partkey * 2 + 1 AS b")
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(_.swap))
+      .groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2) }
+    val seed = pairs.map(_._1).min
+    val dist = scala.collection.mutable.Map(seed -> 0L)
+    var frontier = Seq(seed)
+    for (d <- 1L to 4L) {
+      frontier = frontier
+        .flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+        .distinct
+        .filterNot(dist.contains)
+      frontier.foreach(n => dist(n) = d)
+    }
+    def show(n: Long): String =
+      if (n % 2 == 0) s"ord:${n / 2}" else s"prt:${(n - 1) / 2}"
+    val expected = dist.map { case (n, d) => show(n) -> d }.toMap
+    val got = Graph.graph27BfsDistances(lake).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == got.map(_._1).distinct.length, "node visited twice")
+    assert(got.toMap == expected, s"${got.length} vs ${expected.size}")
+  }
 }

@@ -202,6 +202,12 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("graph27: every BFS level is an equi-join, expansion and anti-join hashed") {
+    val p = plan(Graph.graph27BfsDistances(lake, maxDepth = 2))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("graph06: the rank loop body is equi-join plus aggregate only") {
     val p = plan(Graph.graph06Pagerank(lake, iters = 2))
     // scalar n_nodes rides a broadcast single-row cross join (the
