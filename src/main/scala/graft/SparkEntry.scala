@@ -82,6 +82,7 @@ object SparkEntry {
     "rel12_cube" -> q(Relational.rel12Cube),
     "rel13_pivot" -> q(Relational.rel13Pivot),
     "rel15_grouping_sets" -> q(Relational.rel15GroupingSets),
+    "rel16_window_suite" -> q(Relational.rel16WindowSuite(_)),
     "dedup01_exact" -> q(Dedup.dedup01Exact),
     "dedup02_keep_canonical" -> q(Dedup.dedup02KeepCanonical),
     "dedup03_ngram_jaccard" -> q(Dedup.dedup03NgramJaccard(_)),
@@ -1047,6 +1048,18 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag ASC NULLS FIRST,
         |  l_linestatus ASC NULLS FIRST""".stripMargin,
+    "rel16_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+        |  ROUND(o_totalprice, 4) AS price,
+        |  ROUND(LAG(o_totalprice, 1) OVER w, 4) AS prev_price,
+        |  ROUND(LEAD(o_totalprice, 1) OVER w, 4) AS next_price,
+        |  NTILE(4) OVER w AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 4) AS cume
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "rel13_pivot" ->
       """SELECT o_orderpriority,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,

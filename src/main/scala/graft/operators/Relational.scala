@@ -467,6 +467,35 @@ object Relational {
     * n/(capacity+1). [rows-only]: estimates depend on partition order
     * by design; the bounds/containment contract is spec-pinned against
     * exact counts instead. */
+  /** rel16: the remaining analytic-window surface in one pass —
+    * lag/lead (neighbor rows), ntile (equi-depth quartiles),
+    * percent_rank and cume_dist (rank normalizations) over each
+    * customer's order history. All five share ONE window (same
+    * partition + order), so Catalyst plans a single sort and a single
+    * WindowExec — five functions, one shuffle on the partition key,
+    * the shape that holds at any fact size because windows partition
+    * by a data-parallel key (never the empty global frame).
+    * Determinism: the order key (o_orderdate, o_orderkey) is unique
+    * per partition. */
+  def rel16WindowSuite(lake: Lake, maxCust: Long = 200L): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    lake.orders
+      .filter(col("o_custkey") < maxCust)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        round(col("o_totalprice"), 4).as("price"),
+        round(lag("o_totalprice", 1).over(w), 4).as("prev_price"),
+        round(lead("o_totalprice", 1).over(w), 4).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume")
+      )
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   def rel14HeavyHitters(
       lake: Lake,
       capacity: Int = 256,

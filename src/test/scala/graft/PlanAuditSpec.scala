@@ -181,6 +181,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("rel16: five window functions share one partitioned WindowExec") {
+    val p = plan(Relational.rel16WindowSuite(lake))
+    // same partition + order for all five -> Catalyst must fuse them
+    // into a single sort + single Window operator (string match: the
+    // AQE wrapper hides the node from executedPlan.collect)
+    assert("Window \\[".r.findAllIn(p).length == 1, p)
+    // and the window is keyed (never the global single-partition frame)
+    assert(p.contains("windowspecdefinition(o_custkey"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), LessThan(o_custkey,200)]"), p)
+  }
+
   test("sim12: probe is a broadcast equi-join; corpus is never shuffled") {
     val p = plan(Similarity.sim12RangeSearch(lake))
     assert(!p.contains("CartesianProduct"), p)
