@@ -339,21 +339,37 @@ object Similarity {
       cents: DataFrame,
       payload: Seq[String]
   ): DataFrame = {
-    val scored = all
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", vectors.cosine(col("v"), col("centroid")))
-    scored
-      .groupBy("vec_id")
-      .agg(
-        max_by(
-          struct(("cluster" +: payload).map(col): _*),
-          struct(col("ccos"), negate(col("cluster")))
-        ).as("w")
+    // MAP-ONLY argmax: the k centroids fold into one broadcast row and
+    // each vector picks its cell in a single transform + array_max
+    // pass. The earlier formulation (crossJoin(broadcast(cents)) to
+    // n x k rows, then groupBy(vec_id) + max_by) re-SHUFFLED the whole
+    // corpus to group an already-unique key — at 100 TB that exchange
+    // is the assignment's entire cost; this shape has none. The
+    // ordering key struct(ccos, -cluster, cluster) reproduces max_by's
+    // tiebreak exactly (best ccos, then smallest cluster; struct
+    // comparison is lexicographic, and both formulations rank NaN
+    // above any double), and payload columns are constant per vec_id
+    // so carrying them on the row is value-identical to carrying them
+    // through the aggregate.
+    val centRow = cents
+      .agg(collect_list(struct(col("cluster"), col("centroid"))).as("cs"))
+    all
+      .crossJoin(broadcast(centRow))
+      .withColumn(
+        "w",
+        array_max(
+          transform(
+            col("cs"),
+            c =>
+              struct(
+                vectors.cosine(col("v"), c.getField("centroid")).as("ccos"),
+                negate(c.getField("cluster")).as("neg"),
+                c.getField("cluster").as("cluster")
+              )
+          )
+        )
       )
-      .select(
-        col("vec_id") +: col("w.cluster").as("cluster") +:
-          payload.map(p => col(s"w.$p").as(p)): _*
-      )
+      .select(col("vec_id") +: col("w.cluster").as("cluster") +: payload.map(col): _*)
   }
 
   /** `materialize = true` (the default) localCheckpoints every Lloyd
