@@ -148,6 +148,7 @@ object SparkEntry {
     "samp05_leakage_safe_split" -> q(Dedup.samp05LeakageSafeSplit(_)),
     "samp07_soft_dedup" -> q(Dedup.samp07SoftDedup(_)),
     "samp09_cluster_balanced" -> q(Dedup.samp09ClusterBalanced(_)),
+    "samp10_epoch_mixture" -> q(TextAnalysis.samp10EpochMixture(_)),
     "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
     "dedup13_exact_substring" -> q(Dedup.dedup13ExactSubstring(_)),
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
@@ -267,8 +268,45 @@ object SparkEntry {
        |ORDER BY e.vec_id""".stripMargin
   }
 
+  /** samp10 oracle: per-source token totals, √-temperature targets,
+    * then the SAME fixed-count capped water-filling unrolled as CTE
+    * rounds (the emb02 fixed-count discipline). Arithmetic is
+    * parenthesized identically to the Scala loop; the only
+    * cross-engine difference is k-row aggregation order (~1e-15),
+    * absorbed by the output rounding. */
+  private def samp10OracleSql(rounds: Int): String = {
+    val chain = (1 to rounds).map { i =>
+      val prev = if (i == 1) "t0" else s"t${i - 1}"
+      s"""s$i AS (SELECT
+         |    SUM(LEAST(4.0, target / tokens) * tokens) AS assigned,
+         |    SUM(CASE WHEN target / tokens < 4.0 THEN share ELSE 0.0 END) AS open_share
+         |  FROM $prev),
+         |t$i AS (SELECT source, n_docs, tokens, share, b,
+         |    CASE WHEN target / tokens < 4.0 AND s$i.open_share > 0
+         |         THEN target + (b - s$i.assigned) * share / s$i.open_share
+         |         ELSE target END AS target
+         |  FROM $prev, s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |z AS (SELECT SUM(POWER(tokens::DOUBLE, 0.0)) AS z,
+       |    3.5 * CAST(SUM(tokens) AS DOUBLE) AS b FROM per),
+       |t0 AS (SELECT source, n_docs, tokens,
+       |    POWER(tokens::DOUBLE, 0.0) / z.z AS share,
+       |    z.b * (POWER(tokens::DOUBLE, 0.0) / z.z) AS target, z.b AS b
+       |  FROM per, z),
+       |$chain
+       |SELECT source, n_docs, tokens,
+       |  ROUND(share, 6) AS share,
+       |  ROUND(LEAST(4.0, target / tokens), 4) AS epochs,
+       |  ROUND(LEAST(4.0, target / tokens) * tokens, 2) AS planned_tokens
+       |FROM t$rounds ORDER BY source""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "emb02_pca_projection" -> emb02OracleSql(15),
+    "samp10_epoch_mixture" -> samp10OracleSql(3),
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,

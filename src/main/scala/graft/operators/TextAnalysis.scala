@@ -547,6 +547,90 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** samp10: per-source EPOCH allocation under a token budget with a
+    * repetition cap — the "how many times does each source repeat"
+    * table every mixture recipe needs once the budget exceeds the
+    * corpus (samp03 computes target SHARES; this turns shares into
+    * bounded repeat factors). Targets follow a temperature law
+    * (share ∝ tokens^alpha; alpha = 0 — the default — is the uniform
+    * domain weighting where small sources upsample hardest and the
+    * cap actually binds; alpha = 0.5 is samp03's √-flattening) and
+    * are then water-filled: a source may not repeat more than
+    * `maxEpochs` times, and budget a capped source cannot absorb
+    * redistributes to the still-open sources in proportion to their
+    * shares, for a FIXED `rounds` redistribution passes
+    * (deterministic, unrollable in the oracle — the emb02
+    * fixed-count discipline). The budget scales with the corpus
+    * (`budgetEpochs` × total tokens) so the capping regime is
+    * exercised identically at every SF.
+    *
+    * Scale shape: ONE partial-aggregating corpus pass to the
+    * per-source token totals; everything after runs on that k-row
+    * frame (k = #sources) with 1-row broadcast stats — the
+    * water-filling is free at any corpus size. */
+  def samp10EpochMixture(
+      lake: Lake,
+      budgetEpochs: Double = 3.5,
+      maxEpochs: Double = 4.0,
+      alpha: Double = 0.0,
+      rounds: Int = 3
+  ): DataFrame = {
+    val per = lake.documents
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(
+          length(col("text")) -
+            length(regexp_replace(col("text"), " ", "")) + 1
+        ).cast("long").as("tokens")
+      )
+    val z = per.agg(
+      sum(pow(col("tokens").cast("double"), lit(alpha))).as("z"),
+      (lit(budgetEpochs) * sum(col("tokens")).cast("double")).as("b")
+    )
+    var cur = per
+      .crossJoin(broadcast(z))
+      .withColumn(
+        "share",
+        pow(col("tokens").cast("double"), lit(alpha)) / col("z")
+      )
+      .withColumn("target", col("b") * col("share"))
+      .select("source", "n_docs", "tokens", "share", "target", "b")
+    for (_ <- 1 to rounds) {
+      val epochs = least(lit(maxEpochs), col("target") / col("tokens"))
+      val stats = cur.agg(
+        sum(epochs * col("tokens")).as("assigned"),
+        sum(when(epochs < lit(maxEpochs), col("share")).otherwise(lit(0.0)))
+          .as("open_share")
+      )
+      cur = cur
+        .crossJoin(broadcast(stats))
+        .withColumn(
+          "target",
+          when(
+            epochs < lit(maxEpochs) && col("open_share") > 0,
+            col("target") +
+              (col("b") - col("assigned")) * col("share") / col("open_share")
+          ).otherwise(col("target"))
+        )
+        .select("source", "n_docs", "tokens", "share", "target", "b")
+    }
+    cur
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("tokens"),
+        round(col("share"), 6).as("share"),
+        round(least(lit(maxEpochs), col("target") / col("tokens")), 4)
+          .as("epochs"),
+        round(
+          least(lit(maxEpochs), col("target") / col("tokens")) * col("tokens"),
+          2
+        ).as("planned_tokens")
+      )
+      .orderBy("source")
+  }
+
   /** txt26: LINE-level dedup — the RefinedWeb/CCNet stage exact-doc
     * dedup cannot do: a boilerplate sentence repeated across >=
     * `minDocs` distinct documents (headers, navigation, license

@@ -108,6 +108,26 @@ class TextSelectionSpec extends AnyFunSuite {
       "order within shards re-deals with the seed")
   }
 
+  test("epoch mixture: cap respected, budget placed, uncapped sources share one water level") {
+    val rows = TextAnalysis.samp10EpochMixture(lake).collect()
+    val cap = 4.0
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= cap + 1e-9, s"cap exceeded: $r")
+    }
+    val planned = rows.map(_.getDouble(5)).sum
+    val budget = 3.5 * rows.map(_.getLong(2)).sum
+    // some source is below cap on this corpus, so water-filling must
+    // place (essentially) the whole budget
+    assert(rows.exists(_.getDouble(4) < cap), "degenerate: everything capped")
+    assert(math.abs(planned - budget) / budget < 1e-3,
+      s"budget not placed: $planned vs $budget")
+    // alpha = 0 -> equal shares -> every uncapped source converges to
+    // the same planned-token water level (rounds-limited tolerance)
+    val open = rows.filter(_.getDouble(4) < cap - 1e-9).map(_.getDouble(5))
+    assert(open.max - open.min < open.max * 1e-3,
+      s"uncapped levels diverge: ${open.min} .. ${open.max}")
+  }
+
   test("ccnet buckets: per-lang partition is complete, ordered, and tercile-balanced") {
     val rows = TextAnalysis.txt25CcnetBuckets(lake).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2),
