@@ -898,36 +898,34 @@ object Dedup {
       numPerm: Int = 128,
       bands: Int = 64
   ): DataFrame = {
-    val rows = numPerm / bands
     // One metadata scalar decides the batch boundary (floor in both
     // engines: .toLong truncates toward zero for the positive cut).
     val maxId = lake.documents.agg(max("doc_id")).head().getLong(0)
     val cut = ((1.0 - deltaFrac) * (maxId + 1)).toLong
-    val docs = lake.documents
-      .select(col("doc_id"), graft.plans.ShingleHashes(col("text"), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cache()
-    // The signature MUST land in its own projection before bandKeys
-    // references it: inlining `bandKeys(minhashSignature(..))` splices
-    // the 128-perm signature expression into each of the 64 band-key
-    // structs, recomputing it ~64x per row (measured 10.6 s vs 1.2 s
-    // for this cache at sf0.1).
-    val sigs = docs.select(
-      col("doc_id"),
-      hashing.minhashSignature(col("sh"), numPerm).as("sig")
-    )
-    val bandRows = sigs
-      .select(col("doc_id"), explode(hashing.bandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-      .cache()
-    // Probe side = delta only; build side = the full index. Every
-    // candidate has doc_b in the delta and doc_a strictly older.
-    // The shuffle_hash hints pin the 100-TB join shape: the cached
-    // band index's size estimate reads under the broadcast threshold
-    // here, and the planner would otherwise BROADCAST the full index
-    // (and below, the full shingle-array corpus) — 75 MB+ driver
-    // round-trips at this SF, certain death at scale. Building the
-    // hash side on the DELTA keeps the build linear in the batch.
+    val docs = shingleCorpus(lake.documents).cache()
+    // bandIndexOfShingled keeps the signature in its own projection
+    // (the measured 10.6 s vs 1.2 s recompute trap — see its doc).
+    val bandRows = bandIndexOfShingled(docs, numPerm, bands).cache()
+    incrementalVerdicts(lake.documents, bandRows, docs, threshold, cut)
+  }
+
+  /** The dedup12 probe over EXPLICIT index frames — shared by the
+    * inline build above and the persisted-index path below.
+    * Probe side = delta only; build side = the full index. Every
+    * candidate has doc_b in the delta and doc_a strictly older.
+    * The shuffle_hash hints pin the 100-TB join shape: the band
+    * index's size estimate can read under the broadcast threshold
+    * here, and the planner would otherwise BROADCAST the full index
+    * (and below, the full shingle-array corpus) — 75 MB+ driver
+    * round-trips at this SF, certain death at scale. Building the
+    * hash side on the DELTA keeps the build linear in the batch. */
+  private def incrementalVerdicts(
+      documents: DataFrame,
+      bandRows: DataFrame,
+      shingles: DataFrame,
+      threshold: Double,
+      cut: Long
+  ): DataFrame = {
     val candidates = bandRows
       .filter(col("doc_id") >= cut)
       .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
@@ -945,13 +943,13 @@ object Dedup {
         (size(col("sh_a")) + size(col("sh_b")) - ic).cast("double")
     val dupOf = candidates
       .hint("shuffle_hash")
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .hint("shuffle_hash")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .filter(round(jac, 4) >= threshold)
       .groupBy("doc_b")
       .agg(min(col("doc_a")).as("dup_of"))
-    lake.documents
+    documents
       .filter(col("doc_id") >= cut)
       .select(col("doc_id"))
       .join(dupOf, col("doc_id") === col("doc_b"), "left")
@@ -963,6 +961,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** MinHash band-index persistence — the dedup analog of
+    * writeIvfIndex/writePqIndex/writeSqIndex: a production
+    * incremental-dedup job maintains the band index AND the shingle
+    * arrays as tables (appending each ingestion batch) instead of
+    * re-running 128 permutations over the whole corpus per batch.
+    * `bands/` holds (doc_id, band, bucket); `shingles/` holds
+    * (doc_id, sh) for the exact-verify fetch. */
+  def writeBandIndex(
+      lake: Lake,
+      dir: String,
+      numPerm: Int = 128,
+      bands: Int = 64
+  ): Unit = {
+    val docs = shingleCorpus(lake.documents).cache()
+    bandIndexOfShingled(docs, numPerm, bands)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    docs.write.mode("overwrite").parquet(s"$dir/shingles")
+  }
+
+  /** dedup12 over a PERSISTED index: the delta probes the stored band
+    * table and fetches stored shingles — verdict-identical to the
+    * inline build (deterministic hashing; spec-asserted). */
+  def incrementalFromIndex(
+      lake: Lake,
+      dir: String,
+      threshold: Double = 0.5,
+      deltaFrac: Double = 0.2
+  ): DataFrame = {
+    val spark = lake.spark
+    val maxId = lake.documents.agg(max("doc_id")).head().getLong(0)
+    val cut = ((1.0 - deltaFrac) * (maxId + 1)).toLong
+    incrementalVerdicts(
+      lake.documents,
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/shingles"),
+      threshold,
+      cut
+    )
+  }
+
   /** The static MinHash band index of a corpus — (doc_id, band,
     * bucket) rows, the build side dedup12 probes and the static side
     * of the STREAMING probe below. */
@@ -970,14 +1008,26 @@ object Dedup {
       docs: DataFrame,
       numPerm: Int = 128,
       bands: Int = 64
+  ): DataFrame = bandIndexOfShingled(shingleCorpus(docs), numPerm, bands)
+
+  /** Band index over an already-shingled (doc_id, sh) frame. The
+    * signature lands in its OWN projection before bandKeys references
+    * it — inlining would splice the 128-perm signature expression
+    * into each band-key struct, recomputing it ~bands× per row
+    * (dedup12's measured 10.6 s vs 1.2 s). */
+  def bandIndexOfShingled(
+      shingled: DataFrame,
+      numPerm: Int = 128,
+      bands: Int = 64
   ): DataFrame = {
     val rows = numPerm / bands
-    shingleCorpus(docs)
+    shingled
       .select(
         col("doc_id"),
-        explode(
-          hashing.bandKeys(
-            hashing.minhashSignature(col("sh"), numPerm), bands, rows)).as("bk"))
+        hashing.minhashSignature(col("sh"), numPerm).as("sig"))
+      .select(
+        col("doc_id"),
+        explode(hashing.bandKeys(col("sig"), bands, rows)).as("bk"))
       .select(
         col("doc_id"),
         col("bk.band").as("band"),

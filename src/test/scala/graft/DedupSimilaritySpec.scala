@@ -362,6 +362,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(alt == expected, "cell layout changed the exact result")
   }
 
+  test("persisted band index: probe equals the inline incremental build exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("band_index").toString
+    Dedup.writeBandIndex(lake, dir)
+    // deterministic shingle/minhash pipeline: probing the stored
+    // bands + shingles must reproduce the inline verdicts row for row
+    val fromIndex = Dedup.incrementalFromIndex(lake, dir).collect().map(_.toSeq)
+    val inline = Dedup.dedup12Incremental(lake).collect().map(_.toSeq)
+    assert(fromIndex.toSeq == inline.toSeq)
+  }
+
   test("persisted IVF index: index-then-search equals train-then-search exactly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.writeIvfIndex(lake, dir)

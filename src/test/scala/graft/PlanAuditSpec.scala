@@ -345,29 +345,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
-  test("kmeans assignment: no Window, map-side partial max_by, post-agg-only shuffle") {
-    // The Lloyd argmax runs once per vector per iteration; the old
-    // row_number formulation shuffled and globally sorted n x k
-    // scored rows each time. max_by must fold k rows to 1 BEFORE the
-    // exchange; any remaining Sort is SortAggregate's partition-local
-    // pass (global=false) over the already-vec_id-clustered broadcast
-    // join output — never a global sort, never a Window.
+  test("kmeans assignment: map-only — no Window, no sort, no corpus exchange") {
+    // The Lloyd argmax runs once per vector per iteration. History of
+    // this pin: the row_number formulation globally sorted n x k
+    // scored rows; max_by folded k rows to 1 before one exchange; the
+    // current transform + array_max form deletes even that exchange —
+    // the corpus is never hash-partitioned at all, only the 1-row
+    // centroid-list broadcast touches the wire.
     val all = Similarity.vecs(lake)
     val cents = all.limit(3).select(
       org.apache.spark.sql.functions.monotonically_increasing_id().as("cluster"),
       org.apache.spark.sql.functions.col("v").as("centroid"))
     val p = plan(Similarity.argmaxCell(all, cents, Seq("v", "nrm")))
     assert(!p.contains("Window"), p)
-    assert(p.contains("partial_max_by"), p)
     assert(!p.linesIterator.exists(l => l.contains("Sort ") && l.contains("true, ")),
       s"global sort found:\n$p")
-    // exactly one shuffle, and it sits ABOVE the partial aggregate
+    // zero shuffles on the corpus side (the centroid fold's own tiny
+    // single-partition exchange is all that may appear)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges\n$p")
-    val exIdx = p.indexOf("Exchange hashpartitioning")
-    val partialIdx = p.indexOf("partial_max_by")
-    assert(exIdx < partialIdx,
-      "the shuffle must carry post-partial-aggregation rows (k rows already folded to 1)")
+    assert(exchanges == 0, s"expected 0 hash exchanges, got $exchanges\n$p")
   }
 
   test("txt16: the packing cumsum window partitions on (source, shard)") {
