@@ -898,16 +898,38 @@ object Dedup {
       numPerm: Int = 128,
       bands: Int = 64
   ): DataFrame = {
-    // One metadata scalar decides the batch boundary (floor in both
-    // engines: .toLong truncates toward zero for the positive cut).
-    val maxId = lake.documents.agg(max("doc_id")).head().getLong(0)
-    val cut = ((1.0 - deltaFrac) * (maxId + 1)).toLong
-    val docs = shingleCorpus(lake.documents).cache()
-    // bandIndexOfShingled keeps the signature in its own projection
-    // (the measured 10.6 s vs 1.2 s recompute trap — see its doc).
-    val bandRows = bandIndexOfShingled(docs, numPerm, bands).cache()
-    incrementalVerdicts(lake.documents, bandRows, docs, threshold, cut)
+    deltaCut(lake, deltaFrac) match {
+      case None => emptyVerdicts(lake)
+      case Some(cut) =>
+        val docs = shingleCorpus(lake.documents).cache()
+        // bandIndexOfShingled keeps the signature in its own
+        // projection (the measured 10.6 s vs 1.2 s recompute trap —
+        // see its doc).
+        val bandRows = bandIndexOfShingled(docs, numPerm, bands).cache()
+        incrementalVerdicts(lake.documents, bandRows, docs, threshold, cut)
+    }
   }
+
+  /** Batch boundary for the incremental probe: one metadata scalar
+    * (floor in both engines: .toLong truncates toward zero for the
+    * positive cut). None on an EMPTY corpus — max(doc_id) aggregates
+    * to NULL there, and the primitive getter would NPE (the
+    * empty-delta production case, EmptyLakeSpec). */
+  private def deltaCut(lake: Lake, deltaFrac: Double): Option[Long] = {
+    val r = lake.documents.agg(max("doc_id")).head()
+    if (r.isNullAt(0)) None
+    else Some(((1.0 - deltaFrac) * (r.getLong(0) + 1)).toLong)
+  }
+
+  /** Schema-correct empty verdict frame for the empty-corpus case. */
+  private def emptyVerdicts(lake: Lake): DataFrame =
+    lake.documents
+      .limit(0)
+      .select(
+        col("doc_id"),
+        lit(null).cast("long").as("dup_of"),
+        lit("keep").as("verdict")
+      )
 
   /** The dedup12 probe over EXPLICIT index frames — shared by the
     * inline build above and the persisted-index path below.
@@ -990,15 +1012,17 @@ object Dedup {
       deltaFrac: Double = 0.2
   ): DataFrame = {
     val spark = lake.spark
-    val maxId = lake.documents.agg(max("doc_id")).head().getLong(0)
-    val cut = ((1.0 - deltaFrac) * (maxId + 1)).toLong
-    incrementalVerdicts(
-      lake.documents,
-      spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/shingles"),
-      threshold,
-      cut
-    )
+    deltaCut(lake, deltaFrac) match {
+      case None => emptyVerdicts(lake)
+      case Some(cut) =>
+        incrementalVerdicts(
+          lake.documents,
+          spark.read.parquet(s"$dir/bands"),
+          spark.read.parquet(s"$dir/shingles"),
+          threshold,
+          cut
+        )
+    }
   }
 
   /** The static MinHash band index of a corpus — (doc_id, band,

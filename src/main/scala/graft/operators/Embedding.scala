@@ -205,6 +205,15 @@ object Embedding {
       .agg(graft.plans.GramMoments(col("v")).as("g"))
       .select(col("g.n"), col("g.s"), col("g.m"))
       .head()
+    // EMPTY corpus: no moments to eigen-solve — degrade to the empty
+    // projection frame instead of dividing by zero (EmptyLakeSpec)
+    if (g.isNullAt(0) || g.getLong(0) == 0L)
+      return emb.select(
+        col("vec_id"),
+        col("label"),
+        lit(0.0).as("p1"),
+        lit(0.0).as("p2")
+      )
     val n = g.getLong(0).toDouble
     val sArr = g.getSeq[Double](1).toArray
     val mArr = g.getSeq[Double](2).toArray

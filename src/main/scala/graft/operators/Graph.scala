@@ -943,6 +943,10 @@ object Graph {
     var visited = lake.lineitem
       .agg((min("l_orderkey") * lit(2L)).cast("long").as("node"))
       .select(col("node"), lit(0L).as("dist"))
+      // an EMPTY edge table aggregates min to NULL — drop it so the
+      // BFS degrades to zero rows instead of emitting a null seed
+      // (EmptyLakeSpec)
+      .filter(col("node").isNotNull)
       .cache()
     var frontier = visited
     for (d <- 1 to maxDepth) {

@@ -1,0 +1,58 @@
+package graft
+
+import graft.catalog.Lake
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-corpus robustness: every operator must DEGRADE to an empty
+  * (or well-defined) result on an empty lake instead of throwing —
+  * the production case is an empty daily delta, a filter that matched
+  * nothing, or a brand-new tenant. The trap is driver-side scalar
+  * extraction: `agg(max(..)).head().getLong(0)` NPEs when the
+  * aggregate over zero rows returns NULL.
+  */
+class EmptyLakeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** An empty lake: every table rewritten with limit(0) so schemas
+    * (and thus every downstream expression) stay identical. */
+  private lazy val emptyDir: String = {
+    val src = Lake(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("empty_lake").toString
+    Seq(
+      "region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings"
+    ).foreach { t =>
+      src.table(t).limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+  private lazy val empty = Lake(spark, emptyDir)
+
+  private def assertEmptyOk(name: String, f: Lake => DataFrame): Unit =
+    test(s"$name returns an empty result on an empty lake") {
+      assert(f(empty).count() == 0L, name)
+    }
+
+  // one representative per module family, weighted toward operators
+  // with driver-side scalars or iterative loops
+  assertEmptyOk("q01_pricing_summary", Relational.q01PricingSummary)
+  assertEmptyOk("rel01_running_total", Relational.rel01RunningTotal)
+  assertEmptyOk("rel16_window_suite", Relational.rel16WindowSuite(_))
+  assertEmptyOk("txt01_stats", TextAnalysis.txt01Stats)
+  assertEmptyOk("txt24_quality_panel", TextAnalysis.txt24QualityPanel(_))
+  assertEmptyOk("samp04_token_budget", TextAnalysis.samp04TokenBudget(_))
+  assertEmptyOk("samp10_epoch_mixture", TextAnalysis.samp10EpochMixture(_))
+  assertEmptyOk("dedup01_exact", Dedup.dedup01Exact)
+  assertEmptyOk("dedup04_minhash_lsh", Dedup.dedup04MinhashLsh(_))
+  assertEmptyOk("dedup12_incremental", Dedup.dedup12Incremental(_))
+  assertEmptyOk("sim01_topk_bruteforce", Similarity.sim01TopKBruteForce(_))
+  assertEmptyOk("sim12_range_search", Similarity.sim12RangeSearch(_))
+  assertEmptyOk("graph27_bfs_distances", Graph.graph27BfsDistances(_))
+  assertEmptyOk("evt01_windowed_counts", Events.evt01WindowedCounts)
+  assertEmptyOk("evt02_sessionization", Events.evt02Sessionization(_))
+  assertEmptyOk("emb01_hash_embeddings", Embedding.emb01HashEmbeddings(_))
+  assertEmptyOk("emb02_pca_projection", Embedding.emb02PcaProject(_))
+  assertEmptyOk("xref02_unified_entities", Linkage.xref02UnifiedEntities)
+}
