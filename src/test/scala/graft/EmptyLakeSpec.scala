@@ -55,4 +55,15 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("emb01_hash_embeddings", Embedding.emb01HashEmbeddings(_))
   assertEmptyOk("emb02_pca_projection", Embedding.emb02PcaProject(_))
   assertEmptyOk("xref02_unified_entities", Linkage.xref02UnifiedEntities)
+  // second batch: the remaining driver-scalar and trained-quantizer
+  // call sites (kmeans seeds, PQ/SQ trains, BPE learn, the funnel)
+  assertEmptyOk("dedup03_ngram_jaccard", Dedup.dedup03NgramJaccard(_))
+  assertEmptyOk("dedup11_semantic", Dedup.dedup11Semantic(_))
+  assertEmptyOk("samp09_cluster_balanced", Dedup.samp09ClusterBalanced(_))
+  assertEmptyOk("sim05_ivf_ann", Similarity.sim05IvfAnn(_))
+  assertEmptyOk("sim06_ivf_trained", Similarity.sim06IvfTrained(_))
+  assertEmptyOk("sim08_knn_graph", Similarity.sim08KnnGraph(_))
+  assertEmptyOk("sim11_knn_graph_ann", Similarity.sim11KnnGraphAnn(_))
+  assertEmptyOk("txt12_bpe_tokens", TextAnalysis.txt12BpeTokens)
+  assertEmptyOk("pipe01_pretrain_corpus", Pipeline.pipe01PretrainCorpus(_))
 }
