@@ -22,6 +22,40 @@ object EventStreams extends Serializable {
   def windowedCounts(events: DataFrame): DataFrame =
     slidingCounts(events, "1 hour", "1 hour")
 
+  /** Windowed HEAVY HITTERS on a stream: the mergeable Misra-Gries
+    * sketch (graft.plans.FrequentItemsSketch, rel14's aggregate) as a
+    * streaming aggregation — per tumbling window, the top-k item
+    * table with deterministic [count_lb, count_ub] bounds. Because
+    * the sketch's partial buffers merge associatively, it drops into
+    * a watermarked streaming aggregate unchanged: the state store
+    * holds ONE capacity-bounded buffer per open window, never the
+    * item stream — the same reason the sketch scales in batch
+    * (capacity counters per partition) makes its streaming state
+    * O(capacity) per window. With capacity >= the distinct-item
+    * count the sketch degenerates to exact counts (rel14's pinned
+    * property), so cross-micro-batch merge order cannot perturb the
+    * result — the spec asserts streaming == batch on that regime.
+    * Works identically in batch for backfill. */
+  def windowedHeavyHitters(
+      events: DataFrame,
+      capacity: Int = 64,
+      k: Int = 5
+  ): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("win"))
+      .agg(
+        graft.plans.FrequentItemsSketch(col("event_type"), capacity, k).as("top"))
+      .select(col("win.start").as("window_start"),
+        posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("window_start"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("entry.item").as("item"),
+        col("entry.count_lb").as("count_lb"),
+        col("entry.count_ub").as("count_ub")
+      )
+
   /** Stream-static enrichment: the event stream joined to a static
     * dimension (broadcast per micro-batch — the standard pattern for
     * dimension lookups in a streaming pipeline). */

@@ -92,6 +92,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming windowed heavy hitters match the batch sketch across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = lake.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Evt]
+      .collect()
+      .toSeq
+
+    val stream = MemoryStream[EventStreams.Evt]
+    // two micro-batches so sketch state merges across the batch
+    // boundary inside the state store
+    val (first, second) = evts.splitAt(evts.length / 2)
+    val query = EventStreams
+      .windowedHeavyHitters(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("win_hh")
+      .outputMode("complete")
+      .start()
+    stream.addData(first)
+    query.processAllAvailable()
+    stream.addData(second)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark
+      .sql("SELECT * FROM win_hh")
+      .orderBy("window_start", "rank")
+      .collect()
+      .map(_.toSeq)
+    // the same plan over the same rows in BATCH mode (backfill form);
+    // capacity >= distinct event types -> exact counts, so merge
+    // order across micro-batches cannot perturb the result
+    val batch = EventStreams
+      .windowedHeavyHitters(lake.events
+        .select("event_id", "ts", "user_id", "event_type", "value"))
+      .orderBy("window_start", "rank")
+      .collect()
+      .map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    // exactness regime: bounds must have collapsed
+    assert(streamed.forall(r => r(3) == r(4)), "bounds not exact")
+  }
+
   test("streaming dedup drops duplicate events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
