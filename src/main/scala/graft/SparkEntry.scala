@@ -47,6 +47,7 @@ object SparkEntry {
     "samp08_seeded_sample" -> q(TextAnalysis.samp08SeededSample(_)),
     "dedup14_bloom_decontaminate" -> q(Dedup.dedup14BloomDecontaminate(_)),
     "eval05_score_calibration" -> q(Evaluation.eval05ScoreCalibration(_)),
+    "eval06_agreement" -> q(Evaluation.eval06Agreement),
     "xref01_id_map" -> q(Linkage.xref01IdMap),
     "xref02_unified_entities" -> q(Linkage.xref02UnifiedEntities),
     "xref03_coverage_stats" -> q(Linkage.xref03CoverageStats),
@@ -307,6 +308,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "emb02_pca_projection" -> emb02OracleSql(15),
     "samp10_epoch_mixture" -> samp10OracleSql(3),
+    // eval06: identical log/diff arithmetic on both sides; corr and
+    // stddev_pop differ only in aggregation order (~1e-15), absorbed
+    // by the 4dp rounding.
+    "eval06_agreement" ->
+      """WITH r AS (SELECT l_orderkey,
+        |    SUM(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS rec
+        |  FROM lineitem GROUP BY l_orderkey),
+        |p AS (SELECT log10(o_totalprice + 1) AS a, log10(rec + 1) AS b,
+        |    log10(o_totalprice + 1) - log10(rec + 1) AS d
+        |  FROM orders JOIN r ON o_orderkey = l_orderkey),
+        |s AS (SELECT COUNT(*) AS n, corr(a, b) AS r, AVG(d) AS md,
+        |    stddev_pop(d) AS sd FROM p)
+        |SELECT s.n AS n, ROUND(s.r, 4) AS pearson_r,
+        |  ROUND(s.md, 4) AS mean_diff, ROUND(s.sd, 4) AS sd_diff,
+        |  ROUND(s.md - 1.96 * s.sd, 4) AS loa_lo,
+        |  ROUND(s.md + 1.96 * s.sd, 4) AS loa_hi,
+        |  ROUND(AVG(CASE WHEN ABS(p.d - s.md) <= 1.96 * s.sd
+        |    THEN 1.0 ELSE 0.0 END), 4) AS within_loa
+        |FROM p, s GROUP BY s.n, s.r, s.md, s.sd""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 4) AS sum_qty,

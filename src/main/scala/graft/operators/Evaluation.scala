@@ -255,6 +255,66 @@ object Evaluation {
     * then unpivots driver-side via stack. Thresholds are a fixed
     * grid (the score is a bounded per-token average), so the output
     * is |grid| rows at any corpus size. */
+  /** eval06: Bland-Altman AGREEMENT audit between a recorded metric
+    * and its recomputed value — the statistical content behind the
+    * reference's fig1 (generate_paper_figures.py:123
+    * `fig1_citation_bland_altman`: S2AG vs OpenAlex citation counts
+    * — log-transform, Pearson r, mean difference/bias, ±1.96σ limits
+    * of agreement). The lake analog compares each order's RECORDED
+    * total price against the total RECOMPUTED from its line items —
+    * the same "two sources, one quantity" audit (on this synthetic
+    * lake the audit correctly reports r ≈ 0: recorded totals do not
+    * track the recomputed ones, which is precisely what an agreement
+    * audit exists to detect).
+    *
+    * Scale shape: one partial-agg pass over the fact table to
+    * per-order recomputed totals, a key equi-join, one aggregation
+    * to the 1-row stats, then a second map-only pass (stats
+    * broadcast) for the within-LoA share — no corpus-sized shuffle
+    * beyond the per-key aggregate. */
+  def eval06Agreement(lake: Lake): DataFrame = {
+    val recomputed = lake.lineitem
+      .groupBy("l_orderkey")
+      .agg(
+        sum(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))
+        ).as("rec")
+      )
+    val paired = lake.orders
+      .join(recomputed, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        log10(col("o_totalprice") + 1).as("a"),
+        log10(col("rec") + 1).as("b")
+      )
+      .withColumn("d", col("a") - col("b"))
+    val stats = paired.agg(
+      count(lit(1)).as("n"),
+      corr(col("a"), col("b")).as("r"),
+      avg(col("d")).as("md"),
+      stddev_pop(col("d")).as("sd")
+    )
+    paired
+      .crossJoin(broadcast(stats))
+      .agg(
+        first(col("n")).as("n"),
+        round(first(col("r")), 4).as("pearson_r"),
+        round(first(col("md")), 4).as("mean_diff"),
+        round(first(col("sd")), 4).as("sd_diff"),
+        round(first(col("md")) - lit(1.96) * first(col("sd")), 4).as("loa_lo"),
+        round(first(col("md")) + lit(1.96) * first(col("sd")), 4).as("loa_hi"),
+        round(
+          avg(
+            when(
+              abs(col("d") - col("md")) <= lit(1.96) * col("sd"),
+              1.0
+            ).otherwise(0.0)
+          ),
+          4
+        ).as("within_loa")
+      )
+  }
+
   def eval05ScoreCalibration(lake: Lake, dim: Int = 4096): DataFrame = {
     val thresholds = Seq(-0.10, -0.05, 0.0, 0.05, 0.10, 0.15, 0.20)
     val scored = lake.documents

@@ -108,6 +108,20 @@ class TextSelectionSpec extends AnyFunSuite {
       "order within shards re-deals with the seed")
   }
 
+  test("agreement audit: stats well-formed, ~95% of pairs inside the limits of agreement") {
+    val r = graft.operators.Evaluation.eval06Agreement(lake).collect().head
+    val (n, pr, md, sd) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val (lo, hi, within) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(n > 0)
+    assert(pr >= -1.0 && pr <= 1.0)
+    assert(sd > 0.0, "degenerate: recorded == recomputed everywhere")
+    assert(math.abs(lo - (md - 1.96 * sd)) < 1e-3)
+    assert(math.abs(hi - (md + 1.96 * sd)) < 1e-3)
+    // ±1.96σ brackets ~95% for any unimodal-ish diff distribution;
+    // Chebyshev alone guarantees >= 0.74
+    assert(within >= 0.74 && within <= 1.0, s"within_loa $within")
+  }
+
   test("epoch mixture: cap respected, budget placed, uncapped sources share one water level") {
     val rows = TextAnalysis.samp10EpochMixture(lake).collect()
     val cap = 4.0
