@@ -29,6 +29,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 2L) // "a b" occurs twice; "b a"/"b c" once
   }
 
+  test("native scalar expressions propagate NULL inputs instead of throwing") {
+    graft.plans.GraftExtensions.register(spark)
+    // a production corpus has null text / null vectors; every scalar
+    // kernel must null-propagate like a built-in (the aggregates —
+    // sketch/topk/gram — skip nulls per aggregate semantics)
+    val r = spark
+      .sql(
+        """SELECT
+          |  vector_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS vd,
+          |  jaro_winkler(CAST(NULL AS STRING), 'x') AS jw,
+          |  simhash64(CAST(NULL AS STRING)) AS sh,
+          |  sorted_intersect_count(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS ic,
+          |  shingle_hashes(CAST(NULL AS STRING), 3) AS nsh,
+          |  top_bigram_count(CAST(NULL AS ARRAY<STRING>)) AS tbc""".stripMargin
+      )
+      .head()
+    (0 until r.length).foreach(i => assert(r.isNullAt(i), s"field $i not null"))
+  }
+
   test("shingle_hashes rejects a non-constant order argument") {
     graft.plans.GraftExtensions.register(spark)
     val e = intercept[Exception] {
