@@ -56,6 +56,30 @@ object EventStreams extends Serializable {
         col("entry.count_ub").as("count_ub")
       )
 
+  /** Streaming conversion FUNNEL — evt04's twin: per user the first
+    * view/click/purchase instants, kept when they occur in strict
+    * funnel order. min(when(...)) is a mergeable aggregate, so the
+    * funnel runs as a plain streaming aggregation: state is three
+    * timestamps per user (not the event stream), partial mins merge
+    * across micro-batches in the state store, and the ordering filter
+    * applies on emit. Works identically in batch for backfill
+    * (spec-asserted against Events.evt04Funnel). */
+  def funnel(events: DataFrame): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase")
+      )
+      .filter(
+        col("first_view").isNotNull &&
+          col("first_click").isNotNull &&
+          col("first_purchase").isNotNull &&
+          col("first_view") < col("first_click") &&
+          col("first_click") < col("first_purchase")
+      )
+
   /** Stream-static enrichment: the event stream joined to a static
     * dimension (broadcast per micro-batch — the standard pattern for
     * dimension lookups in a streaming pipeline). */

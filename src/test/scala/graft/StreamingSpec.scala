@@ -137,6 +137,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.forall(r => r(3) == r(4)), "bounds not exact")
   }
 
+  test("streaming funnel matches the batch funnel across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evts = lake.events
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.Evt]
+      .collect()
+      .toSeq
+    val stream = MemoryStream[EventStreams.Evt]
+    val (first, second) = evts.splitAt(evts.length / 2)
+    val query = EventStreams
+      .funnel(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("funnel_out")
+      .outputMode("complete")
+      .start()
+    stream.addData(first)
+    query.processAllAvailable()
+    stream.addData(second)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark
+      .sql("SELECT * FROM funnel_out")
+      .orderBy("user_id")
+      .collect()
+      .map(_.toSeq)
+    val batch = Events.evt04Funnel(lake).collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming dedup drops duplicate events within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
