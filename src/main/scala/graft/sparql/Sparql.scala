@@ -317,23 +317,44 @@ object Sparql {
         throw SparqlParseError("MINUS branches share no variable (removes nothing)")
       matchedRaw.join(right.select(shared.map(col): _*), shared, "left_anti")
     }
-    // VALUES: inline bindings join in as a BROADCAST literal frame —
-    // shared vars constrain (inner join), new vars bind (cross join
-    // of a tiny constant table). BINDs add computed columns over the
-    // result. Group-level FILTER closes the chain; a var unbound in a
-    // union branch compares as null => row dropped, SPARQL's
-    // error-is-false.
+    // VALUES: inline bindings join in as a BROADCAST literal frame
+    // under SPARQL's mapping-COMPATIBILITY rule (18.5): a solution
+    // and a VALUES row join when every shared var either matches or
+    // is unbound on one side — an UNDEF cell (null in the frame)
+    // constrains nothing, and an OPTIONAL-unbound solution var picks
+    // its binding up FROM the row (coalesce after the join). The
+    // per-var `null-or-equal` condition makes this a broadcast
+    // nested-loop join of a tiny inline table — bounded by the query
+    // text, the legitimate BNLJ class. New vars bind (cross join).
+    // BINDs add computed columns over the result. Group-level FILTER
+    // closes the chain; a var unbound in a union branch compares as
+    // null => row dropped, SPARQL's error-is-false.
     val withValues = p.values.foldLeft(afterMinus) { case (acc, (vars, rows)) =>
       val schema = org.apache.spark.sql.types.StructType(vars.map(v =>
         org.apache.spark.sql.types.StructField(
-          v, org.apache.spark.sql.types.StringType, nullable = false)))
+          v, org.apache.spark.sql.types.StringType, nullable = true)))
       val litDf = triples.sparkSession.createDataFrame(
         java.util.Arrays.asList(
           rows.map(r => org.apache.spark.sql.Row(r: _*)): _*),
         schema)
       val shared = acc.columns.intersect(vars).toSeq
-      if (shared.nonEmpty) acc.join(broadcast(litDf), shared)
-      else acc.crossJoin(broadcast(litDf))
+      if (shared.isEmpty) acc.crossJoin(broadcast(litDf))
+      else {
+        val pfx = "__values_"
+        val renamed = vars.foldLeft(litDf)((d, v) =>
+          d.withColumnRenamed(v, pfx + v))
+        val compat = shared
+          .map(v =>
+            col(pfx + v).isNull || col(v).isNull || (col(pfx + v) === col(v)))
+          .reduce(_ && _)
+        val joined = acc.join(broadcast(renamed), compat)
+        val mergedShared = shared.foldLeft(joined)((d, v) =>
+          d.withColumn(v, coalesce(col(v), col(pfx + v))))
+        val withNew = vars
+          .filterNot(shared.contains)
+          .foldLeft(mergedShared)((d, v) => d.withColumn(v, col(pfx + v)))
+        withNew.drop(vars.map(pfx + _): _*)
+      }
     }
     val withBinds = p.binds.foldLeft(withValues) { case (acc, (v, sql)) =>
       acc.withColumn(v, expr(sql))
@@ -889,8 +910,11 @@ object Sparql {
               }
             def valueTerm(): String = {
               val t0 = st.next()
-              if (t0.equalsIgnoreCase("UNDEF"))
-                throw SparqlParseError("UNDEF in VALUES is not supported")
+              // UNDEF = an unbound cell in this row's mapping: it
+              // constrains nothing and binds nothing (SPARQL 18.5 —
+              // mapping compatibility ignores unbound vars). Carried
+              // as null through the literal frame.
+              if (t0.equalsIgnoreCase("UNDEF")) return null
               val v = term(t0)
               if (v.startsWith("?"))
                 throw SparqlParseError(s"VALUES data must be constants (got '$t0')")

@@ -213,6 +213,27 @@ class SparqlSpec extends AnyFunSuite {
     assert(seqOpt.optionalGroups.head.length == 2)
   }
 
+  test("VALUES with UNDEF: unbound cells constrain nothing, mapping compatibility holds") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      ("a", "p", "x"),
+      ("b", "p", "y"),
+      ("c", "p", "z")
+    ).toDF("s", "p", "o")
+    // row 1 pins (?s=a, ?o=x); row 2 pins only ?o=y (any ?s);
+    // row 3 pins only ?s=c (any ?o)
+    val out = Sparql.run(t,
+      """SELECT ?s ?o WHERE { ?s <p> ?o .
+        |  VALUES (?s ?o) { (<a> "x") (UNDEF "y") (<c> UNDEF) } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(out.toSeq == Seq(("a", "x"), ("b", "y"), ("c", "z")))
+    // an all-UNDEF row keeps every solution (no constraint at all)
+    val all = Sparql.run(t,
+      "SELECT ?s WHERE { ?s <p> ?o . VALUES ?o { UNDEF } }")
+    assert(all.count() == 3)
+  }
+
   test("zero-or-more and zero-or-one path execution") {
     val spark = TestSpark.spark
     import spark.implicits._
@@ -393,7 +414,10 @@ class SparqlSpec extends AnyFunSuite {
       val e = intercept[SparqlParseError](Sparql.parse(q))
       assert(e.getMessage.contains(fragment), s"message was: ${e.getMessage}")
     }
-    rejects("""SELECT ?l WHERE { ?n <label> ?l . VALUES ?l { UNDEF "x" } }""", "UNDEF")
+    // UNDEF = an unbound cell (parsed as null, no constraint)
+    val vu = Sparql.parse(
+      """SELECT ?l WHERE { ?n <label> ?l . VALUES ?l { UNDEF "x" } }""")
+    assert(vu.values == Seq((Seq("l"), Seq(Seq(null), Seq("x")))))
     rejects("""SELECT ?l WHERE { ?n <label> ?l . VALUES ?l { ?m } }""", "constants")
     rejects("""SELECT ?l WHERE { ?n <label> ?l . VALUES (?a ?b) { ("x") } }""",
       "1 terms for 2 vars")
