@@ -137,14 +137,24 @@ object Sparql {
       subSelects: Seq[String] = Seq.empty,
       // multi-triple OPTIONAL groups: each inner-joins its own
       // patterns, then LEFT-joins the group on the shared variables
-      // (SPARQL leftjoin — bindings are both-or-nothing per group)
-      optionalGroups: Seq[Seq[(String, String, String)]] = Seq.empty,
+      // (SPARQL leftjoin — bindings are both-or-nothing per group);
+      // groups NEST (OPTIONAL inside OPTIONAL) as the recursive
+      // leftjoin the algebra prescribes
+      optionalGroups: Seq[OptGroup] = Seq.empty,
       // HAVING: Spark SQL text over group keys + the internal
       // aggregates below (aggregate calls in the body are rewritten
       // to _having{i} references; computed, filtered on, then dropped)
       havingSql: Option[String] = None,
       havingAggs: Seq[Aggregate] = Seq.empty
   )
+
+  /** One OPTIONAL group: its own required patterns (with in-chain
+    * single-triple OPTIONAL indices) plus recursively nested OPTIONAL
+    * groups — SPARQL's LeftJoin(P1, LeftJoin(P2, …)) tree. */
+  final case class OptGroup(
+      patterns: Seq[(String, String, String)],
+      optionalIdx: Set[Int],
+      nested: Seq[OptGroup])
 
   final case class SparqlParseError(msg: String)
       extends IllegalArgumentException(s"SPARQL parse error: $msg")
@@ -294,8 +304,27 @@ object Sparql {
     // on the shared variables — SPARQL's leftjoin, so the group's
     // bindings appear both-or-nothing (two separate single-triple
     // OPTIONALs would bind independently; this is the difference).
-    val matchedRaw = p.optionalGroups.foldLeft(matchedInner) { (acc, pats) =>
-      val f = Graph.bgpMatch(defaultGraph, pats, maxPathHops = maxPathHops)
+    // Nested groups recurse the same leftjoin: the group's frame is
+    // LeftJoin(bgp(P1), frame(P2)) before the outer join — a var an
+    // outer pattern shares with the group should come from the
+    // group's REQUIRED patterns (a nested-only binding can be null
+    // on a miss, and null keys never match — the MINUS fragment's
+    // disjoint-domain caveat applies).
+    def optFrame(g: OptGroup): DataFrame = {
+      val base = Graph.bgpMatch(
+        defaultGraph, g.patterns,
+        optionalIdx = g.optionalIdx, maxPathHops = maxPathHops)
+      g.nested.foldLeft(base) { (acc, ng) =>
+        val f = optFrame(ng)
+        val shared = acc.columns.intersect(f.columns).toSeq
+        if (shared.isEmpty)
+          throw SparqlParseError(
+            "nested OPTIONAL shares no variable with its enclosing group")
+        acc.join(f, shared, "left")
+      }
+    }
+    val matchedRaw = p.optionalGroups.foldLeft(matchedInner) { (acc, g) =>
+      val f = optFrame(g)
       val shared = acc.columns.intersect(f.columns).toSeq
       if (shared.isEmpty)
         throw SparqlParseError(
@@ -827,7 +856,7 @@ object Sparql {
     var graphGroups =
       Vector.empty[(String, Seq[(String, String, String)], Set[Int])]
     // Multi-triple OPTIONAL groups: each left-joins as a unit.
-    var optionalGroups = Vector.empty[Seq[(String, String, String)]]
+    var optionalGroups = Vector.empty[OptGroup]
     def triple(): Seq[(String, String, String)] = {
       val s = term(st.next())
       var segs = Vector(pathSegment())
@@ -864,25 +893,49 @@ object Sparql {
             // becomes an optionalGroup: its patterns inner-join among
             // THEMSELVES first, then the whole group left-joins, so
             // the bindings are both-or-nothing per SPARQL's leftjoin.
-            var pats = Vector.empty[(String, String, String)]
-            while (st.peek != Some("}")) {
-              if (st.peek.exists(_.equalsIgnoreCase("OPTIONAL")))
-                throw SparqlParseError(
-                  "nested OPTIONAL groups are not supported")
-              pats ++= triple()
+            // OPTIONAL inside the body recurses: a trivial inner
+            // group (one triple, nothing nested) collapses onto the
+            // group's own in-chain path, anything else becomes a
+            // nested OptGroup — LeftJoin(P1, LeftJoin(P2, …)).
+            def parseOptGroup(): OptGroup = {
+              var pats = Vector.empty[(String, String, String)]
+              var optIdx = Set.empty[Int]
+              var nested = Vector.empty[OptGroup]
+              while (st.peek != Some("}")) {
+                if (st.peek.exists(_.equalsIgnoreCase("OPTIONAL"))) {
+                  st.next()
+                  st.expect("{")
+                  val g = parseOptGroup()
+                  // collapse a trivial inner group onto the in-chain
+                  // path only when a REQUIRED pattern precedes it —
+                  // bgpMatch's left-join chain starts from the first
+                  // pattern, which must not itself be optional
+                  if (pats.nonEmpty && g.patterns.length == 1 &&
+                    g.optionalIdx.isEmpty && g.nested.isEmpty) {
+                    pats :+= g.patterns.head
+                    optIdx += (pats.length - 1)
+                  } else nested :+= g
+                } else {
+                  pats ++= triple()
+                  if (st.peek == Some(".")) st.next()
+                }
+              }
+              st.next() // }
               if (st.peek == Some(".")) st.next()
+              if (pats.isEmpty)
+                throw SparqlParseError(
+                  "OPTIONAL group has no required triple patterns")
+              OptGroup(pats, optIdx, nested)
             }
-            st.next() // }
-            if (st.peek == Some(".")) st.next()
-            if (pats.isEmpty)
-              throw SparqlParseError("OPTIONAL group has no triple patterns")
-            if (pats.length == 1) {
-              patterns :+= pats.head
+            val g = parseOptGroup()
+            if (g.patterns.length == 1 && g.optionalIdx.isEmpty &&
+              g.nested.isEmpty) {
+              patterns :+= g.patterns.head
               optionalIdx += (patterns.length - 1)
             } else if (inGraph)
               throw SparqlParseError(
                 "multi-triple OPTIONAL inside GRAPH is not supported")
-            else optionalGroups :+= pats
+            else optionalGroups :+= g
           case Some(t) if t.equalsIgnoreCase("UNION") =>
             throw SparqlParseError(
               "UNION branches must each be a braced group: { … } UNION { … }")

@@ -158,11 +158,13 @@ class SparqlSpec extends AnyFunSuite {
       "don't mix")
     rejects("SELECT ?s WHERE { { ?s <p> ?o } MINUS { ?s <q> ?o } MINUS { ?s <r> ?o } }",
       "only one MINUS")
+    // nested OPTIONAL is supported now, but a group whose body is
+    // ONLY a nested OPTIONAL has no required part to leftjoin on
     rejects(
       "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { OPTIONAL { ?s <q> ?a } } }",
-      "nested OPTIONAL")
+      "no required triple patterns")
     rejects("SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { } }",
-      "OPTIONAL group has no triple patterns")
+      "no required triple patterns")
     rejects("SELECT ?s WHERE { ?s (<p>|<q>) ?o }", "bare alternation")
     rejects("SELECT ?s WHERE { ?s ?p+ ?o }", "paths over a ?variable")
     rejects("SELECT ?s WHERE { ?s unknown:p ?o }", "unknown prefix")
@@ -210,7 +212,51 @@ class SparqlSpec extends AnyFunSuite {
     val seqOpt = Sparql.parse(
       "SELECT ?x WHERE { ?x <p> ?y . OPTIONAL { ?x <q>/<r> ?z } }")
     assert(seqOpt.optionalGroups.length == 1)
-    assert(seqOpt.optionalGroups.head.length == 2)
+    assert(seqOpt.optionalGroups.head.patterns.length == 2)
+  }
+
+  test("nested OPTIONAL executes as the recursive leftjoin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // base: three subjects; p1 binds for a,b; inside it p2 binds for a
+    val t = Seq(
+      ("a", "base", "1"),
+      ("b", "base", "1"),
+      ("c", "base", "1"),
+      ("a", "p1", "A1"),
+      ("a", "px", "AX"),
+      ("b", "p1", "B1"),
+      ("b", "px", "BX"),
+      ("a", "p2", "A2")
+    ).toDF("s", "p", "o")
+    val out = Sparql.run(t,
+      """SELECT ?s ?v ?w WHERE { ?s <base> "1" .
+        |  OPTIONAL { ?s <p1> ?v . ?s <px> ?x . OPTIONAL { ?s <p2> ?w } } }
+        |""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .sortBy(_._1)
+    // a: both levels bind; b: outer binds, inner misses (null w);
+    // c: outer misses entirely (null v AND null w — both-or-nothing)
+    assert(out.toSeq == Seq(
+      ("a", Some("A1"), Some("A2")),
+      ("b", Some("B1"), None),
+      ("c", None, None)
+    ), out.toSeq.toString)
+    // the leftjoin NESTS: inner bindings may only ride on outer
+    // matches, never rescue an outer miss
+    val deep = Sparql.run(t,
+      """SELECT ?s ?v ?w WHERE { ?s <base> "1" .
+        |  OPTIONAL { ?s <p1> ?v . OPTIONAL { ?s <p2> ?w . ?s <px> ?x } } }
+        |""".stripMargin)
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), Option(r.getString(2))))
+      .sortBy(_._1)
+    assert(deep.toSeq == Seq(
+      ("a", Some("A1"), Some("A2")),
+      ("b", Some("B1"), None),
+      ("c", None, None)
+    ), deep.toSeq.toString)
   }
 
   test("VALUES with UNDEF: unbound cells constrain nothing, mapping compatibility holds") {
