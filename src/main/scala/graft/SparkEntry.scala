@@ -131,6 +131,7 @@ object SparkEntry {
     "graph25_sparql_from_named" -> q(Graph.graph25SparqlFromNamed),
     "graph26_sparql_numeric_agg" -> q(Graph.graph26SparqlNumericAgg),
     "graph27_bfs_distances" -> q(Graph.graph27BfsDistances(_)),
+    "graph28_sparql_nested_optional" -> q(Graph.graph28SparqlNestedOptional),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2892,6 +2893,17 @@ object SparkEntry {
         |SELECT CASE WHEN node % 2 = 0 THEN 'ord:' || (node // 2)::VARCHAR
         |            ELSE 'prt:' || ((node-1) // 2)::VARCHAR END AS node, dist
         |FROM m ORDER BY dist, node""".stripMargin,
+    // graph28: nested OPTIONAL == nested LEFT JOINs; labeled
+    // subjects are nations ∪ regions, regions miss the outer group
+    // (both vars null), nations optionally carry the sparse flag.
+    "graph28_sparql_nested_optional" ->
+      """SELECT n, nl, rl, fl FROM (
+        |  SELECT 'nat:' || n_nationkey AS n, n_name AS nl, r_name AS rl,
+        |    CASE WHEN n_nationkey % 3 = 0 THEN 'true' END AS fl
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT 'reg:' || r_regionkey, r_name, NULL, NULL FROM region)
+        |ORDER BY n""".stripMargin,
     // graph26: SUM/AVG over typed decimal literals — the engine
     // strips `"lex"^^<datatype>` and sums doubles; decimal→string→
     // double round-trips exactly, so the oracle aggregates the base

@@ -569,6 +569,26 @@ object Graph {
         |ORDER BY ?c""".stripMargin
     )
 
+  /** graph28: NESTED OPTIONAL through the text front-end — the
+    * recursive LeftJoin tree (round-9 engine addition): every labeled
+    * subject, optionally its region hierarchy, and — only inside a
+    * successful hierarchy match — optionally the sparse `flagged`
+    * annotation. The data exercises all three regimes: region
+    * subjects miss the outer group entirely (rl AND fl null,
+    * both-or-nothing), unflagged nations bind the outer group but
+    * miss the inner one, every-third nations bind both. */
+  def graph28SparqlNestedOptional(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?n ?nl ?rl ?fl
+        |WHERE {
+        |  ?n <label> ?nl .
+        |  OPTIONAL { ?n <in_region> ?r . ?r <label> ?rl .
+        |             OPTIONAL { ?n <flagged> ?fl } }
+        |}
+        |ORDER BY ?n""".stripMargin
+    )
+
   /** graph24: SPARQL HAVING + GROUP_CONCAT through the text
     * front-end — the last two grouped-query constructs the fragment
     * lacked. HAVING's aggregate call is computed as an internal column
