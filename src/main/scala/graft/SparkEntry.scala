@@ -132,6 +132,7 @@ object SparkEntry {
     "graph26_sparql_numeric_agg" -> q(Graph.graph26SparqlNumericAgg),
     "graph27_bfs_distances" -> q(Graph.graph27BfsDistances(_)),
     "graph28_sparql_nested_optional" -> q(Graph.graph28SparqlNestedOptional),
+    "graph29_sparql_values_undef" -> q(Graph.graph29SparqlValuesUndef),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
@@ -2904,6 +2905,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'reg:' || r_regionkey, r_name, NULL, NULL FROM region)
         |ORDER BY n""".stripMargin,
+    // graph29: each VALUES row keeps the solutions it is compatible
+    // with — an UNDEF cell constrains nothing, so the block is the
+    // OR of the rows' bound constraints.
+    "graph29_sparql_values_undef" ->
+      """SELECT n, nl FROM (
+        |  SELECT 'nat:' || n_nationkey AS n, n_name AS nl FROM nation
+        |  UNION ALL
+        |  SELECT 'reg:' || r_regionkey, r_name FROM region)
+        |WHERE n = 'nat:0' OR nl = 'NATION_18'
+        |ORDER BY n, nl""".stripMargin,
     // graph26: SUM/AVG over typed decimal literals — the engine
     // strips `"lex"^^<datatype>` and sums doubles; decimal→string→
     // double round-trips exactly, so the oracle aggregates the base

@@ -589,6 +589,22 @@ object Graph {
         |ORDER BY ?n""".stripMargin
     )
 
+  /** graph29: VALUES with UNDEF through the text front-end (18.5
+    * mapping compatibility, the other round-9 engine addition): one
+    * row pins the subject and leaves the label unconstrained, the
+    * other pins the label across all subjects — each solution joins
+    * every row it is compatible with. */
+  def graph29SparqlValuesUndef(lake: Lake): DataFrame =
+    graft.sparql.Sparql.run(
+      triples(lake),
+      """SELECT ?n ?nl
+        |WHERE {
+        |  ?n <label> ?nl .
+        |  VALUES (?n ?nl) { (<nat:0> UNDEF) (UNDEF "NATION_18") }
+        |}
+        |ORDER BY ?n ?nl""".stripMargin
+    )
+
   /** graph24: SPARQL HAVING + GROUP_CONCAT through the text
     * front-end — the last two grouped-query constructs the fragment
     * lacked. HAVING's aggregate call is computed as an internal column
