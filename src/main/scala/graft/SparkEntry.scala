@@ -136,6 +136,7 @@ object SparkEntry {
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
+    "mm04_scene_cuts" -> q(graft.multimodal.Multimodal.mm04SceneCuts(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
@@ -2268,6 +2269,39 @@ object SparkEntry {
     // mm03: DuckDB replays the U8-PCM windowing over hex(payload) —
     // 1-indexed list lambdas, ('0x'||h)::INT decode, GREATEST guards
     // mirroring the Spark side's empty-window handling.
+    // mm04: mm03's rms chain + a per-doc LAG window + one fold; the
+    // 4dp-rounded rms values are bit-identical across engines
+    // (mm03's proven property) so the cut threshold cannot diverge.
+    "mm04_scene_cuts" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |w AS (SELECT doc_id, h,
+        |    CAST(CEIL(length(h) / 64.0) AS BIGINT) AS n_windows FROM m),
+        |f AS (SELECT doc_id, h,
+        |    UNNEST(generate_series(0, GREATEST(n_windows, 1) - 1)) AS win_idx
+        |  FROM w),
+        |s AS (SELECT doc_id, win_idx,
+        |    list_transform(
+        |      regexp_extract_all(substring(h, CAST(win_idx * 64 + 1 AS BIGINT), 64), '..'),
+        |      x -> ('0x' || x)::INTEGER - 128) AS samples
+        |  FROM f),
+        |feat AS (SELECT doc_id, win_idx,
+        |    ROUND(SQRT(COALESCE(list_sum(list_transform(samples,
+        |        x -> CAST(x * x AS DOUBLE))), 0) /
+        |      GREATEST(len(samples), 1)), 4) AS rms
+        |  FROM s),
+        |d AS (SELECT doc_id, rms,
+        |    LAG(rms) OVER (PARTITION BY doc_id ORDER BY win_idx) AS prev
+        |  FROM feat),
+        |c AS (SELECT doc_id,
+        |    CASE WHEN prev IS NOT NULL AND ABS(rms - prev) >= 8.0
+        |      THEN 1 ELSE 0 END AS is_cut FROM d)
+        |SELECT doc_id, COUNT(*) AS n_frames,
+        |  CAST(SUM(is_cut) AS BIGINT) AS n_cuts,
+        |  CAST(SUM(is_cut) + 1 AS BIGINT) AS n_segments,
+        |  ROUND(COUNT(*) / CAST(SUM(is_cut) + 1 AS DOUBLE), 4)
+        |    AS avg_segment_frames
+        |FROM c GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     "mm03_audio_features" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
         |w AS (SELECT doc_id, h,

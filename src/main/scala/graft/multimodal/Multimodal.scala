@@ -315,6 +315,59 @@ object Multimodal {
       .orderBy("doc_id", "win_idx")
   }
 
+  /** mm04: SCENE-CUT segmentation over a frame stream — the shot-
+    * boundary detection a video curation pipeline runs before
+    * sampling clips (cut where consecutive frames' features jump):
+    * per-frame features come from the same native
+    * [[graft.plans.AudioWindowFeatures]] byte kernel mm03 uses (the
+    * deterministic stand-in for a real frame-feature extractor —
+    * the Spark-side plumbing is the real contract, the mm01 rule),
+    * a per-doc LAG window marks frames whose rms jumps >= threshold
+    * from the previous frame, and one aggregation folds each doc to
+    * its segmentation summary. The frame features are 4dp-rounded
+    * identically in both engines (mm03's oracle-proven property),
+    * so the threshold comparison cannot diverge.
+    *
+    * Scale shape: map-only feature extraction, ONE window keyed by
+    * doc_id (data-parallel — never the global frame), one partial-
+    * aggregating fold to |docs| rows. */
+  def mm04SceneCuts(
+      lake: Lake,
+      windowSamples: Int = 32,
+      threshold: Double = 8.0
+  ): DataFrame = {
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy("frame_idx")
+    lake.documents
+      .select(
+        col("doc_id"),
+        explode(
+          graft.plans.AudioWindowFeatures(col("text").cast("binary"), windowSamples)
+        ).as("w")
+      )
+      .select(col("doc_id"), col("w.win_idx").as("frame_idx"), col("w.rms").as("rms"))
+      .withColumn("prev", lag("rms", 1).over(byDoc))
+      .withColumn(
+        "is_cut",
+        when(
+          col("prev").isNotNull && abs(col("rms") - col("prev")) >= threshold,
+          1L
+        ).otherwise(0L)
+      )
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum("is_cut").as("n_cuts"),
+        (sum("is_cut") + 1).as("n_segments"),
+        round(
+          count(lit(1)) / (sum("is_cut") + 1).cast("double"),
+          4
+        ).as("avg_segment_frames")
+      )
+      .orderBy("doc_id")
+  }
+
   /** mm01: media metadata + decoded features, flattened for the
     * driver dump. [rows-only — the decode step (ImageIO pixels /
     * byte histogram) is not oracle-expressible] */

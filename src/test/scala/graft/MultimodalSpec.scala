@@ -138,6 +138,23 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("scene cuts: segments consistent, threshold extremes degenerate correctly") {
+    val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
+    val rows = Multimodal.mm04SceneCuts(lake).collect()
+    rows.foreach { r =>
+      val (frames, cuts, segs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cuts <= frames - 1 || frames == 1, s"too many cuts: $r")
+      assert(segs == cuts + 1, s"segments != cuts+1: $r")
+      assert(math.abs(r.getDouble(4) - frames.toDouble / segs) < 1e-3)
+    }
+    // an unreachable threshold yields one segment per doc...
+    val none = Multimodal.mm04SceneCuts(lake, threshold = 1e9).collect()
+    assert(none.forall(r => r.getLong(2) == 0L && r.getLong(3) == 1L))
+    // ...and threshold 0 marks every frame transition a cut
+    val all = Multimodal.mm04SceneCuts(lake, threshold = 0.0).collect()
+    assert(all.forall(r => r.getLong(2) == r.getLong(1) - 1))
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val a = Multimodal.extractFeatures(Multimodal.asMedia(lake))
       .collect().sortBy(_.doc_id)
