@@ -824,6 +824,12 @@ object Sparql {
           st.next()
           var alts = Vector(term(st.next()))
           while (st.peek == Some("|")) { st.next(); alts :+= term(st.next()) }
+          // name the rejection instead of failing on the ')' expect:
+          // closing over a COMPOSED step needs a joined edge frame,
+          // which this fragment doesn't build
+          if (st.peek == Some("/"))
+            throw SparqlParseError(
+              "sequence paths inside a closure group are not supported (only (p1|p2) alternation)")
           st.expect(")")
           val m = modifier()
           if (m.isEmpty)

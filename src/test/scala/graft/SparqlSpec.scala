@@ -166,6 +166,8 @@ class SparqlSpec extends AnyFunSuite {
     rejects("SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { } }",
       "no required triple patterns")
     rejects("SELECT ?s WHERE { ?s (<p>|<q>) ?o }", "bare alternation")
+    rejects("SELECT ?s WHERE { ?s (<p>/<q>)+ ?o }",
+      "sequence paths inside a closure group")
     rejects("SELECT ?s WHERE { ?s ?p+ ?o }", "paths over a ?variable")
     rejects("SELECT ?s WHERE { ?s unknown:p ?o }", "unknown prefix")
     rejects("SELECT ?s WHERE { ?s <p> ?o } ORDER BY name", "at least one ?var")
