@@ -153,6 +153,7 @@ object SparkEntry {
     "samp07_soft_dedup" -> q(Dedup.samp07SoftDedup(_)),
     "samp09_cluster_balanced" -> q(Dedup.samp09ClusterBalanced(_)),
     "samp10_epoch_mixture" -> q(TextAnalysis.samp10EpochMixture(_)),
+    "samp11_interleave_schedule" -> q(TextAnalysis.samp11InterleaveSchedule(_)),
     "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
     "dedup13_exact_substring" -> q(Dedup.dedup13ExactSubstring(_)),
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
@@ -311,6 +312,21 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "emb02_pca_projection" -> emb02OracleSql(15),
     "samp10_epoch_mixture" -> samp10OracleSql(3),
+    // samp11: identical k/sqrt(n_s) arithmetic on both sides; ties
+    // (equal-size sources at the same k) break on (source, doc_id).
+    "samp11_interleave_schedule" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        |k AS (SELECT d.doc_id, d.source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+        |      AS DOUBLE) AS k, c.n_s
+        |  FROM documents d JOIN c USING (source)),
+        |v AS (SELECT doc_id, source,
+        |    k / SQRT(CAST(n_s AS DOUBLE)) AS vtime FROM k),
+        |t AS (SELECT * FROM v ORDER BY vtime, source, doc_id LIMIT 200)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY vtime, source, doc_id)
+        |    AS BIGINT) AS rank,
+        |  doc_id, source, ROUND(vtime, 6) AS vtime
+        |FROM t ORDER BY rank""".stripMargin,
     // eval06: identical log/diff arithmetic on both sides; corr and
     // stddev_pop differ only in aggregation order (~1e-15), absorbed
     // by the 4dp rounding.

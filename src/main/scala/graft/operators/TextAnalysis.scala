@@ -631,6 +631,47 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** samp11: deterministic INTERLEAVE schedule — the global training
+    * order a multi-source loader consumes (samp02/03 decide shares,
+    * samp10 decides epochs; this decides SEQUENCE): each source's
+    * k-th document gets virtual time k/√n_s (stride scheduling /
+    * weighted-fair-queueing finish times under samp03's √-flattening
+    * — heavier sources run at proportionally higher rate), and the
+    * global order is ascending virtual time with (source, doc_id)
+    * tie-breaks — deterministic, replayable, and within any prefix
+    * each source's share tracks its weight with bounded lag (the WFQ
+    * property, spec-pinned).
+    *
+    * Scale shape: per-source row_number windows partition on source
+    * (data-parallel), the count join broadcasts k rows, and the full
+    * schedule needs NO global rank column — it materializes as a
+    * sorted write (range-partitioned by vtime), exactly how a shard
+    * writer consumes it. The query surface returns the first `takeN`
+    * rows where a rank window over the LIMITed frame is bounded. */
+  def samp11InterleaveSchedule(lake: Lake, takeN: Int = 200): DataFrame = {
+    val perSource = Window.partitionBy("source").orderBy("doc_id")
+    val counts = lake.documents.groupBy("source").agg(count(lit(1)).as("n_s"))
+    val keyed = lake.documents
+      .select("doc_id", "source")
+      .withColumn("k", row_number().over(perSource).cast("double"))
+      .join(broadcast(counts), "source")
+      .withColumn("vtime", col("k") / sqrt(col("n_s").cast("double")))
+    val top = keyed
+      .orderBy(col("vtime"), col("source"), col("doc_id"))
+      .limit(takeN)
+    top
+      .select(
+        row_number()
+          .over(Window.orderBy(col("vtime"), col("source"), col("doc_id")))
+          .cast("long")
+          .as("rank"),
+        col("doc_id"),
+        col("source"),
+        round(col("vtime"), 6).as("vtime")
+      )
+      .orderBy("rank")
+  }
+
   /** txt26: LINE-level dedup — the RefinedWeb/CCNet stage exact-doc
     * dedup cannot do: a boilerplate sentence repeated across >=
     * `minDocs` distinct documents (headers, navigation, license

@@ -108,6 +108,28 @@ class TextSelectionSpec extends AnyFunSuite {
       "order within shards re-deals with the seed")
   }
 
+  test("interleave schedule: prefix shares track weights; per-source order preserved") {
+    val rows = TextAnalysis.samp11InterleaveSchedule(lake, takeN = 120).collect()
+    assert(rows.length == 120)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 120L), "ranks not dense")
+    // per-source documents appear in ascending doc_id order
+    rows.groupBy(_.getString(2)).values.foreach { rs =>
+      val ids = rs.sortBy(_.getLong(0)).map(_.getLong(1))
+      assert(ids.sameElements(ids.sorted), "per-source order broken")
+    }
+    // WFQ bounded lag: within the prefix, each source's count stays
+    // close to its weight share (sqrt-flattened) of the prefix
+    val counts = lake.documents.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val z = counts.values.map(n => math.sqrt(n.toDouble)).sum
+    val got = rows.groupBy(_.getString(2)).map { case (s, rs) => s -> rs.length }
+    counts.foreach { case (s, n) =>
+      val expect = 120.0 * math.sqrt(n.toDouble) / z
+      val g = got.getOrElse(s, 0)
+      assert(math.abs(g - expect) <= 2.0, s"$s: got $g expected ~$expect")
+    }
+  }
+
   test("agreement audit: stats well-formed, ~95% of pairs inside the limits of agreement") {
     val r = graft.operators.Evaluation.eval06Agreement(lake).collect().head
     val (n, pr, md, sd) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
