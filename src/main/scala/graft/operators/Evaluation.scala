@@ -313,6 +313,10 @@ object Evaluation {
           4
         ).as("within_loa")
       )
+      // a global agg over zero paired rows still yields one all-null
+      // row; drop it so an empty (or non-overlapping) lake degrades
+      // to an empty frame, matching the GROUP BY oracle's zero rows
+      .filter(col("n").isNotNull)
   }
 
   def eval05ScoreCalibration(lake: Lake, dim: Int = 4096): DataFrame = {

@@ -1182,9 +1182,10 @@ object Similarity {
     * apertures are narrow and most of the grid prunes; this
     * near-uniform synthetic sphere is the worst case (apertures
     * ~90 deg, little pruning), which exercises the exactness contract
-    * rather than the speedup. The 1e-9 slack absorbs acos roundoff so
-    * float noise can only widen the scan, never drop a qualifying
-    * cell.
+    * rather than the speedup. The prune test runs in cosine space
+    * with a 1e-6 slack and a degeneracy guard (derivation at the
+    * filter below) so float noise can only widen the scan, never
+    * drop a qualifying cell.
     *
     * Cell provenance is a free knob, exactly as in the IVF family:
     * `nlist = 0` (default) partitions by the existing label column
@@ -1205,34 +1206,13 @@ object Similarity {
     // Assignment PARTITIONS only — the cone reference point is always
     // the assigned cell's member-mean centroid (computed below), so
     // the bound is sound for any cell provenance. Label cells:
-    // cluster = label, zero assignment cost. Trained cells: argmax
-    // over the k-centroid list in a single map-only HOF pass (NOT
-    // argmaxCell's crossJoin + groupBy(vec_id), which would
-    // re-shuffle the corpus to group an already-unique key); the
-    // cluster-sorted list + strict > keeps the smallest cluster on
-    // ties (argmaxCell's exact tiebreak).
+    // cluster = label, zero assignment cost. Trained cells: the
+    // shared map-only argmaxCell (broadcast centroid row, one
+    // transform + array_max pass, zero corpus exchange).
     val assigned = (if (nlist <= 0) {
       all.withColumn("cluster", col("label").cast("long"))
     } else {
-      val centRow = kmeans(all, nlist, iters)
-        .agg(collect_list(struct(col("cluster"), col("centroid"))).as("cs"))
-        .select(array_sort(col("cs")).as("cs"))
-      all
-        .crossJoin(broadcast(centRow))
-        .withColumn(
-          "cluster",
-          aggregate(
-            col("cs"),
-            struct(lit(-2.0).as("ccos"), lit(-1L).as("cluster")),
-            (acc, c) => {
-              val cc = vectors.cosine(col("v"), c.getField("centroid"))
-              when(
-                cc > acc.getField("ccos"),
-                struct(cc.as("ccos"), c.getField("cluster").as("cluster"))
-              ).otherwise(acc)
-            }
-          ).getField("cluster")
-        )
+      argmaxCell(all, kmeans(all, nlist, iters), Seq("v", "nrm"))
     }).select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
     // the cone reference point: each cell's member-mean centroid —
     // one aggregation to k rows, checkpointed for its two consumers
@@ -1257,23 +1237,40 @@ object Similarity {
       .withColumn("ccos", vectors.cosine(col("v"), col("centroid")))
       .groupBy("cluster")
       .agg(min("ccos").as("min_ccos"))
-    val clamp1 = (c: org.apache.spark.sql.Column) =>
-      least(lit(1.0), greatest(lit(-1.0), c))
     val queries = all
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
-    // nQueries x ncells grid, pruned by the cone bound — broadcastable
+    // nQueries x ncells grid, pruned by the cone bound — broadcastable.
+    //
+    // The bound in COSINE space, not angle space: pruning is sound iff
+    // angle(q,c) > maxang(c) + acos(r'), where r' = radius - 5e-5
+    // (admission tests the ROUNDED cosine, which can accept a raw
+    // value up to half a 4dp ulp below the radius, so the cone must
+    // keep any cell that could hold such a pair). Taking cos of both
+    // sides (valid while the RHS angle <= pi, i.e. min_ccos > -r'):
+    //   prune  <=>  qccos < min_ccos*r' - sqrt(1-min_ccos^2)*sqrt(1-r'^2)
+    // The earlier acos-space form compared angles with a 1e-9 slack,
+    // but d(acos)/dx = -1/sqrt(1-x^2) amplifies an ~1e-15 cosine
+    // error to ~1e-7 as ccos -> 1, overrunning the slack. Here the
+    // only nonlinearity is sqrt(1-min_ccos^2), so pruning is simply
+    // made ineligible in its degenerate region (min_ccos > 1-1e-6, a
+    // near-point cell — cheap to scan, never worth a risky prune);
+    // outside it sqrt's derivative is <= ~7e2, worst-case amplified
+    // error ~1e-10, and the 1e-6 cosine-space slack dominates it by
+    // four orders of magnitude. Float noise can only widen the scan,
+    // never drop a qualifying cell — the exactness contract holds.
+    val rp = radius - 5e-5
+    val sinRp = math.sqrt(1.0 - rp * rp)
+    val prune =
+      col("min_ccos") > lit(-rp) && col("min_ccos") < lit(1.0 - 1e-6) &&
+        col("qccos") <
+        col("min_ccos") * lit(rp) -
+        sqrt(lit(1.0) - col("min_ccos") * col("min_ccos")) * lit(sinRp) -
+        lit(1e-6)
     val qcells = queries
       .crossJoin(broadcast(cellCents.join(bounds, "cluster")))
       .withColumn("qccos", vectors.cosine(col("qv"), col("centroid")))
-      // prune against radius - 5e-5, not radius: admission tests the
-      // ROUNDED cosine (see below), which can accept a raw value up
-      // to half a 4dp ulp below the radius — the cone must keep any
-      // cell that could hold such a pair
-      .filter(
-        acos(clamp1(col("qccos"))) - acos(clamp1(col("min_ccos"))) <=
-          acos(lit(radius - 5e-5)) + lit(1e-9)
-      )
+      .filter(!prune)
       .select(col("cluster"), col("query_id"), col("qv"), col("qnrm"))
     assigned
       .join(broadcast(qcells), Seq("cluster"))

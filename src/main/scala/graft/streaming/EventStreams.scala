@@ -57,13 +57,22 @@ object EventStreams extends Serializable {
       )
 
   /** Streaming conversion FUNNEL — evt04's twin: per user the first
-    * view/click/purchase instants, kept when they occur in strict
-    * funnel order. min(when(...)) is a mergeable aggregate, so the
+    * view/click/purchase instants plus a `converted` verdict (strict
+    * funnel order). min(when(...)) is a mergeable aggregate, so the
     * funnel runs as a plain streaming aggregation: state is three
-    * timestamps per user (not the event stream), partial mins merge
-    * across micro-batches in the state store, and the ordering filter
-    * applies on emit. Works identically in batch for backfill
-    * (spec-asserted against Events.evt04Funnel). */
+    * timestamps per user (not the event stream), and partial mins
+    * merge across micro-batches in the state store.
+    *
+    * The verdict is an emitted COLUMN, not a filter, and that is
+    * load-bearing for update mode: a late out-of-order event can
+    * FLIP a user's verdict (a click@1 arriving after view@2 →
+    * click@3 → purchase@4 already emitted converted=true), and a
+    * filter-after-aggregation has no way to retract the row it
+    * already emitted — the sink would report the stale conversion
+    * forever. With the verdict on the row, every state change
+    * re-emits the user's current truth, so an upsert sink keyed on
+    * user_id always converges. Batch twin contract:
+    * funnel(df).filter(converted) == evt04Funnel (spec-asserted). */
   def funnel(events: DataFrame): DataFrame =
     events
       .groupBy("user_id")
@@ -72,7 +81,8 @@ object EventStreams extends Serializable {
         min(when(col("event_type") === "click", col("ts"))).as("first_click"),
         min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase")
       )
-      .filter(
+      .withColumn(
+        "converted",
         col("first_view").isNotNull &&
           col("first_click").isNotNull &&
           col("first_purchase").isNotNull &&

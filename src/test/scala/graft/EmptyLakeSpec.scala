@@ -55,6 +55,7 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("emb01_hash_embeddings", Embedding.emb01HashEmbeddings(_))
   assertEmptyOk("emb02_pca_projection", Embedding.emb02PcaProject(_))
   assertEmptyOk("xref02_unified_entities", Linkage.xref02UnifiedEntities)
+  assertEmptyOk("eval06_agreement", Evaluation.eval06Agreement(_))
   // second batch: the remaining driver-scalar and trained-quantizer
   // call sites (kmeans seeds, PQ/SQ trains, BPE learn, the funnel)
   assertEmptyOk("dedup03_ngram_jaccard", Dedup.dedup03NgramJaccard(_))

@@ -160,12 +160,51 @@ class StreamingSpec extends AnyFunSuite {
     query.processAllAvailable()
     query.stop()
     val streamed = spark
-      .sql("SELECT * FROM funnel_out")
+      .sql("SELECT user_id, first_view, first_click, first_purchase FROM funnel_out WHERE converted")
       .orderBy("user_id")
       .collect()
       .map(_.toSeq)
     val batch = Events.evt04Funnel(lake).collect().map(_.toSeq)
     assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming funnel retracts a conversion when a late event breaks the order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    def at(h: Int) = t0.plusSeconds(h * 3600L)
+    val stream = MemoryStream[EventStreams.Evt]
+    val query = EventStreams
+      .funnel(stream.toDF())
+      .writeStream
+      .format("memory")
+      .queryName("funnel_retract")
+      .outputMode("update")
+      .start()
+    // batch 1: in-order funnel -> emitted as converted
+    stream.addData(Seq(
+      EventStreams.Evt(1L, at(2), 7L, "view", 0.0),
+      EventStreams.Evt(2L, at(3), 7L, "click", 0.0),
+      EventStreams.Evt(3L, at(4), 7L, "purchase", 0.0)
+    ))
+    query.processAllAvailable()
+    val afterFirst = spark
+      .sql("SELECT converted FROM funnel_retract")
+      .collect()
+      .map(_.getBoolean(0))
+    assert(afterFirst.toSeq == Seq(true))
+    // batch 2: a LATE click@1 makes first_click precede first_view —
+    // the verdict flips and update mode must emit the correction row
+    // (the old filter-on-emit shape silently left the stale
+    // conversion in the sink)
+    stream.addData(Seq(EventStreams.Evt(4L, at(1), 7L, "click", 0.0)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark
+      .sql("SELECT converted FROM funnel_retract")
+      .collect()
+      .map(_.getBoolean(0))
+    assert(rows.length == 2 && rows.count(_ == false) == 1)
   }
 
   test("streaming dedup drops duplicate events within the watermark") {
