@@ -48,6 +48,7 @@ object SparkEntry {
     "dedup14_bloom_decontaminate" -> q(Dedup.dedup14BloomDecontaminate(_)),
     "eval05_score_calibration" -> q(Evaluation.eval05ScoreCalibration(_)),
     "eval06_agreement" -> q(Evaluation.eval06Agreement),
+    "eval07_roc_auc" -> q(Evaluation.eval07RocAuc(_)),
     "xref01_id_map" -> q(Linkage.xref01IdMap),
     "xref02_unified_entities" -> q(Linkage.xref02UnifiedEntities),
     "xref03_coverage_stats" -> q(Linkage.xref03CoverageStats),
@@ -546,6 +547,57 @@ object SparkEntry {
         |WHERE doc_id % 100 < 30
         |GROUP BY lang
         |ORDER BY lang""".stripMargin,
+    // eval07: eval05's score+verdict CTE chain collapsed to
+    // per-distinct-score (np, nn) bins, a strictly-below running
+    // negative count over the bins, and the tie-aware rank-sum AUC
+    // identity as one fold — integer arithmetic up to the final
+    // divisions, so the engines agree bit-for-bit.
+    "eval07_roc_auc" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+        |  FROM documents),
+        |f AS (SELECT doc_id, list_concat(ws,
+        |    CASE WHEN len(ws) >= 2
+        |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk),
+        |sc AS (SELECT doc_id,
+        |    ROUND(CAST(list_sum(list_transform(feats, f ->
+        |      ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 * 2654435761 % 2001 - 1000))
+        |      AS BIGINT) / 1000.0 / CAST(len(feats) AS BIGINT), 4) AS q_score
+        |  FROM f),
+        |gt AS (SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+        |ga AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(LENGTH(w)) AS BIGINT) AS sum_len,
+        |  COUNT(*) FILTER (WHERE NOT regexp_matches(w, '[A-Za-z0-9]')) AS n_symbol,
+        |  COUNT(DISTINCT CASE WHEN w IN ('the','a','of','and') THEN w END) AS n_stop_distinct
+        |  FROM gt GROUP BY 1),
+        |gb AS (SELECT doc_id,
+        |  (n_tokens >= 50 AND n_tokens <= 100000
+        |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) >= 3
+        |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) <= 10
+        |   AND ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) < 0.1
+        |   AND n_stop_distinct >= 2) AS passes
+        |  FROM ga),
+        |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
+        |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id),
+        |b AS (SELECT q_score,
+        |    COUNT(*) FILTER (WHERE passes) AS np,
+        |    COUNT(*) FILTER (WHERE NOT passes) AS nn
+        |  FROM j GROUP BY 1),
+        |c AS (SELECT np, nn,
+        |    COALESCE(SUM(nn) OVER (ORDER BY q_score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_nn
+        |  FROM b)
+        |SELECT CAST(SUM(np + nn) AS BIGINT) AS n,
+        |  CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    ROUND((CAST(SUM(np * cum_nn) AS DOUBLE) + 0.5 * CAST(SUM(np * nn) AS DOUBLE))
+        |      / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 4) END AS auc,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    ROUND(2.0 * (CAST(SUM(np * cum_nn) AS DOUBLE) + 0.5 * CAST(SUM(np * nn) AS DOUBLE))
+        |      / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)) - 1.0, 4) END AS gini
+        |FROM c""".stripMargin,
     // eval05: txt29's hashed-classifier score CTE + txt20's Gopher
     // verdict CTE joined per doc, then every threshold's counts as
     // FILTERed aggregates grouped by a VALUES threshold grid — the

@@ -319,21 +319,27 @@ object Evaluation {
       .filter(col("n").isNotNull)
   }
 
-  def eval05ScoreCalibration(lake: Lake, dim: Int = 4096): DataFrame = {
-    val thresholds = Seq(-0.10, -0.05, 0.0, 0.05, 0.10, 0.15, 0.20)
-    val scored = lake.documents
+  /** The (doc_id, text, q_score) frame both scorer evaluations share:
+    * the hashed classifier staged so the struct is evaluated once,
+    * text kept for the fused Gopher pass. */
+  private def scoredDocs(lake: Lake, dim: Int): DataFrame =
+    lake.documents
       .select(
         col("doc_id"),
+        col("text"),
         graft.plans.HashedClassifierScore(col("text"), dim).as("m")
       )
       .select(
         col("doc_id"),
+        col("text"),
         round(col("m.s_milli") / 1000.0 / col("m.n_feats"), 4).as("q_score")
       )
-    val gold = TextAnalysis
-      .gopherVerdict(lake.documents)
-      .select(col("doc_id"), col("passes"))
-    val j = scored.join(gold, "doc_id")
+
+  def eval05ScoreCalibration(lake: Lake, dim: Int = 4096): DataFrame = {
+    val thresholds = Seq(-0.10, -0.05, 0.0, 0.05, 0.10, 0.15, 0.20)
+    // one fused map pass for score + verdict (gopherVerdict carry)
+    val j = TextAnalysis
+      .gopherVerdict(scoredDocs(lake, dim), carry = Seq("q_score"))
     val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
       Seq(
         sum(when(col("q_score") >= t, 1L).otherwise(0L)).as(s"k$i"),
@@ -364,5 +370,69 @@ object Evaluation {
         round(col("n_true_kept") / col("pos").cast("double"), 4).as("recall")
       )
       .orderBy("threshold")
+  }
+
+  /** eval07: exact ROC AUC for the learned quality scorer — the
+    * threshold-free companion to eval05's calibration curve (the
+    * accept-test for swapping the rule pipeline for a learned model;
+    * reference: the quality-classifier evaluation the curation
+    * pipeline runs before a scorer goes live). Score = the hashed
+    * classifier (txt29's model), gold = the Gopher verdict.
+    *
+    * AUC via the tie-aware rank-sum (Mann-Whitney U) identity:
+    * AUC = P(s_pos > s_neg) + 0.5 P(s_pos = s_neg). Scale shape: the
+    * corpus collapses to per-DISTINCT-SCORE bins first (scores are
+    * 4dp-rounded, so the bin table is bounded at ~20k rows no matter
+    * the corpus size); the prefix sum of negatives runs over that
+    * bounded bin table (samp04's header-window discipline — the
+    * single-partition window never sees a corpus-sized input), and
+    * one final fold emits the verdict row. Never a global sort of
+    * the corpus, never a pairwise join. */
+  def eval07RocAuc(lake: Lake, dim: Int = 4096): DataFrame = {
+    // score + verdict FUSED into one map pass over the corpus (the
+    // gopherVerdict carry hook) — no doc_id self-join, no second scan
+    val bins = TextAnalysis
+      .gopherVerdict(scoredDocs(lake, dim), carry = Seq("q_score"))
+      .groupBy("q_score")
+      .agg(
+        sum(when(col("passes"), 1L).otherwise(0L)).as("np"),
+        sum(when(!col("passes"), 1L).otherwise(0L)).as("nn")
+      )
+    // negatives strictly below this score — bounded bin-table window
+    val w = Window
+      .orderBy("q_score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bins
+      .withColumn("cum_nn", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(
+        sum(col("np") + col("nn")).cast("long").as("n"),
+        sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"),
+        (sum(col("np") * col("cum_nn")) +
+          lit(0.5) * sum(col("np") * col("nn"))).as("num")
+      )
+      .select(
+        col("n"),
+        col("n_pos"),
+        col("n_neg"),
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          round(
+            col("num") / (col("n_pos") * col("n_neg")).cast("double"),
+            4
+          )
+        ).as("auc"),
+        when(
+          col("n_pos") > 0 && col("n_neg") > 0,
+          round(
+            lit(2.0) * col("num") /
+              (col("n_pos") * col("n_neg")).cast("double") - lit(1.0),
+            4
+          )
+        ).as("gini")
+      )
+      // the eval06 discipline: an empty corpus degrades to zero rows,
+      // not one all-null row
+      .filter(col("n").isNotNull)
   }
 }

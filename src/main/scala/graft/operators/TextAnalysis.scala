@@ -459,20 +459,28 @@ object TextAnalysis {
     * arithmetic or a single division: bit-stable across engines and
     * cluster sizes. The staged select keeps the token array evaluated
     * once per row (CollapseProject will not inline a multi-referenced
-    * alias). */
-  def gopherVerdict(docs: DataFrame): DataFrame =
+    * alias).
+    *
+    * `carry` names extra input columns to thread through unchanged —
+    * consumers that pair the verdict with another per-doc signal
+    * (eval05/eval07's learned score) fuse into THIS one map pass
+    * instead of re-scanning the corpus and self-joining on doc_id. */
+  def gopherVerdict(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), text.tokens(col("text")).as("toks"))
       .select(
-        col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_len"),
-        expr("size(filter(toks, t -> NOT t rlike '[A-Za-z0-9]'))")
-          .cast("long")
-          .as("n_symbol"),
-        expr(
-          "size(array_intersect(array_distinct(toks), array('the','a','of','and')))"
-        ).cast("long").as("n_stop_distinct")
+        col("doc_id") +: carry.map(col) :+ text.tokens(col("text")).as("toks"): _*
+      )
+      .select(
+        (col("doc_id") +: carry.map(col)) ++ Seq(
+          size(col("toks")).cast("long").as("n_tokens"),
+          expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("sum_len"),
+          expr("size(filter(toks, t -> NOT t rlike '[A-Za-z0-9]'))")
+            .cast("long")
+            .as("n_symbol"),
+          expr(
+            "size(array_intersect(array_distinct(toks), array('the','a','of','and')))"
+          ).cast("long").as("n_stop_distinct")
+        ): _*
       )
       .withColumn(
         "mean_tok_len",
@@ -497,13 +505,14 @@ object TextAnalysis {
         )
       )
       .select(
-        col("doc_id"),
-        col("n_tokens"),
-        col("mean_tok_len"),
-        col("symbol_ratio"),
-        col("n_stop_distinct"),
-        col("fail_reasons"),
-        (col("fail_reasons") === "").as("passes")
+        (col("doc_id") +: carry.map(col)) ++ Seq(
+          col("n_tokens"),
+          col("mean_tok_len"),
+          col("symbol_ratio"),
+          col("n_stop_distinct"),
+          col("fail_reasons"),
+          (col("fail_reasons") === "").as("passes")
+        ): _*
       )
 
   def txt20GopherFilter(lake: Lake): DataFrame =

@@ -285,6 +285,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("eval07: the AUC prefix window runs over score bins, never the corpus") {
+    val p = plan(Evaluation.eval07RocAuc(lake))
+    // the corpus must collapse to per-distinct-score (np, nn) bins
+    // BEFORE the single-partition running-negatives window — a
+    // doc-level window would globally sort the corpus at scale
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p)
+    assert(!windows.exists(w => w.contains("doc_id")), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("graph11/13/14: SPARQL union aligns without cartesians; VALUES broadcasts; MINUS anti-joins") {
     // union branches are independent BGP plans — alignment must not
     // introduce a cartesian or nested-loop join

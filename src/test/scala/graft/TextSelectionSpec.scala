@@ -55,6 +55,45 @@ class TextSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("roc auc: the binned rank-sum AUC equals the brute-force pairwise probability") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    val row = graft.operators.Evaluation.eval07RocAuc(lake).collect().head
+    val (n, nPos, nNeg) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(n == lake.documents.count() && n == nPos + nNeg)
+    val auc = row.getDouble(3)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(row.getDouble(4) - (2 * auc - 1)) <= 1e-4 + 1e-9)
+    // brute force over all pos x neg pairs from the same public
+    // score + verdict surfaces (O(n^2) — test-scale only)
+    val scored = lake.documents
+      .select(
+        col("doc_id"),
+        graft.plans.HashedClassifierScore(col("text"), 4096).as("m")
+      )
+      .select(
+        col("doc_id"),
+        round(col("m.s_milli") / 1000.0 / col("m.n_feats"), 4).as("s")
+      )
+      .join(
+        graft.operators.TextAnalysis
+          .gopherVerdict(lake.documents)
+          .select(col("doc_id"), col("passes")),
+        "doc_id"
+      )
+      .collect()
+      .map(r => (r.getDouble(1), r.getBoolean(2)))
+    val pos = scored.filter(_._2).map(_._1)
+    val neg = scored.filterNot(_._2).map(_._1)
+    assert(pos.length.toLong == nPos && neg.length.toLong == nNeg)
+    val num = pos.iterator.map { p =>
+      neg.count(_ < p) + 0.5 * neg.count(_ == p)
+    }.sum
+    val brute = num / (pos.length.toDouble * neg.length.toDouble)
+    assert(math.abs(auc - brute) <= 5e-5, s"auc $auc vs brute $brute")
+  }
+
   test("seeded sample: ~rate kept, seed re-deals, retry-stable, map-only") {
     import TestSpark._
     val lake = graft.catalog.Lake(spark, sfDir)
