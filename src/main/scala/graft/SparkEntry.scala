@@ -138,6 +138,7 @@ object SparkEntry {
     "mm02_frame_sample" -> q(graft.multimodal.Multimodal.mm02FrameSample(_)),
     "mm03_audio_features" -> q(graft.multimodal.Multimodal.mm03AudioFeatures(_)),
     "mm04_scene_cuts" -> q(graft.multimodal.Multimodal.mm04SceneCuts(_)),
+    "mm05_phash_neardup" -> q(graft.multimodal.Multimodal.mm05PhashNeardup(_)),
     "txt13_pii_redaction" -> q(TextAnalysis.txt13PiiRedaction),
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
@@ -2370,6 +2371,41 @@ object SparkEntry {
         |    AS avg_segment_frames
         |FROM c GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // mm05: mm03's hex window-rms chain re-used to build the cyclic
+    // 63-bit dHash per doc, then the EXHAUSTIVE pairwise Hamming
+    // form — the banded Spark plan must reproduce it exactly (the
+    // 4-band pigeonhole guarantee at maxHamming = 3).
+    "mm05_phash_neardup" ->
+      """WITH m AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
+        |w AS (SELECT doc_id, h,
+        |    CAST(CEIL(length(h) / 64.0) AS BIGINT) AS n_windows FROM m),
+        |f AS (SELECT doc_id, h,
+        |    UNNEST(generate_series(0, GREATEST(n_windows, 1) - 1)) AS win_idx
+        |  FROM w),
+        |s AS (SELECT doc_id, win_idx,
+        |    list_transform(
+        |      regexp_extract_all(substring(h, CAST(win_idx * 64 + 1 AS BIGINT), 64), '..'),
+        |      x -> ('0x' || x)::INTEGER - 128) AS samples
+        |  FROM f),
+        |feat AS (SELECT doc_id, win_idx,
+        |    ROUND(SQRT(COALESCE(list_sum(list_transform(samples,
+        |        x -> CAST(x * x AS DOUBLE))), 0) /
+        |      GREATEST(len(samples), 1)), 4) AS rms
+        |  FROM s),
+        |r AS (SELECT doc_id, list(rms ORDER BY win_idx) AS rl FROM feat GROUP BY doc_id),
+        |hh AS (SELECT doc_id,
+        |    CASE WHEN len(rl) >= 2 THEN
+        |      CAST(list_sum(list_transform(range(0, 63),
+        |        i -> CASE WHEN rl[CAST((i + 1) % len(rl) AS BIGINT) + 1] >
+        |                       rl[CAST(i % len(rl) AS BIGINT) + 1]
+        |             THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+        |             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
+        |    ELSE 0 END AS h FROM r)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
     "mm03_audio_features" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),
         |w AS (SELECT doc_id, h,

@@ -368,6 +368,103 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** mm05: PERCEPTUAL-HASH near-duplicate detection over media
+    * payloads — the image-dedup pass a multimodal curation pipeline
+    * runs (pHash/dHash near-dup is how near-identical images — crops,
+    * re-encodes, watermarks — are caught without pixel-exact
+    * equality; the text/embedding analogs are dedup03-06).
+    *
+    * Hash: dHash over the deterministic frame-feature stream — the
+    * same native [[graft.plans.AudioWindowFeatures]] byte kernel
+    * mm03/mm04 use as the codec stand-in (the mm01 rule: the
+    * plumbing is the contract; swap in a real thumbnail-gradient
+    * extractor by replacing the feature array only). Bit i of the
+    * 63-bit hash is rms[(i+1) mod n] > rms[i mod n] — CYCLIC
+    * indexing so every payload fills all 63 bits: without it, every
+    * doc shorter than 64 windows would share identical zero high
+    * bands and the band join would re-quadratify on that one bucket
+    * (the skew trap). 63 bits, not 64, keeps the hash non-negative
+    * in both engines' signed BIGINT.
+    *
+    * Near-dup: 4-band LSH on the hash (16/16/16/15 bits) → candidate
+    * pairs via band equi-join → exact Hamming verify
+    * bit_count(h_a XOR h_b) <= maxHamming. With 4 bands and
+    * maxHamming = 3 the pigeonhole guarantee is exact: <= 3 flipped
+    * bits cannot touch all 4 bands, so every qualifying pair shares
+    * a band — the oracle replays the EXHAUSTIVE pairwise form and
+    * the results match (dedup04's banding discipline, applied to
+    * media). Scale shape: hashing is map-only (the window array
+    * never explodes), candidates are linear in docs per band bucket,
+    * the corpus never meets itself outside the band equi-join. */
+  def mm05PhashNeardup(
+      lake: Lake,
+      windowSamples: Int = 32,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val hashes = lake.documents
+      .select(
+        col("doc_id"),
+        transform(
+          graft.plans.AudioWindowFeatures(
+            col("text").cast("binary"),
+            windowSamples
+          ),
+          w => w.getField("rms")
+        ).as("rms")
+      )
+      .select(
+        col("doc_id"),
+        when(
+          size(col("rms")) >= 2,
+          expr(
+            """aggregate(
+              |  transform(sequence(0, 62),
+              |    i -> IF(rms[CAST((i + 1) % size(rms) AS INT)] >
+              |            rms[CAST(i % size(rms) AS INT)],
+              |         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+              |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin
+          )
+        ).otherwise(lit(0L)).as("h")
+      )
+      // two consumers (both sides of the band join) — materialize the
+      // corpus scan + hash once
+      .localCheckpoint()
+    val bands = hashes.select(
+      col("doc_id"),
+      col("h"),
+      posexplode(
+        array(
+          col("h").bitwiseAND(lit(0xffffL)),
+          shiftright(col("h"), 16).bitwiseAND(lit(0xffffL)),
+          shiftright(col("h"), 32).bitwiseAND(lit(0xffffL)),
+          shiftright(col("h"), 48).bitwiseAND(lit(0x7fffL))
+        )
+      ).as(Seq("band_idx", "band_val"))
+    )
+    bands
+      .as("a")
+      .join(
+        bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id")
+      )
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        col("a.h").as("ha"),
+        col("b.h").as("hb")
+      )
+      .distinct()
+      .withColumn(
+        "hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long")
+      )
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** mm01: media metadata + decoded features, flattened for the
     * driver dump. [rows-only — the decode step (ImageIO pixels /
     * byte histogram) is not oracle-expressible] */

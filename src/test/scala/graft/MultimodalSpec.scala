@@ -155,6 +155,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(all.forall(r => r.getLong(2) == r.getLong(1) - 1))
   }
 
+  test("phash near-dup: canonical pairs, exact dups at hamming 0, tighter budget nests") {
+    import org.apache.spark.sql.functions._
+    val pairs = Multimodal.mm05PhashNeardup(lake).collect()
+    assert(pairs.nonEmpty)
+    // canonical orientation, no duplicate pairs
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.forall { case (a, b) => a < b })
+    assert(keys.distinct.length == keys.length)
+    pairs.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 3L))
+    val zeros = pairs.filter(_.getLong(2) == 0L).map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a tighter Hamming budget is exactly the filtered superset
+    val tight = Multimodal.mm05PhashNeardup(lake, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == zeros)
+    // plant an exact payload duplicate in a copy of the lake: the
+    // pair MUST surface at hamming 0 (identical bytes hash
+    // identically, and the band join cannot miss an equal hash)
+    val dir = java.nio.file.Files.createTempDirectory("mm05_lake").toString
+    val src = lake.documents
+    val dupId = 999999L
+    src
+      .union(
+        src.orderBy("doc_id").limit(1).withColumn("doc_id", lit(dupId))
+      )
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      lake.table(t).limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val planted = graft.catalog.Lake(TestSpark.spark, dir)
+    val origId = src.orderBy("doc_id").limit(1).collect()(0).getLong(0)
+    val got = Multimodal.mm05PhashNeardup(planted)
+      .filter(col("doc_b") === dupId && col("doc_a") === origId)
+      .collect()
+    assert(got.length == 1 && got(0).getLong(2) == 0L,
+      s"planted dup pair ($origId,$dupId) missing or nonzero")
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val a = Multimodal.extractFeatures(Multimodal.asMedia(lake))
       .collect().sortBy(_.doc_id)

@@ -285,6 +285,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("mm05: phash candidates come from the band equi-join, never a cross product") {
+    val p = plan(graft.multimodal.Multimodal.mm05PhashNeardup(lake))
+    // the corpus meets itself ONLY through the (band_idx, band_val)
+    // equi-join; an all-pairs Hamming scan is the quadratic trap the
+    // banding exists to avoid
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("band_idx"), p)
+  }
+
   test("eval07: the AUC prefix window runs over score bins, never the corpus") {
     val p = plan(Evaluation.eval07RocAuc(lake))
     // the corpus must collapse to per-distinct-score (np, nn) bins
