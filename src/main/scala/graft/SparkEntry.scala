@@ -160,6 +160,7 @@ object SparkEntry {
     "dedup13_exact_substring" -> q(Dedup.dedup13ExactSubstring(_)),
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
     "cat03_column_stats" -> q(CatalogOps.cat03ColumnStats(_)),
+    "cat04_zorder_layout" -> q(CatalogOps.cat04ZorderLayout(_)),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
@@ -974,6 +975,32 @@ object SparkEntry {
         |ORDER BY purchase_id, view_id""".stripMargin,
     // cat03: one SELECT block per profiled column (the unpivoted shape
     // of the single wide aggregate the Spark side runs per table).
+    // cat04: the Morton interleave replayed as a 16-step
+    // list_transform fold over bit positions, then identical
+    // bucket/extent aggregation — integer arithmetic end to end.
+    "cat04_zorder_layout" ->
+      """WITH raw AS (SELECT o_custkey AS cx,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS cy
+        |  FROM orders),
+        |st AS (SELECT MIN(cx) AS minx, MAX(cx) AS maxx,
+        |              MIN(cy) AS miny, MAX(cy) AS maxy FROM raw),
+        |s AS (SELECT (cx - minx) * 65536 // (maxx - minx + 1) AS x,
+        |             (cy - miny) * 65536 // (maxy - miny + 1) AS y
+        |  FROM raw, st),
+        |zc AS (SELECT x, y,
+        |    CAST(list_sum(list_transform(range(0, 16),
+        |      i -> ((x >> CAST(i AS INTEGER)) & 1)
+        |             * (CAST(1 AS BIGINT) << CAST(2 * i AS INTEGER))
+        |         + ((y >> CAST(i AS INTEGER)) & 1)
+        |             * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INTEGER))))
+        |      AS BIGINT) AS z
+        |  FROM s)
+        |SELECT z >> 26 AS bucket,
+        |  COUNT(*) AS n_rows,
+        |  MIN(x) AS min_x, MAX(x) AS max_x,
+        |  MIN(y) AS min_y, MAX(y) AS max_y,
+        |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS extent_area
+        |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin,
     "cat03_column_stats" -> {
       def block(table: String, c: String) =
         s"""SELECT '$table' AS table_name, '$c' AS column_name,

@@ -341,4 +341,93 @@ object CatalogOps {
         col("n_nonnull"), col("n_distinct"), col("min_val"), col("max_val"))
       .orderBy("table_name", "column_name")
   }
+
+  /** The Morton (Z-order) key over two 16-bit grid cells — bit i of
+    * x lands at z-bit 2i, bit i of y at 2i+1. Values are reduced mod
+    * 2^16 to grid CELLS first (the standard trick: Z-ordering needs
+    * bounded bit-width, and locality within a cell grid is what the
+    * min/max file-skipping stats consume). Map-only: a 16-step HOF
+    * fold per row, no shuffle, codegen-friendly. */
+  private[graft] def mortonZ(xCol: String, yCol: String) =
+    expr(
+      s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT),
+         |  (a, i) -> a
+         |    + shiftleft(shiftright($xCol, i) & CAST(1 AS BIGINT), 2 * i)
+         |    + shiftleft(shiftright($yCol, i) & CAST(1 AS BIGINT), 2 * i + 1))""".stripMargin
+    )
+
+  /** Orders tagged with their Z-order key over (customer, order-day)
+    * — the two-dimensional filter pair an orders workload actually
+    * hits (per-customer lookups AND date-range scans). Each dimension
+    * scales into its 16-bit grid by OBSERVED min/max (one broadcast
+    * 1-row stats pass): raw values mod 2^16 would leave the high z
+    * bits constant whenever a dimension's range is narrower than the
+    * grid, collapsing every row into one bucket. Integer arithmetic
+    * (scale-then-integer-divide, both operands non-negative) so both
+    * engines land on identical cells. Heavy skew would want
+    * rank-based cells instead (a global sort) — min/max scaling is
+    * the map-only form and matches what file-skipping stats see. */
+  private def ordersWithZ(lake: Lake): DataFrame = {
+    val base = lake.orders.select(
+      col("o_custkey").as("cx"),
+      datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+        .cast("long")
+        .as("cy")
+    )
+    val stats = base.agg(
+      min("cx").as("minx"),
+      max("cx").as("maxx"),
+      min("cy").as("miny"),
+      max("cy").as("maxy")
+    )
+    base
+      .crossJoin(broadcast(stats))
+      .select(
+        expr("(cx - minx) * 65536 div (maxx - minx + 1)").as("x"),
+        expr("(cy - miny) * 65536 div (maxy - miny + 1)").as("y")
+      )
+      .withColumn("z", mortonZ("x", "y"))
+  }
+
+  /** cat04: Z-ORDER layout audit — the OPTIMIZE-ZORDER-BY analog for
+    * a lakehouse table (Delta/Iceberg's multidimensional clustering):
+    * rows map to a Morton key over (customer, order-day), keys group
+    * into 2^bucketBits contiguous z-ranges (the file boundaries a
+    * z-ordered write would produce), and the audit reports each
+    * bucket's row count and min/max EXTENT in both dimensions — the
+    * exact numbers a scan planner's file-skipping consults. The point
+    * a linear sort cannot match: sorting by customer alone leaves
+    * every file spanning the full date range (and vice versa);
+    * Z-order bounds BOTH extents per bucket, so 2-D predicates prune
+    * files (spec-pinned: mean bucket extent area is a small fraction
+    * of the full grid area; a 1-D layout's area ratio is ~1).
+    *
+    * Scale: the key is a map-only fold, the audit is one
+    * partial-aggregating groupBy to 2^bucketBits rows. The physical
+    * write path is [[zorderPartitioned]] (range-partition by z, sort
+    * within partitions) — same key, actual file layout. */
+  def cat04ZorderLayout(lake: Lake, bucketBits: Int = 6): DataFrame =
+    ordersWithZ(lake)
+      .withColumn("bucket", shiftright(col("z"), 32 - bucketBits))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("x").as("min_x"),
+        max("x").as("max_x"),
+        min("y").as("min_y"),
+        max("y").as("max_y"),
+        ((max("x") - min("x") + lit(1L)) *
+          (max("y") - min("y") + lit(1L))).as("extent_area")
+      )
+      .orderBy("bucket")
+
+  /** The physical layout: orders range-partitioned by the Morton key
+    * and sorted within partitions — what a z-ordered OPTIMIZE write
+    * materializes (each output file = one tight z-range, so its
+    * parquet footer min/max on BOTH dims is narrow). Returned as a
+    * DataFrame so callers choose the sink. */
+  def zorderPartitioned(lake: Lake, nParts: Int = 8): DataFrame =
+    ordersWithZ(lake)
+      .repartitionByRange(nParts, col("z"))
+      .sortWithinPartitions("z")
 }

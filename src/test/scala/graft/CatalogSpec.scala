@@ -143,4 +143,45 @@ class CatalogSpec extends AnyFunSuite {
       assert(sorted.last.getBoolean(4) && sorted.last.isNullAt(3), s"key $key last row")
     }
   }
+
+  test("cat04: every z-bucket bounds BOTH dimensions — the 2-D pruning property") {
+    val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
+    val rows = CatalogOps.cat04ZorderLayout(lake).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (bucket, n) = (r.getLong(0), r.getLong(1))
+      val (minX, maxX, minY, maxY) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      total += n
+      assert(bucket >= 0 && bucket < 64, s"bucket $bucket")
+      // fixing the top 6 z bits fixes bits 13-15 of BOTH dims, so
+      // each extent is provably < 2^13 — a 1-D sort bounds one
+      // dimension and leaves the other spanning the full grid
+      assert(maxX - minX < 8192, s"x extent unbounded in bucket $bucket")
+      assert(maxY - minY < 8192, s"y extent unbounded in bucket $bucket")
+      assert(r.getLong(6) == (maxX - minX + 1) * (maxY - minY + 1))
+    }
+    assert(total == lake.orders.count(), "buckets must partition the table")
+  }
+
+  test("cat04: the physical z-layout yields disjoint sorted z-ranges per partition") {
+    import org.apache.spark.sql.functions._
+    val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
+    val parts = CatalogOps
+      .zorderPartitioned(lake, nParts = 8)
+      .select(spark_partition_id().as("pid"), col("z"))
+      .groupBy("pid")
+      .agg(min("z").as("lo"), max("z").as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(parts.nonEmpty)
+    // range partitioning: each partition's z-interval ends before the
+    // next begins — each output file is one tight z-range, which is
+    // what makes its footer min/max narrow in both dimensions
+    parts.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 <= b._1, s"overlap: $a vs $b")
+      case _           => ()
+    }
+  }
 }

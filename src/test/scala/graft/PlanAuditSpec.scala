@@ -285,6 +285,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("cat04: the z-key is map-only over a broadcast stats row; one aggregate exchange") {
+    val p = plan(CatalogOps.cat04ZorderLayout(lake))
+    // the only join is the 1-row min/max stats broadcast; the Morton
+    // fold itself must never shuffle the table
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("mm05: phash candidates come from the band equi-join, never a cross product") {
     val p = plan(graft.multimodal.Multimodal.mm05PhashNeardup(lake))
     // the corpus meets itself ONLY through the (band_idx, band_val)
