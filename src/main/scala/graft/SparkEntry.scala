@@ -79,6 +79,7 @@ object SparkEntry {
     "ing09_graph_store" -> q(graft.sources.Rdf.ing09GraphStore),
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "emb02_pca_projection" -> q(Embedding.emb02PcaProject(_)),
+    "emb03_prefix_fidelity" -> q(Embedding.emb03PrefixFidelity(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),
@@ -1456,6 +1457,29 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ROUND(${dkCos("a.v", "b.v")}, 4) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // emb03: per prefix length, the truncated-cosine brute-force
+    // top-k ranked exactly like sim01 (partitioned ROW_NUMBER over
+    // raw cosine, vec_id tiebreak), LEFT-joined to full-dim truth,
+    // hits counted per dim — recall denominator k * nQueries = 100.
+    "emb03_prefix_fidelity" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |tr AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY ${dkCos("qv", "v")} DESC, vec_id) AS rank
+         |    FROM q JOIN e ON vec_id != query_id) WHERE rank <= 10),
+         |dg AS (SELECT CAST(x AS BIGINT) AS dim FROM (VALUES (8), (16), (32)) t(x)),
+         |s AS (SELECT dim, query_id, vec_id,
+         |    ${dkCos("qv[1:dim]", "v[1:dim]")} AS cos_raw
+         |  FROM dg CROSS JOIN q JOIN e ON vec_id != query_id),
+         |r AS (SELECT dim, query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY dim, query_id ORDER BY cos_raw DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT dim, CAST(COUNT(tr.query_id) AS BIGINT) AS n_hits,
+         |  ROUND(COUNT(tr.query_id) / 100.0, 4) AS recall_at_k
+         |FROM r LEFT JOIN tr ON r.query_id = tr.query_id AND r.vec_id = tr.vec_id
+         |WHERE r.rank <= 10
+         |GROUP BY dim ORDER BY dim""".stripMargin,
     "sim01_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

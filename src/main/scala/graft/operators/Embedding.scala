@@ -241,4 +241,68 @@ object Embedding {
       round(vectors.dot(col("v"), typedLit(u2.toSeq)) - c2, 4).as("p2")
     ).orderBy("vec_id")
   }
+
+  /** emb03: PREFIX-DIMENSION retrieval fidelity — the storage-sizing
+    * audit for truncatable (Matryoshka-style) embeddings: at 100 TB
+    * the embedding column's width is a first-order storage and
+    * shuffle cost, and the question "how many leading dimensions do
+    * we actually need?" is answered by measuring recall@k of
+    * prefix-dim retrieval against full-dim truth (the same audit
+    * shape as eval02, turned on the representation instead of the
+    * index; sim09's prefix-prefilter picks ITS prefix length from
+    * exactly this curve).
+    *
+    * For each prefix length: brute-force top-k under the truncated
+    * cosine (the shared TopKByScore tail, bounded query side
+    * broadcast), one narrow id-join against full-dim truth, one
+    * |dims|-row fold. Deterministic cross-engine for sim01's reason
+    * (both engines run the same sequential dot-product order; margins
+    * dominate fp noise). */
+  def emb03PrefixFidelity(
+      lake: Lake,
+      k: Int = 10,
+      nQueries: Int = 10,
+      dims: Seq[Int] = Seq(8, 16, 32)
+  ): DataFrame = {
+    val truth = Similarity
+      .sim01TopKBruteForce(lake, k, nQueries)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    val full = Similarity.vecs(lake)
+    val legs = dims.map { d =>
+      val pre = full
+        .select(col("vec_id"), slice(col("v"), 1, d).as("v"))
+        .withColumn("nrm", vectors.norm(col("v")))
+      val q = pre
+        .filter(col("vec_id") < nQueries)
+        .select(
+          col("vec_id").as("query_id"),
+          col("v").as("qv"),
+          col("nrm").as("qnrm")
+        )
+      Similarity
+        .topkPerQuery(
+          pre
+            .join(broadcast(q), col("vec_id") =!= col("query_id"))
+            .withColumn(
+              "cos_raw",
+              vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+            ),
+          k
+        )
+        .withColumn("dim", lit(d.toLong))
+    }
+    legs
+      .reduce(_ unionByName _)
+      .select(col("dim"), col("query_id"), col("neighbor_id"))
+      .join(broadcast(truth), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("dim")
+      .agg(
+        count(col("hit")).as("n_hits"),
+        round(
+          count(col("hit")).cast("double") / (k.toLong * nQueries),
+          4
+        ).as("recall_at_k")
+      )
+      .orderBy("dim")
+  }
 }

@@ -41,7 +41,7 @@ object Similarity {
     * output matches the window formulation row for row:
     * (query_id, rank, neighbor_id, score-rounded-4) ordered
     * (cos_raw desc, vec_id asc) per query. */
-  private def topkPerQuery(
+  private[graft] def topkPerQuery(
       scored: DataFrame,
       k: Int,
       scoreName: String = "cos"

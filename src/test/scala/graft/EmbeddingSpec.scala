@@ -191,4 +191,22 @@ class EmbeddingSpec extends AnyFunSuite {
     val p = Embedding.emb02PcaProject(lake).queryExecution.optimizedPlan.toString
     assert(!p.contains("posexplode"), p)
   }
+
+  test("emb03: fidelity is monotone in prefix length and exact at the full dimension") {
+    val rows = Embedding
+      .emb03PrefixFidelity(lake, dims = Seq(8, 16, 32, 64))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(8L, 16L, 32L, 64L))
+    rows.foreach { case (_, hits, rec) =>
+      assert(hits >= 0 && hits <= 100 && rec >= 0.0 && rec <= 1.0)
+    }
+    // longer prefixes can only see more of the vector — on this
+    // corpus the curve must not collapse, and the FULL prefix is the
+    // truth itself: recall exactly 1 (the self-consistency pin that
+    // catches any drift between the prefix leg and sim01)
+    assert(rows.last._3 == 1.0, s"full-dim recall ${rows.last._3}")
+    assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(1) >= w(0)),
+      s"non-monotone: ${rows.toSeq}")
+  }
 }
