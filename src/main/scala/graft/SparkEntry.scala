@@ -157,6 +157,7 @@ object SparkEntry {
     "samp09_cluster_balanced" -> q(Dedup.samp09ClusterBalanced(_)),
     "samp10_epoch_mixture" -> q(TextAnalysis.samp10EpochMixture(_)),
     "samp11_interleave_schedule" -> q(TextAnalysis.samp11InterleaveSchedule(_)),
+    "samp12_mixture_sample" -> q(TextAnalysis.samp12MixtureSample(_)),
     "dedup12_incremental" -> q(Dedup.dedup12Incremental(_)),
     "dedup13_exact_substring" -> q(Dedup.dedup13ExactSubstring(_)),
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
@@ -653,6 +654,32 @@ object SparkEntry {
     // both engines emit lowercase-hex md5 and compare strings
     // lexicographically (the USING SAMPLE analog; RNG sampling is
     // deliberately not oracle-checkable, see SURVEY §2).
+    // samp12: samp08's hash-threshold rule weighted by the
+    // temperature keep rate — the rate double (one sqrt of an exact
+    // integer ratio) and the floored uint32 threshold are computed
+    // identically, so the kept set matches bit for bit.
+    "samp12_mixture_sample" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT MIN(n_chars) AS c_min FROM c),
+        |r AS (SELECT source, n_docs, n_chars,
+        |    SQRT(CAST(c_min AS DOUBLE) / n_chars) AS rate,
+        |    CAST(FLOOR(SQRT(CAST(c_min AS DOUBLE) / n_chars) * 4294967296.0)
+        |      AS BIGINT) AS thr
+        |  FROM c, m),
+        |k AS (SELECT d.source,
+        |    COUNT(*) FILTER (WHERE
+        |      ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+        |        < r.thr) AS n_kept
+        |  FROM documents d JOIN r USING (source) GROUP BY 1)
+        |SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  r.n_chars,
+        |  ROUND(r.rate, 6) AS keep_rate,
+        |  CAST(k.n_kept AS BIGINT) AS n_kept,
+        |  ROUND(CAST(k.n_kept AS DOUBLE) / r.n_docs, 6) AS realized_rate
+        |FROM r JOIN k USING (source)
+        |ORDER BY source""".stripMargin,
     "samp08_seeded_sample" ->
       """SELECT doc_id, source, lang, n_chars
         |FROM documents

@@ -405,6 +405,69 @@ object TextAnalysis {
       .select("doc_id", "source", "lang", "n_chars")
       .orderBy("doc_id")
 
+  /** samp12: the temperature mixture MATERIALIZED as a deterministic
+    * seeded downsample — samp03 computes target shares, this applies
+    * them: post-sample source share ∝ n^alpha (alpha = 0.5) needs
+    * per-source keep rate ∝ n^(alpha-1) over char volume, normalized
+    * so the smallest source keeps 100% (never upsample here — repetition is samp10's
+    * job). The keep decision is samp08's seeded hash-threshold rule
+    * with an INTEGER comparison: the first 8 md5 hex chars as a
+    * uint32 against floor(rate * 2^32) — the rate double is computed
+    * identically in both engines (one sqrt of an exact integer
+    * ratio), the floor makes the threshold exact, so the kept SET is
+    * bit-reproducible across engines, retries, and partitionings
+    * (no RNG, the samp08 property, now weighted).
+    *
+    * Scale: one count aggregate to |sources| rows, broadcast rate
+    * table, map-only keep decision, one realized-rate fold. */
+  def samp12MixtureSample(lake: Lake, seed: Int = 7): DataFrame = {
+    // weight by per-source CHAR volume, not doc count — mixture
+    // shares are token-denominated, and volume varies even when doc
+    // counts are balanced (integer sum: exact in both engines)
+    val counts = lake.documents
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val minRow = counts.agg(min("n_chars").as("c_min"))
+    val rates = counts
+      .crossJoin(broadcast(minRow))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_chars"),
+        sqrt(col("c_min").cast("double") / col("n_chars")).as("rate")
+      )
+      .withColumn(
+        "thr",
+        floor(col("rate") * lit(4294967296.0)).cast("long")
+      )
+    lake.documents
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(rates), "source")
+      .withColumn(
+        "u",
+        conv(
+          substring(
+            md5(concat(col("doc_id").cast("string"), lit(":" + seed))),
+            1, 8
+          ),
+          16, 10
+        ).cast("long")
+      )
+      .groupBy("source")
+      .agg(
+        first("n_docs").as("n_docs"),
+        first("n_chars").as("n_chars"),
+        round(first("rate"), 6).as("keep_rate"),
+        count(when(col("u") < col("thr"), 1)).as("n_kept"),
+        round(
+          count(when(col("u") < col("thr"), 1)).cast("double") /
+            first("n_docs"),
+          6
+        ).as("realized_rate")
+      )
+      .orderBy("source")
+  }
+
   def samp01Stratified(lake: Lake, pct: Int = 30): DataFrame =
     lake.documents
       .filter(pmod(col("doc_id"), lit(100)) < pct)

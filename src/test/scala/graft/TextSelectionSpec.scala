@@ -94,6 +94,40 @@ class TextSelectionSpec extends AnyFunSuite {
     assert(math.abs(auc - brute) <= 5e-5, s"auc $auc vs brute $brute")
   }
 
+  test("mixture sample: sqrt keep-rate law, realized tracks target, seed re-deals") {
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    val rows = graft.operators.TextAnalysis.samp12MixtureSample(lake)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val cMin = rows.map(_._3).min
+    rows.foreach { case (src, nDocs, nChars, rate, kept, realized) =>
+      // the sqrt law, recomputed
+      assert(math.abs(rate - math.sqrt(cMin.toDouble / nChars)) < 1e-6, src)
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(kept >= 0 && kept <= nDocs)
+      assert(math.abs(realized - kept.toDouble / nDocs) < 1e-6)
+      // realized rate is a binomial draw around the target: allow
+      // 4 sigma at the test-scale n
+      val sigma = math.sqrt(rate * (1 - rate) / nDocs)
+      assert(math.abs(realized - rate) <= 4 * sigma + 1e-9,
+        s"$src realized $realized vs rate $rate (sigma $sigma)")
+    }
+    // the smallest-volume source is never downsampled
+    val smallest = rows.minBy(_._3)
+    assert(smallest._4 == 1.0 && smallest._5 == smallest._2)
+    // a different seed re-deals membership but keeps the same law
+    val reseed = graft.operators.TextAnalysis.samp12MixtureSample(lake, seed = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3)))
+      .toMap
+    rows.foreach { case (src, _, _, rate, _, _) =>
+      assert(math.abs(reseed(src) - rate) < 1e-9, s"$src rate changed with seed")
+    }
+  }
+
   test("seeded sample: ~rate kept, seed re-deals, retry-stable, map-only") {
     import TestSpark._
     val lake = graft.catalog.Lake(spark, sfDir)
