@@ -77,6 +77,7 @@ object SparkEntry {
     "ing07_mesh_terms" -> q(graft.sources.Rdf.ing07MeshTerms),
     "ing08_rdfxml_skos" -> q(graft.sources.Rdf.ing08RdfXmlSkos),
     "ing09_graph_store" -> q(graft.sources.Rdf.ing09GraphStore),
+    "ing10_jsonl_quarantine" -> q(graft.sources.Ingest.ing10JsonlQuarantine),
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "emb02_pca_projection" -> q(Embedding.emb02PcaProject(_)),
     "emb03_prefix_fidelity" -> q(Embedding.emb03PrefixFidelity(_)),
@@ -1088,6 +1089,19 @@ object SparkEntry {
     // N-Triples text and parses it back; the oracle rebuilds the same
     // triple set directly — a serializer or parser defect (bracket
     // stripping, literal flagging, escape handling) changes rows.
+    // ing10: the corruption rule is doc_id arithmetic, so the audit
+    // replays directly off documents — good rows keep their payload
+    // (sum_chars over the clean subset), quarantined rows count the
+    // corrupted subset.
+    "ing10_jsonl_quarantine" ->
+      """SELECT * FROM (
+        |  SELECT 'good' AS status, COUNT(*) AS n_rows,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE doc_id % 7 != 3
+        |  UNION ALL
+        |  SELECT 'quarantined', COUNT(*), CAST(NULL AS BIGINT)
+        |  FROM documents WHERE doc_id % 7 = 3)
+        |ORDER BY status""".stripMargin,
     "ing03_ntriples" ->
       """WITH triples AS (
         |  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'in_nation' AS p,

@@ -59,6 +59,100 @@ object Ingest {
       readJsonl(spark, path, schema).write.mode(mode).parquet(outPath)
     }
 
+  /** JSONL read with a QUARANTINE path — the production hardening a
+    * 100 TB ingestion needs: one malformed line in a multi-TB dump
+    * must not kill a multi-hour job (FAILFAST) or silently vanish
+    * (DROPMALFORMED); PERMISSIVE mode routes it, raw, to a corrupt-
+    * record column, and this splits the scan into (parsed rows,
+    * quarantined raw lines) so the bad input is auditable and
+    * replayable after a parser fix. The cache() is load-bearing:
+    * Spark refuses to evaluate a predicate on the internal corrupt-
+    * record column of an un-materialized JSON scan (the
+    * from_json/columnNameOfCorruptRecord rule), so the parsed frame
+    * materializes once and both splits filter the cached result. */
+  def readJsonlQuarantined(
+      spark: SparkSession,
+      path: String,
+      schema: StructType
+  ): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    val withCorrupt = schema.add("_corrupt_record", StringType)
+    val parsed = spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+    (
+      parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      parsed
+        .filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw_line"))
+    )
+  }
+
+  /** ing10: the quarantine path exercised end to end — the corpus
+    * serialized to JSONL with every (doc_id % 7 == 3) line truncated
+    * by one character (drops the closing brace: deterministically
+    * malformed), read back through [[readJsonlQuarantined]], and
+    * audited: parsed rows must carry their payload intact (sum of
+    * n_chars matches the clean subset) and quarantined lines must be
+    * exactly the corrupted ones. Fixture-roundtrip discipline of
+    * ing03; the corruption rule is pure arithmetic so the oracle
+    * replays the audit directly off the documents table. */
+  def ing10JsonlQuarantine(lake: graft.catalog.Lake): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = lake.spark
+    val dir =
+      java.nio.file.Files.createTempDirectory("graft-ing10-").toString
+    val staged = lake.documents.select(
+      col("doc_id"),
+      to_json(
+        struct(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+      ).as("j")
+    )
+    staged
+      .select(
+        when(
+          pmod(col("doc_id"), lit(7)) === 3,
+          expr("substring(j, 1, length(j) - 1)")
+        ).otherwise(col("j")).as("value")
+      )
+      .write
+      .mode(SaveMode.Overwrite)
+      .text(dir)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(
+        "n_chars", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(
+        "text", org.apache.spark.sql.types.StringType)
+    ))
+    val (good, bad) = readJsonlQuarantined(spark, dir, schema)
+    good
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("n_chars").cast("long").as("sum_chars")
+      )
+      .select(lit("good").as("status"), col("n_rows"), col("sum_chars"))
+      .unionByName(
+        bad
+          .agg(count(lit(1)).as("n_rows"))
+          .select(
+            lit("quarantined").as("status"),
+            col("n_rows"),
+            lit(null).cast("long").as("sum_chars")
+          )
+      )
+      .orderBy("status")
+  }
+
   /** Read a parquet dataset written by drifting-schema chunks under
     * the union schema: columns absent from older chunks come back
     * null-filled. mergeSchema pays a footer read per file — right for

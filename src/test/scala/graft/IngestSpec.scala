@@ -444,4 +444,46 @@ class IngestSpec extends AnyFunSuite {
       ("GT:0003", "DOI", "10.1000/182")),
       "xref splits on the FIRST colon only")
   }
+
+  test("jsonl quarantine: splits are exact — parsed rows intact, corrupt lines preserved raw") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("ing10spec").toString
+    val goodLines = Seq(
+      """{"id": 1, "name": "alpha"}""",
+      """{"id": 2, "name": "beta"}""",
+      """{"id": 4, "name": "delta"}"""
+    )
+    val badLines = Seq(
+      """{"id": 3, "name": "gam""",   // truncated
+      """not json at all"""
+    )
+    import spark.implicits._
+    (goodLines ++ badLines).toDF("value")
+      .repartition(2).write.mode("overwrite").text(dir)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (good, bad) = graft.sources.Ingest.readJsonlQuarantined(spark, dir, schema)
+    val g = good.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(g.toSeq == Seq((1L, "alpha"), (2L, "beta"), (4L, "delta")))
+    assert(!good.columns.contains("_corrupt_record"))
+    // every quarantined row preserves its raw input byte-for-byte
+    val b = bad.collect().map(_.getString(0)).sorted
+    assert(b.toSeq == badLines.sorted)
+  }
+
+  test("ing10 audit: good payload sums match the clean subset; quarantine counts the corrupted one") {
+    val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
+    val rows = graft.sources.Ingest.ing10JsonlQuarantine(lake).collect()
+    assert(rows.length == 2)
+    val expectBad = lake.documents.filter("doc_id % 7 = 3").count()
+    val expectChars = lake.documents.filter("doc_id % 7 != 3")
+      .agg(org.apache.spark.sql.functions.sum("n_chars")).head().getLong(0)
+    assert(rows(0).getString(0) == "good" &&
+      rows(0).getLong(1) == lake.documents.count() - expectBad &&
+      rows(0).getLong(2) == expectChars)
+    assert(rows(1).getString(0) == "quarantined" &&
+      rows(1).getLong(1) == expectBad && rows(1).isNullAt(2))
+  }
 }
