@@ -56,6 +56,11 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("emb02_pca_projection", Embedding.emb02PcaProject(_))
   assertEmptyOk("xref02_unified_entities", Linkage.xref02UnifiedEntities)
   assertEmptyOk("eval06_agreement", Evaluation.eval06Agreement(_))
+  assertEmptyOk("eval07_roc_auc", Evaluation.eval07RocAuc(_))
+  assertEmptyOk("mm05_phash_neardup", graft.multimodal.Multimodal.mm05PhashNeardup(_))
+  assertEmptyOk("cat04_zorder_layout", CatalogOps.cat04ZorderLayout(_))
+  assertEmptyOk("samp12_mixture_sample", TextAnalysis.samp12MixtureSample(_))
+  assertEmptyOk("emb03_prefix_fidelity", Embedding.emb03PrefixFidelity(_))
   // second batch: the remaining driver-scalar and trained-quantizer
   // call sites (kmeans seeds, PQ/SQ trains, BPE learn, the funnel)
   assertEmptyOk("dedup03_ngram_jaccard", Dedup.dedup03NgramJaccard(_))
