@@ -230,6 +230,44 @@ object SparkEntry {
   private def dkCos(a: String, b: String) =
     s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 
+  /** The scorer + verdict replay both learned-scorer evaluations
+    * (eval05 calibration, eval07 AUC) share: txt29's hashed
+    * classifier to a 4dp q_score and txt20's Gopher verdict, joined
+    * per doc as `j(doc_id, q_score, passes)`. Hoisted so a change to
+    * either feature pipeline can't leave one oracle replaying stale
+    * semantics. The `+ 0.0` on q_score is the emb02 negative-zero
+    * rule: DuckDB ROUND carries a tiny negative's sign into -0.0,
+    * Spark's BigDecimal round yields +0.0 — numerically equal,
+    * bitwise distinct to the value hash (and here a GROUP BY key). */
+  private val dkScorerVerdictCtes: String =
+    """tk AS (SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |f AS (SELECT doc_id, list_concat(ws,
+      |    CASE WHEN len(ws) >= 2
+      |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+      |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk),
+      |sc AS (SELECT doc_id,
+      |    ROUND(CAST(list_sum(list_transform(feats, f ->
+      |      ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 * 2654435761 % 2001 - 1000))
+      |      AS BIGINT) / 1000.0 / CAST(len(feats) AS BIGINT), 4) + 0.0 AS q_score
+      |  FROM f),
+      |gt AS (SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+      |ga AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(LENGTH(w)) AS BIGINT) AS sum_len,
+      |  COUNT(*) FILTER (WHERE NOT regexp_matches(w, '[A-Za-z0-9]')) AS n_symbol,
+      |  COUNT(DISTINCT CASE WHEN w IN ('the','a','of','and') THEN w END) AS n_stop_distinct
+      |  FROM gt GROUP BY 1),
+      |gb AS (SELECT doc_id,
+      |  (n_tokens >= 50 AND n_tokens <= 100000
+      |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) >= 3
+      |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) <= 10
+      |   AND ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) < 0.1
+      |   AND n_stop_distinct >= 2) AS passes
+      |  FROM ga),
+      |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
+      |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id)""".stripMargin
+
   /** emb02 oracle: replay the WHOLE PCA pipeline in SQL — moment
     * aggregation, covariance, two fixed-count power iterations
     * (unrolled CTE chains, the sim06 unrolled-Lloyd precedent), the
@@ -558,33 +596,7 @@ object SparkEntry {
     // identity as one fold — integer arithmetic up to the final
     // divisions, so the engines agree bit-for-bit.
     "eval07_roc_auc" ->
-      """WITH tk AS (SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
-        |  FROM documents),
-        |f AS (SELECT doc_id, list_concat(ws,
-        |    CASE WHEN len(ws) >= 2
-        |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
-        |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk),
-        |sc AS (SELECT doc_id,
-        |    ROUND(CAST(list_sum(list_transform(feats, f ->
-        |      ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 * 2654435761 % 2001 - 1000))
-        |      AS BIGINT) / 1000.0 / CAST(len(feats) AS BIGINT), 4) AS q_score
-        |  FROM f),
-        |gt AS (SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
-        |ga AS (SELECT doc_id, COUNT(*) AS n_tokens,
-        |  CAST(SUM(LENGTH(w)) AS BIGINT) AS sum_len,
-        |  COUNT(*) FILTER (WHERE NOT regexp_matches(w, '[A-Za-z0-9]')) AS n_symbol,
-        |  COUNT(DISTINCT CASE WHEN w IN ('the','a','of','and') THEN w END) AS n_stop_distinct
-        |  FROM gt GROUP BY 1),
-        |gb AS (SELECT doc_id,
-        |  (n_tokens >= 50 AND n_tokens <= 100000
-        |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) >= 3
-        |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) <= 10
-        |   AND ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) < 0.1
-        |   AND n_stop_distinct >= 2) AS passes
-        |  FROM ga),
-        |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
-        |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id),
+      s"""WITH $dkScorerVerdictCtes,
         |b AS (SELECT q_score,
         |    COUNT(*) FILTER (WHERE passes) AS np,
         |    COUNT(*) FILTER (WHERE NOT passes) AS nn
@@ -598,10 +610,10 @@ object SparkEntry {
         |  CAST(SUM(nn) AS BIGINT) AS n_neg,
         |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
         |    ROUND((CAST(SUM(np * cum_nn) AS DOUBLE) + 0.5 * CAST(SUM(np * nn) AS DOUBLE))
-        |      / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 4) END AS auc,
+        |      / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)), 4) + 0.0 END AS auc,
         |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
         |    ROUND(2.0 * (CAST(SUM(np * cum_nn) AS DOUBLE) + 0.5 * CAST(SUM(np * nn) AS DOUBLE))
-        |      / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)) - 1.0, 4) END AS gini
+        |      / (CAST(SUM(np) AS DOUBLE) * CAST(SUM(nn) AS DOUBLE)) - 1.0, 4) + 0.0 END AS gini
         |FROM c""".stripMargin,
     // eval05: txt29's hashed-classifier score CTE + txt20's Gopher
     // verdict CTE joined per doc, then every threshold's counts as
@@ -610,33 +622,7 @@ object SparkEntry {
     // dedup14 is [rows-only]: the Bloom filter's bit layout is
     // engine-private (no SQL oracle can replay might_contain).
     "eval05_score_calibration" ->
-      """WITH tk AS (SELECT doc_id,
-        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
-        |  FROM documents),
-        |f AS (SELECT doc_id, list_concat(ws,
-        |    CASE WHEN len(ws) >= 2
-        |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
-        |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk),
-        |sc AS (SELECT doc_id,
-        |    ROUND(CAST(list_sum(list_transform(feats, f ->
-        |      ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 * 2654435761 % 2001 - 1000))
-        |      AS BIGINT) / 1000.0 / CAST(len(feats) AS BIGINT), 4) AS q_score
-        |  FROM f),
-        |gt AS (SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
-        |ga AS (SELECT doc_id, COUNT(*) AS n_tokens,
-        |  CAST(SUM(LENGTH(w)) AS BIGINT) AS sum_len,
-        |  COUNT(*) FILTER (WHERE NOT regexp_matches(w, '[A-Za-z0-9]')) AS n_symbol,
-        |  COUNT(DISTINCT CASE WHEN w IN ('the','a','of','and') THEN w END) AS n_stop_distinct
-        |  FROM gt GROUP BY 1),
-        |gb AS (SELECT doc_id,
-        |  (n_tokens >= 50 AND n_tokens <= 100000
-        |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) >= 3
-        |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) <= 10
-        |   AND ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) < 0.1
-        |   AND n_stop_distinct >= 2) AS passes
-        |  FROM ga),
-        |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
-        |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id),
+      s"""WITH $dkScorerVerdictCtes,
         |th AS (SELECT CAST(x AS DOUBLE) AS threshold
         |       FROM (VALUES (-0.10),(-0.05),(0.00),(0.05),(0.10),(0.15),(0.20)) t(x)),
         |tot AS (SELECT COUNT(*) AS n, COUNT(*) FILTER (WHERE passes) AS pos FROM j)
@@ -2496,7 +2482,8 @@ object SparkEntry {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |WHERE a.h <> 0 AND b.h <> 0
+        |  AND bit_count(xor(a.h, b.h)) <= 3
         |ORDER BY 1, 2""".stripMargin,
     "mm03_audio_features" ->
       """WITH m AS (SELECT doc_id, hex(encode(text)) AS h FROM documents),

@@ -426,6 +426,16 @@ object Multimodal {
           )
         ).otherwise(lit(0L)).as("h")
       )
+      // degenerate hashes carry no perceptual signal AND are the skew
+      // trap: h = 0 ⟺ the rms stream is constant (cyclically, a
+      // non-constant stream must have at least one strict increase)
+      // or the payload is too short to window. A corpus of tiny /
+      // constant payloads would otherwise pile into the single h = 0
+      // band bucket (quadratic candidate blowup in one task) and
+      // emit hamming-0 "near-dups" between semantically unrelated
+      // docs — so they are excluded, as a pHash pipeline skips flat
+      // images. Oracle replays the same h <> 0 rule.
+      .filter(col("h") =!= 0L)
       // two consumers (both sides of the band join) — materialize the
       // corpus scan + hash once
       .localCheckpoint()

@@ -368,12 +368,15 @@ object CatalogOps {
     * rank-based cells instead (a global sort) — min/max scaling is
     * the map-only form and matches what file-skipping stats see. */
   private def ordersWithZ(lake: Lake): DataFrame = {
-    val base = lake.orders.select(
-      col("o_custkey").as("cx"),
-      datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
-        .cast("long")
-        .as("cy")
-    )
+    // full orders payload rides along — the write path
+    // (zorderPartitioned) must emit the actual table, not just the
+    // derived grid columns
+    val base = lake.orders
+      .withColumn("cx", col("o_custkey"))
+      .withColumn(
+        "cy",
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).cast("long")
+      )
     val stats = base.agg(
       min("cx").as("minx"),
       max("cx").as("maxx"),
@@ -382,11 +385,10 @@ object CatalogOps {
     )
     base
       .crossJoin(broadcast(stats))
-      .select(
-        expr("(cx - minx) * 65536 div (maxx - minx + 1)").as("x"),
-        expr("(cy - miny) * 65536 div (maxy - miny + 1)").as("y")
-      )
+      .withColumn("x", expr("(cx - minx) * 65536 div (maxx - minx + 1)"))
+      .withColumn("y", expr("(cy - miny) * 65536 div (maxy - miny + 1)"))
       .withColumn("z", mortonZ("x", "y"))
+      .drop("cx", "cy", "minx", "maxx", "miny", "maxy")
   }
 
   /** cat04: Z-ORDER layout audit — the OPTIMIZE-ZORDER-BY analog for
@@ -428,6 +430,7 @@ object CatalogOps {
     * DataFrame so callers choose the sink. */
   def zorderPartitioned(lake: Lake, nParts: Int = 8): DataFrame =
     ordersWithZ(lake)
+      .drop("x", "y")
       .repartitionByRange(nParts, col("z"))
       .sortWithinPartitions("z")
 }

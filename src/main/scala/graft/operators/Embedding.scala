@@ -272,23 +272,8 @@ object Embedding {
       val pre = full
         .select(col("vec_id"), slice(col("v"), 1, d).as("v"))
         .withColumn("nrm", vectors.norm(col("v")))
-      val q = pre
-        .filter(col("vec_id") < nQueries)
-        .select(
-          col("vec_id").as("query_id"),
-          col("v").as("qv"),
-          col("nrm").as("qnrm")
-        )
       Similarity
-        .topkPerQuery(
-          pre
-            .join(broadcast(q), col("vec_id") =!= col("query_id"))
-            .withColumn(
-              "cos_raw",
-              vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
-            ),
-          k
-        )
+        .bruteForceTopK(pre, k, nQueries)
         .withColumn("dim", lit(d.toLong))
     }
     legs

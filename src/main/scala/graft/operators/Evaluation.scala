@@ -5,6 +5,7 @@ import graft.functions.text
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Linkage-quality evaluation — the reference's alignment scoring
   * (evaluate_ontology_alignment.py:49-69: `generate_sample` draws a
@@ -408,8 +409,18 @@ object Evaluation {
         sum(col("np") + col("nn")).cast("long").as("n"),
         sum("np").cast("long").as("n_pos"),
         sum("nn").cast("long").as("n_neg"),
-        (sum(col("np") * col("cum_nn")) +
-          lit(0.5) * sum(col("np") * col("nn"))).as("num")
+        // rank-sum accumulators in decimal(38,0): per-bin products and
+        // their sums can pass Long.MaxValue near ~6e9 balanced-class
+        // docs (the DuckDB replay promotes to HUGEINT; a Long here
+        // would wrap silently under non-ANSI semantics)
+        (sum(
+          col("np").cast(DecimalType(38, 0)) *
+            col("cum_nn").cast(DecimalType(38, 0))
+        ).cast("double") +
+          lit(0.5) * sum(
+            col("np").cast(DecimalType(38, 0)) *
+              col("nn").cast(DecimalType(38, 0))
+          ).cast("double")).as("num")
       )
       .select(
         col("n"),
@@ -418,7 +429,8 @@ object Evaluation {
         when(
           col("n_pos") > 0 && col("n_neg") > 0,
           round(
-            col("num") / (col("n_pos") * col("n_neg")).cast("double"),
+            col("num") /
+              (col("n_pos").cast("double") * col("n_neg").cast("double")),
             4
           )
         ).as("auc"),
@@ -426,7 +438,8 @@ object Evaluation {
           col("n_pos") > 0 && col("n_neg") > 0,
           round(
             lit(2.0) * col("num") /
-              (col("n_pos") * col("n_neg")).cast("double") - lit(1.0),
+              (col("n_pos").cast("double") * col("n_neg").cast("double")) -
+              lit(1.0),
             4
           )
         ).as("gini")

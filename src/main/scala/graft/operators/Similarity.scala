@@ -58,15 +58,21 @@ object Similarity {
       )
       .orderBy("query_id", "rank")
 
-  /** Exact cosine top-k for a set of query vectors (vec_id < nQueries),
-    * brute force with a broadcast query side. */
-  def sim01TopKBruteForce(lake: Lake, k: Int = 10, nQueries: Int = 10): DataFrame = {
-    val all = vecs(lake)
-    val queries = all
+  /** The brute-force kernel shared by sim01 and every audit that
+    * replays it over a transformed representation (emb03's prefix
+    * legs): queries = vec_id < nQueries from `base` (broadcast),
+    * exact cosine against every other vector, bounded-heap top-k.
+    * `base` contract: (vec_id, v, nrm [+ any]). */
+  private[graft] def bruteForceTopK(
+      base: DataFrame,
+      k: Int,
+      nQueries: Int
+  ): DataFrame = {
+    val queries = base
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
     topkPerQuery(
-      all
+      base
         .join(broadcast(queries), col("vec_id") =!= col("query_id"))
         .withColumn(
           "cos_raw",
@@ -75,6 +81,11 @@ object Similarity {
       k
     )
   }
+
+  /** Exact cosine top-k for a set of query vectors (vec_id < nQueries),
+    * brute force with a broadcast query side. */
+  def sim01TopKBruteForce(lake: Lake, k: Int = 10, nQueries: Int = 10): DataFrame =
+    bruteForceTopK(vecs(lake), k, nQueries)
 
   /** Cosine-threshold similarity join: "topics" (label < 2) matched
     * against "terms" (label >= 2) — the embedding-linkage shape

@@ -70,11 +70,22 @@ object Ingest {
     * record column of an un-materialized JSON scan (the
     * from_json/columnNameOfCorruptRecord rule), so the parsed frame
     * materializes once and both splits filter the cached result. */
+  /** The two splits of a quarantined read plus the cached parse they
+    * filter; call [[unpersist]] once both splits are consumed or the
+    * cache pins storage memory for the session lifetime. */
+  final case class QuarantinedRead(
+      parsed: DataFrame,
+      good: DataFrame,
+      bad: DataFrame
+  ) {
+    def unpersist(): Unit = { parsed.unpersist(); () }
+  }
+
   def readJsonlQuarantined(
       spark: SparkSession,
       path: String,
       schema: StructType
-  ): (DataFrame, DataFrame) = {
+  ): QuarantinedRead = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.StringType
     val withCorrupt = schema.add("_corrupt_record", StringType)
@@ -84,7 +95,8 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
       .cache()
-    (
+    QuarantinedRead(
+      parsed,
       parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       parsed
         .filter(col("_corrupt_record").isNotNull)
@@ -104,53 +116,78 @@ object Ingest {
   def ing10JsonlQuarantine(lake: graft.catalog.Lake): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = lake.spark
-    val dir =
-      java.nio.file.Files.createTempDirectory("graft-ing10-").toString
-    val staged = lake.documents.select(
-      col("doc_id"),
-      to_json(
-        struct(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
-      ).as("j")
-    )
-    staged
-      .select(
-        when(
-          pmod(col("doc_id"), lit(7)) === 3,
-          expr("substring(j, 1, length(j) - 1)")
-        ).otherwise(col("j")).as("value")
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-ing10-")
+    val dir = dirPath.toString
+    try {
+      val staged = lake.documents.select(
+        col("doc_id"),
+        to_json(
+          struct(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"))
+        ).as("j")
       )
-      .write
-      .mode(SaveMode.Overwrite)
-      .text(dir)
-    val schema = StructType(Seq(
-      org.apache.spark.sql.types.StructField(
-        "doc_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(
-        "lang", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField(
-        "source", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField(
-        "n_chars", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(
-        "text", org.apache.spark.sql.types.StringType)
-    ))
-    val (good, bad) = readJsonlQuarantined(spark, dir, schema)
-    good
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum("n_chars").cast("long").as("sum_chars")
+      staged
+        .select(
+          when(
+            pmod(col("doc_id"), lit(7)) === 3,
+            expr("substring(j, 1, length(j) - 1)")
+          ).otherwise(col("j")).as("value")
+        )
+        .write
+        .mode(SaveMode.Overwrite)
+        .text(dir)
+      val schema = StructType(Seq(
+        org.apache.spark.sql.types.StructField(
+          "doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          "n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(
+          "text", org.apache.spark.sql.types.StringType)
+      ))
+      val qr = readJsonlQuarantined(spark, dir, schema)
+      val audit = qr.good
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum("n_chars").cast("long").as("sum_chars")
+        )
+        .select(lit("good").as("status"), col("n_rows"), col("sum_chars"))
+        .unionByName(
+          qr.bad
+            .agg(count(lit(1)).as("n_rows"))
+            .select(
+              lit("quarantined").as("status"),
+              col("n_rows"),
+              lit(null).cast("long").as("sum_chars")
+            )
+        )
+        .orderBy("status")
+      // the audit is 2 bounded rows — materialize them NOW so the
+      // corpus-sized staging dir and the load-bearing parse cache can
+      // be released before returning (a lazy return would leak one
+      // JSONL corpus copy + one pinned cache per invocation, which a
+      // min-of-N bench loop multiplies)
+      val rows = audit.collect()
+      qr.unpersist()
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        audit.schema
       )
-      .select(lit("good").as("status"), col("n_rows"), col("sum_chars"))
-      .unionByName(
-        bad
-          .agg(count(lit(1)).as("n_rows"))
-          .select(
-            lit("quarantined").as("status"),
-            col("n_rows"),
-            lit(null).cast("long").as("sum_chars")
-          )
-      )
-      .orderBy("status")
+    } finally {
+      // recursive delete of the staging dir (children first)
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(dirPath)) {
+        val walk = Files.walk(dirPath)
+        try
+          walk
+            .sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+    }
   }
 
   /** Read a parquet dataset written by drifting-schema chunks under

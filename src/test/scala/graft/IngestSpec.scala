@@ -464,13 +464,14 @@ class IngestSpec extends AnyFunSuite {
       .repartition(2).write.mode("overwrite").text(dir)
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
-    val (good, bad) = graft.sources.Ingest.readJsonlQuarantined(spark, dir, schema)
-    val g = good.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val qr = graft.sources.Ingest.readJsonlQuarantined(spark, dir, schema)
+    val g = qr.good.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(g.toSeq == Seq((1L, "alpha"), (2L, "beta"), (4L, "delta")))
-    assert(!good.columns.contains("_corrupt_record"))
+    assert(!qr.good.columns.contains("_corrupt_record"))
     // every quarantined row preserves its raw input byte-for-byte
-    val b = bad.collect().map(_.getString(0)).sorted
+    val b = qr.bad.collect().map(_.getString(0)).sorted
     assert(b.toSeq == badLines.sorted)
+    qr.unpersist()
   }
 
   test("ing10 audit: good payload sums match the clean subset; quarantine counts the corrupted one") {
