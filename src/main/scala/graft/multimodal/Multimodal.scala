@@ -426,6 +426,9 @@ object Multimodal {
           )
         ).otherwise(lit(0L)).as("h")
       )
+      // two consumers (both sides of the band join) — materialize the
+      // corpus scan + hash once
+      .localCheckpoint()
       // degenerate hashes carry no perceptual signal AND are the skew
       // trap: h = 0 ⟺ the rms stream is constant (cyclically, a
       // non-constant stream must have at least one strict increase)
@@ -434,11 +437,11 @@ object Multimodal {
       // band bucket (quadratic candidate blowup in one task) and
       // emit hamming-0 "near-dups" between semantically unrelated
       // docs — so they are excluded, as a pHash pipeline skips flat
-      // images. Oracle replays the same h <> 0 rule.
+      // images. Oracle replays the same h <> 0 rule. The filter sits
+      // ABOVE the checkpoint: below it, it collapses into the hash
+      // projection and the per-row decode chain evaluates twice
+      // (once in the predicate, once in the output — measured 10×).
       .filter(col("h") =!= 0L)
-      // two consumers (both sides of the band join) — materialize the
-      // corpus scan + hash once
-      .localCheckpoint()
     val bands = hashes.select(
       col("doc_id"),
       col("h"),

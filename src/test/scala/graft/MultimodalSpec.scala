@@ -193,6 +193,30 @@ class MultimodalSpec extends AnyFunSuite {
       s"planted dup pair ($origId,$dupId) missing or nonzero")
   }
 
+  test("phash near-dup: degenerate payloads (tiny or constant) produce no pairs") {
+    import org.apache.spark.sql.functions._
+    // 60 docs, all hashing to the degenerate h = 0: half too short to
+    // fill two feature windows, half constant-byte (every window has
+    // identical rms, so no cyclic increase sets a bit). Without the
+    // h <> 0 exclusion these would emit C(60,2) = 1770 false
+    // hamming-0 "near-dups" out of one skewed band bucket.
+    val dir = java.nio.file.Files.createTempDirectory("mm05_degen").toString
+    lake.documents
+      .orderBy("doc_id").limit(60)
+      .withColumn(
+        "text",
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("ab"))
+          .otherwise(lit("a" * 640))
+      )
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      lake.table(t).limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val degen = graft.catalog.Lake(TestSpark.spark, dir)
+    assert(Multimodal.mm05PhashNeardup(degen).count() == 0L)
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val a = Multimodal.extractFeatures(Multimodal.asMedia(lake))
       .collect().sortBy(_.doc_id)
