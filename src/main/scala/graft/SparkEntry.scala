@@ -81,6 +81,7 @@ object SparkEntry {
     "emb01_hash_embeddings" -> q(Embedding.emb01HashEmbeddings(_)),
     "emb02_pca_projection" -> q(Embedding.emb02PcaProject(_)),
     "emb03_prefix_fidelity" -> q(Embedding.emb03PrefixFidelity(_)),
+    "emb04_geometry_audit" -> q(Embedding.emb04GeometryAudit),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),
@@ -1507,6 +1508,36 @@ object SparkEntry {
          |FROM r LEFT JOIN tr ON r.query_id = tr.query_id AND r.vec_id = tr.vec_id
          |WHERE r.rank <= 10
          |GROUP BY dim ORDER BY dim""".stripMargin,
+    // emb04: per-label geometry replayed off per-dim moment columns —
+    // mean/variance per (label, dim) via generate_subscripts (the
+    // sim04 centroid idiom), centroid re-assembled as an ordered
+    // LIST for the cosine leg, trace/max over the variance rows. The
+    // `+ 0.0` guards are the emb02 negative-zero rule on ROUNDs that
+    // can land at -0.0 (sd of a constant-norm corpus, a near-zero
+    // mean cosine).
+    "emb04_geometry_audit" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |flat AS (SELECT label, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x FROM e),
+         |ds AS (SELECT label, pos, AVG(x) AS mean_d,
+         |    AVG(x * x) - AVG(x) * AVG(x) AS var_d
+         |  FROM flat GROUP BY 1, 2),
+         |cent AS (SELECT label, LIST(mean_d ORDER BY pos) AS c,
+         |    SUM(var_d) AS trace_var, MAX(var_d) AS max_var
+         |  FROM ds GROUP BY 1),
+         |cj AS (SELECT e.label,
+         |    sqrt(list_dot_product(e.v, e.v)) AS nrm,
+         |    ${dkCos("e.v", "c")} AS cos_c
+         |  FROM e JOIN cent USING (label)),
+         |na AS (SELECT label, COUNT(*) AS n_vecs,
+         |    ROUND(AVG(nrm), 4) + 0.0 AS avg_norm,
+         |    ROUND(SQRT(GREATEST(AVG(nrm * nrm) - AVG(nrm) * AVG(nrm), 0)), 4) + 0.0 AS sd_norm,
+         |    ROUND(AVG(cos_c), 4) + 0.0 AS mean_cos_centroid
+         |  FROM cj GROUP BY 1)
+         |SELECT na.label, na.n_vecs, na.avg_norm, na.sd_norm, na.mean_cos_centroid,
+         |  ROUND(cent.trace_var, 4) + 0.0 AS trace_var,
+         |  ROUND(cent.max_var / cent.trace_var, 4) + 0.0 AS top_var_share
+         |FROM na JOIN cent USING (label)
+         |ORDER BY label""".stripMargin,
     "sim01_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -290,4 +290,97 @@ object Embedding {
       )
       .orderBy("dim")
   }
+
+  /** emb04: embedding-geometry QA audit — the representation health
+    * check a pipeline runs BEFORE spending cluster-days building ANN
+    * indexes (sim05-07/10/11) or semantic-dedup passes (dedup11) over
+    * a 100 TB embedding column. Per label: vector count, norm
+    * distribution (unnormalized or collapsed encoders show up here
+    * first), mean cosine to the label centroid (anisotropy — the
+    * "narrow cone" representation-collapse signal: near-1 means the
+    * vectors carry little angular information and every cosine-based
+    * downstream op degrades), total per-dimension variance and the
+    * top dimension's share of it (a single dimension hoarding
+    * variance is the classic rogue-feature symptom).
+    *
+    * Scale shape: one [[graft.plans.GramMoments]] pass per label
+    * (emb02's native moment aggregate — the exchange carries one
+    * (d + d²)-double buffer per task·label, never per-row dim
+    * amplification; the variance diagonal and the centroid both fall
+    * out of the same buffer), then one broadcast join of the
+    * label-bounded centroid table back onto the corpus for the
+    * cosine pass, partial-aggregated to |labels| rows. Two scans,
+    * zero corpus-sized shuffles. */
+  def emb04GeometryAudit(lake: Lake): DataFrame = {
+    val base = Similarity.vecs(lake) // vec_id, label, v, nrm
+    val mom = base
+      .groupBy("label")
+      .agg(graft.plans.GramMoments(col("v")).as("g"))
+      .select(
+        col("label"),
+        col("g.n").as("n_vecs"),
+        col("g.s").as("s"),
+        col("g.m").as("m")
+      )
+      .withColumn("d", size(col("s")))
+      .withColumn("centroid", transform(col("s"), x => x / col("n_vecs")))
+      .withColumn(
+        "vars",
+        expr(
+          """transform(sequence(0, d - 1),
+            |  i -> element_at(m, i * d + i + 1) / n_vecs
+            |       - pow(element_at(s, i + 1) / n_vecs, 2))""".stripMargin
+        )
+      )
+      .withColumn("trace_var", expr("aggregate(vars, 0D, (a, x) -> a + x)"))
+      .withColumn("max_var", array_max(col("vars")))
+      .select(
+        col("label"),
+        col("n_vecs"),
+        col("centroid"),
+        col("trace_var"),
+        col("max_var")
+      )
+    val cosAgg = base
+      .join(broadcast(mom.select(col("label"), col("centroid"))), "label")
+      .withColumn(
+        "cos_c",
+        vectors.dot(col("v"), col("centroid")) /
+          (col("nrm") * vectors.norm(col("centroid")))
+      )
+      .groupBy("label")
+      .agg(
+        round(avg("nrm"), 4).as("avg_norm"),
+        // population sd; the greatest() clamps the fp-negative-zero
+        // tail of avg(x²)−avg(x)² on constant-norm corpora
+        round(
+          sqrt(
+            greatest(
+              avg(col("nrm") * col("nrm")) - pow(avg("nrm"), 2),
+              lit(0d)
+            )
+          ),
+          4
+        ).as("sd_norm"),
+        round(avg("cos_c"), 4).as("mean_cos_centroid")
+      )
+    mom
+      .select(
+        col("label"),
+        col("n_vecs"),
+        round(col("trace_var"), 4).as("trace_var"),
+        round(col("max_var") / col("trace_var"), 4).as("top_var_share")
+      )
+      .join(cosAgg, "label")
+      .select(
+        col("label"),
+        col("n_vecs"),
+        col("avg_norm"),
+        col("sd_norm"),
+        col("mean_cos_centroid"),
+        col("trace_var"),
+        col("top_var_share")
+      )
+      .orderBy("label")
+  }
 }

@@ -209,4 +209,32 @@ class EmbeddingSpec extends AnyFunSuite {
     assert(rows.map(_._3).sliding(2).forall(w => w.length < 2 || w(1) >= w(0)),
       s"non-monotone: ${rows.toSeq}")
   }
+
+  test("emb04: per-label geometry is bounded and counts cover the table") {
+    val rows = Embedding.emb04GeometryAudit(lake).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == lake.embeddings.count(), s"n_vecs sum $total")
+    rows.foreach { r =>
+      val (avgN, sdN) = (r.getDouble(2), r.getDouble(3))
+      val cos = r.getDouble(4)
+      val (trace, share) = (r.getDouble(5), r.getDouble(6))
+      assert(avgN > 0.0 && sdN >= 0.0, s"norm stats $avgN/$sdN")
+      assert(cos >= -1.0001 && cos <= 1.0001, s"mean cos $cos")
+      assert(trace > 0.0, s"trace $trace")
+      // d=64 dims: the top dimension's variance share must be a
+      // proper fraction, and at least the uniform floor 1/64
+      assert(share >= 1.0 / 64 - 1e-4 && share <= 1.0, s"share $share")
+    }
+  }
+
+  test("emb04 plan: moment pass via gram_moments, no per-dim row explosion") {
+    val qe = Embedding.emb04GeometryAudit(lake).queryExecution
+    val opt = qe.optimizedPlan.toString
+    assert(opt.contains("gram_moments"), opt)
+    assert(!opt.contains("posexplode"), opt)
+    val phys = qe.executedPlan.toString
+    assert(!phys.contains("CartesianProduct") &&
+      !phys.contains("BroadcastNestedLoop"), phys)
+  }
 }

@@ -61,6 +61,7 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("cat04_zorder_layout", CatalogOps.cat04ZorderLayout(_))
   assertEmptyOk("samp12_mixture_sample", TextAnalysis.samp12MixtureSample(_))
   assertEmptyOk("emb03_prefix_fidelity", Embedding.emb03PrefixFidelity(_))
+  assertEmptyOk("emb04_geometry_audit", Embedding.emb04GeometryAudit)
   // second batch: the remaining driver-scalar and trained-quantizer
   // call sites (kmeans seeds, PQ/SQ trains, BPE learn, the funnel)
   assertEmptyOk("dedup03_ngram_jaccard", Dedup.dedup03NgramJaccard(_))
