@@ -82,6 +82,8 @@ object SparkEntry {
     "emb02_pca_projection" -> q(Embedding.emb02PcaProject(_)),
     "emb03_prefix_fidelity" -> q(Embedding.emb03PrefixFidelity(_)),
     "emb04_geometry_audit" -> q(Embedding.emb04GeometryAudit),
+    "samp13_exact_quota" -> q(TextAnalysis.samp13ExactQuota(_)),
+    "eval08_dist_drift" -> q(Evaluation.eval08DistDrift(_)),
     "q12_late_shipments" -> q(Relational.q12LateShipments),
     "q14_promo_revenue" -> q(Relational.q14PromoRevenue),
     "rel12_cube" -> q(Relational.rel12Cube),
@@ -1538,6 +1540,42 @@ object SparkEntry {
          |  ROUND(cent.max_var / cent.trace_var, 4) + 0.0 AS top_var_share
          |FROM na JOIN cent USING (label)
          |ORDER BY label""".stripMargin,
+    // samp13: the bounded-heap per-stratum quota replayed as the
+    // ROW_NUMBER form it is row-for-row equivalent to (rank by the
+    // samp08-family seeded md5 integer, doc_id tiebreak).
+    "samp13_exact_quota" ->
+      """WITH u AS (SELECT lang, doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |r AS (SELECT lang, doc_id, u,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rank
+        |  FROM u)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, u
+        |FROM r WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
+    // eval08: exact bit-length buckets (length(bin(x)) — NOT log2,
+    // whose ln(x)/ln(2) form floors differently at powers of two
+    // across engines), the full source×bucket grid with eps clamps,
+    // one PSI fold per source.
+    "eval08_dist_drift" ->
+      """WITH b AS (SELECT source,
+        |    CAST(LEAST(LENGTH(bin(n_chars + 1)) - 1, 20) AS BIGINT) AS bucket
+        |  FROM documents),
+        |c AS (SELECT source, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+        |ns AS (SELECT source, SUM(c) AS n_docs FROM c GROUP BY 1),
+        |nb AS (SELECT bucket, SUM(c) AS ct FROM c GROUP BY 1),
+        |t AS (SELECT SUM(c) AS n_all FROM c),
+        |g AS (SELECT ns.source, ns.n_docs, nb.bucket, nb.ct FROM ns CROSS JOIN nb),
+        |j AS (SELECT g.source, g.n_docs,
+        |    GREATEST(COALESCE(c.c, 0) / CAST(g.n_docs AS DOUBLE), 0.0001) AS p,
+        |    GREATEST(g.ct / CAST(t.n_all AS DOUBLE), 0.0001) AS q
+        |  FROM g LEFT JOIN c ON g.source = c.source AND g.bucket = c.bucket
+        |  CROSS JOIN t)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  ROUND(SUM((p - q) * LN(p / q)), 4) AS psi,
+        |  ROUND(SUM((p - q) * LN(p / q)), 4) >= 0.2 AS drifted
+        |FROM j GROUP BY source, n_docs
+        |ORDER BY source""".stripMargin,
     "sim01_topk_bruteforce" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),

@@ -448,4 +448,55 @@ object Evaluation {
       // not one all-null row
       .filter(col("n").isNotNull)
   }
+
+  /** eval08: DISTRIBUTION-DRIFT monitor — per-source Population
+    * Stability Index of the document-length distribution against the
+    * corpus-wide distribution (the production data-quality check a
+    * pipeline runs per ingest batch: a source whose length profile
+    * departs from the corpus — truncation bug, boilerplate flood,
+    * schema drift upstream — shows a high PSI long before any
+    * quality rule fires; >= 0.2 is the standard "investigate"
+    * threshold). PSI = Σ (p_i − q_i)·ln(p_i/q_i), every term >= 0.
+    *
+    * Buckets are exact integer log2 of n_chars via `length(bin(x))`
+    * — deliberately NOT log2(): Spark computes log2 as ln(x)/ln(2),
+    * which lands BELOW the exact value at powers of two (floor then
+    * disagrees with DuckDB's std::log2) — bit-length is exact in
+    * both engines. Absent (source, bucket) cells enter at the eps
+    * clamp, so a source missing an entire populated band is charged
+    * for it (the grid is |sources|·|buckets|, bounded).
+    *
+    * Scale shape: ONE corpus aggregation to (source, bucket) counts;
+    * everything after is arithmetic over bounded frames (global
+    * bucket marginals derive from the same counts — no second
+    * scan). */
+  def eval08DistDrift(lake: Lake, eps: Double = 1e-4): DataFrame = {
+    val counts = lake.documents
+      .select(
+        col("source"),
+        least(length(bin(col("n_chars") + 1)) - 1, lit(20))
+          .cast("long")
+          .as("bucket")
+      )
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // three bounded consumers, one corpus scan
+    val bySource = counts.groupBy("source").agg(sum("c").as("n_docs"))
+    val byBucket = counts.groupBy("bucket").agg(sum("c").as("ct"))
+    val total = counts.agg(sum("c").as("n_all"))
+    bySource
+      .crossJoin(broadcast(byBucket))
+      .join(counts, Seq("source", "bucket"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("p", greatest(coalesce(col("c"), lit(0L)) / col("n_docs"), lit(eps)))
+      .withColumn("q", greatest(col("ct") / col("n_all"), lit(eps)))
+      .groupBy("source")
+      .agg(
+        first("n_docs").as("n_docs"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 4)
+          .as("psi")
+      )
+      .withColumn("drifted", col("psi") >= 0.2)
+      .orderBy("source")
+  }
 }

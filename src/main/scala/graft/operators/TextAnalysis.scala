@@ -468,6 +468,46 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** samp13: EXACT per-stratum quota sampling — "exactly k docs per
+    * language", the fixed-size stratified draw an eval-set or
+    * balanced-corpus builder needs (samp01's rate sampling gives
+    * binomial-sized strata; here the size is the contract). Rank =
+    * the samp08/samp12 seeded md5 integer (no RNG — replayable
+    * across engines, retries, and partitionings), selection = the
+    * k smallest ranks per stratum, doc_id tiebreak.
+    *
+    * Scale shape: the k-bounded heap aggregate (TopKByScore, sim08's
+    * rationale) — never `ROW_NUMBER over a per-stratum sort`, which
+    * sorts each stratum's full candidate slice before discarding all
+    * but k (the dominant cost at corpus scale); the exchange carries
+    * |strata|·k (id, rank) pairs only. */
+  def samp13ExactQuota(lake: Lake, k: Int = 20, seed: Int = 7): DataFrame = {
+    val ranked = lake.documents.select(
+      col("lang"),
+      col("doc_id"),
+      conv(
+        substring(
+          md5(concat(col("doc_id").cast("string"), lit(":" + seed))),
+          1, 8
+        ),
+        16, 10
+      ).cast("long").as("u")
+    )
+    ranked
+      .groupBy("lang")
+      // heap keeps HIGHEST score: negate so the smallest hash wins
+      // (u < 2^32 is exactly representable in the heap's double)
+      .agg(graft.plans.TopKByScore(-col("u"), col("doc_id"), k).as("sel"))
+      .select(col("lang"), posexplode(col("sel")).as(Seq("r", "s")))
+      .select(
+        col("lang"),
+        (col("r") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"),
+        (-col("s.score")).cast("long").as("u")
+      )
+      .orderBy("lang", "rank")
+  }
+
   def samp01Stratified(lake: Lake, pct: Int = 30): DataFrame =
     lake.documents
       .filter(pmod(col("doc_id"), lit(100)) < pct)

@@ -62,6 +62,8 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("samp12_mixture_sample", TextAnalysis.samp12MixtureSample(_))
   assertEmptyOk("emb03_prefix_fidelity", Embedding.emb03PrefixFidelity(_))
   assertEmptyOk("emb04_geometry_audit", Embedding.emb04GeometryAudit)
+  assertEmptyOk("samp13_exact_quota", TextAnalysis.samp13ExactQuota(_))
+  assertEmptyOk("eval08_dist_drift", Evaluation.eval08DistDrift(_))
   // second batch: the remaining driver-scalar and trained-quantizer
   // call sites (kmeans seeds, PQ/SQ trains, BPE learn, the funnel)
   assertEmptyOk("dedup03_ngram_jaccard", Dedup.dedup03NgramJaccard(_))

@@ -455,4 +455,70 @@ class TextSelectionSpec extends AnyFunSuite {
       assert(rep <= n && f >= 0.0 && f <= 1.0)
     }
   }
+
+  test("exact quota: exactly min(k, |stratum|) per lang, heap ≡ window form, seed re-deals") {
+    import org.apache.spark.sql.functions._
+    val k = 20
+    val rows = TextAnalysis.samp13ExactQuota(lake, k).collect()
+    val perLang = rows.groupBy(_.getString(0))
+    val sizes = lake.documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (lang, n) =>
+      val got = perLang.get(lang).map(_.length).getOrElse(0)
+      assert(got == math.min(k.toLong, n), s"$lang: $got of $n")
+    }
+    // ranks are 1..quota and ordered by (u, doc_id) — the heap output
+    // must be row-identical to the ROW_NUMBER formulation
+    perLang.foreach { case (lang, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq, lang)
+      val pairs = sorted.map(r => (r.getLong(3), r.getLong(2)))
+      assert(pairs.toSeq == pairs.sortBy(identity).toSeq, s"$lang not (u, id) ordered")
+    }
+    // same k docs per lang regardless of partitioning (determinism)
+    val again = TextAnalysis.samp13ExactQuota(lake, k).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(again == rows.map(r => (r.getString(0), r.getLong(2))).toSet)
+    // a different seed re-ranks: membership must actually change
+    val reseed = TextAnalysis.samp13ExactQuota(lake, k, seed = 8).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSet
+    assert(reseed != again, "seed 8 selected the identical sample")
+  }
+
+  test("dist drift: psi non-negative, identical halves score ~0, planted drift flags") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.operators.Evaluation.eval08DistDrift(lake).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0, s"negative psi: $r")
+    }
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == lake.documents.count())
+    // plant a drifted source in a copy of the lake: one source's
+    // docs truncated to a constant tiny length — its length
+    // distribution departs from the corpus and PSI must flag it
+    val dir = java.nio.file.Files.createTempDirectory("eval08_lake").toString
+    val src0 = lake.documents.select("source").orderBy("source").first().getString(0)
+    lake.documents
+      .withColumn(
+        "n_chars",
+        when(col("source") === src0, lit(3L)).otherwise(col("n_chars"))
+      )
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      lake.table(t).limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val planted = graft.operators.Evaluation
+      .eval08DistDrift(graft.catalog.Lake(TestSpark.spark, dir))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getBoolean(3))))
+      .toMap
+    val (psi0, drifted0) = planted(src0)
+    assert(drifted0 && psi0 >= 0.2, s"$src0 psi $psi0 not flagged")
+    // an un-tampered source stays below the planted one
+    planted.filterNot(_._1 == src0).foreach { case (s, (p, _)) =>
+      assert(p < psi0, s"$s psi $p >= planted $psi0")
+    }
+  }
 }
