@@ -167,6 +167,7 @@ object SparkEntry {
     "samp06_shuffle_shard" -> q(TextAnalysis.samp06ShuffleShard(_)),
     "cat03_column_stats" -> q(CatalogOps.cat03ColumnStats(_)),
     "cat04_zorder_layout" -> q(CatalogOps.cat04ZorderLayout(_)),
+    "cat05_prune_audit" -> q(CatalogOps.cat05PruneAudit(_)),
     "txt19_clean_text" -> q(TextAnalysis.txt19CleanText),
     "txt20_gopher_filter" -> q(TextAnalysis.txt20GopherFilter),
     "xref06_total_mismatch" -> q(Linkage.xref06TotalMismatch(_)),
@@ -270,6 +271,29 @@ object SparkEntry {
       |  FROM ga),
       |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
       |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id)""".stripMargin
+
+  /** The Morton-cell fragment cat04 (layout audit) and cat05 (prune
+    * audit) share: orders → observed-min/max-scaled 16-bit grid
+    * cells → the 16-step interleave fold, as `zc(x, y, z)`. Hoisted
+    * for the dkScorerVerdictCtes reason: one copy, no silent
+    * drift. */
+  private val dkMortonCtes: String =
+    """raw AS (SELECT o_custkey AS cx,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS cy
+      |  FROM orders),
+      |st AS (SELECT MIN(cx) AS minx, MAX(cx) AS maxx,
+      |              MIN(cy) AS miny, MAX(cy) AS maxy FROM raw),
+      |s AS (SELECT (cx - minx) * 65536 // (maxx - minx + 1) AS x,
+      |             (cy - miny) * 65536 // (maxy - miny + 1) AS y
+      |  FROM raw, st),
+      |zc AS (SELECT x, y,
+      |    CAST(list_sum(list_transform(range(0, 16),
+      |      i -> ((x >> CAST(i AS INTEGER)) & 1)
+      |             * (CAST(1 AS BIGINT) << CAST(2 * i AS INTEGER))
+      |         + ((y >> CAST(i AS INTEGER)) & 1)
+      |             * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INTEGER))))
+      |      AS BIGINT) AS z
+      |  FROM s)""".stripMargin
 
   /** emb02 oracle: replay the WHOLE PCA pipeline in SQL — moment
     * aggregation, covariance, two fixed-count power iterations
@@ -993,32 +1017,49 @@ object SparkEntry {
         |ORDER BY purchase_id, view_id""".stripMargin,
     // cat03: one SELECT block per profiled column (the unpivoted shape
     // of the single wide aggregate the Spark side runs per table).
-    // cat04: the Morton interleave replayed as a 16-step
-    // list_transform fold over bit positions, then identical
-    // bucket/extent aggregation — integer arithmetic end to end.
+    // cat04: the shared Morton fragment, then identical bucket/extent
+    // aggregation — integer arithmetic end to end.
     "cat04_zorder_layout" ->
-      """WITH raw AS (SELECT o_custkey AS cx,
-        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS cy
-        |  FROM orders),
-        |st AS (SELECT MIN(cx) AS minx, MAX(cx) AS maxx,
-        |              MIN(cy) AS miny, MAX(cy) AS maxy FROM raw),
-        |s AS (SELECT (cx - minx) * 65536 // (maxx - minx + 1) AS x,
-        |             (cy - miny) * 65536 // (maxy - miny + 1) AS y
-        |  FROM raw, st),
-        |zc AS (SELECT x, y,
-        |    CAST(list_sum(list_transform(range(0, 16),
-        |      i -> ((x >> CAST(i AS INTEGER)) & 1)
-        |             * (CAST(1 AS BIGINT) << CAST(2 * i AS INTEGER))
-        |         + ((y >> CAST(i AS INTEGER)) & 1)
-        |             * (CAST(1 AS BIGINT) << CAST(2 * i + 1 AS INTEGER))))
-        |      AS BIGINT) AS z
-        |  FROM s)
+      s"""WITH $dkMortonCtes
         |SELECT z >> 26 AS bucket,
         |  COUNT(*) AS n_rows,
         |  MIN(x) AS min_x, MAX(x) AS max_x,
         |  MIN(y) AS min_y, MAX(y) AS max_y,
         |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS extent_area
         |FROM zc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // cat05: the prune audit replayed off the same Morton cells —
+    // both layouts' bucket extents, the deterministic 16-window
+    // predicate grid, exact per-window selectivity, and the
+    // extent-intersection scan test.
+    "cat05_prune_audit" ->
+      s"""WITH $dkMortonCtes,
+        |zb AS (SELECT 'zorder' AS layout, z >> 26 AS bucket, COUNT(*) AS n_rows,
+        |    MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+        |  FROM zc GROUP BY 1, 2),
+        |xb AS (SELECT 'linear_x' AS layout, x >> 10 AS bucket, COUNT(*) AS n_rows,
+        |    MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+        |  FROM zc GROUP BY 1, 2),
+        |bk AS (SELECT * FROM zb UNION ALL SELECT * FROM xb),
+        |p AS (SELECT CAST(range AS BIGINT) AS qid,
+        |    (range // 4) * 16384 AS x_lo, (range // 4) * 16384 + 8192 AS x_hi,
+        |    (range % 4) * 16384 AS y_lo, (range % 4) * 16384 + 8192 AS y_hi
+        |  FROM range(16)),
+        |t AS (SELECT COUNT(*) AS total FROM zc),
+        |sel AS (SELECT (x // 16384) * 4 + (y // 16384) AS qid, COUNT(*) AS n_match
+        |  FROM zc WHERE (x % 16384) < 8192 AND (y % 16384) < 8192 GROUP BY 1),
+        |a AS (SELECT bk.layout, p.qid,
+        |    COUNT(*) FILTER (WHERE bk.min_x < p.x_hi AND bk.max_x >= p.x_lo
+        |      AND bk.min_y < p.y_hi AND bk.max_y >= p.y_lo) AS n_buckets_scanned,
+        |    SUM(CASE WHEN bk.min_x < p.x_hi AND bk.max_x >= p.x_lo
+        |      AND bk.min_y < p.y_hi AND bk.max_y >= p.y_lo
+        |      THEN bk.n_rows ELSE 0 END) AS rows_scanned
+        |  FROM bk CROSS JOIN p GROUP BY 1, 2)
+        |SELECT a.layout, a.qid,
+        |  CAST(a.n_buckets_scanned AS BIGINT) AS n_buckets_scanned,
+        |  ROUND(CAST(a.rows_scanned AS DOUBLE) / t.total, 4) AS frac_rows_scanned,
+        |  ROUND(CAST(COALESCE(sel.n_match, 0) AS DOUBLE) / t.total, 4) AS selectivity
+        |FROM a LEFT JOIN sel USING (qid) CROSS JOIN t
+        |ORDER BY layout, qid""".stripMargin,
     "cat03_column_stats" -> {
       def block(table: String, c: String) =
         s"""SELECT '$table' AS table_name, '$c' AS column_name,

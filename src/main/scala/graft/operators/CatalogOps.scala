@@ -433,4 +433,87 @@ object CatalogOps {
       .drop("x", "y")
       .repartitionByRange(nParts, col("z"))
       .sortWithinPartitions("z")
+
+  /** cat05: file-skipping PRUNE AUDIT — the measurement behind
+    * cat04's layout claim. A deterministic 4×4 grid of 2-D range
+    * predicates (half-width windows over (customer-cell, day-cell)
+    * space — the per-customer + date-range shape the workload
+    * actually runs) is tested against each layout's per-file
+    * min/max extents, exactly the check a scan planner makes against
+    * parquet footers: a file is SCANNED iff its extent intersects
+    * the predicate window. Reported per (layout, predicate):
+    * files scanned, fraction of rows scanned, and the predicate's
+    * true selectivity — so `frac_rows_scanned − selectivity` is the
+    * read amplification the layout costs. Two layouts compared:
+    * the z-order buckets (cat04's boundaries) and a 1-D
+    * sort-by-customer layout (equal x-cell-range files) — the
+    * 1-D layout prunes x-windows perfectly but scans ~every file
+    * for the y half of each predicate, which is the number that
+    * justifies OPTIMIZE ZORDER on 2-D workloads.
+    *
+    * Soundness invariant (spec-pinned): every bucket containing a
+    * matching row intersects the window, so frac_rows_scanned >=
+    * selectivity for every (layout, predicate) — pruning never
+    * drops a qualifying row.
+    *
+    * Scale shape: ONE pass over orders to Morton cells
+    * (checkpointed narrow), two bounded extent aggregations (64
+    * rows each), one exact-selectivity aggregation folded from the
+    * same pass (the window grid is stride-aligned, so per-row
+    * (window, in/out) is arithmetic — the corpus never crosses the
+    * predicate table), then arithmetic over 64×16-row frames. */
+  def cat05PruneAudit(lake: Lake, bucketBits: Int = 6): DataFrame = {
+    val xy = ordersWithZ(lake)
+      .select(col("x"), col("y"), col("z"))
+      .localCheckpoint() // three bounded consumers, one corpus scan
+    def extents(bucket: org.apache.spark.sql.Column, layout: String) =
+      xy.groupBy(bucket.as("bucket"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("x").as("min_x"),
+          max("x").as("max_x"),
+          min("y").as("min_y"),
+          max("y").as("max_y")
+        )
+        .withColumn("layout", lit(layout))
+    val buckets = extents(shiftright(col("z"), 32 - bucketBits), "zorder")
+      .unionByName(extents(shiftright(col("x"), 16 - bucketBits), "linear_x"))
+    val preds = lake.spark
+      .range(16)
+      .select(
+        col("id").as("qid"),
+        (expr("id div 4") * 16384).as("x_lo"),
+        (expr("id div 4") * 16384 + 8192).as("x_hi"),
+        (expr("id % 4") * 16384).as("y_lo"),
+        (expr("id % 4") * 16384 + 8192).as("y_hi")
+      )
+    val sel = xy
+      .filter(expr("x % 16384 < 8192") && expr("y % 16384 < 8192"))
+      .groupBy((expr("x div 16384") * 4 + expr("y div 16384")).as("qid"))
+      .agg(count(lit(1)).as("n_match"))
+    val total = xy.agg(count(lit(1)).as("total"))
+    val scanned = col("min_x") < col("x_hi") && col("max_x") >= col("x_lo") &&
+      col("min_y") < col("y_hi") && col("max_y") >= col("y_lo")
+    buckets
+      .crossJoin(broadcast(preds))
+      .groupBy("layout", "qid")
+      .agg(
+        count(when(scanned, 1)).as("n_buckets_scanned"),
+        sum(when(scanned, col("n_rows")).otherwise(0L)).as("rows_scanned")
+      )
+      .join(broadcast(sel), Seq("qid"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col("layout"),
+        col("qid"),
+        col("n_buckets_scanned"),
+        round(col("rows_scanned").cast("double") / col("total"), 4)
+          .as("frac_rows_scanned"),
+        round(
+          coalesce(col("n_match"), lit(0L)).cast("double") / col("total"),
+          4
+        ).as("selectivity")
+      )
+      .orderBy("layout", "qid")
+  }
 }

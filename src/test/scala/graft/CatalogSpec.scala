@@ -183,5 +183,32 @@ class CatalogSpec extends AnyFunSuite {
       case Array(a, b) => assert(a._2 <= b._1, s"overlap: $a vs $b")
       case _           => ()
     }
+    // the write path must emit the actual table: full orders payload
+    // rides with the cluster key, not just derived grid columns
+    val cols = CatalogOps.zorderPartitioned(lake).columns.toSet
+    assert(lake.orders.columns.forall(cols.contains), cols.toSeq.sorted)
+  }
+
+  test("cat05: pruning is sound and z-order out-prunes the 1-D layout on 2-D windows") {
+    val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
+    val rows = CatalogOps.cat05PruneAudit(lake).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 32) // 2 layouts × 16 predicate windows
+    rows.foreach { case (layout, qid, nScan, frac, selv) =>
+      assert(nScan >= 0 && nScan <= 64, s"$layout/$qid")
+      // soundness: a bucket holding a matching row must intersect the
+      // window, so the scanned fraction can never undercut the true
+      // selectivity (pruning never drops a qualifying row)
+      assert(frac + 1e-9 >= selv, s"$layout/$qid scans $frac < sel $selv")
+    }
+    val byLayout = rows.groupBy(_._1).map { case (l, rs) =>
+      l -> rs.map(_._4).sum / rs.length
+    }
+    // the claim cat04 makes, measured: on 2-D predicates the z-order
+    // extents prune strictly more rows than the 1-D customer sort,
+    // whose every file spans the full date range
+    assert(byLayout("zorder") < byLayout("linear_x"),
+      s"zorder ${byLayout("zorder")} vs linear ${byLayout("linear_x")}")
   }
 }

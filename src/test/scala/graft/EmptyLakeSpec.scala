@@ -59,6 +59,7 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("eval07_roc_auc", Evaluation.eval07RocAuc(_))
   assertEmptyOk("mm05_phash_neardup", graft.multimodal.Multimodal.mm05PhashNeardup(_))
   assertEmptyOk("cat04_zorder_layout", CatalogOps.cat04ZorderLayout(_))
+  assertEmptyOk("cat05_prune_audit", CatalogOps.cat05PruneAudit(_))
   assertEmptyOk("samp12_mixture_sample", TextAnalysis.samp12MixtureSample(_))
   assertEmptyOk("emb03_prefix_fidelity", Embedding.emb03PrefixFidelity(_))
   assertEmptyOk("emb04_geometry_audit", Embedding.emb04GeometryAudit)
