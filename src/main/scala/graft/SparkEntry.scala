@@ -182,6 +182,7 @@ object SparkEntry {
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "evt09_interval_join" -> q(Events.evt09IntervalJoin(_)),
     "evt10_lateness_profile" -> q(Events.evt10LatenessProfile(_)),
+    "evt11_watermark_curve" -> q(Events.evt11WatermarkCurve(_)),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
@@ -271,6 +272,20 @@ object SparkEntry {
       |  FROM ga),
       |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
       |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id)""".stripMargin
+
+  /** The lateness-model fragment evt10 (profile) and evt11 (watermark
+    * curve) share: deterministic md5 arrival delay, the strictly-
+    * earlier-arrivals high-water mark, per-event late_us as
+    * `lt(ts, late_us)`. One copy, no silent drift. */
+  private val dkLatenessCtes: String =
+    """e AS (SELECT event_id, ts, epoch_us(ts) AS tus,
+      |    epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 7200 * 1000000 AS aus
+      |  FROM events),
+      |h AS (SELECT ts, tus, MAX(tus) OVER (ORDER BY aus, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM e),
+      |lt AS (SELECT ts,
+      |    CASE WHEN hwm > tus THEN hwm - tus ELSE 0 END AS late_us FROM h)""".stripMargin
 
   /** The Morton-cell fragment cat04 (layout audit) and cat05 (prune
     * audit) share: orders → observed-min/max-scaled 16-bit grid
@@ -968,20 +983,30 @@ object SparkEntry {
     // the Spark side's sharded two-level prefix max must be
     // value-identical.
     "evt10_lateness_profile" ->
-      """WITH e AS (SELECT event_id, ts, epoch_us(ts) AS tus,
-        |    epoch_us(ts) + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-        |      % 7200 * 1000000 AS aus
-        |  FROM events),
-        |h AS (SELECT ts, tus, MAX(tus) OVER (ORDER BY aus, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm FROM e),
-        |l AS (SELECT date_trunc('day', ts) AS day,
-        |    CASE WHEN hwm > tus THEN hwm - tus ELSE 0 END AS late_us FROM h)
-        |SELECT day, COUNT(*) AS n_events,
+      s"""WITH $dkLatenessCtes
+        |SELECT date_trunc('day', ts) AS day, COUNT(*) AS n_events,
         |  CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
         |  CAST(SUM(CASE WHEN late_us >= 60000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1m,
         |  CAST(SUM(CASE WHEN late_us >= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
         |  ROUND(MAX(late_us) / 1000000.0, 4) AS max_late_s
-        |FROM l GROUP BY day ORDER BY day""".stripMargin,
+        |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin,
+    // evt11: the same lateness model folded into the candidate-delay
+    // drop curve — an event is dropped under watermark delay D iff
+    // late_us > D (Structured Streaming's event_time < hwm − D rule).
+    "evt11_watermark_curve" ->
+      s"""WITH $dkLatenessCtes,
+        |t AS (SELECT COUNT(*) AS n FROM lt),
+        |d AS (SELECT CAST(x AS BIGINT) AS delay_s
+        |      FROM (VALUES (0),(30),(60),(300),(1800),(3600),(7200)) v(x))
+        |SELECT d.delay_s,
+        |  CAST(COUNT(*) FILTER (WHERE lt.late_us > d.delay_s * 1000000) AS BIGINT) AS n_dropped,
+        |  ROUND(COUNT(*) FILTER (WHERE lt.late_us > d.delay_s * 1000000)
+        |    / CAST(t.n AS DOUBLE), 4) AS drop_frac,
+        |  ROUND(1.0 - COUNT(*) FILTER (WHERE lt.late_us > d.delay_s * 1000000)
+        |    / CAST(t.n AS DOUBLE), 4) AS completeness
+        |FROM lt CROSS JOIN d CROSS JOIN t
+        |GROUP BY d.delay_s, t.n
+        |ORDER BY delay_s""".stripMargin,
     "evt08_daily_anomalies" ->
       """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
         |    COUNT(*) AS n_events

@@ -311,10 +311,10 @@ object Events {
     * construction — S rows, not the corpus. An event is compared
     * against STRICTLY EARLIER arrivals only (rowsBetween …, -1), so
     * the first arrival is never late. */
-  def evt10LatenessProfile(
-      lake: Lake,
-      shardUs: Long = 21600000000L // 6h of arrival time per shard
-  ): DataFrame = {
+  /** The shared lateness frame (evt10's model): (event_id, ts, tus,
+    * late_us) under the deterministic arrival stub and the sharded
+    * two-level high-water mark. */
+  private def latenessFrame(lake: Lake, shardUs: Long): DataFrame = {
     val delayUs =
       conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 7200L * 1000000L
@@ -347,6 +347,13 @@ object Events {
         "late_us",
         when(col("hwm") > col("tus"), col("hwm") - col("tus")).otherwise(0L)
       )
+  }
+
+  def evt10LatenessProfile(
+      lake: Lake,
+      shardUs: Long = 21600000000L // 6h of arrival time per shard
+  ): DataFrame = {
+    latenessFrame(lake, shardUs)
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(
         count(lit(1)).as("n_events"),
@@ -358,5 +365,54 @@ object Events {
         round(max("late_us") / 1000000.0, 4).as("max_late_s")
       )
       .orderBy("day")
+  }
+
+  /** evt11: WATERMARK-DELAY tradeoff curve — the decision evt10's
+    * profile feeds: for each candidate `withWatermark` delay D, how
+    * many events Structured Streaming would DROP (an event is dropped
+    * iff its event time is behind the watermark = observed high-water
+    * mark − D, i.e. late_us > D) and the completeness that delay
+    * buys. The operator answers "what is the smallest delay with
+    * completeness ≥ my SLO" directly from history — delay IS the
+    * result-staleness cost, so the curve is the whole tradeoff on
+    * one axis each.
+    *
+    * Scale shape: the evt10 lateness frame (sharded two-level
+    * high-water mark, never a corpus-wide window) folded by ONE
+    * aggregation computing every candidate's drop count as
+    * conditional sums (the eval05 stacked-threshold discipline — the
+    * corpus never crosses the candidate table), then a |delays|-row
+    * stack. */
+  def evt11WatermarkCurve(
+      lake: Lake,
+      delaysSec: Seq[Long] = Seq(0L, 30L, 60L, 300L, 1800L, 3600L, 7200L),
+      shardUs: Long = 21600000000L
+  ): DataFrame = {
+    val lt = latenessFrame(lake, shardUs)
+    val aggs = count(lit(1)).as("n") +: delaysSec.map(d =>
+      sum(when(col("late_us") > d * 1000000L, 1L).otherwise(0L)).as(s"d$d")
+    )
+    val stackArgs =
+      delaysSec.map(d => s"CAST($d AS BIGINT), d$d").mkString(", ")
+    lt.agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("n"),
+        expr(
+          s"stack(${delaysSec.size}, $stackArgs) AS (delay_s, n_dropped)"
+        )
+      )
+      // empty-lake discipline: zero events degrade to zero rows, not
+      // a null curve
+      .filter(col("n") > 0)
+      .select(
+        col("delay_s"),
+        col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n"), 4).as("drop_frac"),
+        round(
+          lit(1.0) - col("n_dropped").cast("double") / col("n"),
+          4
+        ).as("completeness")
+      )
+      .orderBy("delay_s")
   }
 }

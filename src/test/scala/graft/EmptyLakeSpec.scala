@@ -52,6 +52,7 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("graph27_bfs_distances", Graph.graph27BfsDistances(_))
   assertEmptyOk("evt01_windowed_counts", Events.evt01WindowedCounts)
   assertEmptyOk("evt02_sessionization", Events.evt02Sessionization(_))
+  assertEmptyOk("evt11_watermark_curve", Events.evt11WatermarkCurve(_))
   assertEmptyOk("emb01_hash_embeddings", Embedding.emb01HashEmbeddings(_))
   assertEmptyOk("emb02_pca_projection", Embedding.emb02PcaProject(_))
   assertEmptyOk("xref02_unified_entities", Linkage.xref02UnifiedEntities)

@@ -81,4 +81,25 @@ class EventsSpec extends AnyFunSuite {
       assert(mx <= 7200.0, s"lateness $mx exceeds the 2h delay bound")
     }
   }
+
+  test("watermark curve: monotone, anchored to the lateness profile at both ends") {
+    val curve = Events.evt11WatermarkCurve(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(curve.map(_._1).toSeq == Seq(0L, 30L, 60L, 300L, 1800L, 3600L, 7200L))
+    // a longer delay can only drop fewer events
+    curve.sliding(2).foreach {
+      case Array(a, b) => assert(b._2 <= a._2, s"non-monotone: $a -> $b")
+      case _           => ()
+    }
+    curve.foreach { case (_, dropped, frac, compl) =>
+      assert(math.abs(compl - (1.0 - frac)) <= 1e-3)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // delay 0 drops exactly the profile's late events; the 2h bound
+    // of the arrival model means a 2h watermark drops nothing
+    val profile = Events.evt10LatenessProfile(lake).collect()
+    assert(curve.head._2 == profile.map(_.getLong(2)).sum)
+    assert(curve.last._2 == 0L, s"2h delay still drops ${curve.last._2}")
+    assert(curve.head._2 > 0, "degenerate: no late events to trade against")
+  }
 }
