@@ -494,4 +494,43 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
     assert(exchanges.forall(_.contains("rangepartitioning")), p)
   }
+
+  test("samp13: quota selection is the bounded heap, never a per-stratum sort window") {
+    val p = plan(TextAnalysis.samp13ExactQuota(lake))
+    assert(p.contains("topk_by_score"), p)
+    assert(!p.contains("Window"), p) // no row_number-over-sort fallback
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("eval08: drift monitor reads the corpus once; grid work is bounded") {
+    val df = Evaluation.eval08DistDrift(lake)
+    df.collect() // AQE finalizes join strategies on execution
+    val p = df.queryExecution.executedPlan.toString
+    // one (source, bucket) aggregation feeds marginals and the grid —
+    // the checkpointed counts frame appears as scans, never a second
+    // documents read
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Scan parquet".r.findAllIn(p).isEmpty, // checkpoint-only inputs
+      s"corpus re-scanned:\n$p")
+  }
+
+  test("evt11: the curve never runs a corpus-wide window (shard discipline holds)") {
+    val p = plan(Events.evt11WatermarkCurve(lake))
+    // the lateness frame's in-shard window partitions by shard; the
+    // only unpartitioned window is the S-row shard-header prefix max
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("shard")), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("cat05: prune audit never crosses the corpus with the predicate table") {
+    val df = CatalogOps.cat05PruneAudit(lake)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only cross/broadcast-NLJ inputs are bounded frames (the
+    // 16-row predicate grid, the 1-row total, the 64-row extents);
+    // the corpus-sized Morton frame enters aggregations only
+    assert("Scan parquet".r.findAllIn(p).isEmpty,
+      s"corpus re-scanned past the checkpoint:\n$p")
+  }
 }
