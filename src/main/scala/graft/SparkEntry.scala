@@ -179,6 +179,7 @@ object SparkEntry {
     "sim10_sq_ann" -> q(Similarity.sim10SqAnn(_)),
     "sim12_range_search" -> q(Similarity.sim12RangeSearch(_)),
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
+    "sim13_pq_refine" -> q(Similarity.sim13PqRefine(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "evt09_interval_join" -> q(Events.evt09IntervalJoin(_)),
     "evt10_lateness_profile" -> q(Events.evt10LatenessProfile(_)),
@@ -272,6 +273,50 @@ object SparkEntry {
       |  FROM ga),
       |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
       |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id)""".stripMargin
+
+  /** The PQ train + ADC score fragment sim07 (ADC top-k) and sim13
+    * (refine) share: normalize, 8-way subvector split, seeded +
+    * 2-iteration-unrolled per-subspace Lloyd, codes, broadcast LUT,
+    * per-(query, vec) ADC score as `s(query_id, vec_id, score)`
+    * (with e(vec_id, v0) the raw vectors). One copy, no silent
+    * drift. */
+  private val dkPqAdcCtes: String = {
+    val iter = (1 to 2).map { i =>
+      s"""a$i AS (SELECT sub.vec_id, sub.sub_id, sub.sv, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.sub_id
+         |      ORDER BY list_distance(sub.sv, c.centroid) ASC, c.cluster) AS r
+         |  FROM sub JOIN c${i - 1} c ON sub.sub_id = c.sub_id),
+         |f$i AS (SELECT sub_id, cluster, generate_subscripts(sv, 1) AS pos,
+         |    UNNEST(sv) AS x FROM a$i WHERE r = 1),
+         |c$i AS (SELECT sub_id, cluster, LIST(c ORDER BY pos) AS centroid FROM (
+         |    SELECT sub_id, cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2, 3)
+         |  GROUP BY sub_id, cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+       |n AS (SELECT vec_id, list_transform(v0,
+       |    x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
+       |sub AS (SELECT vec_id, sub_id, list_slice(v, sub_id * 8 + 1, sub_id * 8 + 8) AS sv
+       |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 8)) AS sub_id)),
+       |c0 AS (SELECT sub_id, rn - 1 AS cluster, sv AS centroid FROM (
+       |    SELECT sub_id, sv, ROW_NUMBER() OVER (
+       |      PARTITION BY sub_id ORDER BY vec_id) AS rn FROM sub)
+       |  WHERE rn <= 16),
+       |$iter,
+       |codes AS (SELECT vec_id, sub_id, cluster FROM (
+       |    SELECT sub.vec_id, sub.sub_id, c.cluster, ROW_NUMBER() OVER (
+       |      PARTITION BY sub.vec_id, sub.sub_id
+       |      ORDER BY list_distance(sub.sv, c.centroid) ASC, c.cluster) AS r
+       |    FROM sub JOIN c2 c ON sub.sub_id = c.sub_id) WHERE r = 1),
+       |q AS (SELECT vec_id AS query_id, sub_id, sv AS qsv FROM sub WHERE vec_id < 10),
+       |lut AS (SELECT query_id, c.sub_id, c.cluster,
+       |    list_dot_product(qsv, c.centroid) AS pdot
+       |  FROM q JOIN c2 c ON q.sub_id = c.sub_id),
+       |s AS (SELECT lut.query_id, codes.vec_id, SUM(pdot) AS score
+       |      FROM codes JOIN lut ON codes.sub_id = lut.sub_id
+       |        AND codes.cluster = lut.cluster
+       |      WHERE codes.vec_id != lut.query_id
+       |      GROUP BY 1, 2)""".stripMargin
+  }
 
   /** The lateness-model fragment evt10 (profile) and evt11 (watermark
     * curve) share: deterministic md5 arrival delay, the strictly-
@@ -1980,49 +2025,34 @@ object SparkEntry {
     // assignment ranked via list_distance, ties to the lowest cluster
     // id), then codes + the per-query ADC lookup table + the summed
     // partial-dot scoring are plain join/agg SQL.
-    "sim07_pq_ann" -> {
-      val iter = (1 to 2).map { i =>
-        s"""a$i AS (SELECT sub.vec_id, sub.sub_id, sub.sv, c.cluster,
-           |    ROW_NUMBER() OVER (PARTITION BY sub.vec_id, sub.sub_id
-           |      ORDER BY list_distance(sub.sv, c.centroid) ASC, c.cluster) AS r
-           |  FROM sub JOIN c${i - 1} c ON sub.sub_id = c.sub_id),
-           |f$i AS (SELECT sub_id, cluster, generate_subscripts(sv, 1) AS pos,
-           |    UNNEST(sv) AS x FROM a$i WHERE r = 1),
-           |c$i AS (SELECT sub_id, cluster, LIST(c ORDER BY pos) AS centroid FROM (
-           |    SELECT sub_id, cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2, 3)
-           |  GROUP BY sub_id, cluster)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
-         |n AS (SELECT vec_id, list_transform(v0,
-         |    x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM e),
-         |sub AS (SELECT vec_id, sub_id, list_slice(v, sub_id * 8 + 1, sub_id * 8 + 8) AS sv
-         |  FROM n CROSS JOIN (SELECT UNNEST(range(0, 8)) AS sub_id)),
-         |c0 AS (SELECT sub_id, rn - 1 AS cluster, sv AS centroid FROM (
-         |    SELECT sub_id, sv, ROW_NUMBER() OVER (
-         |      PARTITION BY sub_id ORDER BY vec_id) AS rn FROM sub)
-         |  WHERE rn <= 16),
-         |$iter,
-         |codes AS (SELECT vec_id, sub_id, cluster FROM (
-         |    SELECT sub.vec_id, sub.sub_id, c.cluster, ROW_NUMBER() OVER (
-         |      PARTITION BY sub.vec_id, sub.sub_id
-         |      ORDER BY list_distance(sub.sv, c.centroid) ASC, c.cluster) AS r
-         |    FROM sub JOIN c2 c ON sub.sub_id = c.sub_id) WHERE r = 1),
-         |q AS (SELECT vec_id AS query_id, sub_id, sv AS qsv FROM sub WHERE vec_id < 10),
-         |lut AS (SELECT query_id, c.sub_id, c.cluster,
-         |    list_dot_product(qsv, c.centroid) AS pdot
-         |  FROM q JOIN c2 c ON q.sub_id = c.sub_id),
-         |s AS (SELECT lut.query_id, codes.vec_id, SUM(pdot) AS score
-         |      FROM codes JOIN lut ON codes.sub_id = lut.sub_id
-         |        AND codes.cluster = lut.cluster
-         |      WHERE codes.vec_id != lut.query_id
-         |      GROUP BY 1, 2),
+    "sim07_pq_ann" ->
+      s"""WITH $dkPqAdcCtes,
          |r AS (SELECT query_id, vec_id, score, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(score, 4) AS adc_score
          |FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
-    },
+         |ORDER BY query_id, rank""".stripMargin,
+    // sim13: the shared ADC scores, top-(k·refine) coarse candidates,
+    // then the exact-cosine rerank over raw vectors (cosine is
+    // normalization-invariant, so raw e.v0 is the same space).
+    "sim13_pq_refine" ->
+      s"""WITH $dkPqAdcCtes,
+         |cr AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS crank
+         |  FROM s),
+         |cand AS (SELECT query_id, vec_id FROM cr WHERE crank <= 40),
+         |ex AS (SELECT cand.query_id, cand.vec_id,
+         |    ${dkCos("qe.v0", "ce.v0")} AS cos_raw
+         |  FROM cand
+         |  JOIN e qe ON qe.vec_id = cand.query_id
+         |  JOIN e ce ON ce.vec_id = cand.vec_id),
+         |rr AS (SELECT query_id, vec_id, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
+         |FROM rr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     "evt01_windowed_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value

@@ -604,6 +604,56 @@ object Similarity {
     )
   }
 
+  /** sim13: PQ + EXACT REFINE, the production FAISS serving shape
+    * (IndexRefineFlat): the compressed-domain ADC scan proposes
+    * k·refine candidates per query, then the true vectors of ONLY
+    * those candidates are fetched through a narrow id equi-join and
+    * re-ranked by exact cosine. This is how a 100 TB embedding store
+    * actually serves: the m-byte codes table is the in-memory scan,
+    * the full vectors stay in cold storage and are touched
+    * |queries|·k·refine times per batch — never scanned. Quantization
+    * error then costs recall only when a true neighbor falls outside
+    * the candidate ring entirely, so recall@k is monotone in
+    * `refine` (spec-pinned against the sim01 truth, alongside the
+    * ≥-raw-PQ comparison).
+    *
+    * Cosine is normalization-invariant, so the refine stage scores
+    * raw vectors while the codes were trained on the normalized
+    * corpus — same space, one less projection. */
+  def sim13PqRefine(
+      lake: Lake,
+      m: Int = 8,
+      ks: Int = 16,
+      k: Int = 10,
+      refine: Int = 4,
+      nQueries: Int = 10,
+      iters: Int = 2
+  ): DataFrame = {
+    val (subv, cents, codes) = pqTrain(lake, m, ks, iters)
+    val cand = pqSearch(
+      subv
+        .filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("sub_id"), col("sv").as("qsv")),
+      cents,
+      codes,
+      k * refine
+    ).select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val base = vecs(lake).select(col("vec_id"), col("v"), col("nrm"))
+    val queries = base
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    topkPerQuery(
+      cand
+        .join(base, Seq("vec_id")) // narrow id join: candidates only
+        .join(broadcast(queries), Seq("query_id"))
+        .withColumn(
+          "cos_raw",
+          vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+        ),
+      k
+    )
+  }
+
   /** PQ training core shared by sim07PqAnn and the persisted-index
     * path: subvector split, joint per-subspace codebooks, codes.
     * Returns (subv, codebooks, codes). */
@@ -618,8 +668,18 @@ object Similarity {
       .localCheckpoint()
     // Subvector dimension from the schema-carried first row is a
     // driver scalar the planner needs anyway (slice lengths are
-    // literals); one tiny action on the checkpointed frame.
-    val dDim = all.select(size(col("v"))).first().getInt(0)
+    // literals); one tiny action on the checkpointed frame. An empty
+    // corpus (empty daily delta, new tenant) degrades to empty
+    // schema-correct frames instead of an NPE on the scalar.
+    val headDim = all.select(size(col("v"))).head(1)
+    if (headDim.isEmpty) {
+      return (
+        all.select(col("vec_id"), lit(0).as("sub_id"), col("v").as("sv")).limit(0),
+        all.select(lit(0).as("sub_id"), lit(0).as("cluster"), col("v").as("centroid")).limit(0),
+        all.select(col("vec_id"), lit(0).as("sub_id"), lit(0).as("cluster")).limit(0)
+      )
+    }
+    val dDim = headDim.head.getInt(0)
     require(dDim % m == 0, s"dim $dDim not divisible by m=$m")
     val sd = dDim / m
     val subv = all

@@ -596,6 +596,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.15, s"PQ recall $recall below sanity floor")
   }
 
+  test("PQ refine: exact rerank dominates raw ADC recall; full-ring refine is brute force") {
+    val bf = Similarity.sim01TopKBruteForce(lake).collect()
+    val bfSet = bf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adcSet = Similarity.sim07PqAnn(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refined = Similarity.sim13PqRefine(lake).collect()
+    // shape: same 10×10 contract as the other ANN entries
+    assert(refined.length == 100)
+    val refSet = refined.map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(s: Set[(Long, Long)]) = (bfSet & s).size.toDouble / bfSet.size
+    // a true top-k neighbor inside the candidate ring always survives
+    // the exact rerank (anything out-ranking it is a truer neighbor),
+    // and the ring contains the ADC top-k — so refine recall can
+    // never fall below raw ADC recall
+    info(s"refine recall ${recall(refSet)} vs ADC ${recall(adcSet)}")
+    assert(recall(refSet) >= recall(adcSet),
+      s"refine ${recall(refSet)} < ADC ${recall(adcSet)}")
+    // the refined scores are EXACT cosines: every reported pair's
+    // score matches brute force's for the same pair
+    val bfScore = bf.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    refined.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bfScore.get(key).foreach(c =>
+        assert(c == r.getDouble(3), s"$key score ${r.getDouble(3)} vs exact $c"))
+    }
+    // a ring covering the corpus makes refine ≡ brute force exactly
+    val n = lake.embeddings.count().toInt
+    val full = Similarity.sim13PqRefine(lake, refine = n).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bfRows = bf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sameElements(bfRows), "full-ring refine must equal brute force")
+  }
+
   test("ANN recall eval: full probe scores 1.0 everywhere; partial probe is internally consistent") {
     // nprobe = nlist makes the IVF leg exhaustive, so against the
     // brute-force truth every query must score perfect recall and the
