@@ -218,7 +218,8 @@ object SparkEntry {
     "eval03_langid_confusion" -> q(Evaluation.eval03LangidConfusion),
     "eval04_cluster_quality" -> q(Evaluation.eval04ClusterQuality),
     "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_)),
-    "pipe02_weighted_corpus" -> q(Pipeline.pipe02WeightedCorpus(_))
+    "pipe02_weighted_corpus" -> q(Pipeline.pipe02WeightedCorpus(_)),
+    "pipe03_eval_suite" -> q(Pipeline.pipe03EvalSuite(_))
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -1478,6 +1479,49 @@ object SparkEntry {
     // samp05: the oracle replays dedup08's recursive-CTE components,
     // left-joins the full corpus (singletons label as themselves),
     // and applies the same cluster-modulo split rule.
+    // pipe03: the funnel's three stages composed as one CTE chain —
+    // dedup07's contamination flag (unfiltered shingles), samp05's
+    // recursive-closure splits (len(w) >= 3 shingles, the pairs
+    // formulation), samp13's ranked quota, each stage's SQL text
+    // matching its standalone oracle.
+    "pipe03_eval_suite" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |shc AS (SELECT doc_id, $dkShingles3 AS s FROM t),
+         |bench AS (SELECT DISTINCT UNNEST(s) AS s FROM shc WHERE doc_id < 10),
+         |corpus AS (SELECT doc_id, UNNEST(s) AS s FROM shc WHERE doc_id >= 10),
+         |contam AS (SELECT doc_id FROM corpus JOIN bench USING (s)
+         |  GROUP BY doc_id HAVING COUNT(*) >= 5),
+         |shp AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shp a JOIN shp b ON a.doc_id < b.doc_id
+         |  WHERE $dkJac >= 0.5),
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(u, lbl) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON e.v = r.u),
+         |comp AS (SELECT u AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY u),
+         |sel AS (
+         |  SELECT d.doc_id, d.lang, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)
+         |  WHERE d.doc_id >= 10
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |sp AS (SELECT doc_id, lang,
+         |  CASE WHEN cluster_id % 10 < 8 THEN 'train'
+         |       WHEN cluster_id % 10 = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM sel),
+         |u AS (SELECT split, lang, doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT AS u
+         |  FROM sp),
+         |r AS (SELECT split, lang, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY split, lang ORDER BY u, doc_id) AS rank
+         |  FROM u)
+         |SELECT split, lang, CAST(rank AS BIGINT) AS rank, doc_id
+         |FROM r WHERE rank <= 20
+         |ORDER BY split, lang, rank""".stripMargin,
     "samp05_leakage_safe_split" ->
       s"""WITH RECURSIVE t AS (SELECT doc_id, $dkToks AS w FROM documents),
          |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3),

@@ -227,4 +227,43 @@ object Pipeline {
       )
       .orderBy("source", "bucket")
   }
+
+  /** pipe03: EVAL-SUITE construction funnel — the composition an
+    * evaluation-set build runs as one dataflow: benchmark
+    * DECONTAMINATION (dedup07's shingle-overlap flag — a doc sharing
+    * ≥ minOverlap trigrams with the benchmark can't be scored
+    * fairly, and the benchmark docs themselves are excluded) →
+    * LEAKAGE-SAFE near-dup-cluster splits (samp05 — a doc and its
+    * near-duplicate must land in the same split or val/test leaks
+    * into train) → EXACT per-(split, language) quotas (samp13's
+    * bounded heap — fixed-size strata are the eval-set contract).
+    * Emits the selected manifest (split, lang, rank, doc_id):
+    * deterministic end to end, so the suite is replayable from the
+    * raw lake by construction.
+    *
+    * Scale: dedup07's broadcast benchmark set + one shingle
+    * equi-join; samp05's LSH candidates + star-CC labels; the quota
+    * heap carries |strata|·k rows. The funnel's only corpus-sized
+    * shuffles are the ones its stages already pay alone — the
+    * composition adds two narrow id joins. */
+  def pipe03EvalSuite(
+      lake: Lake,
+      nBench: Int = 10,
+      minOverlap: Int = 5,
+      quota: Int = 20,
+      seed: Int = 7
+  ): DataFrame = {
+    val contaminated =
+      Dedup.dedup07Decontaminate(lake, nBench, minOverlap).select("doc_id")
+    val splits = Dedup.samp05LeakageSafeSplit(lake).select("doc_id", "split")
+    val clean = lake.documents
+      .select(col("doc_id"), col("lang"))
+      .filter(col("doc_id") >= nBench)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .join(splits, Seq("doc_id"))
+    TextAnalysis
+      .exactQuotaCore(clean, Seq("split", "lang"), quota, seed)
+      .select(col("split"), col("lang"), col("rank"), col("doc_id"))
+      .orderBy("split", "lang", "rank")
+  }
 }

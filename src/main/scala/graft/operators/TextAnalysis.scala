@@ -481,32 +481,42 @@ object TextAnalysis {
     * sorts each stratum's full candidate slice before discarding all
     * but k (the dominant cost at corpus scale); the exchange carries
     * |strata|·k (id, rank) pairs only. */
-  def samp13ExactQuota(lake: Lake, k: Int = 20, seed: Int = 7): DataFrame = {
-    val ranked = lake.documents.select(
-      col("lang"),
-      col("doc_id"),
-      conv(
-        substring(
-          md5(concat(col("doc_id").cast("string"), lit(":" + seed))),
-          1, 8
-        ),
-        16, 10
-      ).cast("long").as("u")
+  /** The quota core over any (strata..., doc_id) frame — shared by
+    * samp13 and the composed eval-suite funnel (pipe03). */
+  private[graft] def exactQuotaCore(
+      docs: DataFrame,
+      strata: Seq[String],
+      k: Int,
+      seed: Int
+  ): DataFrame = {
+    val ranked = docs.select(
+      strata.map(col) :+
+        col("doc_id") :+
+        conv(
+          substring(
+            md5(concat(col("doc_id").cast("string"), lit(":" + seed))),
+            1, 8
+          ),
+          16, 10
+        ).cast("long").as("u"): _*
     )
     ranked
-      .groupBy("lang")
+      .groupBy(strata.map(col): _*)
       // heap keeps HIGHEST score: negate so the smallest hash wins
       // (u < 2^32 is exactly representable in the heap's double)
       .agg(graft.plans.TopKByScore(-col("u"), col("doc_id"), k).as("sel"))
-      .select(col("lang"), posexplode(col("sel")).as(Seq("r", "s")))
+      .select(strata.map(col) :+ posexplode(col("sel")).as(Seq("r", "s")): _*)
       .select(
-        col("lang"),
-        (col("r") + 1).cast("long").as("rank"),
-        col("s.id").as("doc_id"),
-        (-col("s.score")).cast("long").as("u")
+        strata.map(col) :+
+          (col("r") + 1).cast("long").as("rank") :+
+          col("s.id").as("doc_id") :+
+          (-col("s.score")).cast("long").as("u"): _*
       )
-      .orderBy("lang", "rank")
   }
+
+  def samp13ExactQuota(lake: Lake, k: Int = 20, seed: Int = 7): DataFrame =
+    exactQuotaCore(lake.documents, Seq("lang"), k, seed)
+      .orderBy("lang", "rank")
 
   def samp01Stratified(lake: Lake, pct: Int = 30): DataFrame =
     lake.documents

@@ -79,4 +79,5 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("sim11_knn_graph_ann", Similarity.sim11KnnGraphAnn(_))
   assertEmptyOk("txt12_bpe_tokens", TextAnalysis.txt12BpeTokens)
   assertEmptyOk("pipe01_pretrain_corpus", Pipeline.pipe01PretrainCorpus(_))
+  assertEmptyOk("pipe03_eval_suite", Pipeline.pipe03EvalSuite(_))
 }

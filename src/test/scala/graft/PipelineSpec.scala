@@ -96,4 +96,31 @@ class PipelineSpec extends AnyFunSuite {
     // every source that survives appears at most once per bucket
     assert(rows.groupBy(r => (r._1, r._2)).forall(_._2.length == 1))
   }
+
+  test("eval suite: no contamination, no benchmark docs, split-consistent, quota-capped") {
+    import org.apache.spark.sql.functions._
+    val manifest = Pipeline.pipe03EvalSuite(lake).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(manifest.nonEmpty)
+    // quotas: at most 20 per (split, lang), contiguous ranks from 1
+    manifest.groupBy(t => (t._1, t._2)).foreach { case (k, rs) =>
+      assert(rs.length <= 20, s"$k over quota")
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq, s"$k ranks")
+    }
+    val selected = manifest.map(_._4).toSet
+    // benchmark docs (doc_id < 10) never selected
+    assert(selected.forall(_ >= 10L), "benchmark doc selected")
+    // contaminated docs never selected
+    val contam = graft.operators.Dedup.dedup07Decontaminate(lake)
+      .collect().map(_.getLong(0)).toSet
+    assert((selected & contam).isEmpty, "contaminated doc selected")
+    // the manifest's split for each doc is exactly samp05's assignment
+    // — and therefore near-dup cluster mates can never straddle splits
+    val splits = graft.operators.Dedup.samp05LeakageSafeSplit(lake)
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    manifest.foreach { case (split, _, _, id) =>
+      assert(splits(id) == split, s"doc $id split $split vs ${splits(id)}")
+    }
+  }
 }
