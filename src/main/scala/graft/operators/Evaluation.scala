@@ -470,24 +470,44 @@ object Evaluation {
     * everything after is arithmetic over bounded frames (global
     * bucket marginals derive from the same counts — no second
     * scan). */
-  def eval08DistDrift(lake: Lake, eps: Double = 1e-4): DataFrame = {
-    val counts = lake.documents
-      .select(
-        col("source"),
-        least(length(bin(col("n_chars") + 1)) - 1, lit(20))
-          .cast("long")
-          .as("bucket")
-      )
+  /** The exact-integer-log2 length bucket both the batch monitor and
+    * its streaming twin use (bit-length, not log2() — see
+    * eval08DistDrift). */
+  private[graft] def lenBucket: org.apache.spark.sql.Column =
+    least(length(bin(col("n_chars") + 1)) - 1, lit(20)).cast("long")
+
+  /** Per-(source, bucket) document counts — eval08's corpus pass,
+    * also valid as the ONE streaming aggregation of a document
+    * stream (complete mode), whose per-micro-batch state feeds
+    * [[psiAgainst]] in a foreachBatch monitor sink. */
+  private[graft] def driftCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), lenBucket.as("bucket"))
       .groupBy("source", "bucket")
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint() // three bounded consumers, one corpus scan
+
+  /** The corpus-marginal reference histogram: (bucket, ct, n_all).
+    * Batch eval08 derives it from its own counts; a streaming
+    * monitor builds it ONCE from the historical lake and scores
+    * every micro-batch against it. */
+  private[graft] def referenceMarginal(counts: DataFrame): DataFrame =
+    counts
+      .groupBy("bucket")
+      .agg(sum("c").as("ct"))
+      .crossJoin(broadcast(counts.agg(sum("c").as("n_all"))))
+
+  /** PSI of per-(source, bucket) counts against a reference
+    * marginal — the shared fold of eval08 and the streaming drift
+    * monitor. All inputs are bounded frames. */
+  private[graft] def psiAgainst(
+      counts: DataFrame,
+      ref: DataFrame,
+      eps: Double
+  ): DataFrame = {
     val bySource = counts.groupBy("source").agg(sum("c").as("n_docs"))
-    val byBucket = counts.groupBy("bucket").agg(sum("c").as("ct"))
-    val total = counts.agg(sum("c").as("n_all"))
     bySource
-      .crossJoin(broadcast(byBucket))
+      .crossJoin(broadcast(ref))
       .join(counts, Seq("source", "bucket"), "left")
-      .crossJoin(broadcast(total))
       .withColumn("p", greatest(coalesce(col("c"), lit(0L)) / col("n_docs"), lit(eps)))
       .withColumn("q", greatest(col("ct") / col("n_all"), lit(eps)))
       .groupBy("source")
@@ -498,5 +518,11 @@ object Evaluation {
       )
       .withColumn("drifted", col("psi") >= 0.2)
       .orderBy("source")
+  }
+
+  def eval08DistDrift(lake: Lake, eps: Double = 1e-4): DataFrame = {
+    val counts = driftCounts(lake.documents)
+      .localCheckpoint() // three bounded consumers, one corpus scan
+    psiAgainst(counts, referenceMarginal(counts), eps)
   }
 }

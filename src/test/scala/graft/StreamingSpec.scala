@@ -613,4 +613,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batch.length)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("streaming drift monitor matches batch eval08 once the stream covers the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val batch = graft.operators.Evaluation.eval08DistDrift(lake)
+      .collect().map(_.toSeq).toSeq
+    // the production wiring: reference marginal built ONCE from the
+    // historical corpus; the incoming stream's (source, bucket)
+    // state is the single streaming aggregation (complete mode), and
+    // each micro-batch's full state is PSI-scored against the static
+    // reference in a foreachBatch monitor sink
+    val ref = graft.operators.Evaluation
+      .referenceMarginal(
+        graft.operators.Evaluation.driftCounts(lake.documents)
+      )
+      .cache()
+    val docs = lake.documents.select("source", "n_chars")
+      .as[(String, Long)].collect().toSeq
+    val (first, second) = docs.splitAt(docs.length / 2)
+    val stream = MemoryStream[(String, Long)]
+    @volatile var lastPsi: Seq[Seq[Any]] = Seq.empty
+    val query = graft.operators.Evaluation
+      .driftCounts(stream.toDS().toDF("source", "n_chars"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (state: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        lastPsi = graft.operators.Evaluation
+          .psiAgainst(state, ref, 1e-4)
+          .collect().map(_.toSeq).toSeq
+      }
+      .start()
+    stream.addData(first)
+    query.processAllAvailable()
+    val partial = lastPsi
+    // a half-corpus batch already yields a well-formed monitor row set
+    assert(partial.nonEmpty)
+    stream.addData(second)
+    query.processAllAvailable()
+    query.stop()
+    // once the stream has seen the whole corpus, the monitor's state
+    // equals the batch audit row for row
+    assert(lastPsi == batch)
+  }
 }
