@@ -654,9 +654,110 @@ object Similarity {
     )
   }
 
-  /** PQ training core shared by sim07PqAnn and the persisted-index
-    * path: subvector split, joint per-subspace codebooks, codes.
-    * Returns (subv, codebooks, codes). */
+  /** sim14: IVF + PQ over RESIDUALS — FAISS's IndexIVFPQ, the index
+    * a corpus actually ships at 100 TB (IVF alone still stores full
+    * vectors per cell; PQ alone still scans every code; composed,
+    * the probe visits nprobe/nlist of the corpus and each visited
+    * doc costs m LUT adds over its residual codes). Pipeline:
+    * sim06's trained coarse quantizer assigns cells; each vector's
+    * RESIDUAL v − centroid(cell) is PQ-encoded (residuals are what
+    * make the codebooks sharp — their spread is a cell radius, not
+    * the whole space); search probes the nprobe best cells and
+    * scores candidates by the exact inner-product decomposition
+    * q·(c + r) ≈ q·c + Σ_m LUT_m[code_m], where q·c is one dot per
+    * probed cell and the LUT is per-(query, subspace, code) — the
+    * classic ADC-with-coarse-correction identity.
+    *
+    * Scale shape: coarse train/assign is sim06's (broadcast
+    * centroids, map-only argmax); residual PQ is pqTrainCore on a
+    * map-derived frame; search joins candidates to codes by id and
+    * to the broadcast LUT by (query, subspace, code) — the corpus
+    * enters only through the probed-cell equi-join. */
+  def sim14IvfPq(
+      lake: Lake,
+      k: Int = 10,
+      nQueries: Int = 10,
+      nlist: Int = 10,
+      nprobe: Int = 3,
+      coarseIters: Int = 3,
+      m: Int = 8,
+      ks: Int = 16,
+      pqIters: Int = 2
+  ): DataFrame = {
+    val all = vecs(lake).localCheckpoint()
+    val headDim = all.select(size(col("v"))).head(1)
+    if (headDim.isEmpty) {
+      return topkPerQuery(
+        all
+          .select(
+            col("vec_id").as("query_id"),
+            col("vec_id"),
+            lit(0.0).as("cos_raw")
+          )
+          .limit(0),
+        k,
+        scoreName = "adc_ip"
+      )
+    }
+    val sd = headDim.head.getInt(0) / m
+    val cents = kmeans(all, nlist, coarseIters)
+    val cells = argmaxCell(all, cents, Seq("v"))
+      .select(col("vec_id"), col("cluster"), col("v"))
+    val resid = cells
+      .join(broadcast(cents), Seq("cluster"))
+      .select(
+        col("vec_id"),
+        zip_with(col("v"), col("centroid"), (x, y) => x - y).as("v")
+      )
+      .localCheckpoint()
+    val (_, pqCents, codes) = pqTrainCore(resid, m, ks, pqIters)
+    val queries = all
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val cellRank = Window
+      .partitionBy("query_id")
+      .orderBy(col("qcos").desc, col("cluster"))
+    val probed = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("qcos", vectors.cosine(col("qv"), col("centroid")))
+      .withColumn("qcdot", vectors.dot(col("qv"), col("centroid")))
+      .withColumn("crank", row_number().over(cellRank))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "qv", "qcdot", "cluster")
+    val qsub = queries
+      .withColumn("sub_id", explode(sequence(lit(0), lit(m - 1))))
+      .select(
+        col("query_id"),
+        col("sub_id"),
+        slice(col("qv"), col("sub_id") * sd + 1, lit(sd)).as("qsv")
+      )
+    val lut = qsub
+      .join(broadcast(pqCents), Seq("sub_id"))
+      .select(
+        col("query_id"),
+        col("sub_id"),
+        col("cluster"),
+        vectors.dot(col("qsv"), col("centroid")).as("pdot")
+      )
+    val cand = cells
+      .select(col("vec_id"), col("cluster"))
+      .join(broadcast(probed.select("query_id", "qcdot", "cluster")), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id", "qcdot")
+    topkPerQuery(
+      cand
+        .join(codes, Seq("vec_id"))
+        .join(broadcast(lut), Seq("query_id", "sub_id", "cluster"))
+        .groupBy("query_id", "vec_id")
+        .agg((first("qcdot") + sum("pdot")).as("cos_raw")),
+      k,
+      scoreName = "adc_ip"
+    )
+  }
+
+  /** PQ training shared by sim07PqAnn, sim13/sim14, and the
+    * persisted-index path: subvector split, joint per-subspace
+    * codebooks, codes. Returns (subv, codebooks, codes). */
   private[graft] def pqTrain(
       lake: Lake,
       m: Int,
@@ -666,6 +767,18 @@ object Similarity {
     val all = vecs(lake)
       .select(col("vec_id"), vectors.l2Normalize(col("v")).as("v"))
       .localCheckpoint()
+    pqTrainCore(all, m, ks, iters)
+  }
+
+  /** The PQ train body over ANY (vec_id, v) frame, un-normalized —
+    * sim07/sim13 feed it the l2-normalized corpus, sim14 feeds it
+    * coarse-quantizer RESIDUALS (whose magnitudes must survive). */
+  private[graft] def pqTrainCore(
+      all: DataFrame,
+      m: Int,
+      ks: Int,
+      iters: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     // Subvector dimension from the schema-carried first row is a
     // driver scalar the planner needs anyway (slice lengths are
     // literals); one tiny action on the checkpointed frame. An empty

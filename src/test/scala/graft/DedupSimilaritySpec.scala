@@ -596,6 +596,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.15, s"PQ recall $recall below sanity floor")
   }
 
+  test("IVF-PQ: shape and determinism; recall within reach of the exact-scoring IVF") {
+    val out = Similarity.sim14IvfPq(lake).collect()
+    assert(out.length == 100)
+    out.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 10L), s"query $q ranks")
+    }
+    val again = Similarity.sim14IvfPq(lake).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val bf = Similarity.sim01TopKBruteForce(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(s: Set[(Long, Long)]) = (bf & s).size.toDouble / bf.size
+    val ivfpq = out.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // sim06 scores the SAME probed candidates exactly, so its recall
+    // is the ceiling the residual-ADC approximation trades against.
+    // On near-uniform random vectors (PQ's worst case — no cluster
+    // structure for the residual codebooks to exploit) the measured
+    // pair is 0.39 vs 0.89; the pin is the sim07-style sanity floor,
+    // not the ceiling ratio, for the same reason sim07 pins 0.15.
+    val ivf = Similarity.sim06IvfTrained(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    info(s"IVF-PQ recall ${recall(ivfpq)} vs exact-IVF ceiling ${recall(ivf)}")
+    assert(recall(ivfpq) <= recall(ivf),
+      "compressed scoring cannot beat exact scoring of the same candidates")
+    assert(recall(ivfpq) >= 0.2,
+      s"IVF-PQ recall ${recall(ivfpq)} below sanity floor")
+  }
+
   test("PQ refine: exact rerank dominates raw ADC recall; full-ring refine is brute force") {
     val bf = Similarity.sim01TopKBruteForce(lake).collect()
     val bfSet = bf.map(r => (r.getLong(0), r.getLong(2))).toSet

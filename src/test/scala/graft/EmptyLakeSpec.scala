@@ -75,6 +75,7 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("sim06_ivf_trained", Similarity.sim06IvfTrained(_))
   assertEmptyOk("sim07_pq_ann", Similarity.sim07PqAnn(_))
   assertEmptyOk("sim13_pq_refine", Similarity.sim13PqRefine(_))
+  assertEmptyOk("sim14_ivf_pq", Similarity.sim14IvfPq(_))
   assertEmptyOk("sim08_knn_graph", Similarity.sim08KnnGraph(_))
   assertEmptyOk("sim11_knn_graph_ann", Similarity.sim11KnnGraphAnn(_))
   assertEmptyOk("txt12_bpe_tokens", TextAnalysis.txt12BpeTokens)
