@@ -700,6 +700,22 @@ object Similarity {
       )
     }
     val sd = headDim.head.getInt(0) / m
+    val (cents, cellIds, pqCents, codes) =
+      ivfPqBuild(all, nlist, coarseIters, m, ks, pqIters)
+    ivfPqSearch(all, cents, cellIds, pqCents, codes, sd, k, nQueries, nprobe, m)
+  }
+
+  /** IVF-PQ train: coarse centroids, cell assignments, residual
+    * codebooks, residual codes — the four tables the persisted index
+    * ships. */
+  private def ivfPqBuild(
+      all: DataFrame,
+      nlist: Int,
+      coarseIters: Int,
+      m: Int,
+      ks: Int,
+      pqIters: Int
+  ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cents = kmeans(all, nlist, coarseIters)
     val cells = argmaxCell(all, cents, Seq("v"))
       .select(col("vec_id"), col("cluster"), col("v"))
@@ -711,6 +727,22 @@ object Similarity {
       )
       .localCheckpoint()
     val (_, pqCents, codes) = pqTrainCore(resid, m, ks, pqIters)
+    (cents, cells.select(col("vec_id"), col("cluster")), pqCents, codes)
+  }
+
+  /** Probed-cell ADC search over the four IVF-PQ tables. */
+  private def ivfPqSearch(
+      all: DataFrame,
+      cents: DataFrame,
+      cellIds: DataFrame,
+      pqCents: DataFrame,
+      codes: DataFrame,
+      sd: Int,
+      k: Int,
+      nQueries: Int,
+      nprobe: Int,
+      m: Int
+  ): DataFrame = {
     val queries = all
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -739,8 +771,7 @@ object Similarity {
         col("cluster"),
         vectors.dot(col("qsv"), col("centroid")).as("pdot")
       )
-    val cand = cells
-      .select(col("vec_id"), col("cluster"))
+    val cand = cellIds
       .join(broadcast(probed.select("query_id", "qcdot", "cluster")), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id", "qcdot")
@@ -752,6 +783,73 @@ object Similarity {
         .agg((first("qcdot") + sum("pdot")).as("cos_raw")),
       k,
       scoreName = "adc_ip"
+    )
+  }
+
+  /** IVF-PQ write_index analog, completing index persistence across
+    * every FAISS family graft implements (IVF, PQ, SQ8, MinHash
+    * bands, and now their composition): `centroids/`
+    * (cluster, centroid), `cells/` (vec_id, cluster), `codebooks/`
+    * (sub_id, cluster, centroid), `codes/` (vec_id, sub_id,
+    * cluster). cells + codes ARE the compressed corpus — ~(1 + m)
+    * small ints per vector; full vectors never ship with the
+    * index. */
+  def writeIvfPqIndex(
+      lake: Lake,
+      dir: String,
+      nlist: Int = 10,
+      coarseIters: Int = 3,
+      m: Int = 8,
+      ks: Int = 16,
+      pqIters: Int = 2
+  ): Unit = {
+    val all = vecs(lake).localCheckpoint()
+    val (cents, cellIds, pqCents, codes) =
+      ivfPqBuild(all, nlist, coarseIters, m, ks, pqIters)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    cellIds.write.mode("overwrite").parquet(s"$dir/cells")
+    pqCents.write.mode("overwrite").parquet(s"$dir/codebooks")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** IVF-PQ ANN over a PERSISTED index: training is deterministic,
+    * so index-then-search equals train-then-search row for row
+    * (spec-asserted, the ivfAnnFromIndex contract). */
+  def ivfPqAnnFromIndex(
+      lake: Lake,
+      dir: String,
+      k: Int = 10,
+      nQueries: Int = 10,
+      nprobe: Int = 3,
+      m: Int = 8
+  ): DataFrame = {
+    val spark = lake.spark
+    val all = vecs(lake).localCheckpoint()
+    val headDim = all.select(size(col("v"))).head(1)
+    if (headDim.isEmpty) {
+      return topkPerQuery(
+        all
+          .select(
+            col("vec_id").as("query_id"),
+            col("vec_id"),
+            lit(0.0).as("cos_raw")
+          )
+          .limit(0),
+        k,
+        scoreName = "adc_ip"
+      )
+    }
+    ivfPqSearch(
+      all,
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/cells"),
+      spark.read.parquet(s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"),
+      headDim.head.getInt(0) / m,
+      k,
+      nQueries,
+      nprobe,
+      m
     )
   }
 

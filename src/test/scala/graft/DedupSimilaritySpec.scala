@@ -402,6 +402,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(codes.columns.toSeq.sorted == Seq("cluster", "sub_id", "vec_id"))
   }
 
+  test("persisted IVF-PQ index: index-then-search equals train-then-search exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    Similarity.writeIvfPqIndex(lake, dir)
+    val fromIndex = Similarity.ivfPqAnnFromIndex(lake, dir)
+      .collect().map(_.toSeq)
+    val inline = Similarity.sim14IvfPq(lake)
+      .collect().map(_.toSeq)
+    assert(fromIndex.toSeq == inline.toSeq)
+    // cells + codes are the compressed corpus: ids only, no vectors
+    val cells = TestSpark.spark.read.parquet(s"$dir/cells")
+    assert(cells.columns.toSeq.sorted == Seq("cluster", "vec_id"))
+    val codes = TestSpark.spark.read.parquet(s"$dir/codes")
+    assert(codes.columns.toSeq.sorted == Seq("cluster", "sub_id", "vec_id"))
+  }
+
   test("persisted SQ index: index-then-search equals train-then-search exactly") {
     val dir = java.nio.file.Files.createTempDirectory("sq_index").toString
     Similarity.writeSqIndex(lake, dir)
