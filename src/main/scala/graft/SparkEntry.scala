@@ -1677,7 +1677,7 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          |flat AS (SELECT label, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x FROM e),
          |ds AS (SELECT label, pos, AVG(x) AS mean_d,
-         |    AVG(x * x) - AVG(x) * AVG(x) AS var_d
+         |    GREATEST(AVG(x * x) - AVG(x) * AVG(x), 0) AS var_d
          |  FROM flat GROUP BY 1, 2),
          |cent AS (SELECT label, LIST(mean_d ORDER BY pos) AS c,
          |    SUM(var_d) AS trace_var, MAX(var_d) AS max_var
@@ -1693,7 +1693,8 @@ object SparkEntry {
          |  FROM cj GROUP BY 1)
          |SELECT na.label, na.n_vecs, na.avg_norm, na.sd_norm, na.mean_cos_centroid,
          |  ROUND(cent.trace_var, 4) + 0.0 AS trace_var,
-         |  ROUND(cent.max_var / cent.trace_var, 4) + 0.0 AS top_var_share
+         |  CASE WHEN cent.trace_var > 0
+         |    THEN ROUND(cent.max_var / cent.trace_var, 4) + 0.0 END AS top_var_share
          |FROM na JOIN cent USING (label)
          |ORDER BY label""".stripMargin,
     // samp13: the bounded-heap per-stratum quota replayed as the

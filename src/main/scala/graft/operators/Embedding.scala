@@ -326,10 +326,12 @@ object Embedding {
       .withColumn("centroid", transform(col("s"), x => x / col("n_vecs")))
       .withColumn(
         "vars",
+        // per-dim variance clamped at 0: the Σx²/n − mean² form can
+        // land fp-negative on a constant dimension
         expr(
           """transform(sequence(0, d - 1),
-            |  i -> element_at(m, i * d + i + 1) / n_vecs
-            |       - pow(element_at(s, i + 1) / n_vecs, 2))""".stripMargin
+            |  i -> greatest(element_at(m, i * d + i + 1) / n_vecs
+            |       - pow(element_at(s, i + 1) / n_vecs, 2), 0D))""".stripMargin
         )
       )
       .withColumn("trace_var", expr("aggregate(vars, 0D, (a, x) -> a + x)"))
@@ -341,6 +343,10 @@ object Embedding {
         col("trace_var"),
         col("max_var")
       )
+      // two consumers (the broadcast centroid branch inside the
+      // cosine pass and the final join) — |labels| rows, so the
+      // checkpoint is free and the corpus-sized moment pass runs ONCE
+      .localCheckpoint()
     val cosAgg = base
       .join(broadcast(mom.select(col("label"), col("centroid"))), "label")
       .withColumn(
@@ -369,7 +375,12 @@ object Embedding {
         col("label"),
         col("n_vecs"),
         round(col("trace_var"), 4).as("trace_var"),
-        round(col("max_var") / col("trace_var"), 4).as("top_var_share")
+        // a fully degenerate label (every vector identical) has zero
+        // variance everywhere: share is undefined (null), not 0/0 NaN
+        when(
+          col("trace_var") > 0,
+          round(col("max_var") / col("trace_var"), 4)
+        ).as("top_var_share")
       )
       .join(cosAgg, "label")
       .select(

@@ -449,27 +449,6 @@ object Evaluation {
       .filter(col("n").isNotNull)
   }
 
-  /** eval08: DISTRIBUTION-DRIFT monitor — per-source Population
-    * Stability Index of the document-length distribution against the
-    * corpus-wide distribution (the production data-quality check a
-    * pipeline runs per ingest batch: a source whose length profile
-    * departs from the corpus — truncation bug, boilerplate flood,
-    * schema drift upstream — shows a high PSI long before any
-    * quality rule fires; >= 0.2 is the standard "investigate"
-    * threshold). PSI = Σ (p_i − q_i)·ln(p_i/q_i), every term >= 0.
-    *
-    * Buckets are exact integer log2 of n_chars via `length(bin(x))`
-    * — deliberately NOT log2(): Spark computes log2 as ln(x)/ln(2),
-    * which lands BELOW the exact value at powers of two (floor then
-    * disagrees with DuckDB's std::log2) — bit-length is exact in
-    * both engines. Absent (source, bucket) cells enter at the eps
-    * clamp, so a source missing an entire populated band is charged
-    * for it (the grid is |sources|·|buckets|, bounded).
-    *
-    * Scale shape: ONE corpus aggregation to (source, bucket) counts;
-    * everything after is arithmetic over bounded frames (global
-    * bucket marginals derive from the same counts — no second
-    * scan). */
   /** The exact-integer-log2 length bucket both the batch monitor and
     * its streaming twin use (bit-length, not log2() — see
     * eval08DistDrift). */
@@ -520,6 +499,27 @@ object Evaluation {
       .orderBy("source")
   }
 
+  /** eval08: DISTRIBUTION-DRIFT monitor — per-source Population
+    * Stability Index of the document-length distribution against the
+    * corpus-wide distribution (the production data-quality check a
+    * pipeline runs per ingest batch: a source whose length profile
+    * departs from the corpus — truncation bug, boilerplate flood,
+    * schema drift upstream — shows a high PSI long before any
+    * quality rule fires; >= 0.2 is the standard "investigate"
+    * threshold). PSI = Σ (p_i − q_i)·ln(p_i/q_i), every term >= 0.
+    *
+    * Buckets are exact integer log2 of n_chars via `length(bin(x))`
+    * — deliberately NOT log2(): Spark computes log2 as ln(x)/ln(2),
+    * which lands BELOW the exact value at powers of two (floor then
+    * disagrees with DuckDB's std::log2) — bit-length is exact in
+    * both engines. Absent (source, bucket) cells enter at the eps
+    * clamp, so a source missing an entire populated band is charged
+    * for it (the grid is |sources|·|buckets|, bounded).
+    *
+    * Scale shape: ONE corpus aggregation to (source, bucket) counts;
+    * everything after is arithmetic over bounded frames (global
+    * bucket marginals derive from the same counts — no second
+    * scan). */
   def eval08DistDrift(lake: Lake, eps: Double = 1e-4): DataFrame = {
     val counts = driftCounts(lake.documents)
       .localCheckpoint() // three bounded consumers, one corpus scan

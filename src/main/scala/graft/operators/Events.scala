@@ -388,6 +388,15 @@ object Events {
       delaysSec: Seq[Long] = Seq(0L, 30L, 60L, 300L, 1800L, 3600L, 7200L),
       shardUs: Long = 21600000000L
   ): DataFrame = {
+    // the curve is wired through per-candidate d<delay> column names:
+    // duplicates would create ambiguous references, negatives would
+    // parse as arithmetic, and an empty grid has no curve to stack
+    require(delaysSec.nonEmpty, "watermark curve needs at least one candidate delay")
+    require(delaysSec.forall(_ >= 0), s"negative watermark delay in $delaysSec")
+    require(
+      delaysSec.distinct == delaysSec,
+      s"duplicate candidate delays in $delaysSec"
+    )
     val lt = latenessFrame(lake, shardUs)
     val aggs = count(lit(1)).as("n") +: delaysSec.map(d =>
       sum(when(col("late_us") > d * 1000000L, 1L).otherwise(0L)).as(s"d$d")

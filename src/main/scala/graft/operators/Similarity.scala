@@ -654,6 +654,26 @@ object Similarity {
     )
   }
 
+  /** Schema-correct empty ANN result (query_id, rank, neighbor_id,
+    * scoreName) — the shared empty-corpus degradation of the IVF-PQ
+    * entry points. */
+  private def emptyAnnResult(
+      all: DataFrame,
+      k: Int,
+      scoreName: String
+  ): DataFrame =
+    topkPerQuery(
+      all
+        .select(
+          col("vec_id").as("query_id"),
+          col("vec_id"),
+          lit(0.0).as("cos_raw")
+        )
+        .limit(0),
+      k,
+      scoreName
+    )
+
   /** sim14: IVF + PQ over RESIDUALS — FAISS's IndexIVFPQ, the index
     * a corpus actually ships at 100 TB (IVF alone still stores full
     * vectors per cell; PQ alone still scans every code; composed,
@@ -686,19 +706,7 @@ object Similarity {
   ): DataFrame = {
     val all = vecs(lake).localCheckpoint()
     val headDim = all.select(size(col("v"))).head(1)
-    if (headDim.isEmpty) {
-      return topkPerQuery(
-        all
-          .select(
-            col("vec_id").as("query_id"),
-            col("vec_id"),
-            lit(0.0).as("cos_raw")
-          )
-          .limit(0),
-        k,
-        scoreName = "adc_ip"
-      )
-    }
+    if (headDim.isEmpty) return emptyAnnResult(all, k, "adc_ip")
     val sd = headDim.head.getInt(0) / m
     val (cents, cellIds, pqCents, codes) =
       ivfPqBuild(all, nlist, coarseIters, m, ks, pqIters)
@@ -826,19 +834,7 @@ object Similarity {
     val spark = lake.spark
     val all = vecs(lake).localCheckpoint()
     val headDim = all.select(size(col("v"))).head(1)
-    if (headDim.isEmpty) {
-      return topkPerQuery(
-        all
-          .select(
-            col("vec_id").as("query_id"),
-            col("vec_id"),
-            lit(0.0).as("cos_raw")
-          )
-          .limit(0),
-        k,
-        scoreName = "adc_ip"
-      )
-    }
+    if (headDim.isEmpty) return emptyAnnResult(all, k, "adc_ip")
     ivfPqSearch(
       all,
       spark.read.parquet(s"$dir/centroids"),
