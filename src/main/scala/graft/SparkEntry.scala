@@ -137,6 +137,7 @@ object SparkEntry {
     "graph25_sparql_from_named" -> q(Graph.graph25SparqlFromNamed),
     "graph26_sparql_numeric_agg" -> q(Graph.graph26SparqlNumericAgg),
     "graph27_bfs_distances" -> q(Graph.graph27BfsDistances(_)),
+    "graph30_shortest_paths" -> q(Graph.graph30ShortestPaths(_)),
     "graph28_sparql_nested_optional" -> q(Graph.graph28SparqlNestedOptional),
     "graph29_sparql_values_undef" -> q(Graph.graph29SparqlValuesUndef),
     "mm01_binary_meta" -> q(graft.multimodal.Multimodal.mm01BinaryMeta),
@@ -3408,6 +3409,27 @@ object SparkEntry {
         |SELECT CASE WHEN node % 2 = 0 THEN 'ord:' || (node // 2)::VARCHAR
         |            ELSE 'prt:' || ((node-1) // 2)::VARCHAR END AS node, dist
         |FROM m ORDER BY dist, node""".stripMargin,
+    // graph30: the ≤ maxHops-edge paths enumerate as the same
+    // recursive shape with the cost carried; MIN per node is the
+    // Bellman-Ford recurrence term for term.
+    "graph30_shortest_paths" ->
+      """WITH RECURSIVE
+        |base AS (SELECT l_orderkey*2 AS a, l_partkey*2+1 AS b,
+        |    MIN(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |edges AS (SELECT a AS src, b AS dst, w FROM base
+        |  UNION ALL SELECT b, a, w FROM base),
+        |seed AS (SELECT MIN(l_orderkey)*2 AS node FROM lineitem),
+        |paths(node, cost, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+        |  UNION ALL
+        |  SELECT e.dst, p.cost + e.w, p.hops + 1
+        |  FROM paths p JOIN edges e ON e.src = p.node
+        |  WHERE p.hops < 4),
+        |m AS (SELECT node, MIN(cost) AS cost FROM paths GROUP BY node)
+        |SELECT CASE WHEN node % 2 = 0 THEN 'ord:' || (node // 2)::VARCHAR
+        |            ELSE 'prt:' || ((node-1) // 2)::VARCHAR END AS node, cost
+        |FROM m ORDER BY node""".stripMargin,
     // graph28: nested OPTIONAL == nested LEFT JOINs; labeled
     // subjects are nations ∪ regions, regions miss the outer group
     // (both vars null), nations optionally carry the sparse flag.

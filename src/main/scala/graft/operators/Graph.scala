@@ -1004,4 +1004,59 @@ object Graph {
       )
       .orderBy("dist", "node")
   }
+
+  /** graph30: bounded-hop WEIGHTED shortest paths — graph27's BFS
+    * with edge costs (min l_quantity over duplicate order-part
+    * edges), i.e. Bellman-Ford relaxation: after k rounds every node
+    * holds the cheapest cost over paths of ≤ k edges. Unlike BFS, a
+    * node already reached can get CHEAPER on a later round (a long
+    * low-weight path beats a short heavy one), so each round relaxes
+    * the FULL distance table, not a frontier — the per-round shape
+    * is one equi-join on src + one min-groupBy on node, exactly the
+    * partitioned-relaxation form a 100 TB edge list distributes
+    * (both sides hash on the node key; no frontier bookkeeping
+    * state). Hop-bounded like graph02/27: the round count is the
+    * contract (k-edge-bounded costs), not a convergence loop.
+    *
+    * Oracle: the ≤ maxHops-edge paths enumerate exactly as a
+    * recursive CTE (hops < maxHops guard, cycles allowed — the hop
+    * bound keeps the enumeration finite) folded by MIN per node,
+    * which is term-for-term the Bellman-Ford recurrence. */
+  def graph30ShortestPaths(lake: Lake, maxHops: Int = 4): DataFrame = {
+    val base = lake.lineitem
+      .select(
+        expr("l_orderkey * 2L").as("a"),
+        expr("l_partkey * 2L + 1L").as("b"),
+        col("l_quantity").cast("long").as("w")
+      )
+      .groupBy("a", "b")
+      .agg(min("w").as("w"))
+      .cache()
+    val edges = base
+      .select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionAll(base.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    var dist = lake.lineitem
+      .agg((min("l_orderkey") * lit(2L)).cast("long").as("node"))
+      .select(col("node"), lit(0L).as("cost"))
+      .filter(col("node").isNotNull) // empty lake ⇒ empty result
+      .cache()
+    for (_ <- 1 to maxHops) {
+      val relaxed = dist
+        .join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
+      dist = dist
+        .unionAll(relaxed)
+        .groupBy("node")
+        .agg(min("cost").as("cost"))
+        .cache()
+    }
+    dist
+      .select(
+        expr(
+          "IF(node % 2 = 0, concat('ord:', node div 2), concat('prt:', (node - 1) div 2))"
+        ).as("node"),
+        col("cost")
+      )
+      .orderBy("node")
+  }
 }

@@ -50,6 +50,7 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("sim01_topk_bruteforce", Similarity.sim01TopKBruteForce(_))
   assertEmptyOk("sim12_range_search", Similarity.sim12RangeSearch(_))
   assertEmptyOk("graph27_bfs_distances", Graph.graph27BfsDistances(_))
+  assertEmptyOk("graph30_shortest_paths", Graph.graph30ShortestPaths(_))
   assertEmptyOk("evt01_windowed_counts", Events.evt01WindowedCounts)
   assertEmptyOk("evt02_sessionization", Events.evt02Sessionization(_))
   assertEmptyOk("evt11_watermark_curve", Events.evt11WatermarkCurve(_))

@@ -193,4 +193,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got.length == got.map(_._1).distinct.length, "node visited twice")
     assert(got.toMap == expected, s"${got.length} vs ${expected.size}")
   }
+
+  test("graph30: weighted costs dominate hop counts; reach equals BFS; relaxation is monotone") {
+    val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
+    val sp = Graph.graph30ShortestPaths(lake).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bfs = Graph.graph27BfsDistances(lake).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ≤ k-edge reachability is the same set whether edges are
+    // weighted or not
+    assert(sp.keySet == bfs.keySet)
+    // every edge weighs ≥ 1 quantity unit, so the cheapest ≤ k-edge
+    // cost can never undercut the hop distance; the seed is free
+    bfs.foreach { case (n, d) =>
+      assert(sp(n) >= d, s"$n cost ${sp(n)} < hops $d")
+    }
+    assert(sp.count(_._2 == 0L) == 1, "exactly the seed at cost 0")
+    // one more relaxation round reaches at least as far and never
+    // makes any node more expensive (Bellman-Ford monotonicity)
+    val sp5 = Graph.graph30ShortestPaths(lake, maxHops = 5).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sp.keySet.subsetOf(sp5.keySet))
+    sp.foreach { case (n, c) =>
+      assert(sp5(n) <= c, s"$n got dearer with more hops: ${sp5(n)} > $c")
+    }
+    // and on this graph the extra round actually improves something
+    // (a 4-hop low-weight detour beating a 2-hop heavy edge exists)
+    assert(sp5.exists { case (n, c) => sp.get(n).exists(c < _) } ||
+      sp5.size > sp.size, "degenerate: round 5 changed nothing")
+  }
 }
