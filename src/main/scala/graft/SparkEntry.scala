@@ -2772,8 +2772,10 @@ object SparkEntry {
         |hh AS (SELECT doc_id,
         |    CASE WHEN len(rl) >= 2 THEN
         |      CAST(list_sum(list_transform(range(0, 63),
-        |        i -> CASE WHEN rl[CAST((i + 1) % len(rl) AS BIGINT) + 1] >
-        |                       rl[CAST(i % len(rl) AS BIGINT) + 1]
+        |        i -> CASE WHEN rl[CAST(((i + 1) * GREATEST(1, len(rl) // 64))
+        |                            % len(rl) AS BIGINT) + 1] >
+        |                       rl[CAST((i * GREATEST(1, len(rl) // 64))
+        |                            % len(rl) AS BIGINT) + 1]
         |             THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
         |             ELSE CAST(0 AS BIGINT) END)) AS BIGINT)
         |    ELSE 0 END AS h FROM r)
@@ -3444,12 +3446,19 @@ object SparkEntry {
     // graph29: each VALUES row keeps the solutions it is compatible
     // with — an UNDEF cell constrains nothing, so the block is the
     // OR of the rows' bound constraints.
+    // graph29: VALUES is SPARQL 18.5 multiset COMPATIBILITY — one
+    // output row per (solution, VALUES-row) compatible pair, so the
+    // replay must JOIN the VALUES rows (null cell = UNDEF constrains
+    // nothing), not collapse them into a WHERE-OR filter: a solution
+    // compatible with two VALUES rows correctly appears twice.
     "graph29_sparql_values_undef" ->
-      """SELECT n, nl FROM (
+      """SELECT s.n, s.nl FROM (
         |  SELECT 'nat:' || n_nationkey AS n, n_name AS nl FROM nation
         |  UNION ALL
-        |  SELECT 'reg:' || r_regionkey, r_name FROM region)
-        |WHERE n = 'nat:0' OR nl = 'NATION_18'
+        |  SELECT 'reg:' || r_regionkey, r_name FROM region) s
+        |JOIN (VALUES ('nat:0', NULL), (NULL, 'NATION_18')) v(vn, vnl)
+        |  ON (v.vn IS NULL OR s.n = v.vn)
+        | AND (v.vnl IS NULL OR s.nl = v.vnl)
         |ORDER BY n, nl""".stripMargin,
     // graph26: SUM/AVG over typed decimal literals — the engine
     // strips `"lex"^^<datatype>` and sums doubles; decimal→string→

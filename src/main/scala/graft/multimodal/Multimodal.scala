@@ -414,13 +414,22 @@ object Multimodal {
       )
       .select(
         col("doc_id"),
+        // 63 cyclic comparisons STRIDED across the whole window
+        // array (step = max(1, n div 64)): for n <= 64 windows the
+        // stride is 1 and the bits are plain adjacent comparisons;
+        // for longer payloads the sample positions span the full
+        // stream instead of freezing on the first 64 windows — a
+        // long payload whose opening minute is non-increasing still
+        // hashes its later structure (advisor round-9).
         when(
           size(col("rms")) >= 2,
           expr(
             """aggregate(
               |  transform(sequence(0, 62),
-              |    i -> IF(rms[CAST((i + 1) % size(rms) AS INT)] >
-              |            rms[CAST(i % size(rms) AS INT)],
+              |    i -> IF(rms[CAST(((i + 1) * GREATEST(1, size(rms) DIV 64))
+              |                    % size(rms) AS INT)] >
+              |            rms[CAST((i * GREATEST(1, size(rms) DIV 64))
+              |                    % size(rms) AS INT)],
               |         shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
               |  CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin
           )
@@ -430,10 +439,12 @@ object Multimodal {
       // corpus scan + hash once
       .localCheckpoint()
       // degenerate hashes carry no perceptual signal AND are the skew
-      // trap: h = 0 ⟺ the rms stream is constant (cyclically, a
-      // non-constant stream must have at least one strict increase)
-      // or the payload is too short to window. A corpus of tiny /
-      // constant payloads would otherwise pile into the single h = 0
+      // trap: h = 0 ⟺ the SAMPLED stream (63 strided cyclic
+      // positions) has no strict increase — for n <= 64 that is the
+      // full cyclic adjacency, where it means the stream is constant;
+      // for longer payloads it is the strided subsequence, or the
+      // payload is too short to window. A corpus of tiny / constant
+      // payloads would otherwise pile into the single h = 0
       // band bucket (quadratic candidate blowup in one task) and
       // emit hamming-0 "near-dups" between semantically unrelated
       // docs — so they are excluded, as a pHash pipeline skips flat

@@ -995,7 +995,7 @@ object Dedup {
       dir: String,
       numPerm: Int = 128,
       bands: Int = 64
-  ): Unit = {
+  ): Unit = persist.releasingNewRdds(lake.spark) {
     val docs = shingleCorpus(lake.documents).cache()
     bandIndexOfShingled(docs, numPerm, bands)
       .write.mode("overwrite").parquet(s"$dir/bands")

@@ -512,7 +512,7 @@ object Similarity {
       dir: String,
       nlist: Int = 10,
       iters: Int = 3
-  ): Unit = {
+  ): Unit = persist.releasingNewRdds(lake.spark) {
     val all = vecs(lake).localCheckpoint()
     val cents = kmeans(all, nlist, iters)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
@@ -810,7 +810,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       pqIters: Int = 2
-  ): Unit = {
+  ): Unit = persist.releasingNewRdds(lake.spark) {
     val all = vecs(lake).localCheckpoint()
     val (cents, cellIds, pqCents, codes) =
       ivfPqBuild(all, nlist, coarseIters, m, ks, pqIters)
@@ -822,26 +822,51 @@ object Similarity {
 
   /** IVF-PQ ANN over a PERSISTED index: training is deterministic,
     * so index-then-search equals train-then-search row for row
-    * (spec-asserted, the ivfAnnFromIndex contract). */
+    * (spec-asserted, the ivfAnnFromIndex contract).
+    *
+    * The PQ geometry (m subspaces × sd dims) is read FROM the
+    * persisted codebooks — (count distinct sub_id, size(centroid)) —
+    * never from a caller guess: slicing query subvectors with an m
+    * that differs from the one the index was written with would
+    * silently score against the wrong codebooks and return wrong
+    * neighbors (advisor round-9). The one consistency requirement,
+    * m·sd == corpus dim, is checked and named. */
   def ivfPqAnnFromIndex(
       lake: Lake,
       dir: String,
       k: Int = 10,
       nQueries: Int = 10,
-      nprobe: Int = 3,
-      m: Int = 8
+      nprobe: Int = 3
   ): DataFrame = {
     val spark = lake.spark
     val all = vecs(lake).localCheckpoint()
     val headDim = all.select(size(col("v"))).head(1)
     if (headDim.isEmpty) return emptyAnnResult(all, k, "adc_ip")
+    val dim = headDim.head.getInt(0)
+    val codebooks = spark.read.parquet(s"$dir/codebooks")
+    val geo = codebooks
+      .agg(
+        countDistinct(col("sub_id")).cast("int").as("m"),
+        max(size(col("centroid"))).as("sd")
+      )
+      .head()
+    require(
+      !geo.isNullAt(0) && geo.getInt(0) > 0,
+      s"persisted IVF-PQ index at $dir has an empty codebooks table"
+    )
+    val m = geo.getInt(0)
+    val sd = geo.getInt(1)
+    require(
+      m * sd == dim,
+      s"persisted codebooks (m=$m, sd=$sd) do not match corpus dim $dim"
+    )
     ivfPqSearch(
       all,
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/cells"),
-      spark.read.parquet(s"$dir/codebooks"),
+      codebooks,
       spark.read.parquet(s"$dir/codes"),
-      headDim.head.getInt(0) / m,
+      sd,
       k,
       nQueries,
       nprobe,
@@ -987,7 +1012,7 @@ object Similarity {
       m: Int = 8,
       ks: Int = 16,
       iters: Int = 2
-  ): Unit = {
+  ): Unit = persist.releasingNewRdds(lake.spark) {
     val (_, cents, codes) = pqTrain(lake, m, ks, iters)
     cents.write.mode("overwrite").parquet(s"$dir/codebooks")
     codes.write.mode("overwrite").parquet(s"$dir/codes")
@@ -1415,11 +1440,12 @@ object Similarity {
     * float32), re-encoded only on the ingestion cadence. Completes
     * parquet index persistence across every quantizing family graft
     * implements: IVF (writeIvfIndex), PQ (writePqIndex), SQ8. */
-  def writeSqIndex(lake: Lake, dir: String): Unit = {
-    val (stats, codes) = sqTrain(lake)
-    stats.write.mode("overwrite").parquet(s"$dir/params")
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
-  }
+  def writeSqIndex(lake: Lake, dir: String): Unit =
+    persist.releasingNewRdds(lake.spark) {
+      val (stats, codes) = sqTrain(lake)
+      stats.write.mode("overwrite").parquet(s"$dir/params")
+      codes.write.mode("overwrite").parquet(s"$dir/codes")
+    }
 
   /** SQ8 ANN over a PERSISTED index: identical results to sim10SqAnn
     * (deterministic encoding; spec-asserted). */

@@ -911,17 +911,38 @@ object Sparql {
                 if (st.peek.exists(_.equalsIgnoreCase("OPTIONAL"))) {
                   st.next()
                   st.expect("{")
+                  // SPARQL's LeftJoin fold is POSITION-SENSITIVE: an
+                  // OPTIONAL that precedes the group's required
+                  // triples left-joins against the empty-so-far
+                  // group, which this engine's inner-join-required-
+                  // first plan cannot express — reject by name
+                  // instead of silently reordering (the engine's
+                  // named-rejection discipline).
+                  if (pats.isEmpty)
+                    throw SparqlParseError(
+                      "OPTIONAL precedes the group's required triple " +
+                        "patterns — position-sensitive LeftJoin is not " +
+                        "supported; put required triples first")
                   val g = parseOptGroup()
                   // collapse a trivial inner group onto the in-chain
                   // path only when a REQUIRED pattern precedes it —
                   // bgpMatch's left-join chain starts from the first
                   // pattern, which must not itself be optional
-                  if (pats.nonEmpty && g.patterns.length == 1 &&
+                  if (g.patterns.length == 1 &&
                     g.optionalIdx.isEmpty && g.nested.isEmpty) {
                     pats :+= g.patterns.head
                     optIdx += (pats.length - 1)
                   } else nested :+= g
                 } else {
+                  // A required triple AFTER a nested OPTIONAL group is
+                  // the same positional divergence in the other
+                  // direction (the plan would inner-join it BEFORE the
+                  // recorded LeftJoin) — reject rather than reorder.
+                  if (nested.nonEmpty)
+                    throw SparqlParseError(
+                      "required triple pattern follows a nested " +
+                        "OPTIONAL group — position-sensitive LeftJoin " +
+                        "is not supported; put required triples first")
                   pats ++= triple()
                   if (st.peek == Some(".")) st.next()
                 }

@@ -217,6 +217,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.mm05PhashNeardup(degen).count() == 0L)
   }
 
+  test("phash samples STRIDED across long payloads, not just the first 64 windows") {
+    import org.apache.spark.sql.functions._
+    // 128 windows (step = 128 div 64 = 2): the first 65 windows are
+    // constant-rms 'a' runs, all signal lives in the back half. The
+    // first-64-windows hash would see only equal-rms comparisons,
+    // yield h = 0, and silently exclude both docs from near-dup
+    // detection despite their carrying identical real signal; the
+    // strided hash spans the whole stream, hashes nonzero, and the
+    // planted identical pair MUST surface at hamming 0.
+    val dir = java.nio.file.Files.createTempDirectory("mm05_stride").toString
+    val payload = "a" * (32 * 65) + " " * (32 * 63)
+    lake.documents
+      .orderBy("doc_id").limit(2)
+      .withColumn("text", lit(payload))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      lake.table(t).limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    val planted = graft.catalog.Lake(TestSpark.spark, dir)
+    val got = Multimodal.mm05PhashNeardup(planted).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 0L,
+      s"strided hash should pair the identical long payloads, got ${got.mkString(",")}")
+  }
+
   test("feature extraction is deterministic and fixed-width") {
     val a = Multimodal.extractFeatures(Multimodal.asMedia(lake))
       .collect().sortBy(_.doc_id)

@@ -158,11 +158,12 @@ class SparqlSpec extends AnyFunSuite {
       "don't mix")
     rejects("SELECT ?s WHERE { { ?s <p> ?o } MINUS { ?s <q> ?o } MINUS { ?s <r> ?o } }",
       "only one MINUS")
-    // nested OPTIONAL is supported now, but a group whose body is
-    // ONLY a nested OPTIONAL has no required part to leftjoin on
+    // nested OPTIONAL is supported now, but a group whose body STARTS
+    // with a nested OPTIONAL (including the only-nested case) is the
+    // position-sensitive LeftJoin ordering the plan can't express
     rejects(
       "SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { OPTIONAL { ?s <q> ?a } } }",
-      "no required triple patterns")
+      "OPTIONAL precedes")
     rejects("SELECT ?s WHERE { ?s <p> ?o . OPTIONAL { } }",
       "no required triple patterns")
     rejects("SELECT ?s WHERE { ?s (<p>|<q>) ?o }", "bare alternation")
@@ -1117,5 +1118,45 @@ class SparqlSpec extends AnyFunSuite {
     val e2 = intercept[SparqlParseError](
       Sparql.run(t, "SELECT ?s FROM <g1> WHERE { ?s <p> ?o }"))
     assert(e2.getMessage.contains("FROM needs"))
+  }
+
+  test("position-sensitive LeftJoin orderings inside a group are rejected by name") {
+    // SPARQL's algebra folds a group left to right, so an OPTIONAL
+    // that precedes the group's required triples (or a required
+    // triple that follows a nested OPTIONAL) means LeftJoin against a
+    // partial group — which the inner-join-required-first plan would
+    // silently reorder. Both orderings must be named rejections, not
+    // reorderings (advisor round-9).
+    val e1 = intercept[SparqlParseError](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  ?c <in> ?n .
+        |  OPTIONAL { OPTIONAL { ?n <flag> ?f } ?n <label> ?l . ?n <kind> ?k }
+        |}""".stripMargin))
+    assert(e1.getMessage.contains("OPTIONAL precedes"))
+    val e2 = intercept[SparqlParseError](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  ?c <in> ?n .
+        |  OPTIONAL { ?n <label> ?l . OPTIONAL { ?n <flag> ?f . ?n <kind> ?k }
+        |             ?n <size> ?z }
+        |}""".stripMargin))
+    assert(e2.getMessage.contains("follows a nested OPTIONAL"))
+  }
+
+  test("VALUES keeps SPARQL 18.5 multiset multiplicity: one row per compatible pair") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val t = Seq(
+      ("a", "label", "X"),
+      ("b", "label", "Y")
+    ).toDF("s", "p", "o")
+    // solution (a, X) is compatible with BOTH rows — (<a> UNDEF) and
+    // (UNDEF "X") — so it must appear twice; (b, Y) matches neither.
+    val rows = Sparql.run(t,
+      """SELECT ?n ?l WHERE {
+        |  ?n <label> ?l .
+        |  VALUES (?n ?l) { (<a> UNDEF) (UNDEF "X") }
+        |} ORDER BY ?n ?l""".stripMargin
+    ).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("a", "X"), ("a", "X")))
   }
 }
