@@ -220,7 +220,8 @@ object Cli {
         case Some(q) if Set("quit", "exit", ".quit", ".exit")(q.toLowerCase) =>
           done = true
         case Some(".tables") =>
-          lake.tableNames.sorted.foreach(n => out.println(lake.qualified(n)))
+          (lake.tableNames.sorted.map(lake.qualified) ++ lake.derivedQualified)
+            .foreach(out.println)
         case Some(sql) =>
           validateReadOnly(sql) match {
             case Left(err) => out.println(s"rejected: $err")
@@ -385,10 +386,12 @@ object Cli {
         }
       case "views" =>
         // The datalake_cli.py:315 `cmd_views` analog: (re)build the
-        // schema-namespaced view catalog, then list what registered.
+        // schema-namespaced view catalog, then list what registered —
+        // base tables AND the derived xref linkage views.
         lake.registerViews()
-        lake.tableNames.sorted.foreach(n => println(lake.qualified(n)))
-        println(s"${lake.tableNames.size} views registered")
+        val all = lake.tableNames.sorted.map(lake.qualified) ++ lake.derivedQualified
+        all.foreach(println)
+        println(s"${all.size} views registered")
       case "shell" =>
         lake.registerViews()
         runShell(

@@ -3443,9 +3443,6 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'reg:' || r_regionkey, r_name, NULL, NULL FROM region)
         |ORDER BY n""".stripMargin,
-    // graph29: each VALUES row keeps the solutions it is compatible
-    // with — an UNDEF cell constrains nothing, so the block is the
-    // OR of the rows' bound constraints.
     // graph29: VALUES is SPARQL 18.5 multiset COMPATIBILITY — one
     // output row per (solution, VALUES-row) compatible pair, so the
     // replay must JOIN the VALUES rows (null cell = UNDEF constrains

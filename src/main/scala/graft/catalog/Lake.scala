@@ -76,6 +76,82 @@ final case class Lake(spark: SparkSession, dir: String) {
 
   def qualified(name: String): String = s"${schemaOf(name)}.$name"
 
+  /** Derived cross-reference views — the reference's DEFINING catalog
+    * idiom is that the linkage outputs are themselves views a shell
+    * user queries BY NAME (`xref.doi_map`, `xref.unified_papers` —
+    * create_unified_db.py:513-577), not just programmatic queries.
+    * Each entry is (view name in the `xref` schema, standalone SQL
+    * over the base schema views) mirroring a Linkage operator:
+    *   id_map           = xref01IdMap (doi_map analog)
+    *   unified_entities = xref02UnifiedEntities (unified_papers analog)
+    *   priority_dedup   = xref04PriorityDedup (materialize_fulltext analog)
+    * The SQL is VIEW TEXT, so the catalog stays definitions-only (the
+    * reference's view-only-db property) — nothing materializes until
+    * queried. Row-for-row equality with the operator frames is
+    * spec-pinned (CliSpec) so the two formulations cannot drift. */
+  val derivedSchema: String = "xref"
+
+  val derivedViews: Seq[(String, String)] = Seq(
+    // normalizeId: lower + strip the source's display prefix (no regex
+    // metacharacters in either prefix, so the bare anchor is exact).
+    "id_map" ->
+      """SELECT 'customer' AS source,
+        |  lower(regexp_replace(c_name, '^Customer#', '')) AS key,
+        |  CAST(c_custkey AS STRING) AS source_id FROM trade.customer
+        |UNION ALL
+        |SELECT 'supplier',
+        |  lower(regexp_replace(s_name, '^Supplier#', '')),
+        |  CAST(s_suppkey AS STRING) FROM trade.supplier
+        |UNION ALL
+        |SELECT 'part', lower(p_name), CAST(p_partkey AS STRING)
+        |FROM trade.part""".stripMargin,
+    "unified_entities" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT entity_id FROM (
+        |    SELECT CAST(c_custkey AS BIGINT) AS entity_id FROM trade.customer
+        |    UNION ALL SELECT CAST(o_custkey AS BIGINT) FROM trade.orders
+        |    UNION ALL SELECT CAST(user_id AS BIGINT) FROM activity.events)),
+        |profile AS (SELECT CAST(c_custkey AS BIGINT) AS p_id, c_name, c_acctbal
+        |  FROM trade.customer),
+        |orderagg AS (SELECT CAST(o_custkey AS BIGINT) AS o_id,
+        |    COUNT(1) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total_spent
+        |  FROM trade.orders GROUP BY 1),
+        |eventagg AS (SELECT CAST(user_id AS BIGINT) AS e_id,
+        |    COUNT(1) AS n_events
+        |  FROM activity.events GROUP BY 1)
+        |SELECT s.entity_id,
+        |  COALESCE(p.c_name, 'unknown') AS entity_name,
+        |  p.p_id IS NOT NULL AS has_profile,
+        |  o.o_id IS NOT NULL AS has_orders,
+        |  e.e_id IS NOT NULL AS has_events,
+        |  COALESCE(o.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+        |  COALESCE(o.total_spent, CAST(0.0 AS DOUBLE)) AS total_spent,
+        |  COALESCE(e.n_events, CAST(0 AS BIGINT)) AS n_events
+        |FROM spine s
+        |LEFT JOIN profile p ON s.entity_id = p.p_id
+        |LEFT JOIN orderagg o ON s.entity_id = o.o_id
+        |LEFT JOIN eventagg e ON s.entity_id = e.e_id""".stripMargin,
+    // bagFingerprint = md5 over the sorted distinct whitespace tokens;
+    // priority = the numeric source suffix (src3 beats src17).
+    "priority_dedup" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    md5(concat_ws(' ', array_sort(array_distinct(
+        |      split(trim(regexp_replace(text, '\\s+', ' ')), ' '))))) AS fp,
+        |    source,
+        |    CAST(regexp_extract(source, '(\\d+)$', 1) AS BIGINT) AS priority,
+        |    n_chars
+        |  FROM corpus.documents)
+        |SELECT doc_id, fp, source, priority, n_chars FROM (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY fp ORDER BY priority, n_chars DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn = 1""".stripMargin
+  )
+
+  def derivedQualified: Seq[String] =
+    derivedViews.map { case (n, _) => s"$derivedSchema.$n" }
+
   /** Name-based accessor that routes through the type-converting
     * reader where one exists — the ONE place that knows events needs
     * the nanos conversion. Generic table iterators must use this, not
@@ -100,7 +176,7 @@ final case class Lake(spark: SparkSession, dir: String) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     tableNames.foreach(n => resolve(n).createOrReplaceTempView(n))
     val whBase = Lake.warehouseBase
-    schemaOf.values.toSeq.distinct.sorted.foreach { db =>
+    (schemaOf.values.toSeq.distinct :+ derivedSchema).sorted.foreach { db =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$whBase/$db.db'")
     }
     tableNames.foreach { n =>
@@ -121,6 +197,12 @@ final case class Lake(spark: SparkSession, dir: String) {
           s"SELECT $cols FROM parquet.`$path`"
         } else s"SELECT * FROM parquet.`$path`"
       spark.sql(s"CREATE OR REPLACE VIEW ${qualified(n)} AS $sel")
+    }
+    // Derived xref views LAST: their SQL references the base schema
+    // views just created. Still definitions-only — a permanent view
+    // over permanent views, nothing materialized.
+    derivedViews.foreach { case (n, sql) =>
+      spark.sql(s"CREATE OR REPLACE VIEW `$derivedSchema`.`$n` AS $sql")
     }
   }
 }

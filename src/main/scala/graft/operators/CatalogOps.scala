@@ -213,7 +213,7 @@ object CatalogOps {
     val p = pattern.toLowerCase
     val spark = lake.spark
     import spark.implicits._
-    lake.tableNames.sorted
+    val baseHits = lake.tableNames.sorted
       .flatMap { t =>
         val df = lake.resolve(t)
         // Table hits match on the QUALIFIED name, so "trade" or
@@ -228,6 +228,24 @@ object CatalogOps {
             (t, f.name, f.dataType.simpleString, lake.schemaOf(t))
         }
       }
+    // Derived xref views are part of the searchable catalog too (the
+    // reference user greps CATALOG.md for `xref.doi_map` and finds
+    // it). registerViews is idempotent (CREATE OR REPLACE); the
+    // spark.sql probe is schema-only — the view never executes here.
+    lake.registerViews()
+    val derivedHits = lake.derivedViews.flatMap { case (v, _) =>
+      val qn = s"${lake.derivedSchema}.$v"
+      val df = spark.sql(s"SELECT * FROM $qn")
+      val viewHit =
+        if (qn.toLowerCase.contains(p))
+          Seq((v, "(view)", "", lake.derivedSchema))
+        else Seq.empty
+      viewHit ++ df.schema.fields.collect {
+        case f if f.name.toLowerCase.contains(p) =>
+          (v, f.name, f.dataType.simpleString, lake.derivedSchema)
+      }
+    }
+    (baseHits ++ derivedHits)
       .toDF("table_name", "column_name", "data_type", "schema_name")
   }
 
@@ -263,6 +281,21 @@ object CatalogOps {
         df.schema.fields.foreach { f =>
           sb ++= s"| `${f.name}` | ${f.dataType.simpleString} | ${f.nullable} |\n"
         }
+      }
+    }
+    // Derived xref linkage views — the reference CATALOG.md documents
+    // xref.doi_map/unified_papers as first-class catalog objects
+    // (create_unified_db.py:513-577). View schemas come from the lazy
+    // plan (no execution); no row counts, because these are
+    // definitions, not stored tables.
+    sb ++= s"\n## Schema `${lake.derivedSchema}` (derived views)\n"
+    lake.registerViews()
+    lake.derivedViews.foreach { case (v, _) =>
+      val df = lake.spark.sql(s"SELECT * FROM ${lake.derivedSchema}.$v")
+      sb ++= s"\n### `${lake.derivedSchema}.$v` — view\n\n"
+      sb ++= "| Column | Type | Nullable |\n|---|---|---|\n"
+      df.schema.fields.foreach { f =>
+        sb ++= s"| `${f.name}` | ${f.dataType.simpleString} | ${f.nullable} |\n"
       }
     }
     sb.result()

@@ -247,6 +247,44 @@ class CliSpec extends AnyFunSuite {
     assert(store.select("g").distinct().count() == 2)
   }
 
+  test("xref derived views resolve by name and equal their Linkage operators") {
+    // The reference's defining catalog idiom: the linkage OUTPUTS are
+    // views a shell user queries by name (xref.doi_map /
+    // xref.unified_papers, create_unified_db.py:513-577). The view
+    // SQL and the DataFrame operators are separate formulations of
+    // the same semantics — this pin is what keeps them from drifting.
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    lake.registerViews()
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      rows(spark.sql("SELECT * FROM xref.id_map")) ==
+        rows(graft.operators.Linkage.xref01IdMap(lake)))
+    assert(
+      rows(spark.sql("SELECT * FROM xref.unified_entities")) ==
+        rows(graft.operators.Linkage.xref02UnifiedEntities(lake)))
+    assert(
+      rows(spark.sql("SELECT * FROM xref.priority_dedup")) ==
+        rows(graft.operators.Linkage.xref04PriorityDedup(lake)))
+    // and the shell surfaces them: .tables lists the xref schema, a
+    // by-name query over xref.id_map answers through the same gate
+    val script =
+      """.tables
+        |SELECT source, COUNT(*) AS n FROM xref.id_map GROUP BY source ORDER BY source
+        |SELECT COUNT(*) AS n_unified FROM xref.unified_entities
+        |exit
+        |""".stripMargin
+    val in = new java.io.BufferedReader(new java.io.StringReader(script))
+    val buf = new java.io.ByteArrayOutputStream()
+    Cli.runShell(spark, lake, in, new java.io.PrintStream(buf, true, "UTF-8"))
+    val output = buf.toString("UTF-8")
+    assert(output.contains("xref.id_map") && output.contains("xref.priority_dedup"),
+      output)
+    assert(!output.contains("rejected") && !output.contains("query error"), output)
+    assert(output.contains("customer") && output.contains("supplier"), output)
+  }
+
   test("shell: EOF without exit terminates cleanly") {
     import TestSpark._
     val lake = graft.catalog.Lake(spark, sfDir)
