@@ -227,6 +227,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped.contains((1L, 2L)), "the rare-shingle near-dup pair must survive the cap")
   }
 
+  test("dedup04: band-bucket cap keeps components connected on a mass-duplicate corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.length
+    // 25 verbatim copies of one page (every band bucket of the group
+    // has size 25 — the degenerate boilerplate-flood shape), one
+    // genuine near-dup pair (100/101), two unrelated docs. With
+    // maxBucket = 10 the oversized buckets must emit STAR candidates
+    // (member vs bucket-min) instead of all 300 pairs, while the
+    // small-bucket pair path stays bit-identical to the uncapped run.
+    val page = (1 to 60).map(i => s"mass$i").mkString(" ")
+    val body = (1 to 50).map(i => s"near$i").mkString(" ")
+    val dir = "target/tmp/dedup04-cap"
+    val massDocs = (1L to 25L).map(i => (i, page))
+    (massDocs ++ Seq(
+      (100L, body),
+      (101L, s"$body tweak"),
+      (200L, (1 to 50).map(i => s"solo$i").mkString(" ")),
+      (201L, (1 to 50).map(i => s"other$i").mkString(" "))
+    )).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Lake(spark, dir)
+    def run(cap: Int) = Dedup
+      .minhashPairs(planted.documents, maxBucket = cap)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    val capped = run(10)
+    val uncapped = run(Int.MaxValue)
+    // the mass group collapses to 24 star pairs, each an exact dup
+    val starKeys = (2L to 25L).map(x => (1L, x)).toSet
+    assert(capped.keySet.filter(_._1 <= 25L) == starKeys,
+      s"expected star pairs only, got ${capped.keySet.filter(_._1 <= 25L)}")
+    starKeys.foreach(k => assert(capped(k) == 1.0))
+    assert(uncapped.keySet.count(k => k._1 <= 25L && k._2 <= 25L) == 300)
+    // outside the degenerate group the capped run is bit-identical
+    assert(capped.view.filterKeys(_._1 > 25L).toMap ==
+      uncapped.view.filterKeys(_._1 > 25L).toMap)
+    assert(capped.contains((100L, 101L)), "the real near-dup pair must survive the cap")
+    // connectivity (what the CC consumers — dedup08, samp05, pipe02/03
+    // — actually depend on) is preserved: same components either way
+    def components(pairs: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      parent.keys.groupBy(find).values.map(_.toSet).toSet
+    }
+    assert(components(capped.keySet) == components(uncapped.keySet))
+  }
+
   test("dedup03: the df cap is result-identical while max df <= cap") {
     // The cap prunes CANDIDATE GENERATION only; verification is exact
     // on full shingle sets. With the cap far above this corpus's max
