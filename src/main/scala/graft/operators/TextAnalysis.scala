@@ -1175,45 +1175,46 @@ object TextAnalysis {
     * probability of its tokens (gibberish and rare-token soup score
     * high, plain prose low).
     *
-    * The txt23 discipline, downstream-shared (txt25's buckets and
-    * pipe02's funnel inherit it): the corpus-token stream is
-    * tokenized and shuffled ONCE — repartitioned by w and
-    * checkpointed so the vocabulary aggregation and the scoring join
-    * both reuse the same exchange (un-materialized, column pruning
-    * makes the two subtrees differ and ReuseExchange can't dedupe
-    * them) — and -ln(c/total) is precomputed in a vocab-sized MODEL
-    * table, once per distinct word instead of once per corpus token.
-    * The model is shuffle_hash-hinted: the checkpointed stream is a
-    * LogicalRDD with no size stats, and the planner otherwise
-    * auto-broadcasts the corpus-token stream itself; an explicit
-    * broadcast of the model would OOM once the vocabulary outgrows
-    * the driver. (Round-7 shape: stream consumed twice, per-token
-    * log — 1.55 s at sf1 vs 0.94 s for this form.) */
-  def txt15UnigramLogprob(
-      lake: Lake,
-      // false = skip the stream checkpoint so plan audits see the
-      // full lineage (localCheckpoint truncates the visible plan to
-      // Scan ExistingRDD)
-      materialize: Boolean = true
-  ): DataFrame = {
-    val toksRaw = lake.documents
-      .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
-      .repartition(col("w"))
-    val toks = if (materialize) toksRaw.localCheckpoint() else toksRaw
-    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
-    val total = counts.agg(sum("c").cast("double").as("total"))
-    val model = counts
-      .crossJoin(broadcast(total))
+    * Two linear passes, ZERO token-stream exchanges (txt25's buckets
+    * inherit it): pass 1 trains the vocabulary-sized model with one
+    * tokenize + partial-aggregating groupBy(w); pass 2 scores every
+    * document map-side with the native [[graft.plans.UnigramModelScore]]
+    * fold against the broadcast model — no token explode, no
+    * repartition-by-word, no model join, no groupBy(doc_id). (Shape
+    * history at sf1: round-7 stream-consumed-twice 1.55 s; round-9
+    * one-exchange join 0.94-1.16 s; this form deletes the exchanges
+    * entirely.) */
+  def txt15UnigramLogprob(lake: Lake): DataFrame = {
+    // Pass 1 — train: one tokenize scan, counts folded ROW-SIDE by
+    // the native TokenCounts map (one entry per distinct word per
+    // doc, ~8× fewer aggregate-input rows than explode(tokens)), then
+    // summed per word. The collected model is vocabulary-sized
+    // (Heaps-sublinear — see the expression's 100 TB cap note);
+    // -ln p(w) is computed once per distinct word, in the same double
+    // ops the Column formulation used.
+    val counts = lake.documents
+      .select(explode(graft.plans.TokenCounts(col("text"))).as(Seq("w", "n")))
+      .groupBy("w")
+      .agg(sum("n").as("c"))
+      .collect()
+    val total = counts.map(_.getLong(1)).sum.toDouble
+    val model = counts.map { r =>
+      r.getString(0) -> -math.log(r.getLong(1).toDouble / total)
+    }.toMap
+    val b = lake.spark.sparkContext.broadcast(model)
+    // Pass 2 — score: ONE map-only scan; the native fold deletes the
+    // token explode, the repartition-by-word, the checkpoint, the
+    // model join and the groupBy(doc_id) the round-9 shape paid
+    // (measured 1.16 s -> see commit pair at sf1). n_tokens > 0 keeps
+    // the fused form row-equal to the join formulation (which dropped
+    // a doc none of whose tokens matched).
+    lake.documents
+      .select(col("doc_id"), graft.plans.UnigramModelScore(col("text"), b).as("u"))
+      .filter(col("u.n_tokens") > 0)
       .select(
-        col("w"),
-        (-log(col("c").cast("double") / col("total"))).as("neg_logp")
-      )
-    toks
-      .join(model.hint("shuffle_hash"), Seq("w"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        round(avg(col("neg_logp")), 4).as("avg_neg_logp")
+        col("doc_id"),
+        col("u.n_tokens").as("n_tokens"),
+        round(col("u.s") / col("u.n_tokens"), 4).as("avg_neg_logp")
       )
       .orderBy("doc_id")
   }
@@ -1586,48 +1587,43 @@ object TextAnalysis {
     * degrades to shuffle, never OOM. */
   def txt21DsirImportance(
       lake: Lake,
-      targetSource: String = "src0",
-      // false = full-lineage plan audits (see txt15)
-      materialize: Boolean = true
+      targetSource: String = "src0"
   ): DataFrame = {
-    // txt15's one-exchange discipline: stream repartitioned by w and
-    // checkpointed (counts aggregation + scoring join share it); the
-    // per-word log-likelihood ratio is precomputed in the vocab-sized
-    // model, once per distinct word — the round-7 shape re-tokenized
-    // the corpus for each consumer and evaluated two log() calls per
-    // corpus token (3.0 s at sf1 vs 1.1 s for this form).
-    val toksRaw = lake.documents
+    // txt15's two-pass native-kernel shape: ONE tokenize scan builds
+    // the vocabulary with BOTH counts (the target count is a
+    // conditional aggregate, not a second pass), the per-word
+    // log-likelihood ratio is computed once per distinct word on the
+    // driver, and scoring is one map-only fold against the broadcast
+    // model — zero token-stream exchanges (the round-9 shape paid a
+    // repartition + checkpoint + join + groupBy over 12.5M token rows
+    // at sf1).
+    val counts = lake.documents
       .select(
-        col("doc_id"),
         (col("source") === targetSource).as("is_tgt"),
-        explode(text.tokens(col("text"))).as("w")
+        explode(graft.plans.TokenCounts(col("text"))).as(Seq("w", "n"))
       )
-      .repartition(col("w"))
-    val toks = if (materialize) toksRaw.localCheckpoint() else toksRaw
-    val counts = toks
       .groupBy("w")
       .agg(
-        count(lit(1)).as("c_raw"),
-        count(when(col("is_tgt"), 1)).as("c_tgt")
+        sum("n").as("c_raw"),
+        sum(when(col("is_tgt"), col("n")).otherwise(0L)).as("c_tgt")
       )
-    val totals = counts.agg(
-      sum("c_raw").cast("double").as("t_raw"),
-      sum("c_tgt").cast("double").as("t_tgt"),
-      count(lit(1)).cast("double").as("vocab")
-    )
-    val model = counts
-      .crossJoin(broadcast(totals))
+      .collect()
+    val tRaw = counts.map(_.getLong(1)).sum.toDouble
+    val tTgt = counts.map(_.getLong(2)).sum.toDouble
+    val vocab = counts.length.toDouble
+    val model = counts.map { r =>
+      r.getString(0) ->
+        (math.log((r.getLong(2).toDouble + 1.0) / (tTgt + vocab))
+          - math.log(r.getLong(1).toDouble / tRaw))
+    }.toMap
+    val b = lake.spark.sparkContext.broadcast(model)
+    lake.documents
+      .select(col("doc_id"), graft.plans.UnigramModelScore(col("text"), b).as("u"))
+      .filter(col("u.n_tokens") > 0)
       .select(
-        col("w"),
-        (log((col("c_tgt").cast("double") + 1.0) / (col("t_tgt") + col("vocab")))
-          - log(col("c_raw").cast("double") / col("t_raw"))).as("llr")
-      )
-    toks
-      .join(model.hint("shuffle_hash"), Seq("w"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        round(avg(col("llr")), 4).as("avg_llr")
+        col("doc_id"),
+        col("u.n_tokens").as("n_tokens"),
+        round(col("u.s") / col("u.n_tokens"), 4).as("avg_llr")
       )
       .orderBy("doc_id")
   }
