@@ -175,6 +175,8 @@ object SparkEntry {
     "xref07_tiered_linkage" -> q(Linkage.xref07TieredLinkage(_)),
     "xref08_bridges" -> q(Linkage.xref08Bridges),
     "xref09_blocking_quality" -> q(Linkage.xref09BlockingQuality(_)),
+    "xref10_upset_overlap" -> q(Linkage.xref10UpsetOverlap),
+    "xref11_ontology_reach" -> q(Linkage.xref11OntologyReach(_)),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "sim09_prefix_rerank" -> q(Similarity.sim09PrefixRerank(_)),
     "sim10_sq_ann" -> q(Similarity.sim10SqAnn(_)),
@@ -2423,6 +2425,72 @@ object SparkEntry {
     // from string trigrams here vs 64-bit shingle hashes in Spark —
     // identical pair sets absent a hash collision (the dedup03/10
     // equivalence argument; collision odds ~2^-40 at this vocabulary).
+    // xref10: fig2's UpSet matrix — CUBE replays as GROUP BY CUBE
+    // with GROUPING() markers; the unified CTE is xref03's verbatim.
+    "xref10_upset_overlap" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT entity_id FROM (
+        |    SELECT CAST(c_custkey AS BIGINT) AS entity_id FROM customer
+        |    UNION ALL SELECT CAST(o_custkey AS BIGINT) FROM orders
+        |    UNION ALL SELECT CAST(user_id AS BIGINT) FROM events) u),
+        |profile AS (SELECT CAST(c_custkey AS BIGINT) AS p_id FROM customer),
+        |orderagg AS (SELECT CAST(o_custkey AS BIGINT) AS o_id,
+        |  ROUND(SUM(o_totalprice), 4) AS total_spent FROM orders GROUP BY 1),
+        |eventagg AS (SELECT CAST(user_id AS BIGINT) AS e_id FROM events GROUP BY 1),
+        |unified AS (
+        |  SELECT entity_id, p_id IS NOT NULL AS has_profile,
+        |    o_id IS NOT NULL AS has_orders, e_id IS NOT NULL AS has_events,
+        |    COALESCE(total_spent, 0.0) AS total_spent
+        |  FROM spine
+        |  LEFT JOIN profile ON entity_id = p_id
+        |  LEFT JOIN orderagg ON entity_id = o_id
+        |  LEFT JOIN eventagg ON entity_id = e_id)
+        |SELECT has_profile, has_orders, has_events,
+        |  CAST(GROUPING(has_profile) AS BIGINT) AS g_profile,
+        |  CAST(GROUPING(has_orders) AS BIGINT) AS g_orders,
+        |  CAST(GROUPING(has_events) AS BIGINT) AS g_events,
+        |  COUNT(*) AS n_entities, ROUND(SUM(total_spent), 4) AS total_value
+        |FROM unified
+        |GROUP BY CUBE(has_profile, has_orders, has_events)
+        |ORDER BY g_profile, g_orders, g_events,
+        |  has_profile, has_orders, has_events""".stripMargin,
+    // xref11: fig5's domain×ontology reach matrix over xref07's
+    // linkage (the CTE chain is xref07's verbatim), topic domain =
+    // modal p_type with deterministic tiebreak, pivot as FILTERed
+    // conditional counts.
+    "xref11_ontology_reach" ->
+      s"""WITH topics AS (SELECT DISTINCT UNNEST(string_split(p_name, ' ')) AS topic
+         |  FROM part),
+         |vocab AS (SELECT DISTINCT UNNEST($dkToks) AS term FROM documents),
+         |lex(term) AS (VALUES ('join'), ('scan'), ('filter'), ('sort'),
+         |  ('merge'), ('hash'), ('window'), ('stream'), ('batch'), ('query')),
+         |exact AS (SELECT topic, 'corpus_vocab' AS ontology, term,
+         |    1.0::DOUBLE AS sim
+         |  FROM topics JOIN vocab ON LOWER(topic) = LOWER(term)),
+         |fuzzy AS (SELECT topic, 'lexicon' AS ontology, term,
+         |    jaro_winkler_similarity(LOWER(topic), LOWER(term)) AS sim
+         |  FROM topics CROSS JOIN lex
+         |  WHERE jaro_winkler_similarity(LOWER(topic), LOWER(term)) >= 0.65),
+         |u AS (SELECT * FROM exact UNION ALL SELECT * FROM fuzzy),
+         |best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY topic
+         |    ORDER BY sim DESC, ontology, term) AS rn FROM u),
+         |linked AS (SELECT topic, ontology, ROUND(sim, 4) AS similarity
+         |  FROM best WHERE rn = 1),
+         |tcount AS (SELECT topic, p_type AS domain, COUNT(*) AS n FROM
+         |  (SELECT UNNEST(string_split(p_name, ' ')) AS topic, p_type FROM part)
+         |  GROUP BY 1, 2),
+         |tmap AS (SELECT topic, domain FROM (SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY topic ORDER BY n DESC, domain) AS rn FROM tcount)
+         |  WHERE rn = 1)
+         |SELECT domain,
+         |  COUNT(*) FILTER (WHERE ontology = 'corpus_vocab') AS n_corpus_vocab,
+         |  COUNT(*) FILTER (WHERE ontology = 'lexicon') AS n_lexicon,
+         |  COUNT(*) FILTER (WHERE ontology = 'corpus_vocab') +
+         |    COUNT(*) FILTER (WHERE ontology = 'lexicon') AS total
+         |FROM linked JOIN tmap USING (topic)
+         |WHERE similarity >= 0.65
+         |GROUP BY domain
+         |ORDER BY total DESC, domain""".stripMargin,
     "xref09_blocking_quality" ->
       s"""WITH t AS (SELECT doc_id, n_chars, $dkToks AS w FROM documents),
          |fp AS (SELECT doc_id, $dkBagFp AS f FROM documents),

@@ -426,6 +426,84 @@ object Linkage {
       .orderBy("topic")
   }
 
+  /** xref10: the UpSet source-overlap MATRIX behind the reference's
+    * fig2 (generate_paper_figures.py:196 `fig2_upset_source_overlap`:
+    * `SELECT has_*, COUNT(*) FROM xref.unified_papers GROUP BY has_*`
+    * plus the per-flag marginal bars the UpSet plot draws): xref03's
+    * flag-combination counts generalized to ALL 2^k grouping sets via
+    * CUBE — the exact combos AND every marginal in ONE map-side-
+    * expanded partial-aggregating pass over the unified table, never
+    * a union of per-set scans. GROUPING() markers disambiguate
+    * "aggregated over this flag" from a real flag value, so the
+    * UpSet intersection rows (all markers 0) and the set-size bars
+    * (one marker 1) read out of the same frame.
+    *
+    * Scale shape: xref02's joins + one Expand×8 aggregate; output is
+    * ≤ 3^k rows at any corpus size. */
+  def xref10UpsetOverlap(lake: Lake): DataFrame = {
+    // Through the SQL surface (rel12's CUBE idiom): the DataFrame
+    // cube+grouping() pair trips Spark's ambiguous-self-join detector
+    // on xref02's lineage (customer feeds both the spine and the
+    // profile leg); a view boundary gives CUBE a cleanly-resolved
+    // child without disabling the detector.
+    xref02UnifiedEntities(lake).createOrReplaceTempView("graft_xref10_unified")
+    lake.spark.sql(
+      """SELECT has_profile, has_orders, has_events,
+        |  CAST(GROUPING(has_profile) AS BIGINT) AS g_profile,
+        |  CAST(GROUPING(has_orders) AS BIGINT) AS g_orders,
+        |  CAST(GROUPING(has_events) AS BIGINT) AS g_events,
+        |  COUNT(*) AS n_entities,
+        |  ROUND(SUM(total_spent), 4) AS total_value
+        |FROM graft_xref10_unified
+        |GROUP BY CUBE(has_profile, has_orders, has_events)
+        |ORDER BY g_profile, g_orders, g_events,
+        |  has_profile, has_orders, has_events""".stripMargin
+    )
+  }
+
+  /** xref11: the ontology-reach HEATMAP matrix behind the reference's
+    * fig5 (generate_paper_figures.py:669 `fig5_ontology_reach_heatmap`:
+    * `SELECT domain, ontology, COUNT(*) FROM xref.topic_ontology_map
+    * WHERE similarity >= 0.65 GROUP BY 1, 2` pivoted to a
+    * domain × ontology matrix, ordered by total reach): composed over
+    * xref07's tiered linkage output — the one reference analytics
+    * surface that consumes the LINKAGE's own output rather than base
+    * tables. Each topic's domain is its modal p_type among the parts
+    * whose name carries the topic (argmax with deterministic
+    * tiebreak — the 4-level-hierarchy rollup's assignment idiom);
+    * the pivot uses EXPLICIT ontology values (rel13's discipline: no
+    * distinct-values pre-job at scale).
+    *
+    * Scale shape: the topic→domain map and the linkage are both
+    * vocabulary-bounded; the matrix is |domains| × |ontologies|. */
+  def xref11OntologyReach(lake: Lake, threshold: Double = 0.65): DataFrame = {
+    val topicDomain = lake.part
+      .select(explode(split(col("p_name"), " ")).as("topic"), col("p_type").as("domain"))
+      .groupBy("topic", "domain")
+      .agg(count(lit(1)).as("n"))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy("topic").orderBy(col("n").desc, col("domain"))
+        )
+      )
+      .filter(col("rn") === 1)
+      .select("topic", "domain")
+    xref07TieredLinkage(lake)
+      .filter(col("similarity") >= threshold)
+      .join(broadcast(topicDomain), "topic")
+      .groupBy("domain")
+      .pivot("ontology", Seq("corpus_vocab", "lexicon"))
+      .agg(count(lit(1)))
+      .select(
+        col("domain"),
+        coalesce(col("corpus_vocab"), lit(0L)).as("n_corpus_vocab"),
+        coalesce(col("lexicon"), lit(0L)).as("n_lexicon")
+      )
+      .withColumn("total", col("n_corpus_vocab") + col("n_lexicon"))
+      .orderBy(col("total").desc, col("domain"))
+  }
+
   /** xref09: BLOCKING-SCHEME quality — the record-linkage meta-metric
     * pair every blocked join in this engine rests on: REDUCTION RATIO
     * (fraction of the n² pair space a scheme prunes away) and PAIRS

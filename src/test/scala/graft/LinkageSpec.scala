@@ -101,4 +101,52 @@ class LinkageSpec extends AnyFunSuite {
     assert(rows("length_band")._4 == lengthCovered.toLong,
       s"length covered ${rows("length_band")._4} != $lengthCovered")
   }
+
+  test("xref10: CUBE markers are consistent and every stratum sums to the grand total") {
+    val rows = Linkage.xref10UpsetOverlap(lake).collect().map { r =>
+      (Option(r.get(0)).map(_.asInstanceOf[Boolean]),
+        Option(r.get(1)).map(_.asInstanceOf[Boolean]),
+        Option(r.get(2)).map(_.asInstanceOf[Boolean]),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    }
+    // marker ⟺ null: g_X = 1 exactly when the flag is aggregated away
+    rows.foreach { case (p, o, e, gp, go, ge, _) =>
+      assert((gp == 1L) == p.isEmpty && (go == 1L) == o.isEmpty &&
+        (ge == 1L) == e.isEmpty)
+    }
+    val nEntities = Linkage.xref02UnifiedEntities(lake).count()
+    // the grand-total cell counts every entity once...
+    val grand = rows.filter(r => r._4 == 1L && r._5 == 1L && r._6 == 1L)
+    assert(grand.length == 1 && grand.head._7 == nEntities)
+    // ...and each marker stratum partitions the same universe
+    for (level <- Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 1L))) {
+      val stratum = rows.filter(r => (r._4, r._5, r._6) == level)
+      assert(stratum.map(_._7).sum == nEntities, s"stratum $level incomplete")
+    }
+    // the full-combination cells are exactly xref03's coverage rows
+    val combos = rows.filter(r => r._4 == 0L && r._5 == 0L && r._6 == 0L)
+      .map(r => (r._1.get, r._2.get, r._3.get) -> r._7).toMap
+    val x03 = Linkage.xref03CoverageStats(lake).collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)) -> r.getLong(3))
+      .toMap
+    assert(combos == x03)
+  }
+
+  test("xref11: reach matrix composes xref07's linkage with the modal-domain map") {
+    val rows = Linkage.xref11OntologyReach(lake).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, cv, lx, tot) => assert(cv + lx == tot) }
+    // ordered by total reach, descending (fig5's ordering)
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+    // column sums equal the thresholded linkage joined to ANY domain:
+    // every linked topic with a domain lands in exactly one row
+    val linked = Linkage.xref07TieredLinkage(lake)
+      .filter(org.apache.spark.sql.functions.col("similarity") >= 0.65)
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    val topicsWithDomain = lake.part.collect()
+      .flatMap(r => r.getString(1).split(" ")).toSet
+    val expected = linked.count { case (t, _) => topicsWithDomain.contains(t) }
+    assert(rows.map(_._4).sum == expected.toLong)
+  }
 }
