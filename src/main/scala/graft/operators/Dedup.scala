@@ -1111,6 +1111,81 @@ object Dedup {
         col("bk.bucket").as("bucket"))
   }
 
+  /** STREAMING twin of the MinHash-LSH pair kernel — the
+    * foreachBatch sink for a continuously-ingesting corpus: each
+    * micro-batch of (doc_id, text) documents
+    *   1. shingles + band-hashes map-side (deterministic hashing, so
+    *      stream and batch signatures are identical),
+    *   2. generates candidates as intra-batch self-join PLUS a probe
+    *      of the PERSISTED band index of everything ingested so far
+    *      (dedup12's delta-probes-index discipline — the corpus never
+    *      meets itself, only the batch meets the store),
+    *   3. verifies exactly on full shingle sets (stored + in-batch),
+    *   4. appends verified pairs to `pairs/` and its own band rows +
+    *      shingles to the index stores.
+    * Every pair is discovered exactly once — when its LATER document
+    * arrives (or both arrive together) — so after the stream covers
+    * the corpus, `pairs/` equals batch [[dedup04MinhashLsh]] row for
+    * row (StreamingSpec pins it on a replayed corpus). Pairs are
+    * canonicalized (doc_a < doc_b) independent of arrival order.
+    *
+    * This is the production near-dup ingestion shape at 100 TB: the
+    * band index is the accumulating table a continuously-deduped
+    * corpus maintains anyway (writeBandIndex's layout), each batch's
+    * work is linear in the batch + its collisions, and the exact
+    * verify touches only candidate shingle rows. The band-bucket cap
+    * is a batch-side rebuild concern (minhashPairs); the probe path
+    * is per-batch bounded by construction. */
+  def minhashPairsBatchSink(
+      stateDir: String,
+      threshold: Double = 0.5,
+      numPerm: Int = 128,
+      bands: Int = 64
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val spark = batch.sparkSession
+    val fs = new java.io.File(s"$stateDir/bands")
+    val shingled = shingleCorpus(batch.select("doc_id", "text")).cache()
+    val bandRows = bandIndexOfShingled(shingled, numPerm, bands).cache()
+    val intra = bandRows
+      .join(
+        bandRows.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("doc_id") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+    val (candidates, storedShingles) =
+      if (fs.isDirectory) {
+        val storedBands = spark.read.parquet(s"$stateDir/bands")
+        val cross = bandRows
+          .join(
+            storedBands.select(col("doc_id").as("doc_s"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .select(
+            least(col("doc_id"), col("doc_s")).as("doc_a"),
+            greatest(col("doc_id"), col("doc_s")).as("doc_b"))
+        (intra.unionAll(cross).distinct(),
+          Some(spark.read.parquet(s"$stateDir/shingles")))
+      } else (intra.distinct(), None)
+    val allShingles = storedShingles.fold(shingled)(shingled.unionAll)
+    val withSets = candidates
+      .join(allShingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(allShingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    val ic = graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    val jac =
+      ic.cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - ic).cast("double")
+    withSets
+      .withColumn("jaccard", round(jac, 4))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .write.mode("append").parquet(s"$stateDir/pairs")
+    // index updates AFTER the pair append: a batch must not probe its
+    // own rows through the store (intra covers them)
+    bandRows.write.mode("append").parquet(s"$stateDir/bands")
+    shingled.write.mode("append").parquet(s"$stateDir/shingles")
+    shingled.unpersist(false)
+    bandRows.unpersist(false)
+  }
+
   /** (doc_id, sh) shingle-hash projection of a (doc_id, text) frame. */
   def shingleCorpus(docs: DataFrame): DataFrame =
     docs

@@ -62,6 +62,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("streaming LSH pair sink equals batch dedup04 after the stream covers the corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch reference: the full MinHash-LSH verified pair list
+    val batch = graft.operators.Dedup
+      .dedup04MinhashLsh(lake)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    // the corpus replays as a stream in three micro-batches, ordered
+    // ADVERSARIALLY (descending doc_id) so cross-batch pairs arrive
+    // later-doc-first and canonicalization is actually exercised
+    val docs = lake.documents
+      .select("doc_id", "text")
+      .as[(Long, String)]
+      .collect()
+      .sortBy(-_._1)
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("lsh_stream").toString
+    val stream = MemoryStream[(Long, String)]
+    val query = stream
+      .toDS()
+      .toDF("doc_id", "text")
+      .writeStream
+      .foreachBatch(graft.operators.Dedup.minhashPairsBatchSink(stateDir))
+      .option("checkpointLocation", s"$stateDir/ckpt")
+      .start()
+    docs.grouped((docs.length + 2) / 3).foreach { g =>
+      stream.addData(g.toSeq)
+      query.processAllAvailable()
+    }
+    query.stop()
+    val streamed = spark.read
+      .parquet(s"$stateDir/pairs")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} pairs vs batch ${batch.length}")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming windowed counts match the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
