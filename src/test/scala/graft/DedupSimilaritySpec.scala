@@ -415,6 +415,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(alt == expected, "cell layout changed the exact result")
   }
 
+  test("index writers release every frame they cached or checkpointed") {
+    // Writers return Unit, so nothing downstream can unpersist their
+    // intermediates — each must clean up its own storage or every
+    // invocation pins executor memory for the session lifetime (the
+    // ing10 cache-leak class, advisor round-9). Snapshot the
+    // persistent-RDD registry around each writer: no new entries may
+    // survive it.
+    val sc = TestSpark.spark.sparkContext
+    def leaks(body: => Unit): Set[Int] = {
+      val before = sc.getPersistentRDDs.keySet
+      body
+      sc.getPersistentRDDs.keySet.diff(before.toSet).toSet
+    }
+    val dir = java.nio.file.Files.createTempDirectory("writer_leak").toString
+    assert(leaks(Dedup.writeBandIndex(lake, s"$dir/band")).isEmpty)
+    assert(leaks(Similarity.writeIvfIndex(lake, s"$dir/ivf")).isEmpty)
+    assert(leaks(Similarity.writePqIndex(lake, s"$dir/pq")).isEmpty)
+    assert(leaks(Similarity.writeSqIndex(lake, s"$dir/sq")).isEmpty)
+    assert(leaks(Similarity.writeIvfPqIndex(lake, s"$dir/ivfpq")).isEmpty)
+  }
+
   test("persisted band index: probe equals the inline incremental build exactly") {
     val dir = java.nio.file.Files.createTempDirectory("band_index").toString
     Dedup.writeBandIndex(lake, dir)
