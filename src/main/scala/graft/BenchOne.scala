@@ -27,7 +27,16 @@ object BenchOne {
       val times = (1 to sweeps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Release the sweep's caches AFTER the clock stops: each sweep
+        // re-caches fresh frames, and at probe scale (sf10) the
+        // accumulated storage from earlier sweeps evicts the current
+        // sweep's blocks — later sweeps then measure GC + recompute,
+        // not the query (observed 48 s -> 271 s ASCENDING sweeps on
+        // dedup10 at sf10). Every sweep now starts cold and equal.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        dt
       }
       println(f"$name%-30s min=${times.min}%.3f  all=${times.map(t => f"$t%.3f").mkString(",")}")
     }
