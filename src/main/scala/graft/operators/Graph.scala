@@ -69,6 +69,10 @@ object Graph {
     // graph27 measured 2.84 -> 1.43 s deleting them); past depth ~6
     // the join+anti-join lineage doubling would bloat plans, so deep
     // loops keep the sparse checkpoint cadence.
+    // (A pre-partition-by-src cache of the edge list was measured
+    // SLOWER at sf1 — 1.85 vs 1.20 s on graph08: the up-front
+    // exchange costs more than the per-hop edge shuffles it saves on
+    // these dimension-sized edge lists. Plain cache.)
     val edges = edges0.select(col("src"), col("dst")).cache()
     var frontier = edges
       .distinct()
