@@ -370,7 +370,7 @@ object Cli {
             sys.exit(1)
           case Right(summary) =>
             println(summary)
-            lake.registerViews()
+            lake.registerViews(force = true)
             // The fresh table is not in the star-schema catalog; expose
             // it as a flat view alongside the registered ones — under
             // the UNION schema, so columns added by later chunks of a

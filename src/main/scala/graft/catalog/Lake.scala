@@ -170,7 +170,20 @@ final case class Lake(spark: SparkSession, dir: String) {
     * inline the parquet path (a permanent view may not reference a
     * temp view), with events' nanos->micros conversion baked into the
     * view text. */
-  def registerViews(): Unit = {
+  def registerViews(): Unit = registerViews(force = false)
+
+  /** Registration is SKIPPED when this session's catalog already
+    * points at this dir: operators that defensively call
+    * registerViews() per invocation (rel09/rel12's SQL surface,
+    * searchCatalog, xref10) were re-parsing ~17 CREATE VIEW
+    * statements each call — measured +0.7 s per query after the xref
+    * views joined the catalog. The guard is LAST-registered-dir per
+    * session, not a seen-set: an intervening registration of a
+    * different dir replaces the (identically-named) views, so only
+    * the most recent dir is actually live. `force` re-registers
+    * unconditionally (the `update` verb's refresh semantics). */
+  def registerViews(force: Boolean): Unit = {
+    if (!force && Lake.lastRegistered.get(spark) == dir) return
     // Session-sticky: view expansion happens at query time, so the
     // nanos conf must hold for any later spark.sql over activity.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -204,6 +217,7 @@ final case class Lake(spark: SparkSession, dir: String) {
     derivedViews.foreach { case (n, sql) =>
       spark.sql(s"CREATE OR REPLACE VIEW `$derivedSchema`.`$n` AS $sql")
     }
+    Lake.lastRegistered.put(spark, dir)
   }
 }
 
@@ -217,4 +231,10 @@ object Lake {
     * view definitions, so the directory stays tiny and mode-0700. */
   private[catalog] lazy val warehouseBase: String =
     java.nio.file.Files.createTempDirectory("graft-warehouse-").toString
+
+  /** Last dir registered per session (the skip guard's key — see
+    * registerViews). Weak on neither side: sessions are few and
+    * long-lived in every entry point this library has. */
+  private val lastRegistered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 }
