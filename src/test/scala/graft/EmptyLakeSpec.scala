@@ -57,6 +57,12 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("emb01_hash_embeddings", Embedding.emb01HashEmbeddings(_))
   assertEmptyOk("emb02_pca_projection", Embedding.emb02PcaProject(_))
   assertEmptyOk("xref02_unified_entities", Linkage.xref02UnifiedEntities)
+  // xref10 is excluded deliberately: it rides the spark.sql view
+  // surface, and registering the empty lake's views would swap the
+  // shared session's catalog under any concurrently-running suite.
+  // Its CUBE semantics on empty input are the SQL-standard one
+  // grand-total row, not zero rows, in any case.
+  assertEmptyOk("xref11_ontology_reach", Linkage.xref11OntologyReach(_))
   assertEmptyOk("eval06_agreement", Evaluation.eval06Agreement(_))
   assertEmptyOk("eval07_roc_auc", Evaluation.eval07RocAuc(_))
   assertEmptyOk("mm05_phash_neardup", graft.multimodal.Multimodal.mm05PhashNeardup(_))

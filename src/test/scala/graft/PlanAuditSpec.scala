@@ -137,6 +137,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("xref11: the reach matrix joins broadcast; no cartesian") {
+    // the topic->domain map rides a broadcast hash join and the only
+    // nested-loop is xref07's bounded k-row lexicon crossJoin — a
+    // CartesianProduct anywhere means a corpus-sized pair space
+    val p = plan(Linkage.xref11OntologyReach(lake))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("evt08: per-type stats join broadcasts; no cartesian") {
     val p = plan(Events.evt08DailyAnomalies(lake))
     assert(p.contains("BroadcastHashJoin"), p)
