@@ -1133,9 +1133,22 @@ object Dedup {
     * band index is the accumulating table a continuously-deduped
     * corpus maintains anyway (writeBandIndex's layout), each batch's
     * work is linear in the batch + its collisions, and the exact
-    * verify touches only candidate shingle rows. The band-bucket cap
-    * is a batch-side rebuild concern (minhashPairs); the probe path
-    * is per-batch bounded by construction. */
+    * verify touches only candidate shingle rows.
+    *
+    * Degeneration note (the minhashPairs cap, probe-side): a
+    * DEGENERATE STORED bucket (mass-duplicated boilerplate already
+    * ingested) multiplies every colliding batch doc's candidates by
+    * the stored bucket's size. The intra-batch join is bounded by the
+    * batch; the store side is not. The production mitigation lives at
+    * INDEX-BUILD time, not probe time: cap the persisted band index
+    * once (keep a representative row per oversized bucket — its min
+    * doc_id, which is exactly the row min(dup_of) semantics would
+    * elect), and every probe path (dedup12, incrementalFromIndex,
+    * dedupProbe, this sink) inherits bounded candidates without
+    * per-batch stats work. Not implemented here because the verdict
+    * contract above the cap changes (dup_of can only name the
+    * representative) — a knob the index owner should turn explicitly
+    * at writeBandIndex time. */
   def minhashPairsBatchSink(
       stateDir: String,
       threshold: Double = 0.5,
