@@ -1184,23 +1184,39 @@ object TextAnalysis {
     * history at sf1: round-7 stream-consumed-twice 1.55 s; round-9
     * one-exchange join 0.94-1.16 s; this form deletes the exchanges
     * entirely.) */
-  def txt15UnigramLogprob(lake: Lake): DataFrame = {
+  def txt15UnigramLogprob(lake: Lake, maxModel: Int = 4000000): DataFrame = {
     // Pass 1 — train: one tokenize scan, counts folded ROW-SIDE by
     // the native TokenCounts map (one entry per distinct word per
     // doc, ~8× fewer aggregate-input rows than explode(tokens)), then
-    // summed per word. The collected model is vocabulary-sized
-    // (Heaps-sublinear — see the expression's 100 TB cap note);
-    // -ln p(w) is computed once per distinct word, in the same double
-    // ops the Column formulation used.
-    val counts = lake.documents
+    // summed per word. The vocab-sized count table is materialized
+    // ONCE (localCheckpoint) and feeds two bounded jobs: the exact
+    // full-vocabulary token total, and the top-`maxModel`-by-count
+    // collect. The driver never holds more than `maxModel` rows —
+    // the BPE-maxWords / dedup04-maxBucket discipline applied to the
+    // model build. Below the cap the collected set IS the full
+    // vocabulary and every number is bit-identical to the uncapped
+    // form (long sums are exact in any order). Above the cap the
+    // DROPPED-TAIL RULE is: p(w) for retained words still uses the
+    // full-corpus total (capping never inflates probabilities), and a
+    // token outside the top-K contributes to NEITHER n_tokens nor s —
+    // the UnigramModelScore missing-key semantics, so rare-tail
+    // tokens simply stop voting instead of skewing the mean.
+    // (Spec: "unigram model cap" in TextSelectionSpec.)
+    val cdf = lake.documents
       .select(explode(graft.plans.TokenCounts(col("text"))).as(Seq("w", "n")))
       .groupBy("w")
       .agg(sum("n").as("c"))
-      .collect()
-    val total = counts.map(_.getLong(1)).sum.toDouble
+      .localCheckpoint()
+    val total = cdf.agg(sum("c")).head().getLong(0).toDouble
+    val counts = cdf.orderBy(col("c").desc, col("w")).limit(maxModel).collect()
     val model = counts.map { r =>
       r.getString(0) -> -math.log(r.getLong(1).toDouble / total)
     }.toMap
+    // Broadcast lifecycle: the returned frame holds the broadcast by
+    // reference until the frame itself is unreachable, at which point
+    // Spark's ContextCleaner GCs the blocks — repeated calls do not
+    // accumulate beyond live frames, and the value is ≤ maxModel
+    // entries by construction.
     val b = lake.spark.sparkContext.broadcast(model)
     // Pass 2 — score: ONE map-only scan; the native fold deletes the
     // token explode, the repartition-by-word, the checkpoint, the
@@ -1587,7 +1603,8 @@ object TextAnalysis {
     * degrades to shuffle, never OOM. */
   def txt21DsirImportance(
       lake: Lake,
-      targetSource: String = "src0"
+      targetSource: String = "src0",
+      maxModel: Int = 4000000
   ): DataFrame = {
     // txt15's two-pass native-kernel shape: ONE tokenize scan builds
     // the vocabulary with BOTH counts (the target count is a
@@ -1596,8 +1613,16 @@ object TextAnalysis {
     // driver, and scoring is one map-only fold against the broadcast
     // model — zero token-stream exchanges (the round-9 shape paid a
     // repartition + checkpoint + join + groupBy over 12.5M token rows
-    // at sf1).
-    val counts = lake.documents
+    // at sf1). The count table is checkpointed once; the exact
+    // full-vocabulary totals (both token sums AND the smoothing
+    // denominator's vocab size) come from a distributed aggregate,
+    // and the driver collects only the top-`maxModel` words by raw
+    // count — bit-identical below the cap, and above it the dropped
+    // tail keeps the smoothing arithmetic unchanged while tail tokens
+    // stop contributing to either n_tokens or the LLR sum (the
+    // UnigramModelScore missing-key rule; see txt15's dropped-tail
+    // note and the "unigram model cap" spec).
+    val cdf = lake.documents
       .select(
         (col("source") === targetSource).as("is_tgt"),
         explode(graft.plans.TokenCounts(col("text"))).as(Seq("w", "n"))
@@ -1607,10 +1632,14 @@ object TextAnalysis {
         sum("n").as("c_raw"),
         sum(when(col("is_tgt"), col("n")).otherwise(0L)).as("c_tgt")
       )
-      .collect()
-    val tRaw = counts.map(_.getLong(1)).sum.toDouble
-    val tTgt = counts.map(_.getLong(2)).sum.toDouble
-    val vocab = counts.length.toDouble
+      .localCheckpoint()
+    val tot = cdf
+      .agg(sum("c_raw"), sum("c_tgt"), count(lit(1)))
+      .head()
+    val (tRaw, tTgt, vocab) =
+      (tot.getLong(0).toDouble, tot.getLong(1).toDouble, tot.getLong(2).toDouble)
+    val counts =
+      cdf.orderBy(col("c_raw").desc, col("w")).limit(maxModel).collect()
     val model = counts.map { r =>
       r.getString(0) ->
         (math.log((r.getLong(2).toDouble + 1.0) / (tTgt + vocab))

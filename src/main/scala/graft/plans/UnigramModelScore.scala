@@ -35,11 +35,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * for externally supplied models).
   *
   * 100 TB note: a corpus-trained vocabulary grows with the corpus;
-  * past driver memory, cap the model (df ≥ k, or top-K by count) or
-  * use a fixed external LM — which is CCNet's own regime (Wenzek
-  * 2020 scores against a Wikipedia-trained LM, not a corpus-trained
-  * one). CodegenFallback: the fold is the work (TopBigramCount
-  * argument).
+  * the call sites (txt15/txt21) therefore ENFORCE a top-K-by-count
+  * cap (`maxModel`) on the collected model — the driver never holds
+  * more than maxModel entries, totals stay full-corpus exact, and the
+  * dropped tail follows the missing-key rule below. A fixed external
+  * LM is the other regime (CCNet scores against a Wikipedia-trained
+  * LM, not a corpus-trained one). CodegenFallback: the fold is the
+  * work (TopBigramCount argument).
   */
 case class UnigramModelScore(
     child: Expression,

@@ -284,6 +284,58 @@ class TextSelectionSpec extends AnyFunSuite {
     assert(rows.exists(r => r._3 < r._2), "no line was ever dropped")
   }
 
+  test("unigram model cap: bit-identical below the cap, top-K dropped-tail semantics above it") {
+    import graft.functions.text
+    import org.apache.spark.sql.functions.{explode, lit, sum => ssum, count => scount}
+    // driver-side reference corpus: same tokenizer, full counts
+    val wc = lake.documents
+      .select(explode(text.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(scount(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = wc.size
+    val full = TextAnalysis.txt15UnigramLogprob(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (1) a cap at exactly the vocabulary size is the identity — every
+    // row bit-equal to the default (effectively uncapped) form
+    val atCap = TextAnalysis.txt15UnigramLogprob(lake, maxModel = vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(atCap.toSeq == full.toSeq, "cap == vocab changed the result")
+    // (2) over-cap: only the top-K words score; p(w) keeps the
+    // FULL-corpus denominator, and out-of-model tokens vanish from
+    // both n_tokens and the sum (the documented dropped-tail rule)
+    val k = math.max(1, vocab / 3)
+    val total = wc.values.map(_.toDouble).sum
+    val kept = wc.toSeq.sortBy { case (w, c) => (-c, w) }.take(k).toMap
+    val expected = lake.documents
+      .select(col("doc_id"), text.tokens(col("text")).as("ws"))
+      .collect()
+      .map { r =>
+        val ws = r.getSeq[String](1).filter(kept.contains)
+        val s = ws.map(w => -math.log(kept(w).toDouble / total)).sum
+        (r.getLong(0), ws.length.toLong, s)
+      }
+      .filter(_._2 > 0L)
+      .map { case (id, n, s) =>
+        (id, n, BigDecimal(s / n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy(_._1)
+    val capped = TextAnalysis.txt15UnigramLogprob(lake, maxModel = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.map(t => (t._1, t._2)).toSeq == expected.map(t => (t._1, t._2)).toSeq,
+      "capped n_tokens diverged from the dropped-tail reference")
+    capped.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._3 - e._3) < 1e-9, s"doc ${g._1}: ${g._3} vs ${e._3}")
+    }
+    // the cap actually bit — some docs lost tokens
+    assert(capped.map(_._2).sum < full.map(_._2).sum, "cap had no effect")
+    // (3) txt21 honors the same cap: scores stay finite and the kept
+    // token counts shrink monotonically with the cap
+    val d21full = TextAnalysis.txt21DsirImportance(lake).collect().map(_.getLong(1)).sum
+    val d21cap = TextAnalysis.txt21DsirImportance(lake, maxModel = k)
+      .collect().map(_.getLong(1)).sum
+    assert(d21cap < d21full, "txt21 cap had no effect")
+  }
+
   test("DSIR importance: target-domain docs outscore the rest on average") {
     // The importance weight is built to rank target-looking text above
     // the raw mix: docs actually drawn from the target source carry
