@@ -1432,69 +1432,37 @@ object TextAnalysis {
     * text, high = disfluent or out-of-domain; the interpolation keeps
     * unseen bigrams finite without discounting machinery.
     *
-    * Scale shape: (prev, w) pairs are generated MAP-SIDE from the
-    * token array (zip_with the array against its null-prefixed left
-    * shift) — adjacency is an array property, so no window and no
-    * doc_id shuffle exist anywhere in the plan; each doc's first
-    * token rides along as a (null, w) pair. The bigram count table is
-    * a single groupBy over those pairs, and every marginal DERIVES
-    * from it: c(prev) = Σ_w, c(w) = Σ_prev (the null-prev rows supply
-    * the first-token remainder, so c_uni is the true unigram count),
-    * t = Σ c_uni — vocab-table aggregates, never a second corpus
-    * pass. The marginals then fold into ONE vocab-keyed model table
-    * carrying a precomputed -ln(p) per distinct bigram, so the
-    * corpus-token stream is joined exactly once — and that stream is
-    * repartitioned by (prev, w) and checkpointed up front, so the
-    * count aggregation AND the scoring join both reuse the same
-    * exchange instead of each re-tokenizing and re-shuffling the
-    * corpus. (The round-7 shape joined the stream three times — cbig,
-    * cprev, cuni — and recomputed tokenize+explode for each; at sf1
-    * that measured 4.7 s vs 2.1 s for this single-join form. log()
-    * runs once per DISTINCT bigram in the model, not once per corpus
-    * token.) */
+    * Scale shape = txt15's two-pass native-kernel form, extended to
+    * pairs. Pass 1 — train: one tokenize scan folds per-doc DISTINCT
+    * (prev, w) pair counts row-side ([[graft.plans.BigramCounts]];
+    * each doc's first token rides along as a (null, w) pair), one
+    * groupBy builds the bigram count table, and every marginal
+    * DERIVES from it: c(prev) = Σ_w, c(w) = Σ_prev (the null-prev
+    * rows supply the first-token remainder, so c_uni is the true
+    * unigram count), t = Σ c_uni — vocab-table aggregates, never a
+    * second corpus pass. -ln(p) is computed once per DISTINCT bigram
+    * in the marginals join, and the driver collects only the
+    * top-`maxModel` pairs by count (txt15's cap discipline: exact
+    * full-corpus marginals, bit-identical below the cap, tail pairs
+    * stop voting above it). Pass 2 — score: ONE map-only scan folds
+    * each document against the broadcast model
+    * ([[graft.plans.BigramModelScore]]) — no token-stream exchange,
+    * no model join, no groupBy(doc_id) anywhere in the plan. (Shape
+    * history at sf1: round-7 three-join 4.7 s; round-9 one-exchange
+    * checkpoint + shuffle-hash join 2.96 s; this form deletes the
+    * stream exchanges entirely — the only shuffled rows are the
+    * pair-count table itself.) */
   def txt23BigramLogprob(
       lake: Lake,
       lambda: Double = 0.7,
-      // false = skip the stream checkpoint so plan audits see the
-      // full lineage (localCheckpoint truncates the visible plan to
-      // Scan ExistingRDD); true keeps the one-exchange
-      // materialization: the count-side's pushed-down not-null filter
-      // makes the two stream subtrees non-identical, so ReuseExchange
-      // cannot dedupe them un-materialized (measured 2.4 s vs 1.8 s
-      // at sf1)
-      materialize: Boolean = true
+      maxModel: Int = 4000000
   ): DataFrame = {
-    // [null, t0, ..., t_{n-2}] zipped with [t0, ..., t_{n-1}]: one
-    // (prev, w) pair per token position, prev=null at position 0.
-    // Empty token arrays produce one (null, null) pair, dropped by
-    // the w-not-null filter.
-    val bi = lake.documents
-      .select(col("doc_id"), text.tokens(col("text")).as("ts"))
-      .select(
-        col("doc_id"),
-        explode(
-          zip_with(
-            concat(
-              array(lit(null).cast("string")),
-              slice(col("ts"), lit(1), greatest(size(col("ts")) - 1, lit(0)))
-            ),
-            col("ts"),
-            (p, t) => struct(p.as("prev"), t.as("w"))
-          )
-        ).as("pw")
-      )
-      .select(col("doc_id"), col("pw.prev").as("prev"), col("pw.w").as("w"))
-      .filter(col("w").isNotNull)
-      // ONE exchange for the whole query: both consumers (the bigram
-      // count aggregation and the scoring join) key on (prev, w), so
-      // hash-partition the stream once and materialize it —
-      // otherwise each consumer re-runs tokenize+explode and pays its
-      // own shuffle of the corpus-token stream.
-      .repartition(col("prev"), col("w"))
-    val biM = if (materialize) bi.localCheckpoint() else bi
-    val cbig = biM
+    val cbig = lake.documents
+      .select(explode(graft.plans.BigramCounts(col("text"))).as("pw"))
+      .select(col("pw.prev").as("prev"), col("pw.w").as("w"), col("pw.n").as("n"))
       .groupBy("prev", "w")
-      .agg(count(lit(1)).as("c_big"))
+      .agg(sum("n").as("c_big"))
+      .localCheckpoint()
     val cprev = cbig
       .filter(col("prev").isNotNull)
       .groupBy("prev")
@@ -1510,28 +1478,36 @@ object TextAnalysis {
     val p =
       lit(lambda) * (col("c_big").cast("double") / col("c_prev").cast("double")) +
         (lit(1.0) - lit(lambda)) * (col("c_uni").cast("double") / col("t_uni"))
-    // vocab-table-sized model: the three marginals meet each other
-    // (never the stream), and the per-bigram score is evaluated here,
-    // once per distinct bigram
+    // The model is built DISTRIBUTED (the three marginals meet each
+    // other, never any corpus stream) and the per-bigram score is
+    // evaluated there, once per distinct bigram with the same Column
+    // arithmetic as before; only the top-maxModel rows reach the
+    // driver (deterministic tiebreak on (count desc, prev, w)).
     val model = cbig
       .filter(col("prev").isNotNull)
       .join(cprev, Seq("prev"))
       .join(cuni, Seq("w"))
       .crossJoin(broadcast(total))
-      .select(col("prev"), col("w"), (-log(p)).as("neg_logp"))
-    // shuffle_hash on the MODEL side: the checkpointed stream is a
-    // LogicalRDD with no size stats, and the planner otherwise
-    // auto-broadcasts the 10^7-row stream itself (measured 9-11 s at
-    // sf1 building that hashed relation); the vocab-sized model is
-    // the build side, and the stream's (prev, w) partitioning is
-    // reused exchange-free.
-    biM
-      .filter(col("prev").isNotNull)
-      .join(model.hint("shuffle_hash"), Seq("prev", "w"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_bigrams"),
-        round(avg(col("neg_logp")), 4).as("avg_neg_logp2")
+      .select(col("prev"), col("w"), col("c_big"), (-log(p)).as("neg_logp"))
+      .orderBy(col("c_big").desc, col("prev"), col("w"))
+      .limit(maxModel)
+      .collect()
+    val nested: Map[String, Map[String, Double]] = model
+      .groupBy(_.getString(0))
+      .map { case (prev, rows) =>
+        prev -> rows.map(r => r.getString(1) -> r.getDouble(3)).toMap
+      }
+    val b = lake.spark.sparkContext.broadcast(nested)
+    // Docs whose every adjacent pair fell outside the model (only
+    // possible under a biting cap, or with fewer than two tokens)
+    // drop — the inner-join semantics of the formulation this fuses.
+    lake.documents
+      .select(col("doc_id"), graft.plans.BigramModelScore(col("text"), b).as("u"))
+      .filter(col("u.n_bigrams") > 0)
+      .select(
+        col("doc_id"),
+        col("u.n_bigrams").as("n_bigrams"),
+        round(col("u.s") / col("u.n_bigrams"), 4).as("avg_neg_logp2")
       )
       .orderBy("doc_id")
   }

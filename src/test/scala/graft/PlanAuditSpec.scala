@@ -112,22 +112,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("split(") && !p.contains("hex(") && !p.contains("conv("), p)
   }
 
-  test("txt23: bigram pairs are map-side — no window, one stream join") {
-    // adjacency comes from the token array (zip_with against its
-    // null-prefixed shift); a Window/lag formulation would shuffle the
-    // whole corpus on doc_id before a single count happens.
-    // materialize=false so the audit sees the full lineage (the
-    // production checkpoint truncates the plan at Scan ExistingRDD)
-    val p = plan(TextAnalysis.txt23BigramLogprob(lake, materialize = false))
+  test("txt23: scoring is one map-only scan — native fold, no stream join, no window") {
+    // train happens eagerly (bounded collect, txt15's cap discipline);
+    // the returned SCORING plan must be a single documents scan folded
+    // through the native BigramModelScore expression — any join,
+    // window/lag, or aggregate here means the corpus-pair stream came
+    // back. The only legal exchange is the final orderBy's range sort.
+    val p = plan(TextAnalysis.txt23BigramLogprob(lake))
+    assert(p.contains("bigram_model_score"), p)
     assert(!p.contains("RunningWindowFunction") && !p.contains("lag("), p)
-    // -ln(p) is evaluated in the vocab-sized model build (once per
-    // DISTINCT bigram, under the model-side join), and the final
-    // aggregation averages the precomputed column — a plan where the
-    // doc_id aggregate itself computes ln() is per-token
-    // transcendentals again
-    assert(p.contains("ln("), p)
-    assert(!p.linesIterator.exists(l =>
-      l.contains("HashAggregate") && l.contains("ln(")), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+    // -ln(p) lives in the model build (once per DISTINCT bigram, never
+    // per corpus token): no transcendental survives into the scan plan
+    assert(!p.contains("ln("), p)
   }
 
   test("txt20: the quality verdict plans ZERO exchanges") {
