@@ -94,6 +94,20 @@ object Graph {
         else frontier.cache()
       all = all.unionAll(frontier)
     }
+    // Storage hygiene (advisor round-10): the per-level caches pin
+    // executor storage until LRU eviction — deliberately. The
+    // deterministic alternative (eager localCheckpoint of the union +
+    // unpersist every level before returning) was built and MEASURED:
+    // graph08 0.98 -> 1.73 s, graph09 1.20 -> 1.81 s at sf1 min-of-6
+    // (storing + re-scanning the closure costs more than the leak),
+    // so the lazy form stays. Why LRU self-release is acceptable here:
+    // (a) all caches are MEMORY_AND_DISK cache()s — under pressure
+    // Spark evicts them and lineage recomputes, so they can't OOM the
+    // executors; (b) the frames are closure-sized (bounded by the
+    // dimension-table edge lists every caller feeds in), not
+    // corpus-sized; (c) benchmarks that need a clean-storage baseline
+    // have the per-sweep clear knob (BenchOne SPARK_GRAFT_CLEAR=1),
+    // which releases them between sweeps.
     all
   }
 
