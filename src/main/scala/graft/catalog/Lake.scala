@@ -180,10 +180,17 @@ final case class Lake(spark: SparkSession, dir: String) {
     * views joined the catalog. The guard is LAST-registered-dir per
     * session, not a seen-set: an intervening registration of a
     * different dir replaces the (identically-named) views, so only
-    * the most recent dir is actually live. `force` re-registers
+    * the most recent dir is actually live. The guard value also
+    * carries a cheap CONTENT fingerprint of the dir (per-entry name +
+    * mtime + length via the Hadoop FileSystem, so it works on any
+    * store, not just local disk): a table ingested into — or dropped
+    * from — the same dir between calls changes the fingerprint and a
+    * non-forced registerViews() re-registers instead of serving a
+    * stale catalog (advisor round-10). `force` re-registers
     * unconditionally (the `update` verb's refresh semantics). */
   def registerViews(force: Boolean): Unit = {
-    if (!force && Lake.lastRegistered.get(spark) == dir) return
+    val fp = Lake.dirFingerprint(spark, dir)
+    if (!force && Lake.lastRegistered.get(spark) == (dir, fp)) return
     // Session-sticky: view expansion happens at query time, so the
     // nanos conf must hold for any later spark.sql over activity.events.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -217,7 +224,7 @@ final case class Lake(spark: SparkSession, dir: String) {
     derivedViews.foreach { case (n, sql) =>
       spark.sql(s"CREATE OR REPLACE VIEW `$derivedSchema`.`$n` AS $sql")
     }
-    Lake.lastRegistered.put(spark, dir)
+    Lake.lastRegistered.put(spark, (dir, fp))
   }
 }
 
@@ -232,9 +239,38 @@ object Lake {
   private[catalog] lazy val warehouseBase: String =
     java.nio.file.Files.createTempDirectory("graft-warehouse-").toString
 
-  /** Last dir registered per session (the skip guard's key — see
-    * registerViews). Weak on neither side: sessions are few and
-    * long-lived in every entry point this library has. */
-  private val lastRegistered =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  /** Last (dir, content-fingerprint) registered per session — the
+    * skip guard's key (see registerViews). WEAK-keyed on the session:
+    * a strong key would pin stopped SparkSession object graphs for
+    * the process lifetime in a long-lived server embedding this
+    * library (advisor round-10). Synchronized wrapper because
+    * WeakHashMap is not thread-safe; the critical sections are
+    * two-instruction get/put. */
+  private val lastRegistered: java.util.Map[SparkSession, (String, String)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, (String, String)]()
+    )
+
+  /** Cheap content fingerprint of a lake dir: one listStatus through
+    * the dir's own FileSystem (local, HDFS, S3A alike), folding each
+    * direct child's name + mtime + length. Adding/removing a table,
+    * or rewriting one (directory mtimes move when part files change),
+    * changes the fingerprint; the ~dozen-entry listing costs
+    * microseconds locally and one RPC on a remote store. Unreadable
+    * dirs fingerprint as "" and fall through to registration (which
+    * surfaces the real error). */
+  private[catalog] def dirFingerprint(
+      spark: SparkSession,
+      dir: String
+  ): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .map(st =>
+          s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}"
+        )
+        .sorted
+        .mkString("|")
+    } catch { case _: java.io.IOException => "" }
 }

@@ -51,6 +51,38 @@ class CatalogSpec extends AnyFunSuite {
         |ON n.n_regionkey = r.r_regionkey""".stripMargin).head().getLong(0) == 25)
   }
 
+  test("registerViews re-registers when the dir's contents change under the same path") {
+    // Build a private lake dir (region + nation suffice for the flat
+    // temp-view surface under test), register, then REWRITE a table
+    // in place: a non-forced registerViews() must notice the changed
+    // content fingerprint and refresh — the round-10 staleness bug
+    // served the old file listing until someone passed force=true.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fp-").toString
+    try {
+      val l0 = Lake(spark, sfDir)
+      l0.tableNames.foreach { n =>
+        l0.resolve(n)
+          .limit(if (n == "region") 5 else 1)
+          .write.mode("overwrite").parquet(s"$tmp/$n.parquet")
+      }
+      val l = Lake(spark, tmp)
+      l.registerViews()
+      assert(spark.table("region").count() == 5)
+      // rewrite region with fewer rows (different part files on disk)
+      l0.resolve("region").limit(3)
+        .write.mode("overwrite").parquet(s"$tmp/region.parquet")
+      l.registerViews() // NOT forced — the fingerprint must trip it
+      assert(
+        spark.table("region").count() == 3,
+        "non-forced registerViews served a stale catalog after a rewrite"
+      )
+    } finally {
+      // leave the session catalog pointing at the shared test lake
+      Lake(spark, sfDir).registerViews()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("catalog search matches schema-qualified names") {
     val bySchema = CatalogOps.searchCatalog(lake, "corpus")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
