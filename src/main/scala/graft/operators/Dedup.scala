@@ -1121,8 +1121,11 @@ object Dedup {
     *      (dedup12's delta-probes-index discipline — the corpus never
     *      meets itself, only the batch meets the store),
     *   3. verifies exactly on full shingle sets (stored + in-batch),
-    *   4. appends verified pairs to `pairs/` and its own band rows +
-    *      shingles to the index stores.
+    *   4. writes verified pairs, band rows and shingles to
+    *      batch-keyed subdirectories of the state stores
+    *      (`pairs/batch=N`, …) — overwritten on checkpoint replay, so
+    *      a retried batch is idempotent (see the replay note in the
+    *      body).
     * Every pair is discovered exactly once — when its LATER document
     * arrives (or both arrive together) — so after the stream covers
     * the corpus, `pairs/` equals batch [[dedup04MinhashLsh]] row for
@@ -1154,9 +1157,38 @@ object Dedup {
       threshold: Double = 0.5,
       numPerm: Int = 128,
       bands: Int = 64
-  ): (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
-    val fs = new java.io.File(s"$stateDir/bands")
+    // Replay idempotency (advisor round-10): foreachBatch re-delivers
+    // a batchId after a failure, and a blind mode-append would
+    // permanently duplicate index rows (duplicated shingles then
+    // multiply the verify join for every LATER batch). Every store is
+    // therefore keyed by batch subdirectory — batch=N is OVERWRITTEN
+    // on replay (the checkpoint replays the same data, so the rewrite
+    // is a no-op rewrite), and the probe reads only subdirs with id
+    // STRICTLY BELOW the current batch, which both excludes a failed
+    // attempt's partial batch=N files and keeps "a batch never probes
+    // its own rows" true on first delivery and replay alike. Store
+    // discovery goes through the dir's own Hadoop FileSystem (the
+    // java.io.File probe silently skipped the cross-batch path on
+    // HDFS/S3 stateDirs and dropped every cross-batch pair).
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def priorBatchDirs(sub: String): Seq[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      val fs = p.getFileSystem(hadoopConf)
+      if (!fs.exists(p)) Seq.empty
+      else
+        fs.listStatus(p)
+          .toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .flatMap(st =>
+            st.getPath.getName
+              .stripPrefix("batch=")
+              .toLongOption
+              .filter(_ < batchId)
+              .map(_ => st.getPath.toString)
+          )
+    }
     val shingled = shingleCorpus(batch.select("doc_id", "text")).cache()
     val bandRows = bandIndexOfShingled(shingled, numPerm, bands).cache()
     val intra = bandRows
@@ -1165,9 +1197,10 @@ object Dedup {
         Seq("band", "bucket"))
       .filter(col("doc_id") < col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
+    val priorBands = priorBatchDirs("bands")
     val (candidates, storedShingles) =
-      if (fs.isDirectory) {
-        val storedBands = spark.read.parquet(s"$stateDir/bands")
+      if (priorBands.nonEmpty) {
+        val storedBands = spark.read.parquet(priorBands: _*)
         val cross = bandRows
           .join(
             storedBands.select(col("doc_id").as("doc_s"), col("band"), col("bucket")),
@@ -1176,7 +1209,7 @@ object Dedup {
             least(col("doc_id"), col("doc_s")).as("doc_a"),
             greatest(col("doc_id"), col("doc_s")).as("doc_b"))
         (intra.unionAll(cross).distinct(),
-          Some(spark.read.parquet(s"$stateDir/shingles")))
+          Some(spark.read.parquet(priorBatchDirs("shingles"): _*)))
       } else (intra.distinct(), None)
     val allShingles = storedShingles.fold(shingled)(shingled.unionAll)
     val withSets = candidates
@@ -1190,11 +1223,9 @@ object Dedup {
       .withColumn("jaccard", round(jac, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .write.mode("append").parquet(s"$stateDir/pairs")
-    // index updates AFTER the pair append: a batch must not probe its
-    // own rows through the store (intra covers them)
-    bandRows.write.mode("append").parquet(s"$stateDir/bands")
-    shingled.write.mode("append").parquet(s"$stateDir/shingles")
+      .write.mode("overwrite").parquet(s"$stateDir/pairs/batch=$batchId")
+    bandRows.write.mode("overwrite").parquet(s"$stateDir/bands/batch=$batchId")
+    shingled.write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
     shingled.unpersist(false)
     bandRows.unpersist(false)
   }

@@ -104,6 +104,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("LSH pair sink: a replayed batch is idempotent and never probes its own rows") {
+    // foreachBatch redelivers a batchId after a failure; the sink is a
+    // plain (DataFrame, Long) => Unit, so drive the replay directly:
+    // deliver batch 0 and 1, then REPLAY batch 1 (same data, same id)
+    // and assert nothing changed — no duplicated pairs, no duplicated
+    // index rows multiplying later verifies.
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("lsh_replay").toString
+    val sink = graft.operators.Dedup.minhashPairsBatchSink(stateDir)
+    val docs = lake.documents.select("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    sink(b0, 0L)
+    sink(b1, 1L)
+    def snap() = {
+      val pairs = spark.read.parquet(s"$stateDir/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(p => (p._1, p._2)).toSeq
+      val nBands = spark.read.parquet(s"$stateDir/bands").count()
+      val nShingles = spark.read.parquet(s"$stateDir/shingles").count()
+      (pairs, nBands, nShingles)
+    }
+    val before = snap()
+    sink(b1, 1L) // the replay
+    assert(snap() == before, "replaying batch 1 changed the stores")
+    // and the two-batch union still equals the batch-mode kernel
+    val batchRef = graft.operators.Dedup.dedup04MinhashLsh(lake)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(before._1 == batchRef, "streamed pairs diverged from dedup04")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
+  }
+
   test("streaming windowed counts match the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
