@@ -225,6 +225,23 @@ object Dedup {
     * unchanged — the cap only shapes CANDIDATE generation; every
     * emitted pair still carries its true full-set jaccard.
     *
+    * KNOWN RECALL CAVEAT above the cap (spec-pinned: the
+    * "heterogeneous oversized bucket" test in DedupSimilaritySpec,
+    * plus the homogeneous mass-duplicate test): a heterogeneous
+    * oversized bucket compares members only against ITS min doc_id,
+    * so (1) two members that are near-dups of each other but below
+    * threshold vs the representative lose their PAIR unless they also
+    * co-occur in a small (or pure) bucket — the spec demonstrates the
+    * loss with a non-representative identical pair; (2) components
+    * are nonetheless preserved per dup-group in practice because each
+    * group also lands in buckets without the foreign group (64
+    * independent bands make an every-band collision of a
+    * below-threshold pair vanishingly rare: P ≈ (J²)^64). Exactness
+    * never suffers — a star candidate that fails the full-set verify
+    * emits nothing. Pair-list consumers needing exhaustive recall
+    * above the cap should raise maxBucket; CC consumers keep their
+    * contract.
+    *
     * Guard cost, measured (same-window A/B at sf0.1, min of 5):
     * dedup04 1.56 → 1.81 s, pipe02 4.88 → 5.63 s — one extra
     * bounded agg job (~320k (band,bucket) rows) + its job floor,

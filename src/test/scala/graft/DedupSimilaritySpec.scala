@@ -280,6 +280,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(components(capped.keySet) == components(uncapped.keySet))
   }
 
+  test("dedup04: heterogeneous oversized bucket — components preserved per group, cross-group pairs correctly absent, star recall loss pinned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum, when}
+    // The adversarial shape the homogeneous mass-duplicate spec above
+    // does NOT cover (advisor round-10): TWO distinct dup-groups whose
+    // texts are similar enough to band-collide (J ≈ 0.46 → a 2-row
+    // band agrees with prob J² ≈ 0.21, so ≥1 of 64 bands mixes them
+    // with prob ~1-2e-7) but BELOW the 0.5 verify threshold. In the
+    // mixed oversized bucket the star representative is group X's min
+    // doc_id, so every Y member's only candidate there fails the exact
+    // verify. Pinned behavior: (a) each group still resolves to ONE
+    // connected component — Y's members reconnect through pure-Y
+    // oversized buckets in the bands where the groups do NOT collide;
+    // (b) no cross-group pair is emitted (correct: J < threshold, and
+    // exact verify holds regardless of candidate shape); (c) the
+    // documented PAIR-level recall loss: true within-group pairs
+    // between two non-representative members (e.g. (2,3), J = 1.0)
+    // are absent — they only ever co-occur in oversized buckets, so
+    // the star never proposes them. CC consumers (dedup08, samp05,
+    // pipe02/03) are unaffected by (c); pair-list consumers above the
+    // cap see the star subset.
+    val shared = (1 to 26).map(i => s"core$i").mkString(" ")
+    val tx = shared + " " + (1 to 14).map(i => s"xx$i").mkString(" ")
+    val ty = shared + " " + (1 to 14).map(i => s"yy$i").mkString(" ")
+    val docs = ((1L to 8L).map(i => (i, tx)) ++ (101L to 108L).map(i => (i, ty)))
+      .toDF("doc_id", "text")
+    // the premise must actually hold on today's hashing: some band
+    // bucket is oversized AND contains members of both groups
+    val buckets = Dedup.bandIndexOf(docs)
+      .groupBy("band", "bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("doc_id") <= 8L, 1).otherwise(0)).as("nx"),
+        sum(when(col("doc_id") >= 101L, 1).otherwise(0)).as("ny"))
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(buckets.exists { case (nx, ny) => nx > 0 && ny > 0 && nx + ny > 4 },
+      "no heterogeneous oversized bucket formed — the spec premise broke")
+    assert(buckets.exists { case (nx, ny) => ny > 0 && nx == 0 },
+      "no pure-Y bucket formed — Y could not reconnect")
+    def run(cap: Int) = Dedup.minhashPairs(docs, maxBucket = cap)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = run(4)
+    val uncapped = run(Int.MaxValue)
+    // soundness: exact verify makes every capped pair a true pair
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+    // (b) no cross-group pair, capped or not (J = 24/52 < 0.5)
+    assert(!uncapped.keySet.exists { case (a, b) => a <= 8L && b >= 101L })
+    assert(!capped.keySet.exists { case (a, b) => a <= 8L && b >= 101L })
+    // (a) each group is ONE component in the capped output
+    def components(pairs: Set[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+      parent.keys.groupBy(find).values.map(_.toSet).toSet
+    }
+    assert(components(capped.keySet) ==
+      Set((1L to 8L).toSet, (101L to 108L).toSet),
+      s"components split: ${components(capped.keySet)}")
+    // (c) the pinned recall loss: a true non-representative pair is
+    // gone under the cap (present uncapped, J = 1.0)
+    assert(uncapped.contains((2L, 3L)) && uncapped((2L, 3L)) == 1.0)
+    assert(!capped.contains((2L, 3L)),
+      "star candidates unexpectedly proposed a non-representative pair")
+  }
+
   test("dedup03: the df cap is result-identical while max df <= cap") {
     // The cap prunes CANDIDATE GENERATION only; verification is exact
     // on full shingle sets. With the cap far above this corpus's max
