@@ -177,6 +177,7 @@ object SparkEntry {
     "xref09_blocking_quality" -> q(Linkage.xref09BlockingQuality(_)),
     "xref10_upset_overlap" -> q(Linkage.xref10UpsetOverlap),
     "xref11_ontology_reach" -> q(Linkage.xref11OntologyReach(_)),
+    "xref12_coverage_by_year" -> q(Linkage.xref12CoverageByYear),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "sim09_prefix_rerank" -> q(Similarity.sim09PrefixRerank(_)),
     "sim10_sq_ann" -> q(Similarity.sim10SqAnn(_)),
@@ -822,6 +823,34 @@ object SparkEntry {
         |FROM unified
         |GROUP BY 1, 2, 3
         |ORDER BY has_profile, has_orders, has_events""".stripMargin,
+    "xref12_coverage_by_year" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT entity_id FROM (
+        |    SELECT CAST(c_custkey AS BIGINT) AS entity_id FROM customer
+        |    UNION ALL SELECT CAST(o_custkey AS BIGINT) FROM orders
+        |    UNION ALL SELECT CAST(user_id AS BIGINT) FROM events) u),
+        |profile AS (SELECT CAST(c_custkey AS BIGINT) AS p_id FROM customer),
+        |orderagg AS (SELECT CAST(o_custkey AS BIGINT) AS o_id,
+        |  ROUND(SUM(o_totalprice), 4) AS total_spent FROM orders GROUP BY 1),
+        |eventagg AS (SELECT CAST(user_id AS BIGINT) AS e_id FROM events GROUP BY 1),
+        |unified AS (
+        |  SELECT entity_id, p_id IS NOT NULL AS has_profile,
+        |    o_id IS NOT NULL AS has_orders, e_id IS NOT NULL AS has_events,
+        |    COALESCE(total_spent, 0.0) AS total_spent
+        |  FROM spine
+        |  LEFT JOIN profile ON entity_id = p_id
+        |  LEFT JOIN orderagg ON entity_id = o_id
+        |  LEFT JOIN eventagg ON entity_id = e_id),
+        |fy AS (SELECT CAST(o_custkey AS BIGINT) AS entity_id,
+        |  MIN(CAST(year(o_orderdate) AS BIGINT)) AS year FROM orders GROUP BY 1)
+        |SELECT year, COUNT(*) AS n_entities,
+        |  COUNT(*) FILTER (WHERE has_profile) AS n_profile,
+        |  COUNT(*) FILTER (WHERE has_events) AS n_events_src,
+        |  COUNT(*) FILTER (WHERE has_profile AND has_orders AND has_events) AS n_all_sources,
+        |  ROUND(SUM(total_spent), 4) AS total_value
+        |FROM unified JOIN fy USING (entity_id)
+        |GROUP BY 1
+        |ORDER BY year""".stripMargin,
     "xref04_priority_dedup" ->
       s"""WITH d AS (
          |  SELECT doc_id, $dkBagFp AS fp, source,

@@ -504,6 +504,40 @@ object Linkage {
       .orderBy(col("total").desc, col("domain"))
   }
 
+  /** xref12: CROSS-SOURCE COVERAGE BY YEAR — the reference's
+    * coverage_by_year figure (generate_coverage_plots.py:241: per
+    * publication-year totals with one line per source), computed over
+    * xref02's unified frame. The year analog is the entity's FIRST
+    * order year (rel08's year axis); entities with no dated activity
+    * drop, exactly as the reference drops papers without a year. Each
+    * row is one year with the per-source has_* coverage counts, the
+    * full-coverage intersection, and the year's total value.
+    *
+    * Scale shape: the year table is one partial-aggregating groupBy
+    * over orders (|entities| rows out); the join to the unified frame
+    * is entity-keyed and shuffles dimension-sized sides only; the
+    * report reduces to |years| rows with map-side combine. Nothing
+    * here touches the corpus. */
+  def xref12CoverageByYear(lake: Lake): DataFrame = {
+    val firstYear = lake.orders
+      .groupBy(col("o_custkey").cast("long").as("entity_id"))
+      .agg(min(year(col("o_orderdate")).cast("long")).as("year"))
+    xref02UnifiedEntities(lake)
+      .join(firstYear, "entity_id")
+      .groupBy("year")
+      .agg(
+        count(lit(1)).as("n_entities"),
+        sum(when(col("has_profile"), 1L).otherwise(0L)).as("n_profile"),
+        sum(when(col("has_events"), 1L).otherwise(0L)).as("n_events_src"),
+        sum(
+          when(col("has_profile") && col("has_orders") && col("has_events"), 1L)
+            .otherwise(0L)
+        ).as("n_all_sources"),
+        round(sum("total_spent"), 4).as("total_value")
+      )
+      .orderBy("year")
+  }
+
   /** xref09: BLOCKING-SCHEME quality — the record-linkage meta-metric
     * pair every blocked join in this engine rests on: REDUCTION RATIO
     * (fraction of the n² pair space a scheme prunes away) and PAIRS

@@ -149,4 +149,24 @@ class LinkageSpec extends AnyFunSuite {
     val expected = linked.count { case (t, _) => topicsWithDomain.contains(t) }
     assert(rows.map(_._4).sum == expected.toLong)
   }
+
+  test("xref12: per-year coverage counts are internally consistent and cover exactly the dated entities") {
+    import org.apache.spark.sql.functions.col
+    val rows = Linkage.xref12CoverageByYear(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // years ascending, each source count bounded by the year total,
+    // the intersection bounded by every source count
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    rows.foreach { case (y, n, np, ne, nall) =>
+      assert(np <= n && ne <= n, s"year $y source count exceeds total")
+      assert(nall <= np && nall <= ne, s"year $y intersection exceeds a source")
+    }
+    // the year partition covers exactly the entities with orders:
+    // every unified entity with has_orders lands in exactly one year
+    val dated = Linkage.xref02UnifiedEntities(lake)
+      .filter(col("has_orders")).count()
+    assert(rows.map(_._2).sum == dated,
+      s"per-year totals ${rows.map(_._2).sum} != dated entities $dated")
+  }
 }
