@@ -38,15 +38,12 @@ object Bench {
     // into a plausible-looking elapsed time.
     val names = SparkEntry.queries.keys.toSeq.sorted
     val best = collection.mutable.Map[String, Double]()
+    val allRuns =
+      collection.mutable.Map[String, collection.mutable.ArrayBuffer[Double]]()
     val failedElapsed = collection.mutable.Map[String, Double]()
     val errors = collection.mutable.Map[String, String]()
     val succeeded = collection.mutable.Set[String]()
-    // Alternate sweeps run in reverse order: this box's background
-    // noise arrives in contiguous multi-second windows, so two sweeps
-    // in the SAME order can land the same queries inside the window
-    // twice and min-of-sweeps never sees a clean run of them.
-    for (sweep <- 1 to sweeps;
-         name <- if (sweep % 2 == 0) names.reverse else names) {
+    def runOnce(name: String): Unit = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Spark prune projections
@@ -56,6 +53,7 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         if (!best.contains(name) || dt < best(name)) best(name) = dt
+        allRuns.getOrElseUpdate(name, collection.mutable.ArrayBuffer()) += dt
         succeeded += name
       } catch {
         case e: Throwable =>
@@ -70,6 +68,30 @@ object Bench {
             failedElapsed(name) = dt
       }
     }
+    // Alternate sweeps run in reverse order: this box's background
+    // noise arrives in contiguous multi-second windows, so two sweeps
+    // in the SAME order can land the same queries inside the window
+    // twice and min-of-sweeps never sees a clean run of them.
+    for (sweep <- 1 to sweeps;
+         name <- if (sweep % 2 == 0) names.reverse else names)
+      runOnce(name)
+    // Noise-adaptive extra sweeps (round-10's +28 s phantom: one query
+    // recorded a 7.3 s window spike as its official min while a
+    // re-measure read 2.7 s). A query whose sweep spread — max/min
+    // over successful runs — exceeds 2x got at least one run inside a
+    // noise window; give each up to 2 extra runs so the min has two
+    // more chances to land clean. Bounded: only flagged queries pay,
+    // and queries that stay noisy after that are REPORTED as noisy in
+    // the detail file so a BENCH diff can discount them.
+    def spread(n: String): Double = {
+      val rs = allRuns.getOrElse(n, collection.mutable.ArrayBuffer())
+      if (rs.size < 2 || rs.min <= 0) 1.0 else rs.max / rs.min
+    }
+    for (pass <- 1 to 2) {
+      val flagged = names.filter(n => succeeded(n) && spread(n) > 2.0)
+      flagged.foreach(runOnce)
+    }
+    val noisy = names.filter(n => succeeded(n) && spread(n) > 2.0)
     // A query counts as failed only if NO sweep succeeded: `errors`
     // alone is asymmetric (succeed-then-fail would keep the error and
     // discard a valid min-of-sweeps measurement).
@@ -106,6 +128,14 @@ object Bench {
         )
       )
       .mkString("{", ",", "}")
+    // Per-sweep arrays + the still-noisy list (detail file only): a
+    // BENCH diff can now separate a real regression (all sweeps moved)
+    // from a window artifact (one spiked sweep) without a re-run.
+    val sweepsByQuery = names
+      .filter(allRuns.contains)
+      .map(n => s"\"${esc(n)}\":[${allRuns(n).map(f3).mkString(",")}]")
+      .mkString("{", ",", "}")
+    val noisyJson = noisy.map(n => s"\"${esc(n)}\"").mkString("[", ",", "]")
     val sfName = new java.io.File(sfDir).getName
     // Anchor the detail file to an explicit base (env override) or the
     // cwd made ABSOLUTE in the summary JSON — run from outside the
@@ -115,7 +145,7 @@ object Bench {
     val detailPath =
       new java.io.File(detailBase, s"bench_${sfName}_latest.json").getAbsolutePath
     val detailJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"runs":$sweepsByQuery,"noisy":$noisyJson,"sf":"$sfDir"}"""
     locally {
       val f = new java.io.File(detailPath)
       Option(f.getParentFile).foreach(_.mkdirs())
@@ -136,7 +166,7 @@ object Bench {
       .map(n => s"\"${esc(n)}\":\"${esc(errors(n).take(60))}\"")
       .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"n_noisy":${noisy.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
     // The JSON line must be the LAST thing on stdout: silence every
     // logger first (Spark's stop/shutdown hooks log at INFO/WARN and
     // the driver may merge stderr into the captured stream), stop the
