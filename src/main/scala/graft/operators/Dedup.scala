@@ -1010,15 +1010,27 @@ object Dedup {
     * here, and the planner would otherwise BROADCAST the full index
     * (and below, the full shingle-array corpus) — 75 MB+ driver
     * round-trips at this SF, certain death at scale. Building the
-    * hash side on the DELTA keeps the build linear in the batch. */
+    * hash side on the DELTA keeps the build linear in the batch.
+    *
+    * `deltaBands`/`deltaShingles` optionally supply the PROBE side
+    * from outside the stored frames — the persisted-index path
+    * computes them fresh from the arriving documents (deterministic
+    * hashing keeps them identical to store-filtered rows when the
+    * store is uncapped), which is both the production shape (a new
+    * batch's signatures are computed, not read back) and what makes
+    * a maxBucket-capped store probeable at all (the cap may have
+    * dropped the delta's own rows). */
   private def incrementalVerdicts(
       documents: DataFrame,
       bandRows: DataFrame,
       shingles: DataFrame,
       threshold: Double,
-      cut: Long
+      cut: Long,
+      deltaBands: Option[DataFrame] = None,
+      deltaShingles: Option[DataFrame] = None
   ): DataFrame = {
-    val candidates = bandRows
+    val candidates = deltaBands
+      .getOrElse(bandRows)
       .filter(col("doc_id") >= cut)
       .select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
       .hint("shuffle_hash")
@@ -1037,7 +1049,12 @@ object Dedup {
       .hint("shuffle_hash")
       .join(shingles.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .hint("shuffle_hash")
-      .join(shingles.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(
+        deltaShingles
+          .getOrElse(shingles)
+          .select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b"
+      )
       .filter(round(jac, 4) >= threshold)
       .groupBy("doc_b")
       .agg(min(col("doc_a")).as("dup_of"))
@@ -1059,38 +1076,81 @@ object Dedup {
     * arrays as tables (appending each ingestion batch) instead of
     * re-running 128 permutations over the whole corpus per batch.
     * `bands/` holds (doc_id, band, bucket); `shingles/` holds
-    * (doc_id, sh) for the exact-verify fetch. */
+    * (doc_id, sh) for the exact-verify fetch.
+    *
+    * `maxBucket` is the INDEX-OWNER'S degeneration knob (the probe
+    * paths' Scaladoc points here): a bucket larger than the cap keeps
+    * only its representative row — the min doc_id, exactly the row
+    * min(dup_of) semantics would elect — so EVERY downstream probe
+    * (dedup12, incrementalFromIndex, dedupProbe, the streaming sink)
+    * inherits bounded per-collision candidates with no per-batch
+    * stats work. Contract change above the cap, explicit and
+    * opted-into here: a probe doc colliding ONLY in capped buckets
+    * can match (and name as dup_of) only the representative; a true
+    * near-dup below threshold vs the representative is missed unless
+    * it also collides in an uncapped bucket — the star-candidate
+    * caveat, at index build time (see the heterogeneous-bucket spec).
+    * Default Int.MaxValue = uncapped, bit-identical to the historical
+    * layout. */
   def writeBandIndex(
       lake: Lake,
       dir: String,
       numPerm: Int = 128,
-      bands: Int = 64
+      bands: Int = 64,
+      maxBucket: Int = Int.MaxValue
   ): Unit = persist.releasingNewRdds(lake.spark) {
     val docs = shingleCorpus(lake.documents).cache()
-    bandIndexOfShingled(docs, numPerm, bands)
-      .write.mode("overwrite").parquet(s"$dir/bands")
+    val idx = bandIndexOfShingled(docs, numPerm, bands)
+    val capped =
+      if (maxBucket == Int.MaxValue) idx
+      else {
+        // one bounded aggregate over (band, bucket) — the same
+        // size+representative pass minhashPairs' guard runs, paid
+        // once at build time instead of per probe
+        val stats = idx
+          .groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz"), min("doc_id").as("rep"))
+        idx
+          .join(stats, Seq("band", "bucket"))
+          .filter(col("bsz") <= maxBucket || col("doc_id") === col("rep"))
+          .select("doc_id", "band", "bucket")
+      }
+    capped.write.mode("overwrite").parquet(s"$dir/bands")
     docs.write.mode("overwrite").parquet(s"$dir/shingles")
   }
 
-  /** dedup12 over a PERSISTED index: the delta probes the stored band
-    * table and fetches stored shingles — verdict-identical to the
-    * inline build (deterministic hashing; spec-asserted). */
+  /** dedup12 over a PERSISTED index: the delta computes its OWN band
+    * rows and shingles from the arriving documents (the production
+    * shape — a new batch's signatures are computed, never read back)
+    * and probes the stored band table for strictly-older candidates,
+    * fetching stored shingles for the verify. Verdict-identical to
+    * the inline build on an uncapped index (deterministic hashing;
+    * spec-asserted), and the only probe shape that works against a
+    * maxBucket-capped store (whose cap may have dropped the delta's
+    * own rows — see writeBandIndex). numPerm/bands must match the
+    * index build. */
   def incrementalFromIndex(
       lake: Lake,
       dir: String,
       threshold: Double = 0.5,
-      deltaFrac: Double = 0.2
+      deltaFrac: Double = 0.2,
+      numPerm: Int = 128,
+      bands: Int = 64
   ): DataFrame = {
     val spark = lake.spark
     deltaCut(lake, deltaFrac) match {
       case None => emptyVerdicts(lake)
       case Some(cut) =>
+        val delta =
+          shingleCorpus(lake.documents.filter(col("doc_id") >= cut)).cache()
         incrementalVerdicts(
           lake.documents,
           spark.read.parquet(s"$dir/bands"),
           spark.read.parquet(s"$dir/shingles"),
           threshold,
-          cut
+          cut,
+          deltaBands = Some(bandIndexOfShingled(delta, numPerm, bands)),
+          deltaShingles = Some(delta)
         )
     }
   }
@@ -1165,10 +1225,10 @@ object Dedup {
     * doc_id, which is exactly the row min(dup_of) semantics would
     * elect), and every probe path (dedup12, incrementalFromIndex,
     * dedupProbe, this sink) inherits bounded candidates without
-    * per-batch stats work. Not implemented here because the verdict
-    * contract above the cap changes (dup_of can only name the
-    * representative) — a knob the index owner should turn explicitly
-    * at writeBandIndex time. */
+    * per-batch stats work. That knob exists — writeBandIndex's
+    * `maxBucket` — and is deliberately NOT defaulted on, because the
+    * verdict contract above the cap changes (dup_of can only name the
+    * representative); the index owner turns it explicitly. */
   def minhashPairsBatchSink(
       stateDir: String,
       threshold: Double = 0.5,

@@ -514,6 +514,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(fromIndex.toSeq == inline.toSeq)
   }
 
+  test("capped band index: oversized buckets keep only the representative; probes inherit its verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, length, lit}
+    // planted corpus: 20 verbatim copies (every bucket of the group
+    // has size 20), one genuine pair, one solo doc — the delta is the
+    // top-25% of doc_ids, so the probes arrive against a stored index
+    // of the mass group
+    val page = (1 to 60).map(i => s"idx$i").mkString(" ")
+    val dir = "target/tmp/band-index-cap"
+    ((1L to 20L).map(i => (i, page)) ++ Seq(
+      (40L, page),                                      // delta dup of the mass group
+      (41L, (1 to 50).map(i => s"solo$i").mkString(" ")) // delta original
+    )).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+      .write.mode("overwrite").parquet(s"$dir/lake/documents.parquet")
+    val planted = Lake(spark, s"$dir/lake")
+    // capped build: every oversized bucket collapses to ONE row (rep)
+    Dedup.writeBandIndex(planted, s"$dir/capped", maxBucket = 5)
+    val bands = spark.read.parquet(s"$dir/capped/bands")
+    val maxSz = bands.groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .agg(org.apache.spark.sql.functions.max("n")).head().getLong(0)
+    assert(maxSz <= 5, s"capped index still has a bucket of $maxSz")
+    assert(bands.filter(col("doc_id") === 1L).count() > 0,
+      "the representative (min doc_id) must survive the cap")
+    assert(bands.filter(col("doc_id") === 2L).count() == 0,
+      "non-representative mass members must be dropped from oversized buckets")
+    // probing the capped index still resolves the delta duplicate to
+    // the representative, and keeps the original
+    val v = Dedup.incrementalFromIndex(planted, s"$dir/capped")
+      .collect().map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))).toMap
+    assert(v(40L) == ((1L, "drop")), s"delta dup resolved to ${v(40L)}")
+    assert(v(41L) == ((-1L, "keep")), s"delta original resolved to ${v(41L)}")
+    // uncapped default stays bit-identical to the historical layout
+    Dedup.writeBandIndex(planted, s"$dir/uncapped")
+    val full = spark.read.parquet(s"$dir/uncapped/bands")
+    assert(full.count() > bands.count(), "the cap removed nothing")
+  }
+
   test("persisted IVF index: index-then-search equals train-then-search exactly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.writeIvfIndex(lake, dir)
