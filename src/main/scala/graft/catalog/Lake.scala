@@ -146,7 +146,25 @@ final case class Lake(spark: SparkSession, dir: String) {
         |  SELECT *, row_number() OVER (
         |      PARTITION BY fp ORDER BY priority, n_chars DESC, doc_id) AS rn
         |  FROM scored)
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    // per-year cross-source coverage over unified_entities (the
+    // coverage_by_year figure stat; year = first order year, undated
+    // entities drop) — composes the sibling view, which the
+    // registration order (this Seq) makes legal.
+    "coverage_by_year" ->
+      """WITH fy AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS entity_id,
+        |    MIN(CAST(year(o_orderdate) AS BIGINT)) AS year
+        |  FROM trade.orders GROUP BY 1)
+        |SELECT fy.year, COUNT(1) AS n_entities,
+        |  COUNT(IF(u.has_profile, 1, NULL)) AS n_profile,
+        |  COUNT(IF(u.has_events, 1, NULL)) AS n_events_src,
+        |  COUNT(IF(u.has_profile AND u.has_orders AND u.has_events, 1, NULL))
+        |    AS n_all_sources,
+        |  ROUND(SUM(u.total_spent), 4) AS total_value
+        |FROM xref.unified_entities u
+        |JOIN fy ON u.entity_id = fy.entity_id
+        |GROUP BY fy.year""".stripMargin
   )
 
   def derivedQualified: Seq[String] =

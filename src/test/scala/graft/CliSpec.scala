@@ -267,6 +267,9 @@ class CliSpec extends AnyFunSuite {
     assert(
       rows(spark.sql("SELECT * FROM xref.priority_dedup")) ==
         rows(graft.operators.Linkage.xref04PriorityDedup(lake)))
+    assert(
+      rows(spark.sql("SELECT * FROM xref.coverage_by_year")) ==
+        rows(graft.operators.Linkage.xref12CoverageByYear(lake)))
     // and the shell surfaces them: .tables lists the xref schema, a
     // by-name query over xref.id_map answers through the same gate
     val script =
