@@ -1100,24 +1100,26 @@ object Dedup {
       maxBucket: Int = Int.MaxValue
   ): Unit = persist.releasingNewRdds(lake.spark) {
     val docs = shingleCorpus(lake.documents).cache()
-    val idx = bandIndexOfShingled(docs, numPerm, bands)
-    val capped =
-      if (maxBucket == Int.MaxValue) idx
-      else {
-        // one bounded aggregate over (band, bucket) — the same
-        // size+representative pass minhashPairs' guard runs, paid
-        // once at build time instead of per probe
-        val stats = idx
-          .groupBy("band", "bucket")
-          .agg(count(lit(1)).as("bsz"), min("doc_id").as("rep"))
-        idx
-          .join(stats, Seq("band", "bucket"))
-          .filter(col("bsz") <= maxBucket || col("doc_id") === col("rep"))
-          .select("doc_id", "band", "bucket")
-      }
-    capped.write.mode("overwrite").parquet(s"$dir/bands")
+    capBuckets(bandIndexOfShingled(docs, numPerm, bands), maxBucket)
+      .write.mode("overwrite").parquet(s"$dir/bands")
     docs.write.mode("overwrite").parquet(s"$dir/shingles")
   }
+
+  /** Representative-only cap over a (doc_id, band, bucket) index: one
+    * bounded aggregate (the same size+representative pass
+    * minhashPairs' guard runs, paid once at build/compaction time
+    * instead of per probe); identity when uncapped. */
+  private def capBuckets(idx: DataFrame, maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) idx
+    else {
+      val stats = idx
+        .groupBy("band", "bucket")
+        .agg(count(lit(1)).as("bsz"), min("doc_id").as("rep"))
+      idx
+        .join(stats, Seq("band", "bucket"))
+        .filter(col("bsz") <= maxBucket || col("doc_id") === col("rep"))
+        .select("doc_id", "band", "bucket")
+    }
 
   /** dedup12 over a PERSISTED index: the delta computes its OWN band
     * rows and shingles from the arriving documents (the production
@@ -1305,6 +1307,68 @@ object Dedup {
     shingled.write.mode("overwrite").parquet(s"$stateDir/shingles/batch=$batchId")
     shingled.unpersist(false)
     bandRows.unpersist(false)
+  }
+
+  /** Maintenance compaction for the streaming sink's state stores —
+    * the lifecycle step the batch-keyed layout needs at scale: a
+    * long-running ingestion accumulates one subdirectory (and its
+    * files) per micro-batch, so the probe's listStatus and the
+    * per-probe parquet footer reads grow with stream age (the classic
+    * streaming small-files problem). Compaction folds every committed
+    * `batch=K` (K <= upTo) of `bands/` and `shingles/` into a single
+    * `batch=upTo` directory, optionally applying writeBandIndex's
+    * `maxBucket` representative-only cap to the merged band table
+    * (the degeneration knob, applied where it belongs — at index
+    * maintenance time). Shingle rows are NEVER capped: a doc dropped
+    * from an oversized bucket can still verify through its other
+    * buckets.
+    *
+    * Safety contract (documented, not enforced): run while the stream
+    * is STOPPED (or quiesced past `upTo`), with upTo = the last
+    * COMMITTED batch id. The merged dir keeps the `batch=` naming, so
+    * a later batch N > upTo probes it through the same strictly-below
+    * rule; a replay of a batch <= upTo after compaction would find
+    * its subdir merged away, which is exactly why upTo must be
+    * committed. Writes land in `batch=upTo` via a temp-dir swap so a
+    * crashed compaction never leaves a half-merged store. */
+  def compactBandStore(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      upTo: Long,
+      maxBucket: Int = Int.MaxValue
+  ): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def batchDirs(sub: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      val fs = p.getFileSystem(hadoopConf)
+      if (!fs.exists(p)) Seq.empty
+      else
+        fs.listStatus(p)
+          .toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .flatMap(st =>
+            st.getPath.getName
+              .stripPrefix("batch=")
+              .toLongOption
+              .filter(_ <= upTo)
+              .map(_ -> st.getPath)
+          )
+    }
+    def compactOne(sub: String, transform: DataFrame => DataFrame): Unit = {
+      val dirs = batchDirs(sub)
+      if (dirs.isEmpty) return
+      val fs = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+        .getFileSystem(hadoopConf)
+      val merged = transform(spark.read.parquet(dirs.map(_._2.toString): _*))
+      val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/$sub/.compact-$upTo")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      // swap: drop the source subdirs, then move the merged dir into
+      // the batch=upTo slot (rename is atomic per dir on HDFS/local)
+      dirs.foreach { case (_, d) => fs.delete(d, true) }
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$stateDir/$sub/batch=$upTo"))
+    }
+    compactOne("bands", capBuckets(_, maxBucket))
+    compactOne("shingles", identity)
   }
 
   /** (doc_id, sh) shingle-hash projection of a (doc_id, text) frame. */

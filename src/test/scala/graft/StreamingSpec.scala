@@ -137,6 +137,40 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
   }
 
+  test("LSH store compaction: merged store probes identically; layout collapses to one batch dir") {
+    // two stores fed the same two batches; one is compacted before
+    // batch 2 arrives — the third batch's pairs must be identical,
+    // and the compacted layout must hold exactly one merged batch dir
+    val docs = lake.documents.select("doc_id", "text")
+    val Seq(b0, b1, b2) = Seq(0, 1, 2).map(k => docs.filter(col("doc_id") % 3 === k))
+    val plain = java.nio.file.Files.createTempDirectory("lsh_plain").toString
+    val compacted = java.nio.file.Files.createTempDirectory("lsh_comp").toString
+    Seq(plain, compacted).foreach { d =>
+      val sink = graft.operators.Dedup.minhashPairsBatchSink(d)
+      sink(b0, 0L); sink(b1, 1L)
+    }
+    graft.operators.Dedup.compactBandStore(spark, compacted, upTo = 1L)
+    def subdirs(d: String, sub: String) =
+      new java.io.File(s"$d/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(subdirs(compacted, "bands") == Seq("batch=1"))
+    assert(subdirs(compacted, "shingles") == Seq("batch=1"))
+    // row content survives the merge (same index, fewer dirs)
+    assert(spark.read.parquet(s"$compacted/bands").count() ==
+      spark.read.parquet(s"$plain/bands").count())
+    Seq(plain, compacted).foreach { d =>
+      graft.operators.Dedup.minhashPairsBatchSink(d)(b2, 2L)
+    }
+    def batch2Pairs(d: String) = spark.read.parquet(s"$d/pairs/batch=2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(batch2Pairs(compacted) == batch2Pairs(plain),
+      "probing the compacted store changed the discovered pairs")
+    assert(batch2Pairs(plain).nonEmpty, "batch 2 found no cross-batch pairs at all")
+    Seq(plain, compacted).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("streaming windowed counts match the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
