@@ -135,6 +135,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("xref02: the unification is one hash aggregate — no joins, one key exchange") {
+    // the tagged-union form replaced a spine distinct + three left
+    // joins (four shuffles of the same entity key); a Join or a second
+    // hashpartitioning exchange reappearing here is the regression
+    val p = plan(Linkage.xref02UnifiedEntities(lake))
+    assert(!p.contains("Join"), p)
+    val keyExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(keyExchanges == 1, s"expected exactly one key exchange:\n$p")
+  }
+
   test("xref11: the reach matrix joins broadcast; no cartesian") {
     // the topic->domain map rides a broadcast hash join and the only
     // nested-loop is xref07's bounded k-row lexicon crossJoin — a
