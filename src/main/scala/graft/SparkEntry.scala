@@ -149,7 +149,7 @@ object SparkEntry {
     "txt14_repetition" -> q(TextAnalysis.txt14Repetition),
     "txt16_sequence_packing" -> q(TextAnalysis.txt16SequencePacking(_)),
     "txt15_unigram_logprob" -> q(TextAnalysis.txt15UnigramLogprob(_)),
-    "txt25_ccnet_buckets" -> q(TextAnalysis.txt25CcnetBuckets),
+    "txt25_ccnet_buckets" -> q(TextAnalysis.txt25CcnetBuckets(_)),
     "txt26_line_dedup" -> q(TextAnalysis.txt26LineDedup(_)),
     "txt27_char_entropy" -> q(TextAnalysis.txt27CharEntropy),
     "txt28_ngram_novelty" -> q(TextAnalysis.txt28NgramNovelty(_)),

@@ -1247,20 +1247,36 @@ object TextAnalysis {
     * ROUNDED score so both engines bucket identically), broadcast
     * back for a map-side bucket assignment; the report reduces to
     * |langs|·3 rows with partial aggregation. Exact per-lang
-    * percentile buffers one language's scores on a reducer — at
-    * 100 TB swap the cutpoint agg for the rel11 sketch (CCNet itself
-    * computes cutpoints on a sample); the bucketing join and report
-    * are scale-indifferent. */
-  def txt25CcnetBuckets(lake: Lake): DataFrame = {
+    * percentile buffers one language's scores on a reducer — past
+    * that, `exactCuts = false` swaps the cutpoint agg for the
+    * mergeable approx_percentile sketch (rel11's discipline; CCNet
+    * itself computes cutpoints on a sample): bounded per-partition
+    * memory, identical bucketing join and report, cutpoints within
+    * the sketch's rank-error bound of exact (spec-pinned). The exact
+    * default is kept to oracle-match; the bucketing join and report
+    * are scale-indifferent either way. */
+  def txt25CcnetBuckets(
+      lake: Lake,
+      exactCuts: Boolean = true,
+      sketchAccuracy: Int = 10000
+  ): DataFrame = {
     val scored = txt15UnigramLogprob(lake)
       .join(lake.documents.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("lang"), col("avg_neg_logp").as("s"))
+    val cutAggs =
+      if (exactCuts)
+        Seq(
+          round(expr("percentile(s, 0.33333333)"), 4).as("c1"),
+          round(expr("percentile(s, 0.66666667)"), 4).as("c2")
+        )
+      else
+        Seq(
+          round(expr(s"approx_percentile(s, 0.33333333, $sketchAccuracy)"), 4).as("c1"),
+          round(expr(s"approx_percentile(s, 0.66666667, $sketchAccuracy)"), 4).as("c2")
+        )
     val cuts = scored
       .groupBy("lang")
-      .agg(
-        round(expr("percentile(s, 0.33333333)"), 4).as("c1"),
-        round(expr("percentile(s, 0.66666667)"), 4).as("c2")
-      )
+      .agg(cutAggs.head, cutAggs.tail: _*)
     scored
       .join(broadcast(cuts), "lang")
       .withColumn(

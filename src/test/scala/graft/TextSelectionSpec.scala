@@ -258,6 +258,27 @@ class TextSelectionSpec extends AnyFunSuite {
     assert(rows.map(_._3).sum == lake.documents.count())
   }
 
+  test("ccnet buckets: sketch cutpoints partition completely and land near the exact terciles") {
+    // the 100 TB path — approx_percentile cutpoints (bounded
+    // per-partition memory) must still yield a complete, ordered,
+    // near-balanced partition; at accuracy 10000 on this corpus the
+    // rank error is far below a tercile width
+    val approx = TextAnalysis.txt25CcnetBuckets(lake, exactCuts = false)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val exact = TextAnalysis.txt25CcnetBuckets(lake)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // same partition frame: every (lang, bucket) cell exists
+    assert(approx.map(t => (t._1, t._2)).toSet == exact.map(t => (t._1, t._2)).toSet)
+    // full cover: the sketch path never drops or double-buckets a doc
+    assert(approx.map(_._3).sum == lake.documents.count())
+    // per-cell counts within a small absolute band of the exact ones
+    val e = exact.map(t => (t._1, t._2) -> t._3).toMap
+    approx.foreach { case (l, b, n) =>
+      assert(math.abs(n - e((l, b))) <= math.max(2L, e((l, b)) / 10),
+        s"($l,$b): sketch $n vs exact ${e((l, b))}")
+    }
+  }
+
   test("line dedup: frequent lines struck everywhere, untouched docs round-trip") {
     val docs = lake.documents.select("doc_id", "text", "source").collect()
       .map(r => (r.getLong(0), s"promo ${r.getString(2)} banner. ${r.getString(1)}. copyright footer"))
