@@ -179,6 +179,7 @@ object SparkEntry {
     "xref11_ontology_reach" -> q(Linkage.xref11OntologyReach(_)),
     "xref12_coverage_by_year" -> q(Linkage.xref12CoverageByYear),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
+    "samp14_cluster_balance" -> q(Similarity.samp14ClusterBalance(_)),
     "sim09_prefix_rerank" -> q(Similarity.sim09PrefixRerank(_)),
     "sim10_sq_ann" -> q(Similarity.sim10SqAnn(_)),
     "sim12_range_search" -> q(Similarity.sim12RangeSearch(_)),
@@ -1974,6 +1975,42 @@ object SparkEntry {
          |SELECT src, dst, ROUND(MAX(cos_raw), 4) AS cos
          |FROM u GROUP BY src, dst HAVING COUNT(*) = 2
          |ORDER BY src, dst""".stripMargin
+    },
+    // samp14: cluster-balanced sampling replays end to end — sim06's
+    // unrolled 3-iteration Lloyd CTE trains the same quantizer, the
+    // final assignment keeps the winning cosine, and the per-cluster
+    // rank (affinity desc, vec_id) caps each cluster at the quota.
+    // Float-safety as sim06: exact cosines are deterministic per
+    // pair; only centroid AVGs carry distributed-sum noise.
+    "samp14_cluster_balance" -> {
+      val iter = (1 to 3).map { i =>
+        s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+           |    PARTITION BY e.vec_id
+           |    ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+           |  FROM e CROSS JOIN c${i - 1} c),
+           |f$i AS (SELECT cluster, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x
+           |  FROM a$i WHERE r = 1),
+           |c$i AS (SELECT cluster, LIST(c ORDER BY pos) AS centroid FROM (
+           |    SELECT cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2)
+           |  GROUP BY cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
+         |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+         |  WHERE rn <= 10),
+         |$iter,
+         |cells AS (SELECT vec_id, cluster, cos_raw FROM (
+         |    SELECT e.vec_id, c.cluster,
+         |      ${dkCos("e.v", "c.centroid")} AS cos_raw,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+         |    FROM e CROSS JOIN c3 c) WHERE r = 1),
+         |rk AS (SELECT vec_id, cluster, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY cluster ORDER BY cos_raw DESC, vec_id) AS rank
+         |  FROM cells)
+         |SELECT vec_id, cluster, ROUND(cos_raw, 4) AS cos_centroid,
+         |  rank, rank <= 30 AS kept
+         |FROM rk ORDER BY vec_id""".stripMargin
     },
     // sim06: the TRAINED quantizer, oracle-checked by UNROLLING the 3
     // Lloyd iterations as CTE triples (seed -> assign -> positional

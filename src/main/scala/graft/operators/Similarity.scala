@@ -497,6 +497,72 @@ object Similarity {
     )
   }
 
+  /** samp14: CLUSTER-BALANCED sampling — the topic-skew flattener a
+    * pretraining mixture runs after dedup (the DataComp/DCLM move:
+    * cluster the embedding space, then cap how much any one cluster
+    * contributes, so an over-crawled topic can't dominate the token
+    * budget). Train sim06's deterministic quantizer, assign every
+    * vector map-side, rank each cluster's members by centroid
+    * affinity (most-representative first, vec_id tiebreak), and keep
+    * the top `quota` per cluster — one row per vector with its
+    * cluster, rounded affinity, in-cluster rank and keep verdict.
+    *
+    * Scale shape: training is kmeans' broadcast fold; assignment is
+    * the map-only argmax (no shuffle); the only exchange is the
+    * per-cluster rank window, bounded by cluster size. At 100 TB emit
+    * ONLY the kept set via the k-bounded heap (topkPerQuery keyed on
+    * cluster) instead of ranking every member — the full-ranking form
+    * is kept here because the report (and the oracle) audits the
+    * dropped tail too. */
+  def samp14ClusterBalance(
+      lake: Lake,
+      nlist: Int = 10,
+      iters: Int = 3,
+      quota: Int = 30
+  ): DataFrame = {
+    val all = vecs(lake).localCheckpoint()
+    val cents = kmeans(all, nlist, iters)
+    val centRow = cents
+      .agg(collect_list(struct(col("cluster"), col("centroid"))).as("cs"))
+    // argmaxCell's map-only argmax, keeping the winning cosine too
+    val assigned = all
+      .crossJoin(broadcast(centRow))
+      .withColumn(
+        "w",
+        array_max(
+          transform(
+            col("cs"),
+            c =>
+              struct(
+                vectors.cosine(col("v"), c.getField("centroid")).as("ccos"),
+                negate(c.getField("cluster")).as("neg"),
+                c.getField("cluster").as("cluster")
+              )
+          )
+        )
+      )
+      .select(
+        col("vec_id"),
+        col("w.cluster").cast("long").as("cluster"),
+        col("w.ccos").as("ccos")
+      )
+    assigned
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
+        )
+      )
+      .select(
+        col("vec_id"),
+        col("cluster"),
+        round(col("ccos"), 4).as("cos_centroid"),
+        col("rank").cast("long").as("rank"),
+        (col("rank") <= quota).as("kept")
+      )
+      .orderBy("vec_id")
+  }
+
   /** Persist a trained IVF index as two parquet tables — the FAISS
     * write_index analog (the reference builds its FAISS index once
     * and reuses it across queries, build_embedding_linkage.py:246):

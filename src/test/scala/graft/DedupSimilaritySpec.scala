@@ -553,6 +553,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(full.count() > bands.count(), "the cap removed nothing")
   }
 
+  test("samp14: cluster balance is a complete partition; every over-quota cluster is capped") {
+    val quota = 30
+    val rows = Similarity.samp14ClusterBalance(lake, quota = quota)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4)))
+    // one verdict per vector, affinity in [-1, 1]
+    assert(rows.length == lake.embeddings.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (id, _, cos, _, _) =>
+      assert(cos >= -1.0001 && cos <= 1.0001, s"vec $id affinity $cos")
+    }
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, rs) =>
+      // ranks are exactly 1..n, ordered by affinity desc
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length).toSeq, s"cluster $c ranks")
+      val ordered = rs.sortBy(_._4)
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"cluster $c not affinity-ordered")
+        case _           =>
+      }
+      // the keep verdict IS the quota rule
+      rs.foreach { case (id, _, _, rank, kept) =>
+        assert(kept == (rank <= quota), s"vec $id rank $rank kept=$kept")
+      }
+      assert(rs.count(_._5) == math.min(quota, rs.length))
+    }
+    // the flattener actually bit: 500 vectors over <=10 clusters
+    // pigeonhole at least one cluster past the quota
+    assert(rows.count(_._5) < rows.length, "no cluster exceeded the quota")
+    // and balance improved: kept-set max cluster share <= quota while
+    // the raw max cluster is larger
+    assert(byCluster.values.map(_.count(_._5)).max <= quota)
+    assert(byCluster.values.map(_.length).max > quota)
+  }
+
   test("persisted IVF index: index-then-search equals train-then-search exactly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.writeIvfIndex(lake, dir)
