@@ -167,6 +167,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch2Pairs(compacted) == batch2Pairs(plain),
       "probing the compacted store changed the discovered pairs")
     assert(batch2Pairs(plain).nonEmpty, "batch 2 found no cross-batch pairs at all")
+    // the capped merge (maxBucket) bounds every stored bucket: rerun
+    // compaction on the plain store with a tiny cap and assert the
+    // representative-only invariant end to end
+    graft.operators.Dedup.compactBandStore(spark, plain, upTo = 2L, maxBucket = 2)
+    val capped = spark.read.parquet(s"$plain/bands")
+      .groupBy("band", "bucket")
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .agg(org.apache.spark.sql.functions.max("n")).head().getLong(0)
+    assert(capped <= 2, s"capped compaction left a bucket of $capped")
+    assert(subdirs(plain, "bands") == Seq("batch=2"))
     Seq(plain, compacted).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
