@@ -1363,9 +1363,13 @@ object Dedup {
       val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/$sub/.compact-$upTo")
       merged.write.mode("overwrite").parquet(tmp.toString)
       // swap: drop the source subdirs, then move the merged dir into
-      // the batch=upTo slot (rename is atomic per dir on HDFS/local)
+      // the batch=upTo slot (rename is atomic per dir on HDFS/local).
+      // Hadoop rename reports failure by RETURN VALUE, not exception —
+      // fail loudly rather than leave the store with only the hidden
+      // temp dir (which every probe ignores).
       dirs.foreach { case (_, d) => fs.delete(d, true) }
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(s"$stateDir/$sub/batch=$upTo"))
+      val dst = new org.apache.hadoop.fs.Path(s"$stateDir/$sub/batch=$upTo")
+      require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
     }
     compactOne("bands", capBuckets(_, maxBucket))
     compactOne("shingles", identity)
