@@ -253,7 +253,9 @@ object Cli {
           |       graft.Cli catalog <tableDir> [outFile.md]
           |       graft.Cli export <tableDir> <outDir>
           |       graft.Cli convert <dataset> <inPath> <outDir>
-          |       graft.Cli update <tableDir> <dataset> <inPath>""".stripMargin
+          |       graft.Cli update <tableDir> <dataset> <inPath>
+          |       graft.Cli bandindex <tableDir> <indexDir> [maxBucket]
+          |       graft.Cli compact <tableDir> <stateDir> <upToBatch> [maxBucket]""".stripMargin
       )
       sys.exit(2)
     }
@@ -392,6 +394,30 @@ object Cli {
         val all = lake.tableNames.sorted.map(lake.qualified) ++ lake.derivedQualified
         all.foreach(println)
         println(s"${all.size} views registered")
+      case "bandindex" =>
+        // build (or rebuild, on the ingestion cadence) the persisted
+        // MinHash band index, optionally degeneration-capped
+        if (args.length < 3) {
+          System.err.println(
+            "usage: graft.Cli bandindex <tableDir> <indexDir> [maxBucket]")
+          sys.exit(2)
+        }
+        val cap = if (args.length > 3) args(3).toInt else Int.MaxValue
+        graft.operators.Dedup.writeBandIndex(lake, args(2), maxBucket = cap)
+        println(s"band index written to ${args(2)}" +
+          (if (cap == Int.MaxValue) "" else s" (maxBucket=$cap)"))
+      case "compact" =>
+        // fold the streaming sink's committed batch subdirs into one;
+        // run only while the stream is stopped (see compactBandStore)
+        if (args.length < 4) {
+          System.err.println(
+            "usage: graft.Cli compact <tableDir> <stateDir> <upToBatch> [maxBucket]")
+          sys.exit(2)
+        }
+        val cap = if (args.length > 4) args(4).toInt else Int.MaxValue
+        graft.operators.Dedup.compactBandStore(spark, args(2), args(3).toLong, cap)
+        println(s"compacted ${args(2)} through batch=${args(3)}" +
+          (if (cap == Int.MaxValue) "" else s" (maxBucket=$cap)"))
       case "shell" =>
         lake.registerViews()
         runShell(
