@@ -146,6 +146,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keyExchanges == 1, s"expected exactly one key exchange:\n$p")
   }
 
+  test("samp14: assignment is map-only — no join; only the cluster window and sort exchange") {
+    // the quantizer trains eagerly (bounded checkpoints); the returned
+    // plan must assign via the broadcast argmax fold — the ONLY legal
+    // join is the one-row-broadcast BNLJ carrying the folded centroid
+    // list (sim11's pinned pattern); a hash/merge join against a
+    // per-centroid table means the n×k scored stream came back. The
+    // corpus shuffles only for the per-cluster rank window and the
+    // final orderBy.
+    val p = plan(Similarity.samp14ClusterBalance(lake))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+    // corpus-carrying exchanges: window hash + sort range (the other
+    // two move the k-row centroid fold, not the corpus)
+    val corpusExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(corpusExchanges <= 2, s"expected window+sort only:\n$p")
+  }
+
   test("xref11: the reach matrix joins broadcast; no cartesian") {
     // the topic->domain map rides a broadcast hash join and the only
     // nested-loop is xref07's bounded k-row lexicon crossJoin — a
