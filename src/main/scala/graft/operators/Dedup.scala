@@ -246,7 +246,13 @@ object Dedup {
     * dedup04 1.56 → 1.81 s, pipe02 4.88 → 5.63 s — one extra
     * bounded agg job (~320k (band,bucket) rows) + its job floor,
     * the same price dedup03's maxObserved check pays, shrinking
-    * relative to the joins it guards as the corpus grows. */
+    * relative to the joins it guards as the corpus grows. The
+    * guard-free alternative (ALWAYS take the sized branch — no
+    * driver decision, semantically identical below the cap) was
+    * measured and REJECTED (round 11, same-window min-of-4):
+    * dedup04 1.75 → 2.29 s, pipe02 4.87 → 5.62 s — the stats join
+    * it adds to every clean run costs more than the guard job it
+    * deletes. */
   private[graft] def minhashPairs(
       docsText: DataFrame,
       threshold: Double = 0.5,
