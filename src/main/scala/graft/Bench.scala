@@ -43,7 +43,9 @@ object Bench {
     val failedElapsed = collection.mutable.Map[String, Double]()
     val errors = collection.mutable.Map[String, String]()
     val succeeded = collection.mutable.Set[String]()
+    var nRuns = 0
     def runOnce(name: String): Unit = {
+      nRuns += 1
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Spark prune projections
@@ -165,8 +167,15 @@ object Bench {
       .take(3)
       .map(n => s"\"${esc(n)}\":\"${esc(errors(n).take(60))}\"")
       .mkString("{", ",", "}")
+    // n_runs/n_extra make run counts comparable across records
+    // (advisor round 11): the noise-adaptive pass gives flagged
+    // queries extra min-of-N draws, so two runs at the same nominal
+    // sweep count are NOT sampling-equivalent — a diff can now
+    // normalize by the actual draw counts (per-query counts = the
+    // `runs` array lengths in the detail file).
+    val nExtra = nRuns - sweeps * names.size
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"n_noisy":${noisy.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_runs":$nRuns,"n_extra":$nExtra,"n_queries":${names.size},"n_failed":${failed.size},"n_noisy":${noisy.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
     // The JSON line must be the LAST thing on stdout: silence every
     // logger first (Spark's stop/shutdown hooks log at INFO/WARN and
     // the driver may merge stderr into the captured stream), stop the

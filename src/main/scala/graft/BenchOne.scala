@@ -14,8 +14,25 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sweeps = sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt
+    // SPARK_GRAFT_MASTER overrides the in-process master — the
+    // multi-executor validation knob: `local-cluster[4,8,8192]` runs
+    // REAL worker JVMs (serialized shuffle blocks, broadcast over the
+    // block manager, per-executor memory), the closest this sandbox
+    // gets to cluster execution. local[N] shares one heap and one
+    // block manager, so serde-sensitive plan behavior is invisible to
+    // it. Requires SPARK_HOME (worker launch scripts); application
+    // classes reach the executors via extraClassPath (same box).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder().master(master)
+    if (master.startsWith("local-cluster")) {
+      val classes = new java.io.File("target/scala-2.13/classes").getAbsolutePath
+      builder
+        .config("spark.executor.extraClassPath", classes)
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+    }
     val spark = GraftSession
-      .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .configure(builder, cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val lake = graft.catalog.Lake(spark, sfDir)

@@ -402,7 +402,15 @@ object Cli {
             "usage: graft.Cli bandindex <tableDir> <indexDir> [maxBucket]")
           sys.exit(2)
         }
-        val cap = if (args.length > 3) args(3).toInt else Int.MaxValue
+        // toIntOption, not toInt: a mistyped argument gets the usage
+        // line, not a NumberFormatException stack trace
+        val cap = if (args.length > 3) args(3).toIntOption.getOrElse {
+          System.err.println(
+            s"maxBucket must be an integer, got '${args(3)}'\n" +
+              "usage: graft.Cli bandindex <tableDir> <indexDir> [maxBucket]")
+          sys.exit(2)
+        }
+        else Int.MaxValue
         graft.operators.Dedup.writeBandIndex(lake, args(2), maxBucket = cap)
         println(s"band index written to ${args(2)}" +
           (if (cap == Int.MaxValue) "" else s" (maxBucket=$cap)"))
@@ -414,8 +422,20 @@ object Cli {
             "usage: graft.Cli compact <tableDir> <stateDir> <upToBatch> [maxBucket]")
           sys.exit(2)
         }
-        val cap = if (args.length > 4) args(4).toInt else Int.MaxValue
-        graft.operators.Dedup.compactBandStore(spark, args(2), args(3).toLong, cap)
+        val usage =
+          "usage: graft.Cli compact <tableDir> <stateDir> <upToBatch> [maxBucket]"
+        val upTo = args(3).toLongOption.getOrElse {
+          System.err.println(
+            s"upToBatch must be an integer, got '${args(3)}'\n$usage")
+          sys.exit(2)
+        }
+        val cap = if (args.length > 4) args(4).toIntOption.getOrElse {
+          System.err.println(
+            s"maxBucket must be an integer, got '${args(4)}'\n$usage")
+          sys.exit(2)
+        }
+        else Int.MaxValue
+        graft.operators.Dedup.compactBandStore(spark, args(2), upTo, cap)
         println(s"compacted ${args(2)} through batch=${args(3)}" +
           (if (cap == Int.MaxValue) "" else s" (maxBucket=$cap)"))
       case "shell" =>

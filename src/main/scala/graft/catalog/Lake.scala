@@ -269,14 +269,25 @@ object Lake {
       new java.util.WeakHashMap[SparkSession, (String, String)]()
     )
 
-  /** Cheap content fingerprint of a lake dir: one listStatus through
-    * the dir's own FileSystem (local, HDFS, S3A alike), folding each
-    * direct child's name + mtime + length. Adding/removing a table,
-    * or rewriting one (directory mtimes move when part files change),
-    * changes the fingerprint; the ~dozen-entry listing costs
-    * microseconds locally and one RPC on a remote store. Unreadable
-    * dirs fingerprint as "" and fall through to registration (which
-    * surfaces the real error). */
+  /** Cheap content fingerprint of a lake dir: listStatus through the
+    * dir's own FileSystem (local, HDFS, S3A alike), folding each
+    * direct child's name + mtime + length, AND — for children that
+    * are directories — each grandchild's. The second level matters on
+    * object stores (advisor round 11): S3A-style "directory" entries
+    * are synthetic and carry no meaningful mtime/length, so an
+    * in-place rewrite of part files inside a table prefix would not
+    * move a top-level-only fingerprint and a non-forced
+    * registerViews() would serve a stale catalog. Listing one level
+    * deeper reads the part files' real (name, mtime, len) on every
+    * store. Cost: one RPC per table entry instead of one total —
+    * still a ~dozen listings per registration. Deeper layouts
+    * (partitioned subdirs) are NOT walked; a rewrite that touches
+    * only depth >= 3 needs registerViews(force = true), documented at
+    * the call site. Unreadable dirs fingerprint as "" and fall
+    * through to registration (which surfaces the real error) —
+    * NonFatal, not just IOException, so an object-store client's
+    * unchecked failures also land in the registration path rather
+    * than escaping the guard. */
   private[catalog] def dirFingerprint(
       spark: SparkSession,
       dir: String
@@ -285,10 +296,20 @@ object Lake {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(p)
-        .map(st =>
-          s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}"
-        )
+        .flatMap { st =>
+          val self =
+            s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}"
+          if (!st.isDirectory) Seq(self)
+          else
+            self +: fs
+              .listStatus(st.getPath)
+              .map(c =>
+                s"${st.getPath.getName}/${c.getPath.getName}:" +
+                  s"${c.getModificationTime}:${c.getLen}"
+              )
+              .toSeq
+        }
         .sorted
         .mkString("|")
-    } catch { case _: java.io.IOException => "" }
+    } catch { case scala.util.control.NonFatal(_) => "" }
 }

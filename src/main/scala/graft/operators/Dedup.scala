@@ -1237,6 +1237,35 @@ object Dedup {
     * `maxBucket` — and is deliberately NOT defaulted on, because the
     * verdict contract above the cap changes (dup_of can only name the
     * representative); the index owner turns it explicitly. */
+  /** Guards the sink's batch-keyed store layout (FORMAT BREAK,
+    * advisor round 11): before the batch=N subdirs the sink wrote
+    * flat part files directly under `bands/`/`shingles/`/`pairs/`.
+    * Reading such a store through the batch=-filtered lister would
+    * silently treat it as EMPTY — every cross-batch duplicate missed,
+    * no error — and writing batch=N dirs next to the flat files makes
+    * a mixed layout Spark partition discovery rejects on later reads.
+    * So any non-hidden entry that is not a `batch=N` directory fails
+    * fast with a migration message: move the legacy files into a
+    * `batch=-1` subdir (strictly below every real batch id, so they
+    * probe as already-ingested corpus) or rebuild the store. */
+  private[operators] def requireBatchLayout(
+      entries: Seq[org.apache.hadoop.fs.FileStatus],
+      p: org.apache.hadoop.fs.Path
+  ): Unit = {
+    val legacy = entries.filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith(".") && !n.startsWith("_") &&
+      !(st.isDirectory && n.startsWith("batch="))
+    }
+    require(
+      legacy.isEmpty,
+      s"legacy flat band-store layout under $p (e.g. ${legacy.head.getPath.getName}): " +
+        "this store predates the batch-keyed format — move the flat parquet " +
+        "files into a 'batch=-1' subdirectory (they will probe as " +
+        "already-ingested corpus) or rebuild the index with writeBandIndex"
+    )
+  }
+
   def minhashPairsBatchSink(
       stateDir: String,
       threshold: Double = 0.5,
@@ -1262,9 +1291,10 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
       val fs = p.getFileSystem(hadoopConf)
       if (!fs.exists(p)) Seq.empty
-      else
-        fs.listStatus(p)
-          .toSeq
+      else {
+        val entries = fs.listStatus(p).toSeq
+        requireBatchLayout(entries, p)
+        entries
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
           .flatMap(st =>
             st.getPath.getName
@@ -1273,6 +1303,7 @@ object Dedup {
               .filter(_ < batchId)
               .map(_ => st.getPath.toString)
           )
+      }
     }
     val shingled = shingleCorpus(batch.select("doc_id", "text")).cache()
     val bandRows = bandIndexOfShingled(shingled, numPerm, bands).cache()
@@ -1335,8 +1366,17 @@ object Dedup {
     * a later batch N > upTo probes it through the same strictly-below
     * rule; a replay of a batch <= upTo after compaction would find
     * its subdir merged away, which is exactly why upTo must be
-    * committed. Writes land in `batch=upTo` via a temp-dir swap so a
-    * crashed compaction never leaves a half-merged store. */
+    * committed. Writes land in `batch=upTo` via a temp-dir swap, and
+    * a crashed compaction is RECOVERABLE on re-run (advisor round 11):
+    * the merge is written to a hidden `.compact-upTo` dir first (the
+    * parquet `_SUCCESS` marker records a complete write), sources are
+    * deleted only after the marker lands, and on entry a re-run with
+    * the same `upTo` completes the interrupted swap — a marked temp
+    * dir finishes the delete+rename, an unmarked one (crash mid-write,
+    * so no source was deleted yet) is discarded and the merge redone.
+    * A crash inside the delete/rename window therefore leaves the
+    * visible store empty only until the next `compact` run, never
+    * permanently. */
   def compactBandStore(
       spark: org.apache.spark.sql.SparkSession,
       stateDir: String,
@@ -1348,9 +1388,10 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
       val fs = p.getFileSystem(hadoopConf)
       if (!fs.exists(p)) Seq.empty
-      else
-        fs.listStatus(p)
-          .toSeq
+      else {
+        val entries = fs.listStatus(p).toSeq
+        requireBatchLayout(entries, p)
+        entries
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
           .flatMap(st =>
             st.getPath.getName
@@ -1359,14 +1400,31 @@ object Dedup {
               .filter(_ <= upTo)
               .map(_ -> st.getPath)
           )
+      }
     }
     def compactOne(sub: String, transform: DataFrame => DataFrame): Unit = {
+      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
+      val fs = root.getFileSystem(hadoopConf)
+      val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$upTo")
+      val dst = new org.apache.hadoop.fs.Path(root, s"batch=$upTo")
+      // Crash recovery: a leftover temp dir from an interrupted run.
+      // With the _SUCCESS marker the merge is COMPLETE and some or all
+      // sources may already be deleted — finish the swap (delete the
+      // rest, rename) rather than re-merge from a partial source set,
+      // which would silently lose the already-deleted batches' rows.
+      // Without the marker the write crashed BEFORE any delete ran
+      // (deletes are strictly ordered after the write), so the full
+      // source set is intact: discard the partial merge and redo.
+      if (fs.exists(tmp)) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+          batchDirs(sub).foreach { case (_, d) => fs.delete(d, true) }
+          require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
+          return
+        } else fs.delete(tmp, true)
+      }
       val dirs = batchDirs(sub)
       if (dirs.isEmpty) return
-      val fs = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-        .getFileSystem(hadoopConf)
       val merged = transform(spark.read.parquet(dirs.map(_._2.toString): _*))
-      val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/$sub/.compact-$upTo")
       merged.write.mode("overwrite").parquet(tmp.toString)
       // swap: drop the source subdirs, then move the merged dir into
       // the batch=upTo slot (rename is atomic per dir on HDFS/local).
@@ -1374,7 +1432,6 @@ object Dedup {
       // fail loudly rather than leave the store with only the hidden
       // temp dir (which every probe ignores).
       dirs.foreach { case (_, d) => fs.delete(d, true) }
-      val dst = new org.apache.hadoop.fs.Path(s"$stateDir/$sub/batch=$upTo")
       require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
     }
     compactOne("bands", capBuckets(_, maxBucket))

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
 object Pipeline {
 
   /** Cleaned documents: (doc_id, source, text) with markers stripped
-    * and whitespace normalized — txt19's transform, keeping the text. */
-  private[graft] def cleanedDocs(lake: Lake): DataFrame = {
+    * and whitespace normalized — txt19's transform, keeping the text.
+    * Takes any (doc_id, source, text) frame so the streaming twin's
+    * micro-batches ride the identical expression chain. */
+  private[graft] def cleanedDocsOf(docs: DataFrame): DataFrame = {
     val raw = concat(
       col("text"),
       lit(" {{cite:c"), col("doc_id"),
@@ -46,10 +48,13 @@ object Pipeline {
     )
     val spaces = regexp_replace(stripped, "[ \\t]+", " ")
     val clean = trim(regexp_replace(spaces, "\\n{3,}", "\n\n"))
-    lake.documents
+    docs
       .select(col("doc_id"), col("source"), raw.as("raw"))
       .select(col("doc_id"), col("source"), clean.as("text"))
   }
+
+  private[graft] def cleanedDocs(lake: Lake): DataFrame =
+    cleanedDocsOf(lake.documents)
 
   def pipe01PretrainCorpus(
       lake: Lake,
@@ -74,6 +79,20 @@ object Pipeline {
       )
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("source"), text.tokens(col("text")).as("toks"))
+    packCorpus(survivors, chunkSize, stride, capacity, shardSize)
+  }
+
+  /** pipe01's packing tail over a (doc_id, source, toks) survivor
+    * frame — factored out so the streaming prefix's accumulated
+    * survivor store can be packed with the IDENTICAL plan (the
+    * twin-≡-batch spec rides this). */
+  private[graft] def packCorpus(
+      survivors: DataFrame,
+      chunkSize: Int = 50,
+      stride: Int = 40,
+      capacity: Int = 512,
+      shardSize: Int = 200
+  ): DataFrame = {
     // (source, shard) packing key, like txt16: a per-source-only
     // window serializes a 10-TB source through one task at scale;
     // sharding caps the window partition at shardSize docs for one
@@ -111,6 +130,98 @@ object Pipeline {
         sum("chunk_len").as("bin_tokens")
       )
       .orderBy("source", "shard", "bin_id")
+  }
+
+  /** Streaming twin of pipe01's clean → filter → dedup prefix — the
+    * funnel stages that ingest CONTINUOUSLY in production (a daily
+    * crawl drop cleans, filters, and dedups on arrival; chunk+pack run
+    * at training-set-assembly time over whatever has accumulated). A
+    * foreachBatch sink over a batch-keyed, replay-idempotent survivor
+    * store — the round-11 LSH sink's state discipline verbatim:
+    * `survivors/batch=N` subdirs, OVERWRITTEN on checkpoint replay (so
+    * a retried batch is a no-op rewrite), probed strictly below the
+    * current batch id (a failed attempt's partial files are never
+    * read), legacy flat layouts refused fast.
+    *
+    * Each micro-batch of raw (doc_id, source, text) documents is
+    * cleaned (txt19's transform) and Gopher-filtered map-side,
+    * bag-fingerprinted, and kept iff its fingerprint is UNSEEN: not in
+    * any prior batch's survivor store, and not claimed by a smaller
+    * doc_id in the same batch. Survivors carry (doc_id, source, toks,
+    * fp) — the store doubles as the fingerprint index the next batch
+    * probes, so the funnel needs no second state table, and
+    * [[packCorpus]] over the accumulated store is the batch funnel's
+    * tail unchanged.
+    *
+    * Canonical-survivor contract: FIRST ARRIVAL wins, ties within a
+    * batch to the smaller doc_id. When ingestion is id-ordered (the
+    * production case — ids are assigned at ingestion), that is exactly
+    * pipe01's min-doc_id-per-fingerprint rule and the packed store
+    * equals the batch funnel row for row (StreamingSpec pins it); an
+    * out-of-order arrival keeps its earlier-arrived duplicate instead,
+    * and a replay never flips an earlier verdict (dedup12's
+    * discipline).
+    *
+    * Scale shape: clean/filter/fingerprint are map-only over the
+    * micro-batch; the dedup probe is one anti-join whose batch side is
+    * micro-batch-sized and whose store side reads ONLY the `fp` column
+    * (projection-pruned scan of the survivor parquet); at 100 TB the
+    * store probe rides a Bloom filter over stored fingerprints
+    * (dedup14's machinery) in front of the anti-join. */
+  def pretrainPrefixBatchSink(
+      stateDir: String
+  ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
+    val spark = batch.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$stateDir/survivors")
+    val fs = root.getFileSystem(hadoopConf)
+    val prior: Seq[String] =
+      if (!fs.exists(root)) Seq.empty
+      else {
+        val entries = fs.listStatus(root).toSeq
+        Dedup.requireBatchLayout(entries, root)
+        entries
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .flatMap(st =>
+            st.getPath.getName
+              .stripPrefix("batch=")
+              .toLongOption
+              .filter(_ < batchId)
+              .map(_ => st.getPath.toString)
+          )
+      }
+    val cleaned = cleanedDocsOf(batch.select("doc_id", "source", "text"))
+    val passing = TextAnalysis
+      .gopherVerdict(cleaned)
+      .filter(col("passes"))
+      .select("doc_id")
+    val canon = cleaned
+      .join(passing, "doc_id")
+      .withColumn("fp", text.bagFingerprint(col("text")))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+      )
+      .filter(col("rn") === 1)
+      .select(
+        col("doc_id"),
+        col("source"),
+        text.tokens(col("text")).as("toks"),
+        col("fp")
+      )
+    val survivors =
+      if (prior.isEmpty) canon
+      else
+        canon
+          .join(
+            spark.read.parquet(prior: _*).select("fp"),
+            Seq("fp"),
+            "left_anti"
+          )
+          .select("doc_id", "source", "toks", "fp")
+    survivors.write
+      .mode("overwrite")
+      .parquet(s"$stateDir/survivors/batch=$batchId")
   }
 
   /** pipe02: the WEIGHTED-corpus funnel — the selection-side

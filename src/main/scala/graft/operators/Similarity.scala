@@ -508,20 +508,32 @@ object Similarity {
     * cluster, rounded affinity, in-cluster rank and keep verdict.
     *
     * Scale shape: training is kmeans' broadcast fold; assignment is
-    * the map-only argmax (no shuffle); the only exchange is the
-    * per-cluster rank window, bounded by cluster size. At 100 TB emit
-    * ONLY the kept set via the k-bounded heap (topkPerQuery keyed on
-    * cluster) instead of ranking every member — the full-ranking form
-    * is kept here because the report (and the oracle) audits the
-    * dropped tail too. */
+    * the map-only argmax (no shuffle). The FULL-AUDIT form (default)
+    * then ranks every member through a per-cluster window — the
+    * report (and the oracle) audits the dropped tail too, and at test
+    * scale that window is bounded by cluster size. At 100 TB the
+    * audit form is the anti-pattern twice over: with a fixed small
+    * `nlist` the window has only `nlist` partitions (the whole corpus
+    * sorts through ~nlist tasks), and the output itself is
+    * corpus-sized. `keptOnly = true` is the scale path: the top
+    * `quota` per cluster via the k-bounded TopKByScore heap (samp13's
+    * discipline — map-side partial heaps, the exchange carries
+    * |clusters|·quota pairs, no sort, no window), identical rows to
+    * the full form filtered to `kept` (spec-pinned). `nlist <= 0`
+    * auto-scales to ceil(sqrt(N)) (dedup11's rule), keeping cluster
+    * count and expected cluster size both ~sqrt(N). */
   def samp14ClusterBalance(
       lake: Lake,
       nlist: Int = 10,
       iters: Int = 3,
-      quota: Int = 30
+      quota: Int = 30,
+      keptOnly: Boolean = false
   ): DataFrame = {
     val all = vecs(lake).localCheckpoint()
-    val cents = kmeans(all, nlist, iters)
+    val k =
+      if (nlist > 0) nlist
+      else math.ceil(math.sqrt(all.count().toDouble)).toInt.max(1)
+    val cents = kmeans(all, k, iters)
     val centRow = cents
       .agg(collect_list(struct(col("cluster"), col("centroid"))).as("cs"))
     // argmaxCell's map-only argmax, keeping the winning cosine too
@@ -546,21 +558,41 @@ object Similarity {
         col("w.cluster").cast("long").as("cluster"),
         col("w.ccos").as("ccos")
       )
-    assigned
-      .withColumn(
-        "rank",
-        row_number().over(
-          Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
+    if (keptOnly) {
+      // TopKByScore's contract (score DESC, id ASC ties) is exactly
+      // the audit window's ORDER BY ccos DESC, vec_id — so the heap's
+      // best-first positions ARE the audit ranks, and the kept set is
+      // bit-identical to the full form filtered to `kept`. The output
+      // is |clusters|·quota rows, so the closing presentation sort is
+      // bounded, not corpus-sized.
+      assigned
+        .groupBy("cluster")
+        .agg(graft.plans.TopKByScore(col("ccos"), col("vec_id"), quota).as("sel"))
+        .select(col("cluster"), posexplode(col("sel")).as(Seq("pos", "s")))
+        .select(
+          col("s.id").as("vec_id"),
+          col("cluster"),
+          round(col("s.score"), 4).as("cos_centroid"),
+          (col("pos") + 1).cast("long").as("rank"),
+          lit(true).as("kept")
         )
-      )
-      .select(
-        col("vec_id"),
-        col("cluster"),
-        round(col("ccos"), 4).as("cos_centroid"),
-        col("rank").cast("long").as("rank"),
-        (col("rank") <= quota).as("kept")
-      )
-      .orderBy("vec_id")
+        .orderBy("vec_id")
+    } else
+      assigned
+        .withColumn(
+          "rank",
+          row_number().over(
+            Window.partitionBy("cluster").orderBy(col("ccos").desc, col("vec_id"))
+          )
+        )
+        .select(
+          col("vec_id"),
+          col("cluster"),
+          round(col("ccos"), 4).as("cos_centroid"),
+          col("rank").cast("long").as("rank"),
+          (col("rank") <= quota).as("kept")
+        )
+        .orderBy("vec_id")
   }
 
   /** Persist a trained IVF index as two parquet tables — the FAISS

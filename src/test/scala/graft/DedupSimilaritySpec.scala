@@ -588,6 +588,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(byCluster.values.map(_.length).max > quota)
   }
 
+  test("samp14 keptOnly: the heap path IS the audit form filtered to kept") {
+    val quota = 30
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getBoolean(4))
+    val audit = Similarity.samp14ClusterBalance(lake, quota = quota)
+      .filter("kept").collect().map(key(_)).toSet
+    val kept = Similarity.samp14ClusterBalance(lake, quota = quota, keptOnly = true)
+      .collect().map(key(_))
+    // identical rows INCLUDING rank and rounded affinity: TopKByScore's
+    // (score desc, id asc) contract matches the window's ORDER BY, so
+    // heap position + 1 must equal the audit rank for every kept row
+    assert(kept.toSet == audit, s"kept=${kept.length} audit=${audit.size}")
+    assert(kept.length == kept.toSet.size)
+  }
+
+  test("samp14: nlist <= 0 auto-scales clusters to ceil(sqrt(N))") {
+    val n = lake.embeddings.count()
+    val bound = math.ceil(math.sqrt(n.toDouble)).toLong
+    val rows = Similarity.samp14ClusterBalance(lake, nlist = 0, quota = 5)
+    assert(rows.count() == n)
+    val nClusters = rows.select("cluster").distinct().count()
+    // kmeans may leave some of the sqrt(N) seeds empty, never exceed it
+    assert(nClusters <= bound && nClusters > 10,
+      s"auto-nlist gave $nClusters clusters for n=$n (bound $bound)")
+    // and the kept path agrees under the same auto rule
+    val kept = Similarity.samp14ClusterBalance(lake, nlist = 0, quota = 5, keptOnly = true)
+    assert(kept.count() == rows.filter("kept").count())
+  }
+
   test("persisted IVF index: index-then-search equals train-then-search exactly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.writeIvfIndex(lake, dir)

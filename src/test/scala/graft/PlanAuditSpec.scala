@@ -165,6 +165,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(corpusExchanges <= 2, s"expected window+sort only:\n$p")
   }
 
+  test("samp14 keptOnly: k-bounded heap aggregate — no window, no full-tail sort") {
+    // the 100 TB form must never rank the full corpus: the per-cluster
+    // top-quota rides the TopKByScore ObjectHashAggregate (map-side
+    // partial heaps; the exchange carries |clusters|·quota pairs), so
+    // a WindowExec — whose partition count is `nlist` and whose input
+    // is every vector — reappearing here is the scale regression.
+    val p = plan(Similarity.samp14ClusterBalance(lake, keptOnly = true))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate") && p.contains("topk_by_score"), p)
+    // assignment stays the map-only broadcast argmax fold
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("xref11: the reach matrix joins broadcast; no cartesian") {
     // the topic->domain map rides a broadcast hash join and the only
     // nested-loop is xref07's bounded k-row lexicon crossJoin — a

@@ -181,6 +181,126 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("LSH store: a legacy flat layout fails fast instead of probing as empty") {
+    // pre-batch-keyed stores held part files directly under bands/;
+    // the batch=-filtered lister would silently read them as an EMPTY
+    // store (every cross-batch duplicate missed) and then write a
+    // mixed layout — so both the sink and compaction must refuse with
+    // a migration message (advisor round 11)
+    val stateDir = java.nio.file.Files.createTempDirectory("lsh_flat").toString
+    val docs = lake.documents.select("doc_id", "text")
+    val sink = graft.operators.Dedup.minhashPairsBatchSink(stateDir)
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    // simulate the legacy layout: one flat part file beside batch=0
+    val part = new java.io.File(s"$stateDir/bands/batch=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(
+      part.toPath, new java.io.File(s"$stateDir/bands/${part.getName}").toPath)
+    val eSink = intercept[IllegalArgumentException] {
+      sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+    }
+    assert(eSink.getMessage.contains("legacy flat band-store layout"), eSink.getMessage)
+    assert(eSink.getMessage.contains("batch=-1"), eSink.getMessage)
+    val eCompact = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.compactBandStore(spark, stateDir, upTo = 0L)
+    }
+    assert(eCompact.getMessage.contains("legacy flat band-store layout"), eCompact.getMessage)
+    // the documented migration — fold the flat files into batch=-1 —
+    // unblocks the sink, and the migrated rows probe as corpus
+    // (strictly below every real batch id)
+    val legacyDir = new java.io.File(s"$stateDir/bands/batch=-1")
+    legacyDir.mkdirs()
+    java.nio.file.Files.move(
+      new java.io.File(s"$stateDir/bands/${part.getName}").toPath,
+      new java.io.File(legacyDir, part.getName).toPath)
+    sink(docs.filter(col("doc_id") % 2 === 1), 1L) // no throw
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
+  }
+
+  test("LSH store compaction: a crash inside the swap window is recovered on re-run") {
+    val docs = lake.documents.select("doc_id", "text")
+    val Seq(b0, b1) = Seq(0, 1).map(k => docs.filter(col("doc_id") % 2 === k))
+    def feed(): String = {
+      val d = java.nio.file.Files.createTempDirectory("lsh_crash").toString
+      val sink = graft.operators.Dedup.minhashPairsBatchSink(d)
+      sink(b0, 0L); sink(b1, 1L)
+      d
+    }
+    def subdirs(d: String, sub: String) =
+      new java.io.File(s"$d/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(!_.startsWith(".")).sorted.toSeq
+    val ref = feed()
+    graft.operators.Dedup.compactBandStore(spark, ref, upTo = 1L)
+    // crash AFTER the merged write and the source deletes, BEFORE the
+    // rename: visible store empty, merged data stranded in the hidden
+    // temp dir — the advisor's permanently-lost scenario. A re-run
+    // with the same upTo must complete the swap, not early-return.
+    val lateCrash = feed()
+    Seq("bands", "shingles").foreach { sub =>
+      spark.read.parquet(s"$lateCrash/$sub/batch=0", s"$lateCrash/$sub/batch=1")
+        .write.parquet(s"$lateCrash/$sub/.compact-1")
+      Seq(0, 1).foreach(b => org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$lateCrash/$sub/batch=$b")))
+    }
+    graft.operators.Dedup.compactBandStore(spark, lateCrash, upTo = 1L)
+    Seq("bands", "shingles").foreach { sub =>
+      assert(subdirs(lateCrash, sub) == Seq("batch=1"), sub)
+      assert(spark.read.parquet(s"$lateCrash/$sub").count() ==
+        spark.read.parquet(s"$ref/$sub").count(), sub)
+    }
+    // crash DURING the merged write (no _SUCCESS marker): no source
+    // was deleted yet, so the partial merge is discarded and redone
+    val midCrash = feed()
+    Seq("bands", "shingles").foreach { sub =>
+      spark.read.parquet(s"$midCrash/$sub/batch=0") // a PARTIAL merge
+        .write.parquet(s"$midCrash/$sub/.compact-1")
+      assert(new java.io.File(s"$midCrash/$sub/.compact-1/_SUCCESS").delete())
+    }
+    graft.operators.Dedup.compactBandStore(spark, midCrash, upTo = 1L)
+    Seq("bands", "shingles").foreach { sub =>
+      assert(subdirs(midCrash, sub) == Seq("batch=1"), sub)
+      assert(spark.read.parquet(s"$midCrash/$sub").count() ==
+        spark.read.parquet(s"$ref/$sub").count(), sub)
+    }
+    Seq(ref, lateCrash, midCrash).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("streaming pretrain prefix: packing the survivor store equals batch pipe01") {
+    // pipe01's clean→filter→dedup prefix as a continuously-ingesting
+    // foreachBatch sink: after id-ordered drops cover the corpus,
+    // packCorpus over the accumulated survivor store must equal the
+    // one-dataflow batch funnel row for row, and a checkpoint replay
+    // must change nothing.
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("pipe01_stream").toString
+    val docs = lake.documents.select("doc_id", "source", "text")
+    val sink = graft.operators.Pipeline.pretrainPrefixBatchSink(stateDir)
+    val n = lake.documents.count()
+    val (cut1, cut2) = (n / 3, 2 * n / 3)
+    sink(docs.filter(col("doc_id") < cut1), 0L)
+    sink(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), 1L)
+    sink(docs.filter(col("doc_id") >= cut2), 2L)
+    def packedStore() = graft.operators.Pipeline
+      .packCorpus(spark.read.parquet(s"$stateDir/survivors")
+        .select("doc_id", "source", "toks"))
+      .collect().map(_.toSeq).toSeq
+    val streamed = packedStore()
+    val batch = graft.operators.Pipeline.pipe01PretrainCorpus(lake)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch, s"streamed ${streamed.length} bins vs batch ${batch.length}")
+    // the dedup stage actually bit across batches: the store holds
+    // fewer docs than passed the filter per-batch would imply
+    val stored = spark.read.parquet(s"$stateDir/survivors")
+    assert(stored.count() < n, "no document was ever dropped")
+    assert(stored.select("fp").distinct().count() == stored.count(),
+      "survivor store holds duplicate fingerprints")
+    // checkpoint replay of the last batch is a no-op rewrite
+    sink(docs.filter(col("doc_id") >= cut2), 2L)
+    assert(packedStore() == streamed, "replaying batch 2 changed the packed corpus")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
+  }
+
   test("streaming windowed counts match the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
