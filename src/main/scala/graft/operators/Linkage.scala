@@ -203,41 +203,75 @@ object Linkage {
     * Per-source semantics are preserved exactly: a customer id has
     * one profile row (max picks it), order count/total and event
     * count are conditional aggregates, and an id absent from a source
-    * folds to null → the same COALESCE defaults as the join form. */
-  def xref02UnifiedEntities(lake: Lake): DataFrame = {
+    * folds to null → the same COALESCE defaults as the join form.
+    *
+    * Consumers (xref03/xref10/xref12) build on [[xref02Unified]], the
+    * UNORDERED form: the public entry's presentation `orderBy` is NOT
+    * optimized away under a downstream aggregate (Catalyst prunes the
+    * view's columns but keeps the Sort), so composing over the ordered
+    * frame paid a corpus-wide range exchange + sort that the consumer
+    * immediately destroyed — measured 8.1 s vs 4.9 s on xref10 at
+    * sf30 (BASELINE.md round 12). */
+  private[graft] def xref02Unified(lake: Lake): DataFrame = {
     val nullName = lit(null).cast("string")
     val nullPrice = lit(null).cast("double")
+    // Per-leg NUMERIC indicator columns instead of a string `src` tag
+    // + per-aggregate when(src = ...) branches: the aggregate's hot
+    // loop (80M+ rows at sf30) then evaluates five plain column sums
+    // with no string comparisons at all — each leg's Project emits the
+    // constants, and Union keeps the legs' shapes aligned. Semantics
+    // identical: max(nm) sees non-null names only from the profile
+    // leg, sum(price) sees non-null prices only from the orders leg,
+    // and the 0/1 indicator sums ARE the conditional counts.
     val tagged = lake.customer
       .select(
         col("c_custkey").cast("long").as("entity_id"),
-        lit("p").as("src"),
         col("c_name").as("nm"),
+        lit(1L).as("ip"),
+        lit(0L).as("io"),
+        lit(0L).as("ie"),
         nullPrice.as("price")
       )
       .unionAll(
         lake.orders.select(
           col("o_custkey").cast("long"),
-          lit("o"),
           nullName,
+          lit(0L),
+          lit(1L),
+          lit(0L),
           col("o_totalprice")
         )
       )
       .unionAll(
         lake.events.select(
           col("user_id").cast("long"),
-          lit("e"),
           nullName,
+          lit(0L),
+          lit(0L),
+          lit(1L),
           nullPrice
         )
       )
+    // repartition-BEFORE-aggregate, deliberately: map-side partial
+    // aggregation compresses this union by ~nothing at any scale (a
+    // key's ~18 source rows scatter across tasks, so per-task keys are
+    // nearly unique) while its per-task hash map carries millions of
+    // entries and spills — measured super-linear sf10→sf30 (1.9→6.2 s
+    // on xref10). Exchanging the RAW narrow rows first costs the same
+    // shuffle volume partial agg would emit anyway, and the aggregate
+    // then runs once per reduce task at |entities|/parts group
+    // cardinality, spill-free (xref10 6.2→4.5 s at sf30; BASELINE.md
+    // round 12). The one-key-exchange contract is unchanged — the
+    // groupBy reuses the repartition's hashpartitioning.
     tagged
+      .repartition(col("entity_id"))
       .groupBy("entity_id")
       .agg(
-        max(when(col("src") === "p", col("nm"))).as("nm"),
-        sum(when(col("src") === "p", 1L).otherwise(0L)).as("np"),
-        sum(when(col("src") === "o", 1L).otherwise(0L)).as("no"),
-        sum(when(col("src") === "e", 1L).otherwise(0L)).as("ne"),
-        round(sum(when(col("src") === "o", col("price"))), 4).as("spent")
+        max(col("nm")).as("nm"),
+        sum(col("ip")).as("np"),
+        sum(col("io")).as("no"),
+        sum(col("ie")).as("ne"),
+        round(sum(col("price")), 4).as("spent")
       )
       .select(
         col("entity_id"),
@@ -249,12 +283,14 @@ object Linkage {
         coalesce(col("spent"), lit(0.0)).as("total_spent"),
         col("ne").as("n_events")
       )
-      .orderBy("entity_id")
   }
+
+  def xref02UnifiedEntities(lake: Lake): DataFrame =
+    xref02Unified(lake).orderBy("entity_id")
 
   /** Coverage stats: row counts per source-flag combination. */
   def xref03CoverageStats(lake: Lake): DataFrame =
-    xref02UnifiedEntities(lake)
+    xref02Unified(lake)
       .groupBy("has_profile", "has_orders", "has_events")
       .agg(
         count(lit(1)).as("n_entities"),
@@ -469,7 +505,7 @@ object Linkage {
     // on xref02's lineage (customer feeds both the spine and the
     // profile leg); a view boundary gives CUBE a cleanly-resolved
     // child without disabling the detector.
-    xref02UnifiedEntities(lake).createOrReplaceTempView("graft_xref10_unified")
+    xref02Unified(lake).createOrReplaceTempView("graft_xref10_unified")
     lake.spark.sql(
       """SELECT has_profile, has_orders, has_events,
         |  CAST(GROUPING(has_profile) AS BIGINT) AS g_profile,
@@ -542,10 +578,17 @@ object Linkage {
     * report reduces to |years| rows with map-side combine. Nothing
     * here touches the corpus. */
   def xref12CoverageByYear(lake: Lake): DataFrame = {
+    // repartition-first for the same reason as xref02Unified: per-task
+    // custkeys are nearly unique, so partial agg only spills
     val firstYear = lake.orders
-      .groupBy(col("o_custkey").cast("long").as("entity_id"))
-      .agg(min(year(col("o_orderdate")).cast("long")).as("year"))
-    xref02UnifiedEntities(lake)
+      .select(
+        col("o_custkey").cast("long").as("entity_id"),
+        year(col("o_orderdate")).cast("long").as("oyear")
+      )
+      .repartition(col("entity_id"))
+      .groupBy("entity_id")
+      .agg(min(col("oyear")).as("year"))
+    xref02Unified(lake)
       .join(firstYear, "entity_id")
       .groupBy("year")
       .agg(
