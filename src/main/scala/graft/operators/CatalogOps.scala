@@ -336,7 +336,16 @@ object CatalogOps {
     * DISTINCT column; `approx = true` swaps in HLL
     * approx_count_distinct, which keeps the pass fully map-side
     * partial and is the only sane choice at 100 TB (the spec pins the
-    * two paths within HLL tolerance of each other). min/max are
+    * two paths within HLL tolerance of each other).
+    *
+    * DEFAULT POLICY (decade-probed, BASELINE.md round 12): `approx =
+    * true` is the SCALE default — measured flat 1.2 → 1.7 s across
+    * sf1→sf10 (e≈0.15, pure floor) while the exact Expand path runs
+    * linear with a large constant (2.0 → 9.2 s, 10× DuckDB's exact
+    * NDV at sf10). The parameter defaults to `false` only because the
+    * exact form is the oracle-checkable one (bit-equal to DuckDB
+    * COUNT(DISTINCT)) — a production catalog-stats job at any real
+    * volume should pass `approx = true`. min/max are
     * emitted as strings so one long frame carries every column type;
     * only string/integer/date columns are profiled here — float
     * rendering differs across engines, and a planner wants their
