@@ -403,7 +403,19 @@ object Relational {
   /** TPC-H Q18 shape: large-volume orders via groupBy-HAVING then
     * join back to customers. */
   def q18LargeOrders(lake: Lake, minQty: Double = 300.0): DataFrame = {
+    // repartition-before-aggregate (xref02's round-12 lesson): an
+    // orderkey's ~4 lineitems scatter across map tasks, so partial
+    // aggregation compresses ~nothing while its per-task hash map
+    // carries millions of keys and spills at scale; shuffling the raw
+    // (key, qty) pairs first runs the aggregate once, spill-free, and
+    // the exchange volume is what the partial output would have been
+    // anyway. Neutral at sf10 (3.91 vs 3.78 s, within noise — the
+    // joins dominate there), ~9% and visibly steadier at sf30 (11.8
+    // -> 10.7 s min, sweep spread 50/29/12 -> 15/12/11); the slope
+    // favors it from here up (BASELINE.md round 12).
     val big = lake.lineitem
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(round(sum("l_quantity"), 4).as("total_qty"))
       .filter(col("total_qty") > minQty)
