@@ -201,7 +201,13 @@ object Dedup {
       bands: Int = 64,
       maxBucket: Int = 1000
   ): DataFrame =
+    // presentation sort on the PUBLIC entry only — the CC consumers
+    // (dedup08/samp05/samp07, pipe02/03's funnels) read the unordered
+    // kernel: a composed plan does not optimize a view's orderBy away
+    // (xref02's round-12 lesson), so they were each paying a
+    // pair-set-wide range exchange + sort they immediately destroyed
     minhashPairs(lake.documents, threshold, numPerm, bands, maxBucket)
+      .orderBy("doc_a", "doc_b")
 
   /** The MinHash-LSH verified-pair kernel over any (doc_id, text)
     * frame — shared by dedup04 (raw corpus) and pipe02 (the funnel's
@@ -332,7 +338,6 @@ object Dedup {
       .withColumn("jaccard", round(jac, 4))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs: 64-bit sign-vote fingerprint, candidate
@@ -808,7 +813,7 @@ object Dedup {
     // Materialize the pair list once: the label loop re-reads it every
     // iteration, and recomputing the MinHash pipeline per hop would
     // dominate the cost.
-    val pairs = dedup04MinhashLsh(lake, threshold)
+    val pairs = minhashPairs(lake.documents, threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     // star CC: round count independent of component diameter (the
@@ -848,7 +853,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxIters: Int = 20
   ): DataFrame = {
-    val pairs = dedup04MinhashLsh(lake, threshold)
+    val pairs = minhashPairs(lake.documents, threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val labels = connectedComponentsStar(pairs, maxIters)
@@ -922,7 +927,7 @@ object Dedup {
       threshold: Double = 0.5,
       maxIters: Int = 20
   ): DataFrame = {
-    val pairs = dedup04MinhashLsh(lake, threshold)
+    val pairs = minhashPairs(lake.documents, threshold)
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val labels = connectedComponentsStar(pairs, maxIters)

@@ -169,8 +169,12 @@ object Linkage {
       .orderBy("probe_id")
   }
 
-  /** Normalized-key union map across entity sources (doi_map analog). */
-  def xref01IdMap(lake: Lake): DataFrame = {
+  /** Normalized-key union map across entity sources (doi_map analog).
+    * Unordered kernel — xref08 composes over this; the public entry's
+    * presentation sort would otherwise survive TWICE inside its
+    * self-join (once per branch), each with a corpus-wide range
+    * exchange (xref02's round-12 lesson, read in the executed plan). */
+  private[graft] def xref01Ids(lake: Lake): DataFrame = {
     val c = lake.customer.select(
       lit("customer").as("source"),
       text.normalizeId(col("c_name"), "Customer#").as("key"),
@@ -186,8 +190,11 @@ object Linkage {
       lower(col("p_name")).as("key"),
       col("p_partkey").cast("string").as("source_id")
     )
-    c.unionAll(s).unionAll(p).orderBy("source", "key")
+    c.unionAll(s).unionAll(p)
   }
+
+  def xref01IdMap(lake: Lake): DataFrame =
+    xref01Ids(lake).orderBy("source", "key")
 
   /** Unified entity table: every id seen anywhere, COALESCE'd
     * attributes + has_* coverage flags (unified_papers analog).
@@ -394,7 +401,7 @@ object Linkage {
     * the only pairs the two explodes ever generate are genuine
     * cross-source bridges. */
   def xref08Bridges(lake: Lake): DataFrame = {
-    val ids = xref01IdMap(lake)
+    val ids = xref01Ids(lake)
       .groupBy("key", "source")
       .agg(sort_array(collect_list(col("source_id"))).as("ids"))
     ids
