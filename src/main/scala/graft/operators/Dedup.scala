@@ -403,7 +403,11 @@ object Dedup {
     * pairwise comparison, linear in corpus tokens, exactly how
     * decontamination runs over a 100 TB corpus against a fixed
     * benchmark suite. */
-  def dedup07Decontaminate(
+  /** Unordered kernel — pipe03 composes over this (the surviving-sort
+    * rule: a consumer cannot optimize the public entry's presentation
+    * orderBy away, and the contaminated set is corpus-fraction-sized
+    * at real volume). */
+  private[graft] def decontaminated(
       lake: Lake,
       nBench: Int = 10,
       minOverlap: Int = 5
@@ -431,8 +435,14 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= minOverlap)
-      .orderBy("doc_id")
   }
+
+  def dedup07Decontaminate(
+      lake: Lake,
+      nBench: Int = 10,
+      minOverlap: Int = 5
+  ): DataFrame =
+    decontaminated(lake, nBench, minOverlap).orderBy("doc_id")
 
   /** dedup14: BLOOM-FILTER decontamination — dedup07's semantics
     * (per-doc count of shingles shared with the benchmark set) with
@@ -848,7 +858,10 @@ object Dedup {
     * duplicate group lands in exactly one split, reproducibly, with
     * no RNG and no driver-side state. Linear dataflow: the CC labels
     * plus one broadcast-joinable left join against the corpus. */
-  def samp05LeakageSafeSplit(
+  /** Unordered kernel — pipe03 composes over this; the split frame is
+    * CORPUS-sized, so the public entry's presentation sort surviving
+    * inside the funnel would be a full-corpus range exchange + sort. */
+  private[graft] def leakageSplits(
       lake: Lake,
       threshold: Double = 0.5,
       maxIters: Int = 20
@@ -868,8 +881,14 @@ object Dedup {
         when(pmod(col("cluster_id"), lit(10)) < 8, "train")
           .when(pmod(col("cluster_id"), lit(10)) === 8, "val")
           .otherwise("test"))
-      .orderBy("doc_id")
   }
+
+  def samp05LeakageSafeSplit(
+      lake: Lake,
+      threshold: Double = 0.5,
+      maxIters: Int = 20
+  ): DataFrame =
+    leakageSplits(lake, threshold, maxIters).orderBy("doc_id")
 
   /** samp07: SOFT dedup — keep every document but assign a sampling
     * weight of 1/|cluster| from its near-dup cluster, so each

@@ -365,8 +365,8 @@ object Pipeline {
       seed: Int = 7
   ): DataFrame = {
     val contaminated =
-      Dedup.dedup07Decontaminate(lake, nBench, minOverlap).select("doc_id")
-    val splits = Dedup.samp05LeakageSafeSplit(lake).select("doc_id", "split")
+      Dedup.decontaminated(lake, nBench, minOverlap).select("doc_id")
+    val splits = Dedup.leakageSplits(lake).select("doc_id", "split")
     val clean = lake.documents
       .select(col("doc_id"), col("lang"))
       .filter(col("doc_id") >= nBench)
