@@ -49,6 +49,12 @@ class EmptyLakeSpec extends AnyFunSuite {
   assertEmptyOk("dedup12_incremental", Dedup.dedup12Incremental(_))
   assertEmptyOk("sim01_topk_bruteforce", Similarity.sim01TopKBruteForce(_))
   assertEmptyOk("sim12_range_search", Similarity.sim12RangeSearch(_))
+  // both samp14 forms, including the auto-ceil(sqrt(N)) nlist rule on
+  // N = 0 (the .max(1) floor) and the kept path's heap aggregate
+  assertEmptyOk("samp14_cluster_balance (auto nlist)",
+    Similarity.samp14ClusterBalance(_, nlist = 0))
+  assertEmptyOk("samp14_cluster_balance keptOnly",
+    Similarity.samp14ClusterBalance(_, keptOnly = true))
   assertEmptyOk("graph27_bfs_distances", Graph.graph27BfsDistances(_))
   assertEmptyOk("graph30_shortest_paths", Graph.graph30ShortestPaths(_))
   assertEmptyOk("evt01_windowed_counts", Events.evt01WindowedCounts)
