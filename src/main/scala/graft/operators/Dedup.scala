@@ -779,6 +779,17 @@ object Dedup {
     var prev = (-1L, -1L)
     var cur = checksum(edges)
     var iter = 0
+    // Track each generation's checkpoint blocks and release the
+    // SUPERSEDED one as soon as the next is materialized: this loop
+    // checkpoints a (possibly corpus-fraction-sized) edge frame EVERY
+    // round for up to maxIters rounds, and waiting on the async
+    // ContextCleaner stacks dead generations against the live working
+    // set (the single-heap pressure the round-12 local-cluster probe
+    // exposed on the iterative family). Same getPersistentRDDs diff
+    // discipline + same-session concurrency caveat as
+    // persist.releasingNewRdds.
+    val sc = pairs.sparkSession.sparkContext
+    var prevCkpt: Set[Int] = Set.empty
     while (cur != prev && iter < maxIters) {
       // large-star: hang every neighbor LARGER than u off
       // m = min(N(u) ∪ {u}) — detaches long tails in one hop
@@ -805,7 +816,12 @@ object Dedup {
         .unionAll(m2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
+      val before = sc.getPersistentRDDs.keySet
       edges = small.localCheckpoint()
+      val added = (sc.getPersistentRDDs.keySet -- before).toSet
+      prevCkpt.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevCkpt = added
       prev = cur
       cur = checksum(edges)
       iter += 1
