@@ -301,6 +301,33 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
   }
 
+  test("streaming pretrain prefix: first arrival wins under out-of-order ingestion") {
+    // the documented contract for NON-id-ordered drops: an
+    // earlier-arrived duplicate keeps its verdict — a later batch's
+    // smaller-id twin is dropped, and verdicts never flip. Planted
+    // pair: two docs with identical text, the LARGER id delivered
+    // first.
+    import spark.implicits._
+    val stateDir =
+      java.nio.file.Files.createTempDirectory("pipe01_ooo").toString
+    // texts long/diverse enough to pass the Gopher filter: reuse two
+    // real passing documents' texts
+    val passing = graft.operators.TextAnalysis
+      .gopherVerdict(graft.operators.Pipeline.cleanedDocs(lake))
+      .filter(col("passes")).select("doc_id").as[Long].take(2)
+    val t = lake.documents.filter(col("doc_id") === passing(0))
+      .select("text").as[String].head()
+    val mk = (id: Long) => (id, "srcX", t)
+    val sink = graft.operators.Pipeline.pretrainPrefixBatchSink(stateDir)
+    sink(Seq(mk(100L)).toDF("doc_id", "source", "text"), 0L) // larger id first
+    sink(Seq(mk(7L)).toDF("doc_id", "source", "text"), 1L)   // smaller-id twin later
+    val kept = spark.read.parquet(s"$stateDir/survivors")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(100L),
+      s"first arrival must win (got $kept): the later smaller-id twin is dropped")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
+  }
+
   test("streaming windowed counts match the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
