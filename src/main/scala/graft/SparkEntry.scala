@@ -191,6 +191,7 @@ object SparkEntry {
     "evt10_lateness_profile" -> q(Events.evt10LatenessProfile(_)),
     "evt11_watermark_curve" -> q(Events.evt11WatermarkCurve(_)),
     "dedup07_decontaminate" -> q(Dedup.dedup07Decontaminate(_)),
+    "dedup15_contamination_report" -> q(Dedup.dedup15ContaminationReport(_)),
     "dedup08_cluster_resolve" -> q(Dedup.dedup08ClusterResolve(_)),
     "dedup09_cross_source_overlap" -> q(Dedup.dedup09CrossSourceOverlap),
     "dedup10_containment" -> q(Dedup.dedup10Containment(_)),
@@ -3091,6 +3092,25 @@ object SparkEntry {
          |FROM corpus JOIN bench USING (s)
          |GROUP BY doc_id
          |HAVING COUNT(*) >= 5
+         |ORDER BY doc_id""".stripMargin,
+    // dedup15: dedup07's probe reversed — per BENCHMARK doc, the
+    // fraction of its distinct grams found anywhere in the corpus
+    "dedup15_contamination_report" ->
+      s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
+         |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t),
+         |bench AS (SELECT doc_id, UNNEST(s) AS s FROM sh
+         |          WHERE doc_id < 10 AND len(s) > 0),
+         |hits AS (SELECT DISTINCT c.s
+         |         FROM (SELECT UNNEST(s) AS s FROM sh WHERE doc_id >= 10) c
+         |         JOIN (SELECT DISTINCT s FROM bench) b USING (s)),
+         |per AS (SELECT b.doc_id,
+         |          COUNT(*) AS n_grams,
+         |          CAST(COUNT(h.s) AS BIGINT) AS n_hit
+         |        FROM bench b LEFT JOIN hits h USING (s)
+         |        GROUP BY b.doc_id)
+         |SELECT doc_id, n_grams, n_hit,
+         |  ROUND(n_hit * 1.0 / n_grams, 4) AS frac_contaminated
+         |FROM per
          |ORDER BY doc_id""".stripMargin,
     "txt13_pii_redaction" ->
       """WITH p AS (SELECT doc_id,

@@ -444,6 +444,67 @@ object Dedup {
   ): DataFrame =
     decontaminated(lake, nBench, minOverlap).orderBy("doc_id")
 
+  /** dedup15: CONTAMINATION REPORT — dedup07's probe REVERSED, the
+    * benchmark-side statistic an eval owner reads before trusting a
+    * score (the GPT-3/PaLM appendix methodology: for each eval
+    * document, what fraction of its n-grams appears anywhere in the
+    * training corpus — a benchmark whose items are mostly covered is
+    * compromised as a held-out measure even if no single training doc
+    * crosses dedup07's per-doc threshold). One row per benchmark doc:
+    * its distinct-shingle count, how many of those shingles occur in
+    * the corpus, and the contamination fraction.
+    *
+    * Scale shape — the direction flip is the whole design: the
+    * benchmark is TINY and the corpus is 100 TB, so the benchmark
+    * gram set broadcasts and the corpus is touched by exactly ONE
+    * map-side scan + broadcast semi-join (no corpus shuffle, no
+    * corpus aggregate); the grams that survive the semi are ≤ the
+    * benchmark's gram count, and every aggregate thereafter runs on
+    * benchmark-sized frames. Same hash-shingle collision caveat as
+    * dedup04/07 (negligible, data-verified).
+    *
+    * Reference analog: the reverse of the materialize_fulltext-style
+    * contamination check — reported per eval item, not per training
+    * doc. */
+  def dedup15ContaminationReport(
+      lake: Lake,
+      nBench: Int = 10,
+      k: Int = 3
+  ): DataFrame = {
+    val shingled = lake.documents.select(
+      col("doc_id"),
+      graft.plans.ShingleHashes(col("text"), k).as("sh")
+    )
+    // per bench doc, its distinct grams (ShingleHashes is a set)
+    val bench = shingled
+      .filter(col("doc_id") < nBench && size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .localCheckpoint()
+    val benchGrams = bench.select("s").distinct()
+    // grams of the benchmark that occur ANYWHERE in the corpus: one
+    // corpus scan, broadcast probe, output bounded by |bench grams|
+    val hitGrams = shingled
+      .filter(col("doc_id") >= nBench)
+      .select(explode(col("sh")).as("s"))
+      .join(broadcast(benchGrams), Seq("s"), "left_semi")
+      .distinct()
+    bench
+      .join(hitGrams.withColumn("hit", lit(1L)), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit")
+      )
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4)
+          .as("frac_contaminated")
+      )
+      .orderBy("doc_id")
+  }
+
   /** dedup14: BLOOM-FILTER decontamination — dedup07's semantics
     * (per-doc count of shingles shared with the benchmark set) with
     * the broadcast join replaced by the structure a 100 TB pipeline

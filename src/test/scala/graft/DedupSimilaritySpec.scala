@@ -603,6 +603,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.length == kept.toSet.size)
   }
 
+  test("dedup15: contamination report covers every benchmark doc with bounded fractions") {
+    val nBench = 10
+    val rows = Dedup.dedup15ContaminationReport(lake, nBench)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // one row per (non-empty) benchmark doc, never a corpus doc
+    assert(rows.nonEmpty && rows.forall(_._1 < nBench))
+    rows.foreach { case (id, nGrams, nHit, frac) =>
+      assert(nGrams > 0, s"doc $id")
+      assert(nHit >= 0 && nHit <= nGrams, s"doc $id: $nHit of $nGrams")
+      assert(frac >= 0.0 && frac <= 1.0, s"doc $id frac $frac")
+      assert(math.abs(frac - (nHit.toDouble / nGrams)) < 1e-3, s"doc $id")
+    }
+    // the corpus shares the benchmark's vocabulary, so contamination
+    // must actually register (the operator isn't vacuously zero)
+    assert(rows.exists(_._3 > 0), "no benchmark gram found in the corpus at all")
+  }
+
+  test("dedup15: the corpus side never shuffles — broadcast probes only") {
+    val p = Dedup.dedup15ContaminationReport(lake)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("samp14: nlist <= 0 auto-scales clusters to ceil(sqrt(N))") {
     val n = lake.embeddings.count()
     val bound = math.ceil(math.sqrt(n.toDouble)).toLong
