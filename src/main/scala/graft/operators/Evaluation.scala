@@ -139,7 +139,7 @@ object Evaluation {
     * rows, not a second corpus pass. */
   def eval03LangidConfusion(lake: Lake): DataFrame =
     TextAnalysis
-      .txt02LangId(lake)
+      .langIdVerdicts(lake)
       .groupBy("labeled_lang", "pred_lang")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn(

@@ -50,8 +50,12 @@ object TextAnalysis {
     * subexpression elimination). Instead: tokenize ONCE, explode,
     * broadcast-join the 16 marker words, aggregate per-language
     * counts, and build the CASE over the aggregated attributes. The
-    * shuffle carries only matched marker tokens. */
-  def txt02LangId(lake: Lake): DataFrame = {
+    * shuffle carries only matched marker tokens.
+    *
+    * [[langIdVerdicts]] is the UNORDERED kernel eval03 composes over
+    * (the surviving-sort rule: a consumer cannot optimize the public
+    * entry's corpus-sized presentation orderBy away). */
+  private[graft] def langIdVerdicts(lake: Lake): DataFrame = {
     val markerRows = text.langMarkers.toSeq
       .flatMap { case (l, ws) => ws.map(w => (w, l)) }
     val lex = lake.spark.createDataFrame(markerRows).toDF("term", "mlang")
@@ -84,8 +88,10 @@ object TextAnalysis {
         col("s_en").cast("long").as("en_markers")
       )
       .withColumn("agrees", col("labeled_lang") === col("pred_lang"))
-      .orderBy("doc_id")
   }
+
+  def txt02LangId(lake: Lake): DataFrame =
+    langIdVerdicts(lake).orderBy("doc_id")
 
   /** Quality scoring + threshold filter (pretraining-corpus gate).
     * Same one-pass shape as txt02: explode once, aggregate token and
@@ -1184,7 +1190,10 @@ object TextAnalysis {
     * history at sf1: round-7 stream-consumed-twice 1.55 s; round-9
     * one-exchange join 0.94-1.16 s; this form deletes the exchanges
     * entirely.) */
-  def txt15UnigramLogprob(lake: Lake, maxModel: Int = 1000000): DataFrame = {
+  private[graft] def unigramScores(
+      lake: Lake,
+      maxModel: Int = 1000000
+  ): DataFrame = {
     // Pass 1 — train: one tokenize scan, counts folded ROW-SIDE by
     // the native TokenCounts map (one entry per distinct word per
     // doc, ~8× fewer aggregate-input rows than explode(tokens)), then
@@ -1238,8 +1247,13 @@ object TextAnalysis {
         col("u.n_tokens").as("n_tokens"),
         round(col("u.s") / col("u.n_tokens"), 4).as("avg_neg_logp")
       )
-      .orderBy("doc_id")
   }
+
+  /** Public ordered entry; txt25 composes over the unordered
+    * [[unigramScores]] — the corpus-sized presentation sort would
+    * otherwise survive inside the bucketing funnel. */
+  def txt15UnigramLogprob(lake: Lake, maxModel: Int = 1000000): DataFrame =
+    unigramScores(lake, maxModel).orderBy("doc_id")
 
   /** txt25: CCNet-style perplexity partitioning — per language, split
     * the corpus into head/middle/tail by terciles of the txt15
@@ -1266,7 +1280,7 @@ object TextAnalysis {
       exactCuts: Boolean = true,
       sketchAccuracy: Int = 10000
   ): DataFrame = {
-    val scored = txt15UnigramLogprob(lake)
+    val scored = unigramScores(lake)
       .join(lake.documents.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("lang"), col("avg_neg_logp").as("s"))
     val cutAggs =
