@@ -1537,6 +1537,13 @@ object Dedup {
     }
     compactOne("bands", capBuckets(_, maxBucket))
     compactOne("shingles", identity)
+    // pairs/ is never probed by the sink (no strictly-below rule to
+    // preserve), but it accumulates one subdir per micro-batch like
+    // the others — fold it too, or the small-files problem just moves
+    // to whoever reads the discovered-pair table. The pair SET is the
+    // contract; per-batch discovery attribution is traded away at
+    // maintenance time exactly like band rows' batch ids.
+    compactOne("pairs", identity)
   }
 
   /** (doc_id, sh) shingle-hash projection of a (doc_id, text) frame. */

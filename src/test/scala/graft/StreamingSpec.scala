@@ -149,12 +149,23 @@ class StreamingSpec extends AnyFunSuite {
       val sink = graft.operators.Dedup.minhashPairsBatchSink(d)
       sink(b0, 0L); sink(b1, 1L)
     }
+    // pair set before compaction — the contract the fold must keep
+    val pairsBefore = spark.read.parquet(s"$compacted/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
     graft.operators.Dedup.compactBandStore(spark, compacted, upTo = 1L)
     def subdirs(d: String, sub: String) =
       new java.io.File(s"$d/$sub").listFiles()
         .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
     assert(subdirs(compacted, "bands") == Seq("batch=1"))
     assert(subdirs(compacted, "shingles") == Seq("batch=1"))
+    // pairs fold to one dir too (the small-files problem is theirs as
+    // well), and the pair SET is bit-identical across the fold
+    assert(subdirs(compacted, "pairs") == Seq("batch=1"))
+    val pairsAfter = spark.read.parquet(s"$compacted/pairs")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    assert(pairsAfter == pairsBefore, "compaction changed the discovered-pair set")
     // row content survives the merge (same index, fewer dirs)
     assert(spark.read.parquet(s"$compacted/bands").count() ==
       spark.read.parquet(s"$plain/bands").count())
