@@ -1484,14 +1484,38 @@ object Dedup {
       upTo: Long,
       maxBucket: Int = Int.MaxValue
   ): Unit = {
+    compactBatchStore(spark, s"$stateDir/bands", upTo, capBuckets(_, maxBucket))
+    compactBatchStore(spark, s"$stateDir/shingles", upTo)
+    // pairs/ is never probed by the sink (no strictly-below rule to
+    // preserve), but it accumulates one subdir per micro-batch like
+    // the others — fold it too, or the small-files problem just moves
+    // to whoever reads the discovered-pair table. The pair SET is the
+    // contract; per-batch discovery attribution is traded away at
+    // maintenance time exactly like band rows' batch ids.
+    compactBatchStore(spark, s"$stateDir/pairs", upTo)
+  }
+
+  /** The shared batch-keyed-store fold: merge every committed
+    * `batch=K` (K <= upTo) under `root` into a single `batch=upTo`
+    * dir via a `_SUCCESS`-marked temp-dir swap with crash recovery —
+    * the maintenance half every foreachBatch store in this library
+    * shares (the LSH band store's three subdirs, the pretrain
+    * prefix's survivor store). Run only while the stream is stopped
+    * or quiesced past `upTo`, with upTo = the last COMMITTED batch. */
+  private[operators] def compactBatchStore(
+      spark: org.apache.spark.sql.SparkSession,
+      rootDir: String,
+      upTo: Long,
+      transform: DataFrame => DataFrame = identity
+  ): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    def batchDirs(sub: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
-      val p = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-      val fs = p.getFileSystem(hadoopConf)
-      if (!fs.exists(p)) Seq.empty
+    val root = new org.apache.hadoop.fs.Path(rootDir)
+    val fs = root.getFileSystem(hadoopConf)
+    def batchDirs(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!fs.exists(root)) Seq.empty
       else {
-        val entries = fs.listStatus(p).toSeq
-        requireBatchLayout(entries, p)
+        val entries = fs.listStatus(root).toSeq
+        requireBatchLayout(entries, root)
         entries
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
           .flatMap(st =>
@@ -1502,48 +1526,34 @@ object Dedup {
               .map(_ -> st.getPath)
           )
       }
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$upTo")
+    val dst = new org.apache.hadoop.fs.Path(root, s"batch=$upTo")
+    // Crash recovery: a leftover temp dir from an interrupted run.
+    // With the _SUCCESS marker the merge is COMPLETE and some or all
+    // sources may already be deleted — finish the swap (delete the
+    // rest, rename) rather than re-merge from a partial source set,
+    // which would silently lose the already-deleted batches' rows.
+    // Without the marker the write crashed BEFORE any delete ran
+    // (deletes are strictly ordered after the write), so the full
+    // source set is intact: discard the partial merge and redo.
+    if (fs.exists(tmp)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+        batchDirs().foreach { case (_, d) => fs.delete(d, true) }
+        require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
+        return
+      } else fs.delete(tmp, true)
     }
-    def compactOne(sub: String, transform: DataFrame => DataFrame): Unit = {
-      val root = new org.apache.hadoop.fs.Path(s"$stateDir/$sub")
-      val fs = root.getFileSystem(hadoopConf)
-      val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$upTo")
-      val dst = new org.apache.hadoop.fs.Path(root, s"batch=$upTo")
-      // Crash recovery: a leftover temp dir from an interrupted run.
-      // With the _SUCCESS marker the merge is COMPLETE and some or all
-      // sources may already be deleted — finish the swap (delete the
-      // rest, rename) rather than re-merge from a partial source set,
-      // which would silently lose the already-deleted batches' rows.
-      // Without the marker the write crashed BEFORE any delete ran
-      // (deletes are strictly ordered after the write), so the full
-      // source set is intact: discard the partial merge and redo.
-      if (fs.exists(tmp)) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-          batchDirs(sub).foreach { case (_, d) => fs.delete(d, true) }
-          require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
-          return
-        } else fs.delete(tmp, true)
-      }
-      val dirs = batchDirs(sub)
-      if (dirs.isEmpty) return
-      val merged = transform(spark.read.parquet(dirs.map(_._2.toString): _*))
-      merged.write.mode("overwrite").parquet(tmp.toString)
-      // swap: drop the source subdirs, then move the merged dir into
-      // the batch=upTo slot (rename is atomic per dir on HDFS/local).
-      // Hadoop rename reports failure by RETURN VALUE, not exception —
-      // fail loudly rather than leave the store with only the hidden
-      // temp dir (which every probe ignores).
-      dirs.foreach { case (_, d) => fs.delete(d, true) }
-      require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
-    }
-    compactOne("bands", capBuckets(_, maxBucket))
-    compactOne("shingles", identity)
-    // pairs/ is never probed by the sink (no strictly-below rule to
-    // preserve), but it accumulates one subdir per micro-batch like
-    // the others — fold it too, or the small-files problem just moves
-    // to whoever reads the discovered-pair table. The pair SET is the
-    // contract; per-batch discovery attribution is traded away at
-    // maintenance time exactly like band rows' batch ids.
-    compactOne("pairs", identity)
+    val dirs = batchDirs()
+    if (dirs.isEmpty) return
+    val merged = transform(spark.read.parquet(dirs.map(_._2.toString): _*))
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    // swap: drop the source subdirs, then move the merged dir into
+    // the batch=upTo slot (rename is atomic per dir on HDFS/local).
+    // Hadoop rename reports failure by RETURN VALUE, not exception —
+    // fail loudly rather than leave the store with only the hidden
+    // temp dir (which every probe ignores).
+    dirs.foreach { case (_, d) => fs.delete(d, true) }
+    require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
   }
 
   /** (doc_id, sh) shingle-hash projection of a (doc_id, text) frame. */

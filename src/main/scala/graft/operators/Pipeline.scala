@@ -224,6 +224,24 @@ object Pipeline {
       .parquet(s"$stateDir/survivors/batch=$batchId")
   }
 
+  /** Maintenance compaction for [[pretrainPrefixBatchSink]]'s survivor
+    * store — the same small-files lifecycle the LSH band store needs:
+    * a long-running ingestion accumulates one `batch=N` subdir per
+    * micro-batch, so the probe's listStatus and per-probe parquet
+    * footer reads grow with stream age. Folds every committed batch
+    * (<= upTo) into one `batch=upTo` dir through the shared
+    * `_SUCCESS`-marked temp-dir swap (crash-recoverable, see
+    * Dedup.compactBatchStore); the merged dir keeps the batch=
+    * naming, so a later batch N > upTo probes it through the same
+    * strictly-below rule. Run while the stream is stopped, with
+    * upTo = the last committed batch id. */
+  def compactSurvivorStore(
+      spark: org.apache.spark.sql.SparkSession,
+      stateDir: String,
+      upTo: Long
+  ): Unit =
+    Dedup.compactBatchStore(spark, s"$stateDir/survivors", upTo)
+
   /** pipe02: the WEIGHTED-corpus funnel — the selection-side
     * composition pipe01's packing-side funnel doesn't cover, as one
     * dataflow: line-level dedup (txt26's transform, boilerplate

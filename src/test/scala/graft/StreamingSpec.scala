@@ -312,6 +312,36 @@ class StreamingSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
   }
 
+  test("streaming pretrain prefix: survivor-store compaction preserves probes and the packed corpus") {
+    val docs = lake.documents.select("doc_id", "source", "text")
+    val n = lake.documents.count()
+    val (cut1, cut2) = (n / 3, 2 * n / 3)
+    val plain = java.nio.file.Files.createTempDirectory("pipe01_plain").toString
+    val comp = java.nio.file.Files.createTempDirectory("pipe01_comp").toString
+    Seq(plain, comp).foreach { d =>
+      val sink = graft.operators.Pipeline.pretrainPrefixBatchSink(d)
+      sink(docs.filter(col("doc_id") < cut1), 0L)
+      sink(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), 1L)
+    }
+    graft.operators.Pipeline.compactSurvivorStore(spark, comp, upTo = 1L)
+    val subdirs = new java.io.File(s"$comp/survivors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(subdirs == Seq("batch=1"), subdirs)
+    // batch 2 probes the folded store identically
+    Seq(plain, comp).foreach { d =>
+      graft.operators.Pipeline.pretrainPrefixBatchSink(d)(
+        docs.filter(col("doc_id") >= cut2), 2L)
+    }
+    def packed(d: String) = graft.operators.Pipeline
+      .packCorpus(spark.read.parquet(s"$d/survivors")
+        .select("doc_id", "source", "toks"))
+      .collect().map(_.toSeq).toSeq
+    assert(packed(comp) == packed(plain),
+      "compacting the survivor store changed the packed corpus")
+    Seq(plain, comp).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("streaming pretrain prefix: first arrival wins under out-of-order ingestion") {
     // the documented contract for NON-id-ordered drops: an
     // earlier-arrived duplicate keeps its verdict — a later batch's
