@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (disposable, ProbeKnn's discipline): the ANN
+  * recall-vs-nprobe curve at a given SF — does retrieval QUALITY
+  * hold as the corpus grows, and what does each extra probed cell
+  * buy? Ground truth = sim01 brute force; predictions = sim05 (the
+  * oracle-checkable label-cell IVF) across nprobe, plus sim06 (the
+  * trained quantizer) at its default.
+  *
+  * usage: graft.ProbeRecall    env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS
+  */
+object ProbeRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession
+      .configure(SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lake = graft.catalog.Lake(spark, sfDir)
+    val k = 10
+    val nQ = 10
+    val truth = graft.operators.Similarity
+      .sim01TopKBruteForce(lake, k, nQ)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    def recall(pred: org.apache.spark.sql.DataFrame): Double = {
+      val hits = truth
+        .join(pred.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .count()
+      hits.toDouble / (k * nQ)
+    }
+    for (np <- Seq(1, 3, 5, 8, 10)) {
+      val r = recall(graft.operators.Similarity.sim05IvfAnn(lake, k, nQ, np))
+      println(f"sim05 nprobe=$np%-2d  recall@$k = $r%.3f")
+    }
+    for (np <- Seq(3, 5)) {
+      val r = recall(graft.operators.Similarity.sim06IvfTrained(lake, nprobe = np))
+      println(f"sim06 nprobe=$np%-2d  recall@$k = $r%.3f (trained cells)")
+    }
+    spark.stop()
+  }
+}
