@@ -42,6 +42,12 @@ object ProbeRecall {
       val r = recall(graft.operators.Similarity.sim06IvfTrained(lake, nprobe = np))
       println(f"sim06 nprobe=$np%-2d  recall@$k = $r%.3f (trained cells)")
     }
+    for (te <- Seq(1, 16)) {
+      val t0 = System.nanoTime()
+      val r = recall(graft.operators.Similarity.sim14IvfPq(lake, trainEvery = te))
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"sim14 trainEvery=$te%-3d recall@$k = $r%.3f  build+search = $dt%.1f s")
+    }
     spark.stop()
   }
 }

@@ -800,39 +800,70 @@ object Similarity {
       coarseIters: Int = 3,
       m: Int = 8,
       ks: Int = 16,
-      pqIters: Int = 2
+      pqIters: Int = 2,
+      trainEvery: Int = 1
   ): DataFrame = {
     val all = vecs(lake).localCheckpoint()
     val headDim = all.select(size(col("v"))).head(1)
     if (headDim.isEmpty) return emptyAnnResult(all, k, "adc_ip")
     val sd = headDim.head.getInt(0) / m
     val (cents, cellIds, pqCents, codes) =
-      ivfPqBuild(all, nlist, coarseIters, m, ks, pqIters)
+      ivfPqBuild(all, nlist, coarseIters, m, ks, pqIters, trainEvery)
     ivfPqSearch(all, cents, cellIds, pqCents, codes, sd, k, nQueries, nprobe, m)
   }
 
   /** IVF-PQ train: coarse centroids, cell assignments, residual
     * codebooks, residual codes — the four tables the persisted index
     * ships. */
+  /** `trainEvery > 1` trains BOTH quantizers (coarse k-means and the
+    * per-subspace PQ codebooks) on a deterministic 1/trainEvery
+    * hash-sample of the corpus while still assigning and ENCODING
+    * every vector — the FAISS production guidance (quantizers train
+    * on a bounded sample; training on the full corpus is the
+    * anti-pattern at volume). Measured at sf30 (1.5M vectors,
+    * trainEvery=16): build+search 55.3 → 15.7 s (3.5×) with recall
+    * vs brute force unchanged — 0.34 vs 0.30 at ADC's lossy
+    * recall@10 (ProbeRecall; BASELINE round 12). Deterministic — the
+    * sample is
+    * a pure function of vec_id (xxhash64 stripe), no RNG — and
+    * trainEvery=1 is bit-identical to the historical build (the
+    * oracle form). A sample that misses the corpus entirely (tiny
+    * corpus, aggressive stride) falls back to full-corpus training
+    * rather than an empty codebook. */
   private def ivfPqBuild(
       all: DataFrame,
       nlist: Int,
       coarseIters: Int,
       m: Int,
       ks: Int,
-      pqIters: Int
+      pqIters: Int,
+      trainEvery: Int = 1
   ): (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val cents = kmeans(all, nlist, coarseIters)
+    val trainSet =
+      if (trainEvery <= 1) all
+      else {
+        val sampled = all
+          .filter(pmod(xxhash64(col("vec_id")), lit(trainEvery)) === 0)
+          .localCheckpoint()
+        if (sampled.isEmpty) all else sampled
+      }
+    val cents = kmeans(trainSet, nlist, coarseIters)
     val cells = argmaxCell(all, cents, Seq("v"))
       .select(col("vec_id"), col("cluster"), col("v"))
-    val resid = cells
+    def residOf(frame: DataFrame): DataFrame = frame
       .join(broadcast(cents), Seq("cluster"))
       .select(
         col("vec_id"),
         zip_with(col("v"), col("centroid"), (x, y) => x - y).as("v")
       )
       .localCheckpoint()
-    val (_, pqCents, codes) = pqTrainCore(resid, m, ks, pqIters)
+    val resid = residOf(cells)
+    val residTrain =
+      if (trainEvery <= 1) resid
+      else residOf(
+        argmaxCell(trainSet, cents, Seq("v"))
+          .select(col("vec_id"), col("cluster"), col("v")))
+    val (_, pqCents, codes) = pqTrainCore(resid, m, ks, pqIters, residTrain)
     (cents, cells.select(col("vec_id"), col("cluster")), pqCents, codes)
   }
 
@@ -994,7 +1025,10 @@ object Similarity {
       all: DataFrame,
       m: Int,
       ks: Int,
-      iters: Int
+      iters: Int,
+      // codebooks train on this frame (default: the full corpus);
+      // codes always encode `all` — see ivfPqBuild's trainEvery note
+      trainOn: DataFrame = null
   ): (DataFrame, DataFrame, DataFrame) = {
     // Subvector dimension from the schema-carried first row is a
     // driver scalar the planner needs anyway (slice lengths are
@@ -1012,7 +1046,7 @@ object Similarity {
     val dDim = headDim.head.getInt(0)
     require(dDim % m == 0, s"dim $dDim not divisible by m=$m")
     val sd = dDim / m
-    val subv = all
+    def subvOf(frame: DataFrame): DataFrame = frame
       .withColumn("sub_id", explode(sequence(lit(0), lit(m - 1))))
       .select(
         col("vec_id"),
@@ -1020,11 +1054,13 @@ object Similarity {
         slice(col("v"), col("sub_id") * sd + 1, lit(sd)).as("sv")
       )
       .localCheckpoint()
+    val subv = subvOf(all)
+    val subvTrain = if (trainOn == null || (trainOn eq all)) subv else subvOf(trainOn)
     val assignW = Window
       .partitionBy("vec_id", "sub_id")
       .orderBy(col("d2").asc, col("cluster"))
-    // Seeds: the first ks vectors' subvectors, indexed per subspace.
-    var cents = subv
+    // Seeds: the first ks TRAINING vectors' subvectors, per subspace.
+    var cents = subvTrain
       .withColumn(
         "cluster",
         row_number().over(Window.partitionBy("sub_id").orderBy("vec_id")) - 1
@@ -1034,7 +1070,7 @@ object Similarity {
       .localCheckpoint()
     var i = 0
     while (i < iters) {
-      val assigned = subv
+      val assigned = subvTrain
         .join(broadcast(cents), Seq("sub_id"))
         .withColumn("d2", vectors.dist2(col("sv"), col("centroid")))
         .withColumn("r", row_number().over(assignW))

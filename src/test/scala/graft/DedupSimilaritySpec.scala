@@ -641,6 +641,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(kept.count() == rows.filter("kept").count())
   }
 
+  test("sim14 sampled training: valid complete results, deterministic, full-train identity") {
+    def rows(te: Int) = Similarity.sim14IvfPq(lake, trainEvery = te)
+      .collect().map(_.toSeq).toSeq
+    // trainEvery=1 is bit-identical to the historical (oracle) build
+    assert(rows(1) == Similarity.sim14IvfPq(lake).collect().map(_.toSeq).toSeq)
+    // sampled training still answers every query with k neighbors,
+    // and is deterministic run to run (hash stripe, no RNG)
+    val sampled = rows(4)
+    assert(sampled.size == rows(1).size, s"${sampled.size}")
+    assert(sampled == rows(4), "sampled training is not deterministic")
+    // aggressive stride on a tiny corpus falls back to full training
+    // instead of an empty codebook
+    assert(Similarity.sim14IvfPq(lake, trainEvery = 1000000).count() ==
+      rows(1).size.toLong)
+  }
+
   test("persisted IVF index: index-then-search equals train-then-search exactly") {
     val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
     Similarity.writeIvfIndex(lake, dir)
