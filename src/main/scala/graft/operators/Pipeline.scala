@@ -168,8 +168,21 @@ object Pipeline {
     * (projection-pruned scan of the survivor parquet); at 100 TB the
     * store probe rides a Bloom filter over stored fingerprints
     * (dedup14's machinery) in front of the anti-join. */
+  /** `bloomFpp > 0` puts dedup14's machinery in FRONT of the exact
+    * anti-join (the 100 TB probe shape the scaladoc promised, now
+    * code): a Bloom filter over the stored fingerprints is built
+    * distributed (stat.bloomFilter treeAggregate) and probed map-only
+    * over the micro-batch; definite-miss documents — the vast
+    * majority of a steady-state drop — are kept WITHOUT touching the
+    * store, and only the might-contain remainder falls through to the
+    * exact anti-join (false positives cost a verify, never a wrong
+    * verdict — Bloom's no-false-negatives guarantee means no stored
+    * duplicate can slip past). When the remainder is empty the store
+    * is not scanned at all that batch. Results are bit-identical to
+    * the exact path at any fpp (spec-pinned). */
   def pretrainPrefixBatchSink(
-      stateDir: String
+      stateDir: String,
+      bloomFpp: Double = 0.0
   ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
@@ -211,14 +224,40 @@ object Pipeline {
       )
     val survivors =
       if (prior.isEmpty) canon
-      else
-        canon
-          .join(
-            spark.read.parquet(prior: _*).select("fp"),
-            Seq("fp"),
-            "left_anti"
-          )
+      else {
+        val storedFps = spark.read.parquet(prior: _*).select("fp")
+        def antiJoin(cands: DataFrame): DataFrame = cands
+          .join(storedFps, Seq("fp"), "left_anti")
           .select("doc_id", "source", "toks", "fp")
+        if (bloomFpp <= 0) antiJoin(canon)
+        else {
+          import spark.implicits._
+          // three consumers below (probe, definite-new, remainder) —
+          // materialize the clean+filter+canonicalize chain once
+          val canonM = canon.localCheckpoint()
+          val nStored = math.max(storedFps.count(), 1L)
+          val bf = storedFps.stat.bloomFilter("fp", nStored, bloomFpp)
+          val bcast = spark.sparkContext.broadcast(bf)
+          // map-only probe over the micro-batch: ids that MIGHT be in
+          // the store (batch-sized or smaller, so it broadcasts)
+          val mightIds = canonM
+            .select(col("doc_id"), col("fp"))
+            .as[(Long, String)]
+            .mapPartitions { it =>
+              val f = bcast.value
+              it.collect { case (id, fp) if f.mightContainString(fp) => id }
+            }
+            .toDF("doc_id")
+            .localCheckpoint()
+          val definiteNew = canonM
+            .join(broadcast(mightIds), Seq("doc_id"), "left_anti")
+            .select("doc_id", "source", "toks", "fp")
+          if (mightIds.isEmpty) definiteNew
+          else
+            definiteNew.unionAll(
+              antiJoin(canonM.join(broadcast(mightIds), Seq("doc_id"))))
+        }
+      }
     survivors.write
       .mode("overwrite")
       .parquet(s"$stateDir/survivors/batch=$batchId")

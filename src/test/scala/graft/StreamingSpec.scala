@@ -342,6 +342,36 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("streaming pretrain prefix: the Bloom-probed path is bit-identical to exact") {
+    // bloomFpp > 0 keeps definite-miss docs without touching the
+    // store and routes only might-contain docs through the exact
+    // anti-join — Bloom's no-false-negatives guarantee means the
+    // survivor store must be IDENTICAL to the exact path's at any
+    // fpp, including a deliberately loose one (more false positives
+    // only means more exact verifies, never a wrong verdict)
+    val docs = lake.documents.select("doc_id", "source", "text")
+    val n = lake.documents.count()
+    val (cut1, cut2) = (n / 3, 2 * n / 3)
+    def feed(fpp: Double): String = {
+      val d = java.nio.file.Files.createTempDirectory("pipe01_bloom").toString
+      val sink = graft.operators.Pipeline.pretrainPrefixBatchSink(d, fpp)
+      sink(docs.filter(col("doc_id") < cut1), 0L)
+      sink(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), 1L)
+      sink(docs.filter(col("doc_id") >= cut2), 2L)
+      d
+    }
+    def fps(d: String) = spark.read.parquet(s"$d/survivors")
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val exact = feed(0.0)
+    val tight = feed(1e-6)
+    val loose = feed(0.3)
+    assert(fps(tight) == fps(exact), "tight-fpp Bloom path diverged from exact")
+    assert(fps(loose) == fps(exact), "loose-fpp Bloom path diverged from exact")
+    Seq(exact, tight, loose).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("streaming pretrain prefix: first arrival wins under out-of-order ingestion") {
     // the documented contract for NON-id-ordered drops: an
     // earlier-arrived duplicate keeps its verdict — a later batch's
