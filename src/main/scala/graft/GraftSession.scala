@@ -47,6 +47,12 @@ object GraftSession {
       // groups · ~200 B ≈ 200 MB per task worst case — bounded.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 20).toString)
+      // sketch-reduce patterns (dedup13's TwiceSketch treeReduce)
+      // return ~100 MB partial sketches per reduced partition; the 1g
+      // default kills the job at the final driver-side merge of 3-6
+      // partials. The sketches themselves are byte-clamped, so 4g
+      // bounds the worst case with headroom.
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -1767,14 +1767,63 @@ object Dedup {
       lake: Lake,
       k: Int = 8,
       minDocs: Int = 2,
-      // true would checkpoint the repartitioned gram stream; the
-      // default relies on ReuseExchange instead — both consumers (df
-      // aggregation, semi-join stream side) share the IDENTICAL
-      // repartition subtree, so the shuffle runs once and the
-      // blocking materialization job is pure overhead (measured
-      // 1.7 s vs 2.2 s at sf1)
-      materialize: Boolean = false
+      // true checkpoints the repartitioned gram stream (lineage cut,
+      // partitioning property LOST — downstream aggs re-shuffle); the
+      // default persists it instead: persist keeps hashpartitioning
+      // (gh), so the df aggregation runs shuffle-free off the cache
+      // and the semi-join probe re-reads the same blocks. Relying on
+      // ReuseExchange (the round-12 form) broke once the pre-filter
+      // landed: the optimizer pushes the dup semi-join below the
+      // probe side's repartition, the two exchange subtrees stop
+      // canonicalizing equal, and the kernel + corpus shuffle ran
+      // TWICE (plan-verified at sf1, ExplainOne).
+      materialize: Boolean = false,
+      // Rare-window pre-filter (the round-13 fix for the sf30
+      // shuffle-spill boundary). On this corpus 86-88% of window
+      // occurrences are globally unique (measured sf1/sf10/sf30: kept
+      // fraction 0.122/0.122/0.134), so shuffling one
+      // (doc_id, pos, gh) row per corpus token mostly ships rows the
+      // df >= minDocs gate will discard. Modes:
+      //  - "set" (default): pass 1 shuffles ONLY the 8-byte hash
+      //    (projection-pruned scan, repartition-before-aggregate — a
+      //    ~12x narrower stream than the naive row) into an exact
+      //    occurrence count; hashes with >= minDocs occurrences — a
+      //    necessary condition for df >= minDocs — form the candidate
+      //    set. Pass 2 keeps only candidate occurrences, via a
+      //    codegen'd broadcast semi-join while the set fits
+      //    `maxBroadcastKeys`, else via a Bloom probe built FROM the
+      //    candidate set (memory-clamped; false positives only admit
+      //    extra rows into the exact aggregate). Exact either way.
+      //  - "sketch": one extra map-only scan folds the raw hash
+      //    stream into a mergeable seen-twice sketch
+      //    (graft.functions.TwiceSketch) — no pass-1 shuffle at all,
+      //    executor memory clamped, false positives only add rows.
+      //    Measured slower than "set" here (the treeReduce moves
+      //    ~4 GB of partial bitmaps at sf30) but the shape to reach
+      //    for when even an 8-byte-row shuffle is unaffordable.
+      //  - "off": the round-12 single-shuffle form.
+      //  - "auto" (default): "off" below `preFilterMinChars` of corpus
+      //    text, "set" above — the measured crossover on the bench
+      //    box sits between sf10 (155M chars: off 8.8 s vs set
+      //    10.6 s) and sf30 (465M chars: off 53.0 s spilling vs set
+      //    24.8 s, DuckDB 43.0); below the shuffle-spill boundary the
+      //    extra pass is pure constant, above it the narrow pass is
+      //    the difference between winning 0.6x and losing 1.23x. The
+      //    boundary is a per-executor shuffle-memory property — on a
+      //    real cluster, size it to executor memory or set the mode
+      //    explicitly.
+      // Ignored when minDocs < 2 (every window qualifies then).
+      preFilter: String = "auto",
+      preFilterMinChars: Long = 256L << 20,
+      // "set" mode: switch from broadcast semi-join to the Bloom
+      // probe above this candidate-set size (16M longs ~= 128 MB raw)
+      maxBroadcastKeys: Long = 16L << 20,
+      // "sketch" mode sizing; also caps the "set" mode Bloom fallback
+      sketchBitsPerKey: Int = 4,
+      sketchMaxBytes: Long = 512L << 20
   ): DataFrame = {
+    val spark = lake.spark
+    import spark.implicits._
     val prefix =
       "shared prefix banner alpha beta gamma delta epsilon zeta eta "
     val footer =
@@ -1783,7 +1832,7 @@ object Dedup {
       col("doc_id") % 7 === 0,
       concat(col("t1"), lit(footer))
     ).otherwise(col("t1"))
-    val grams = lake.documents
+    val gramsRaw = lake.documents
       .select(
         col("doc_id"),
         when(col("doc_id") % 5 === 0, concat(lit(prefix), col("text")))
@@ -1794,13 +1843,85 @@ object Dedup {
         col("doc_id"),
         posexplode(graft.plans.ShingleHashSeq(planted, k)).as(Seq("pos", "gh"))
       )
+    def totalChars: Long = lake.documents
+      .agg(coalesce(sum(length(col("text"))), lit(0L)))
+      .as[Long]
+      .collect()(0)
+    val mode =
+      if (minDocs < 2) "off"
+      else if (preFilter == "auto") {
+        if (totalChars >= preFilterMinChars) "set" else "off"
+      } else preFilter
+    val gramsKept =
+      if (mode == "off") gramsRaw
+      else if (mode == "sketch") {
+        // Size the sketch from a cheap non-hashing scan: windows ~=
+        // tokens, ~6 chars per token+space, so chars/5 overestimates
+        // the distinct-key count a little; power-of-two rounding and
+        // the byte clamp absorb the slack either way.
+        val expected = math.max(64L, totalChars / 5)
+        val bits = sketchBitsPerKey
+        val cap = sketchMaxBytes
+        // Build over InternalRow (queryExecution.toRdd): the typed
+        // Dataset route boxes every 8-byte hash on its way into the
+        // fold — 76M boxed Longs at sf30 for a pass whose body is
+        // three bit-sets.
+        val sketch = gramsRaw
+          .select("gh")
+          .queryExecution
+          .toRdd
+          .mapPartitions { it =>
+            val s = graft.functions.TwiceSketch
+              .create(expected, bits, maxBytesPerArray = cap)
+            it.foreach(r => s.add(r.getLong(0)))
+            Iterator.single(s)
+          }
+          .treeReduce(_.merge(_), depth = 2)
+        val bcast = spark.sparkContext.broadcast(sketch)
+        gramsRaw.filter(graft.plans.SketchMightTwice(col("gh"), bcast))
+      } else {
+        require(mode == "set", s"unknown preFilter mode: $preFilter")
+        // Exact candidate set: hashes occurring >= minDocs times — a
+        // superset of the df >= minDocs winners (df counts DISTINCT
+        // docs <= occurrences). The hash column is projection-pruned
+        // to an 8-byte stream before its shuffle; per-task window
+        // hashes are nearly unique, so repartition-then-aggregate-once
+        // (no useless spilling partial agg). 13% of distinct hashes
+        // qualify here, so the set stays broadcastable deep into the
+        // scale ladder (3.76M keys = ~30 MB at sf30).
+        val cand = gramsRaw
+          .select("gh")
+          .repartition(col("gh"))
+          .groupBy("gh")
+          .agg(count(lit(1)).as("occ"))
+          .filter(col("occ") >= minDocs)
+          .select("gh")
+          .localCheckpoint()
+        val nCand = cand.count()
+        if (nCand <= maxBroadcastKeys)
+          gramsRaw.join(broadcast(cand), Seq("gh"), "left_semi")
+        else {
+          // Candidate set too large to broadcast as exact rows: probe
+          // a Bloom built FROM it (small build — |cand| adds, not a
+          // raw-stream pass). Clamped bits; false positives only admit
+          // extra rows into the exact df aggregate downstream.
+          val bitsWanted = math.max(64L, nCand * 10L)
+          val numBits = math.min(bitsWanted, sketchMaxBytes * 8L)
+          val bf = cand.stat.bloomFilter("gh", math.max(nCand, 1L), numBits)
+          val bcast = spark.sparkContext.broadcast(bf)
+          gramsRaw.filter(graft.plans.BloomMightContainLong(col("gh"), bcast))
+        }
+      }
+    val grams = gramsKept
       // both consumers (the df aggregation and the semi-join's stream
       // side) key on gh: partition the window-hash stream once —
       // the two consumer subtrees are identical, so ReuseExchange
       // runs this shuffle ONCE and both read its files; neither
       // re-runs scan+hash or pays its own corpus-stream exchange
       .repartition(col("gh"))
-    val gramsM = if (materialize) grams.localCheckpoint() else grams
+    val gramsM =
+      if (materialize) grams.localCheckpoint()
+      else grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = gramsM
       .groupBy("gh")
       .agg(countDistinct("doc_id").as("df"))
