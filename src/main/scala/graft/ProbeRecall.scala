@@ -48,6 +48,29 @@ object ProbeRecall {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"sim14 trainEvery=$te%-3d recall@$k = $r%.3f  build+search = $dt%.1f s")
     }
+    for (
+      // default shape (the oracle form), then the measured >=0.9
+      // serving config at sf10: 8-bit codebooks, refine=64, wide
+      // probe (BASELINE round 13 — on this uniform-random corpus,
+      // PQ's documented worst case, high recall needs a wide ring
+      // AND a wide probe; sampled training matched full training)
+      (m, ks, refine, np, nl) <- Seq(
+        (8, 16, 4, 3, 10),
+        (8, 256, 64, 8, 10),
+        (8, 256, 64, 10, 10)
+      )
+    ) {
+      val t0 = System.nanoTime()
+      val r = recall(
+        graft.operators.Similarity.sim15IvfPqRefine(
+          lake, refine = refine, nprobe = np, nlist = nl, m = m, ks = ks,
+          trainEvery = 16)
+      )
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(
+        f"sim15 m=$m%-3d ks=$ks%-4d refine=$refine%-3d nprobe=$np%-2d nlist=$nl%-4d recall@$k = $r%.3f  build+search = $dt%.1f s"
+      )
+    }
     spark.stop()
   }
 }

@@ -186,6 +186,7 @@ object SparkEntry {
     "sim07_pq_ann" -> q(Similarity.sim07PqAnn(_)),
     "sim13_pq_refine" -> q(Similarity.sim13PqRefine(_)),
     "sim14_ivf_pq" -> q(Similarity.sim14IvfPq(_)),
+    "sim15_ivfpq_refine" -> q(Similarity.sim15IvfPqRefine(_)),
     "evt08_daily_anomalies" -> q(Events.evt08DailyAnomalies(_)),
     "evt09_interval_join" -> q(Events.evt09IntervalJoin(_)),
     "evt10_lateness_profile" -> q(Events.evt10LatenessProfile(_)),
@@ -324,6 +325,88 @@ object SparkEntry {
        |        AND codes.cluster = lut.cluster
        |      WHERE codes.vec_id != lut.query_id
        |      GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The IVF-PQ train + ADC-with-coarse-correction fragment sim14
+    * (raw ADC top-k) and sim15 (exact refine) share: 3-iteration
+    * unrolled coarse Lloyd over raw vectors (cosine assignment),
+    * residuals, 2-iteration per-subspace residual codebooks, codes,
+    * probed cells, broadcast LUT, per-(query, vec) score
+    * `s(query_id, vec_id, score)` with e(vec_id, v) the raw vectors.
+    * One copy, no silent drift (the dkPqAdcCtes rule). */
+  private val dkIvfPqAdcCtes: String = {
+    val coarse = (1 to 3).map { i =>
+      s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+         |  FROM e CROSS JOIN c${i - 1} c),
+         |f$i AS (SELECT cluster, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x
+         |  FROM a$i WHERE r = 1),
+         |c$i AS (SELECT cluster, LIST(c ORDER BY pos) AS centroid FROM (
+         |    SELECT cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2)
+         |  GROUP BY cluster)""".stripMargin
+    }.mkString(",\n")
+    val pq = (1 to 2).map { i =>
+      s"""pa$i AS (SELECT rsub.vec_id, rsub.sub_id, rsub.sv, c.cluster,
+         |    ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.sub_id
+         |      ORDER BY list_distance(rsub.sv, c.centroid) ASC, c.cluster) AS r
+         |  FROM rsub JOIN pc${i - 1} c ON rsub.sub_id = c.sub_id),
+         |pf$i AS (SELECT sub_id, cluster, generate_subscripts(sv, 1) AS pos,
+         |    UNNEST(sv) AS x FROM pa$i WHERE r = 1),
+         |pc$i AS (SELECT sub_id, cluster, LIST(c ORDER BY pos) AS centroid FROM (
+         |    SELECT sub_id, cluster, pos, AVG(x) AS c FROM pf$i GROUP BY 1, 2, 3)
+         |  GROUP BY sub_id, cluster)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
+       |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
+       |  WHERE rn <= 10),
+       |$coarse,
+       |cells AS (SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id
+       |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
+       |    FROM e CROSS JOIN c3 c) WHERE r = 1),
+       |resid AS (SELECT cells.vec_id,
+       |    list_transform(range(1, len(cells.v) + 1),
+       |      i -> cells.v[i] - cc.centroid[i]) AS rv
+       |  FROM cells JOIN c3 cc ON cells.cluster = cc.cluster),
+       |rsub AS (SELECT vec_id, sub_id,
+       |    list_slice(rv, sub_id * 8 + 1, sub_id * 8 + 8) AS sv
+       |  FROM resid CROSS JOIN (SELECT UNNEST(range(0, 8)) AS sub_id)),
+       |pc0 AS (SELECT sub_id, rn - 1 AS cluster, sv AS centroid FROM (
+       |    SELECT sub_id, sv, ROW_NUMBER() OVER (
+       |      PARTITION BY sub_id ORDER BY vec_id) AS rn FROM rsub)
+       |  WHERE rn <= 16),
+       |$pq,
+       |rcodes AS (SELECT vec_id, sub_id, cluster FROM (
+       |    SELECT rsub.vec_id, rsub.sub_id, c.cluster, ROW_NUMBER() OVER (
+       |      PARTITION BY rsub.vec_id, rsub.sub_id
+       |      ORDER BY list_distance(rsub.sv, c.centroid) ASC, c.cluster) AS r
+       |    FROM rsub JOIN pc2 c ON rsub.sub_id = c.sub_id) WHERE r = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |p AS (SELECT query_id, qcdot, cluster FROM (
+       |    SELECT query_id, c.cluster,
+       |      list_dot_product(qv, c.centroid) AS qcdot,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ${dkCos("qv", "c.centroid")} DESC, c.cluster) AS crank
+       |    FROM q CROSS JOIN c3 c) WHERE crank <= 3),
+       |qsub AS (SELECT query_id, sub_id,
+       |    list_slice(qv, sub_id * 8 + 1, sub_id * 8 + 8) AS qsv
+       |  FROM q CROSS JOIN (SELECT UNNEST(range(0, 8)) AS sub_id)),
+       |lut AS (SELECT query_id, c.sub_id, c.cluster,
+       |    list_dot_product(qsv, c.centroid) AS pdot
+       |  FROM qsub JOIN pc2 c ON qsub.sub_id = c.sub_id),
+       |cand AS (SELECT p.query_id, cells.vec_id, p.qcdot
+       |  FROM cells JOIN p ON cells.cluster = p.cluster
+       |    AND cells.vec_id != p.query_id),
+       |s AS (SELECT cand.query_id, cand.vec_id,
+       |    cand.qcdot + SUM(lut.pdot) AS score
+       |  FROM cand
+       |  JOIN rcodes ON rcodes.vec_id = cand.vec_id
+       |  JOIN lut ON lut.query_id = cand.query_id
+       |    AND lut.sub_id = rcodes.sub_id AND lut.cluster = rcodes.cluster
+       |  GROUP BY cand.query_id, cand.vec_id, cand.qcdot)""".stripMargin
   }
 
   /** The lateness-model fragment evt10 (profile) and evt11 (watermark
@@ -2062,86 +2145,34 @@ object SparkEntry {
     // list_distance) on the residuals → probed-cell ADC with the
     // q·centroid coarse correction. Integer/double arithmetic
     // matching the Spark stages operator for operator.
-    "sim14_ivf_pq" -> {
-      val coarse = (1 to 3).map { i =>
-        s"""a$i AS (SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
-           |    PARTITION BY e.vec_id
-           |    ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
-           |  FROM e CROSS JOIN c${i - 1} c),
-           |f$i AS (SELECT cluster, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x
-           |  FROM a$i WHERE r = 1),
-           |c$i AS (SELECT cluster, LIST(c ORDER BY pos) AS centroid FROM (
-           |    SELECT cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2)
-           |  GROUP BY cluster)""".stripMargin
-      }.mkString(",\n")
-      val pq = (1 to 2).map { i =>
-        s"""pa$i AS (SELECT rsub.vec_id, rsub.sub_id, rsub.sv, c.cluster,
-           |    ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.sub_id
-           |      ORDER BY list_distance(rsub.sv, c.centroid) ASC, c.cluster) AS r
-           |  FROM rsub JOIN pc${i - 1} c ON rsub.sub_id = c.sub_id),
-           |pf$i AS (SELECT sub_id, cluster, generate_subscripts(sv, 1) AS pos,
-           |    UNNEST(sv) AS x FROM pa$i WHERE r = 1),
-           |pc$i AS (SELECT sub_id, cluster, LIST(c ORDER BY pos) AS centroid FROM (
-           |    SELECT sub_id, cluster, pos, AVG(x) AS c FROM pf$i GROUP BY 1, 2, 3)
-           |  GROUP BY sub_id, cluster)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
-         |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e)
-         |  WHERE rn <= 10),
-         |$coarse,
-         |cells AS (SELECT vec_id, v, cluster FROM (
-         |    SELECT e.vec_id, e.v, c.cluster, ROW_NUMBER() OVER (
-         |      PARTITION BY e.vec_id
-         |      ORDER BY ${dkCos("e.v", "c.centroid")} DESC, c.cluster) AS r
-         |    FROM e CROSS JOIN c3 c) WHERE r = 1),
-         |resid AS (SELECT cells.vec_id,
-         |    list_transform(range(1, len(cells.v) + 1),
-         |      i -> cells.v[i] - cc.centroid[i]) AS rv
-         |  FROM cells JOIN c3 cc ON cells.cluster = cc.cluster),
-         |rsub AS (SELECT vec_id, sub_id,
-         |    list_slice(rv, sub_id * 8 + 1, sub_id * 8 + 8) AS sv
-         |  FROM resid CROSS JOIN (SELECT UNNEST(range(0, 8)) AS sub_id)),
-         |pc0 AS (SELECT sub_id, rn - 1 AS cluster, sv AS centroid FROM (
-         |    SELECT sub_id, sv, ROW_NUMBER() OVER (
-         |      PARTITION BY sub_id ORDER BY vec_id) AS rn FROM rsub)
-         |  WHERE rn <= 16),
-         |$pq,
-         |rcodes AS (SELECT vec_id, sub_id, cluster FROM (
-         |    SELECT rsub.vec_id, rsub.sub_id, c.cluster, ROW_NUMBER() OVER (
-         |      PARTITION BY rsub.vec_id, rsub.sub_id
-         |      ORDER BY list_distance(rsub.sv, c.centroid) ASC, c.cluster) AS r
-         |    FROM rsub JOIN pc2 c ON rsub.sub_id = c.sub_id) WHERE r = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-         |p AS (SELECT query_id, qcdot, cluster FROM (
-         |    SELECT query_id, c.cluster,
-         |      list_dot_product(qv, c.centroid) AS qcdot,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY ${dkCos("qv", "c.centroid")} DESC, c.cluster) AS crank
-         |    FROM q CROSS JOIN c3 c) WHERE crank <= 3),
-         |qsub AS (SELECT query_id, sub_id,
-         |    list_slice(qv, sub_id * 8 + 1, sub_id * 8 + 8) AS qsv
-         |  FROM q CROSS JOIN (SELECT UNNEST(range(0, 8)) AS sub_id)),
-         |lut AS (SELECT query_id, c.sub_id, c.cluster,
-         |    list_dot_product(qsv, c.centroid) AS pdot
-         |  FROM qsub JOIN pc2 c ON qsub.sub_id = c.sub_id),
-         |cand AS (SELECT p.query_id, cells.vec_id, p.qcdot
-         |  FROM cells JOIN p ON cells.cluster = p.cluster
-         |    AND cells.vec_id != p.query_id),
-         |s AS (SELECT cand.query_id, cand.vec_id,
-         |    cand.qcdot + SUM(lut.pdot) AS score
-         |  FROM cand
-         |  JOIN rcodes ON rcodes.vec_id = cand.vec_id
-         |  JOIN lut ON lut.query_id = cand.query_id
-         |    AND lut.sub_id = rcodes.sub_id AND lut.cluster = rcodes.cluster
-         |  GROUP BY cand.query_id, cand.vec_id, cand.qcdot),
+    "sim14_ivf_pq" ->
+      s"""WITH $dkIvfPqAdcCtes,
          |r AS (SELECT query_id, vec_id, score, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
          |  FROM s)
          |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(score, 4) AS adc_ip
          |FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
-    },
+         |ORDER BY query_id, rank""".stripMargin,
+    // sim15: the shared IVF-PQ ADC scores propose top-(k*refine)
+    // candidates, then sim13's exact-cosine rerank over raw vectors
+    // (cosine is normalization-invariant) picks the final k.
+    "sim15_ivfpq_refine" ->
+      s"""WITH $dkIvfPqAdcCtes,
+         |cr AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY score DESC, vec_id) AS crank
+         |  FROM s),
+         |cnd AS (SELECT query_id, vec_id FROM cr WHERE crank <= 40),
+         |ex AS (SELECT cnd.query_id, cnd.vec_id,
+         |    ${dkCos("qe.v", "ce.v")} AS cos_raw
+         |  FROM cnd
+         |  JOIN e qe ON qe.vec_id = cnd.query_id
+         |  JOIN e ce ON ce.vec_id = cnd.vec_id),
+         |rr AS (SELECT query_id, vec_id, cos_raw, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, rank, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos
+         |FROM rr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
     // dedup11: SemDeDup oracle — the 2 Lloyd iterations unroll exactly
     // as in sim06; the within-cell pair threshold is per-pair exact
     // arithmetic; and because star-CC's labels are component MINIMA

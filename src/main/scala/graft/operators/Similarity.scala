@@ -44,9 +44,14 @@ object Similarity {
   private[graft] def topkPerQuery(
       scored: DataFrame,
       k: Int,
-      scoreName: String = "cos"
-  ): DataFrame =
-    scored
+      scoreName: String = "cos",
+      // composed consumers (sim15's candidate stage) pass false: the
+      // presentation sort is NOT pruned under downstream operators
+      // (the xref02Unified lesson), so an intermediate top-k must not
+      // carry one
+      ordered: Boolean = true
+  ): DataFrame = {
+    val out = scored
       .groupBy("query_id")
       .agg(graft.plans.TopKByScore(col("cos_raw"), col("vec_id"), k).as("nb"))
       .select(col("query_id"), posexplode(col("nb")).as(Seq("r", "nbr")))
@@ -56,7 +61,8 @@ object Similarity {
         col("nbr.id").as("neighbor_id"),
         round(col("nbr.score"), 4).as(scoreName)
       )
-      .orderBy("query_id", "rank")
+    if (ordered) out.orderBy("query_id", "rank") else out
+  }
 
   /** The brute-force kernel shared by sim01 and every audit that
     * replays it over a transformed representation (emb03's prefix
@@ -807,10 +813,20 @@ object Similarity {
     val headDim = all.select(size(col("v"))).head(1)
     if (headDim.isEmpty) return emptyAnnResult(all, k, "adc_ip")
     val sd = headDim.head.getInt(0) / m
+    val nl = resolveNlist(all, nlist)
     val (cents, cellIds, pqCents, codes) =
-      ivfPqBuild(all, nlist, coarseIters, m, ks, pqIters, trainEvery)
+      ivfPqBuild(all, nl, coarseIters, m, ks, pqIters, trainEvery)
     ivfPqSearch(all, cents, cellIds, pqCents, codes, sd, k, nQueries, nprobe, m)
   }
+
+  /** `nlist <= 0` requests AUTO-nlist = ⌈√N⌉ (dedup11's auto-k rule,
+    * shared with sim11/samp14): cell count and expected cell size
+    * both ~√N, the FAISS guidance at volume. The literal default (10)
+    * stays the oracle form — the DuckDB chains unroll exactly that
+    * seeding. */
+  private def resolveNlist(all: DataFrame, nlist: Int): Int =
+    if (nlist > 0) nlist
+    else math.ceil(math.sqrt(all.count().toDouble)).toInt.max(1)
 
   /** IVF-PQ train: coarse centroids, cell assignments, residual
     * codebooks, residual codes — the four tables the persisted index
@@ -878,7 +894,8 @@ object Similarity {
       k: Int,
       nQueries: Int,
       nprobe: Int,
-      m: Int
+      m: Int,
+      ordered: Boolean = true
   ): DataFrame = {
     val queries = all
       .filter(col("vec_id") < nQueries)
@@ -919,7 +936,73 @@ object Similarity {
         .groupBy("query_id", "vec_id")
         .agg((first("qcdot") + sum("pdot")).as("cos_raw")),
       k,
-      scoreName = "adc_ip"
+      scoreName = "adc_ip",
+      ordered = ordered
+    )
+  }
+
+  /** sim15: IVF-PQ + EXACT REFINE — the FAISS production serving
+    * config (IndexIVFPQ wrapped in IndexRefineFlat), composing sim14's
+    * compressed-domain candidate generation with sim13's exact rerank.
+    * The ADC-with-coarse-correction scan proposes k·refine candidates
+    * per query from the probed cells; the true vectors of ONLY those
+    * candidates are fetched through a narrow id equi-join and
+    * re-ranked by exact cosine. This closes PQ's documented lossy
+    * floor (raw ADC recall@10 ≈ 0.34 on this corpus): quantization
+    * error now costs recall only when a true neighbor falls outside
+    * the candidate ring entirely, so recall is monotone in `refine`
+    * and in `nprobe` (measured at sf10: see BASELINE round 13).
+    *
+    * Scale shape: identical to sim14 until the rerank — the corpus
+    * enters via the probed-cell equi-join, codes are the scan, and
+    * the refine stage touches |queries|·k·refine full vectors via the
+    * id join (never a corpus scan). Cosine is
+    * normalization-invariant, so the rerank scores raw vectors while
+    * the index was built on residuals — same space (sim13's rule).
+    * The candidate stage runs UNORDERED (topkPerQuery's composed-
+    * consumer contract); only the final rerank pays a presentation
+    * sort. */
+  def sim15IvfPqRefine(
+      lake: Lake,
+      k: Int = 10,
+      refine: Int = 4,
+      nQueries: Int = 10,
+      nlist: Int = 10,
+      nprobe: Int = 3,
+      coarseIters: Int = 3,
+      m: Int = 8,
+      ks: Int = 16,
+      pqIters: Int = 2,
+      trainEvery: Int = 1
+  ): DataFrame = {
+    val all = vecs(lake).localCheckpoint()
+    val headDim = all.select(size(col("v"))).head(1)
+    if (headDim.isEmpty) return emptyAnnResult(all, k, "cos")
+    val sd = headDim.head.getInt(0) / m
+    val nl = resolveNlist(all, nlist)
+    val (cents, cellIds, pqCents, codes) =
+      ivfPqBuild(all, nl, coarseIters, m, ks, pqIters, trainEvery)
+    val cand = ivfPqSearch(
+      all, cents, cellIds, pqCents, codes, sd,
+      k * refine, nQueries, nprobe, m, ordered = false
+    ).select(col("query_id"), col("neighbor_id").as("vec_id"))
+    val base = all.select(col("vec_id"), col("v"), col("nrm"))
+    val queries = base
+      .filter(col("vec_id") < nQueries)
+      .select(
+        col("vec_id").as("query_id"),
+        col("v").as("qv"),
+        col("nrm").as("qnrm")
+      )
+    topkPerQuery(
+      cand
+        .join(base, Seq("vec_id")) // narrow id join: candidates only
+        .join(broadcast(queries), Seq("query_id"))
+        .withColumn(
+          "cos_raw",
+          vectors.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))
+        ),
+      k
     )
   }
 

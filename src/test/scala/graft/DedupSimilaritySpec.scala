@@ -923,6 +923,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"IVF-PQ recall ${recall(ivfpq)} below sanity floor")
   }
 
+  test("IVF-PQ refine: exact rerank dominates raw ADC recall; exhaustive ring is brute force") {
+    val bf = Similarity.sim01TopKBruteForce(lake).collect()
+    val bfSet = bf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val adcSet = Similarity.sim14IvfPq(lake).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val refined = Similarity.sim15IvfPqRefine(lake).collect()
+    assert(refined.length == 100)
+    val refSet = refined.map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(s: Set[(Long, Long)]) = (bfSet & s).size.toDouble / bfSet.size
+    // the candidate ring contains the ADC top-k, and an exact rerank
+    // never evicts a true neighbor in favor of a falser one — sim13's
+    // dominance argument, composed onto sim14's generator
+    info(s"ivfpq-refine recall ${recall(refSet)} vs raw ADC ${recall(adcSet)}")
+    assert(recall(refSet) >= recall(adcSet),
+      s"refine ${recall(refSet)} < ADC ${recall(adcSet)}")
+    // refined scores are EXACT cosines (bit-identical to brute force
+    // on shared pairs)
+    val bfScore = bf.map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    refined.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bfScore.get(key).foreach(c =>
+        assert(c == r.getDouble(3), s"$key score ${r.getDouble(3)} vs exact $c"))
+    }
+    // probing every cell with a corpus-covering ring degenerates to
+    // exactly sim01 (rank-for-rank, score-for-score)
+    val n = lake.embeddings.count().toInt
+    val full = Similarity
+      .sim15IvfPqRefine(lake, refine = n, nprobe = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val bfRows = bf.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(full.sameElements(bfRows), "exhaustive ivfpq-refine must equal brute force")
+  }
+
   test("PQ refine: exact rerank dominates raw ADC recall; full-ring refine is brute force") {
     val bf = Similarity.sim01TopKBruteForce(lake).collect()
     val bfSet = bf.map(r => (r.getLong(0), r.getLong(2))).toSet
