@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.catalog.Lake
 import graft.functions.text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -219,44 +219,63 @@ object Linkage {
     * frame paid a corpus-wide range exchange + sort that the consumer
     * immediately destroyed — measured 8.1 s vs 4.9 s on xref10 at
     * sf30 (BASELINE.md round 12). */
-  private[graft] def xref02Unified(lake: Lake): DataFrame = {
+  private[graft] def xref02Unified(lake: Lake): DataFrame =
+    xref02UnifiedCore(lake, withFirstYear = false)
+
+  /** The single-exchange unification kernel. `withFirstYear = true`
+    * adds the orders leg's order YEAR to the union and a
+    * min-per-entity `first_year` to the one aggregate — xref12's whole
+    * year table then rides the exchange this kernel already pays,
+    * instead of a second 45M-row orders shuffle + an entity join
+    * (measured 7.4 → 4.4 s at sf30, BASELINE round 13). Costs the
+    * other legs one null column, so it is opt-in. */
+  private[graft] def xref02UnifiedCore(
+      lake: Lake,
+      withFirstYear: Boolean
+  ): DataFrame = {
     val nullName = lit(null).cast("string")
     val nullPrice = lit(null).cast("double")
-    // Per-leg NUMERIC indicator columns instead of a string `src` tag
-    // + per-aggregate when(src = ...) branches: the aggregate's hot
-    // loop (80M+ rows at sf30) then evaluates five plain column sums
-    // with no string comparisons at all — each leg's Project emits the
-    // constants, and Union keeps the legs' shapes aligned. Semantics
-    // identical: max(nm) sees non-null names only from the profile
-    // leg, sum(price) sees non-null prices only from the orders leg,
-    // and the 0/1 indicator sums ARE the conditional counts.
-    val tagged = lake.customer
-      .select(
-        col("c_custkey").cast("long").as("entity_id"),
-        col("c_name").as("nm"),
-        lit(1L).as("ip"),
-        lit(0L).as("io"),
-        lit(0L).as("ie"),
-        nullPrice.as("price")
-      )
+    val nullYear = lit(null).cast("long")
+    // Per-leg indicators packed into ONE bitmask column (1 = profile,
+    // 2 = orders, 4 = events) instead of a string `src` tag (string
+    // compares per row per aggregate, round 12) or three 0/1 longs
+    // (24 bytes of constants per UnsafeRow through the exchange,
+    // rounds 12-13): the shuffle row narrows to (entity_id, flags,
+    // price) and the aggregate's hot loop (80M+ rows at sf30) is
+    // three masked integer sums. Semantics identical: max(nm) sees
+    // non-null names only from the profile leg, sum(price) sees
+    // non-null prices only from the orders leg, and the per-bit sums
+    // ARE the conditional counts.
+    def leg(src: DataFrame, yr: Column, cols: Column*): DataFrame = {
+      val all = if (withFirstYear) cols :+ yr.as("yr") else cols
+      src.select(all: _*)
+    }
+    val tagged = leg(
+      lake.customer,
+      nullYear,
+      col("c_custkey").cast("long").as("entity_id"),
+      col("c_name").as("nm"),
+      lit(1L).as("flags"),
+      nullPrice.as("price")
+    )
       .unionAll(
-        lake.orders.select(
-          col("o_custkey").cast("long"),
-          nullName,
-          lit(0L),
-          lit(1L),
-          lit(0L),
-          col("o_totalprice")
+        leg(
+          lake.orders,
+          year(col("o_orderdate")).cast("long"),
+          col("o_custkey").cast("long").as("entity_id"),
+          nullName.as("nm"),
+          lit(2L).as("flags"),
+          col("o_totalprice").as("price")
         )
       )
       .unionAll(
-        lake.events.select(
-          col("user_id").cast("long"),
-          nullName,
-          lit(0L),
-          lit(0L),
-          lit(1L),
-          nullPrice
+        leg(
+          lake.events,
+          nullYear,
+          col("user_id").cast("long").as("entity_id"),
+          nullName.as("nm"),
+          lit(4L).as("flags"),
+          nullPrice.as("price")
         )
       )
     // repartition-BEFORE-aggregate, deliberately: map-side partial
@@ -270,26 +289,27 @@ object Linkage {
     // cardinality, spill-free (xref10 6.2→4.5 s at sf30; BASELINE.md
     // round 12). The one-key-exchange contract is unchanged — the
     // groupBy reuses the repartition's hashpartitioning.
+    val aggs = Seq(
+      sum(col("flags").bitwiseAND(1L)).as("np"),
+      sum(shiftright(col("flags"), 1).bitwiseAND(1L)).as("no"),
+      sum(shiftright(col("flags"), 2).bitwiseAND(1L)).as("ne"),
+      round(sum(col("price")), 4).as("spent")
+    ) ++ (if (withFirstYear) Seq(min(col("yr")).as("first_year")) else Nil)
+    val outCols = Seq(
+      col("entity_id"),
+      coalesce(col("nm"), lit("unknown")).as("entity_name"),
+      (col("np") > 0).as("has_profile"),
+      (col("no") > 0).as("has_orders"),
+      (col("ne") > 0).as("has_events"),
+      col("no").as("n_orders"),
+      coalesce(col("spent"), lit(0.0)).as("total_spent"),
+      col("ne").as("n_events")
+    ) ++ (if (withFirstYear) Seq(col("first_year")) else Nil)
     tagged
       .repartition(col("entity_id"))
       .groupBy("entity_id")
-      .agg(
-        max(col("nm")).as("nm"),
-        sum(col("ip")).as("np"),
-        sum(col("io")).as("no"),
-        sum(col("ie")).as("ne"),
-        round(sum(col("price")), 4).as("spent")
-      )
-      .select(
-        col("entity_id"),
-        coalesce(col("nm"), lit("unknown")).as("entity_name"),
-        (col("np") > 0).as("has_profile"),
-        (col("no") > 0).as("has_orders"),
-        (col("ne") > 0).as("has_events"),
-        col("no").as("n_orders"),
-        coalesce(col("spent"), lit(0.0)).as("total_spent"),
-        col("ne").as("n_events")
-      )
+      .agg(max(col("nm")).as("nm"), aggs: _*)
+      .select(outCols: _*)
   }
 
   def xref02UnifiedEntities(lake: Lake): DataFrame =
@@ -507,20 +527,35 @@ object Linkage {
     * Scale shape: xref02's joins + one Expand×8 aggregate; output is
     * ≤ 3^k rows at any corpus size. */
   def xref10UpsetOverlap(lake: Lake): DataFrame = {
+    // TWO-LEVEL aggregate: first fold the entity frame to its FINEST
+    // grouping (the 8 flag combos — a plain groupBy whose partial agg
+    // compresses perfectly, 8 groups per task), then CUBE the 8-row
+    // result with count->sum. CUBE directly on the entity frame
+    // Expands every row x8 BEFORE the partial aggregate — 48M
+    // materialized rows through the hash at sf30 for marginals that
+    // are pure arithmetic over the finest cells (measured 4.2 ->
+    // 3.6 s at sf30, BASELINE round 13; count/sum are decomposable so
+    // the result is identical).
     // Through the SQL surface (rel12's CUBE idiom): the DataFrame
     // cube+grouping() pair trips Spark's ambiguous-self-join detector
     // on xref02's lineage (customer feeds both the spine and the
     // profile leg); a view boundary gives CUBE a cleanly-resolved
     // child without disabling the detector.
-    xref02Unified(lake).createOrReplaceTempView("graft_xref10_unified")
+    xref02Unified(lake)
+      .groupBy("has_profile", "has_orders", "has_events")
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum("total_spent").as("val")
+      )
+      .createOrReplaceTempView("graft_xref10_fine")
     lake.spark.sql(
       """SELECT has_profile, has_orders, has_events,
         |  CAST(GROUPING(has_profile) AS BIGINT) AS g_profile,
         |  CAST(GROUPING(has_orders) AS BIGINT) AS g_orders,
         |  CAST(GROUPING(has_events) AS BIGINT) AS g_events,
-        |  COUNT(*) AS n_entities,
-        |  ROUND(SUM(total_spent), 4) AS total_value
-        |FROM graft_xref10_unified
+        |  SUM(cnt) AS n_entities,
+        |  ROUND(SUM(val), 4) AS total_value
+        |FROM graft_xref10_fine
         |GROUP BY CUBE(has_profile, has_orders, has_events)
         |ORDER BY g_profile, g_orders, g_events,
         |  has_profile, has_orders, has_events""".stripMargin
@@ -585,18 +620,16 @@ object Linkage {
     * report reduces to |years| rows with map-side combine. Nothing
     * here touches the corpus. */
   def xref12CoverageByYear(lake: Lake): DataFrame = {
-    // repartition-first for the same reason as xref02Unified: per-task
-    // custkeys are nearly unique, so partial agg only spills
-    val firstYear = lake.orders
-      .select(
-        col("o_custkey").cast("long").as("entity_id"),
-        year(col("o_orderdate")).cast("long").as("oyear")
-      )
-      .repartition(col("entity_id"))
-      .groupBy("entity_id")
-      .agg(min(col("oyear")).as("year"))
-    xref02Unified(lake)
-      .join(firstYear, "entity_id")
+    // The year axis rides xref02's ONE exchange (withFirstYear fuses
+    // min(order year) into the unification aggregate) — the previous
+    // form paid a SECOND 45M-row orders shuffle plus an entity join
+    // for a column the kernel's aggregate could carry (measured
+    // 7.4 -> 4.4 s at sf30, BASELINE round 13). Entities with no
+    // dated activity have first_year null and drop, exactly as the
+    // old inner join dropped them.
+    xref02UnifiedCore(lake, withFirstYear = true)
+      .filter(col("first_year").isNotNull)
+      .withColumn("year", col("first_year"))
       .groupBy("year")
       .agg(
         count(lit(1)).as("n_entities"),
