@@ -846,9 +846,9 @@ object Dedup {
     // round for up to maxIters rounds, and waiting on the async
     // ContextCleaner stacks dead generations against the live working
     // set (the single-heap pressure the round-12 local-cluster probe
-    // exposed on the iterative family). Same getPersistentRDDs diff
-    // discipline + same-session concurrency caveat as
-    // persist.releasingNewRdds.
+    // exposed on the iterative family). Release ids come from the
+    // checkpointed Dataset's own LogicalRDD leaves
+    // (Bridge.checkpointRddIds) — never a global keyset diff.
     val sc = pairs.sparkSession.sparkContext
     var prevCkpt: Set[Int] = Set.empty
     while (cur != prev && iter < maxIters) {
@@ -877,9 +877,11 @@ object Dedup {
         .unionAll(m2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-      val before = sc.getPersistentRDDs.keySet
       edges = small.localCheckpoint()
-      val added = (sc.getPersistentRDDs.keySet -- before).toSet
+      // ids read off the checkpointed Dataset itself (LogicalRDD
+      // leaves) — a global keyset diff could capture a concurrent
+      // job's RDD in a shared session (advisor round 12)
+      val added = org.apache.spark.sql.graftbridge.Bridge.checkpointRddIds(edges)
       prevCkpt.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevCkpt = added
@@ -1511,7 +1513,7 @@ object Dedup {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(rootDir)
     val fs = root.getFileSystem(hadoopConf)
-    def batchDirs(): Seq[(Long, org.apache.hadoop.fs.Path)] =
+    def batchDirsUpTo(limit: Long): Seq[(Long, org.apache.hadoop.fs.Path)] =
       if (!fs.exists(root)) Seq.empty
       else {
         val entries = fs.listStatus(root).toSeq
@@ -1522,29 +1524,57 @@ object Dedup {
             st.getPath.getName
               .stripPrefix("batch=")
               .toLongOption
-              .filter(_ <= upTo)
+              .filter(_ <= limit)
               .map(_ -> st.getPath)
           )
       }
+    // Crash recovery for ANY leftover temp dir, whatever upTo it was
+    // written under (advisor round 12: checking only the CURRENT upTo
+    // let a re-run with a different upTo merge a partial source set —
+    // rows living only in the already-deleted batches were silently
+    // lost, and the orphan leaked forever). With the _SUCCESS marker
+    // the orphan's merge is COMPLETE and some of its sources may
+    // already be deleted — finish ITS swap (delete its sources,
+    // rename to its own batch slot) before anything reads or merges
+    // the store. Without the marker the write crashed BEFORE any
+    // delete ran (deletes are strictly ordered after the write), so
+    // the full source set is intact: discard the partial merge.
+    if (fs.exists(root)) {
+      fs.listStatus(root)
+        .toSeq
+        .filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith(".compact-"))
+        .foreach { st =>
+          val marked =
+            fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+          if (!marked) fs.delete(st.getPath, true)
+          else {
+            val pending = st.getPath.getName
+              .stripPrefix(".compact-")
+              .toLongOption
+              .getOrElse(
+                sys.error(
+                  s"completed compaction temp dir ${st.getPath.getName} under " +
+                    s"$root has no parseable batch id — resolve manually " +
+                    "before compacting"
+                )
+              )
+            batchDirsUpTo(pending).foreach { case (_, d) => fs.delete(d, true) }
+            val pDst = new org.apache.hadoop.fs.Path(root, s"batch=$pending")
+            require(
+              fs.rename(st.getPath, pDst),
+              s"compaction rename failed: ${st.getPath} -> $pDst"
+            )
+          }
+        }
+    }
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$upTo")
     val dst = new org.apache.hadoop.fs.Path(root, s"batch=$upTo")
-    // Crash recovery: a leftover temp dir from an interrupted run.
-    // With the _SUCCESS marker the merge is COMPLETE and some or all
-    // sources may already be deleted — finish the swap (delete the
-    // rest, rename) rather than re-merge from a partial source set,
-    // which would silently lose the already-deleted batches' rows.
-    // Without the marker the write crashed BEFORE any delete ran
-    // (deletes are strictly ordered after the write), so the full
-    // source set is intact: discard the partial merge and redo.
-    if (fs.exists(tmp)) {
-      if (fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-        batchDirs().foreach { case (_, d) => fs.delete(d, true) }
-        require(fs.rename(tmp, dst), s"compaction rename failed: $tmp -> $dst")
-        return
-      } else fs.delete(tmp, true)
-    }
-    val dirs = batchDirs()
+    val dirs = batchDirsUpTo(upTo)
     if (dirs.isEmpty) return
+    // already fully compacted (e.g. this run only finished a
+    // recovered swap): nothing to fold
+    if (dirs.map(_._2) == Seq(dst)) return
     val merged = transform(spark.read.parquet(dirs.map(_._2.toString): _*))
     merged.write.mode("overwrite").parquet(tmp.toString)
     // swap: drop the source subdirs, then move the merged dir into

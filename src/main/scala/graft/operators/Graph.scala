@@ -940,13 +940,17 @@ object Graph {
       // the point is BOUNDED storage for real centrality runs
       // (20-50 iterations), where waiting on the async ContextCleaner
       // stacks dead rank generations against the live working set.
-      // Same getPersistentRDDs diff discipline (and same same-session
-      // concurrency caveat) as persist.releasingNewRdds.
+      // Release ids come from the checkpointed Dataset's own
+      // LogicalRDD leaves (Bridge.checkpointRddIds) — never a global
+      // keyset diff.
       if (i % 3 == 2 || i == iters - 1) {
         val sc = ranks.sparkSession.sparkContext
-        val before = sc.getPersistentRDDs.keySet
         ranks = ranks.localCheckpoint()
-        val added = (sc.getPersistentRDDs.keySet -- before).toSet
+        // ids read off the checkpointed Dataset itself (LogicalRDD
+        // leaves) — a global keyset diff could capture a concurrent
+        // job's RDD in a shared session (advisor round 12)
+        val added =
+          org.apache.spark.sql.graftbridge.Bridge.checkpointRddIds(ranks)
         prevCkpt.foreach(id =>
           sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
         prevCkpt = added

@@ -169,26 +169,42 @@ object Pipeline {
     * store probe rides a Bloom filter over stored fingerprints
     * (dedup14's machinery) in front of the anti-join. */
   /** `bloomFpp > 0` puts dedup14's machinery in FRONT of the exact
-    * anti-join (the 100 TB probe shape the scaladoc promised, now
-    * code): a Bloom filter over the stored fingerprints is built
-    * distributed (stat.bloomFilter treeAggregate) and probed map-only
-    * over the micro-batch; definite-miss documents — the vast
-    * majority of a steady-state drop — are kept WITHOUT touching the
-    * store, and only the might-contain remainder falls through to the
-    * exact anti-join (false positives cost a verify, never a wrong
-    * verdict — Bloom's no-false-negatives guarantee means no stored
-    * duplicate can slip past). When the remainder is empty the store
-    * is not scanned at all that batch. Results are bit-identical to
-    * the exact path at any fpp (spec-pinned). */
+    * anti-join (the 100 TB probe shape): a Bloom filter over the
+    * stored fingerprints is probed map-only over the micro-batch;
+    * definite-miss documents — the vast majority of a steady-state
+    * drop — are kept WITHOUT touching the store, and only the
+    * might-contain remainder falls through to the exact anti-join
+    * (false positives cost a verify, never a wrong verdict — Bloom's
+    * no-false-negatives guarantee means no stored duplicate can slip
+    * past). When the remainder is empty the store is not scanned at
+    * all that batch.
+    *
+    * The filter is PERSISTED beside the store (`bloom/batch=N`, fixed
+    * geometry from `bloomExpectedItems` x `bloomFpp` so every file
+    * merges with every other) and updated INCREMENTALLY: each batch
+    * loads the newest covering filter, folds in any survivor batches
+    * written since it (normally none — one small scan only after a
+    * crash between the survivor and bloom writes, or on first
+    * enablement over a pre-bloom store), probes, and after the
+    * survivor write merges in just-this-batch's kept fingerprints and
+    * persists via temp + atomic rename. Steady state therefore reads
+    * ZERO prior-survivor bytes for a definite-new batch — the
+    * round-12 form rebuilt the filter from a full store scan (plus a
+    * count) every micro-batch, strictly more store I/O than the
+    * anti-join it replaced (ADVICE round 12). A store outgrowing
+    * `bloomExpectedItems` only degrades the filter's fpp (more rows
+    * fall through to the exact join), never correctness. Results are
+    * bit-identical to the exact path at any fpp (spec-pinned). */
   def pretrainPrefixBatchSink(
       stateDir: String,
-      bloomFpp: Double = 0.0
+      bloomFpp: Double = 0.0,
+      bloomExpectedItems: Long = 10000000L
   ): (DataFrame, Long) => Unit = { (batch: DataFrame, batchId: Long) =>
     val spark = batch.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(s"$stateDir/survivors")
     val fs = root.getFileSystem(hadoopConf)
-    val prior: Seq[String] =
+    val priorIds: Seq[(Long, String)] =
       if (!fs.exists(root)) Seq.empty
       else {
         val entries = fs.listStatus(root).toSeq
@@ -200,9 +216,10 @@ object Pipeline {
               .stripPrefix("batch=")
               .toLongOption
               .filter(_ < batchId)
-              .map(_ => st.getPath.toString)
+              .map(id => id -> st.getPath.toString)
           )
       }
+    val prior: Seq[String] = priorIds.map(_._2)
     val cleaned = cleanedDocsOf(batch.select("doc_id", "source", "text"))
     val passing = TextAnalysis
       .gopherVerdict(cleaned)
@@ -235,32 +252,152 @@ object Pipeline {
           // three consumers below (probe, definite-new, remainder) —
           // materialize the clean+filter+canonicalize chain once
           val canonM = canon.localCheckpoint()
-          val nStored = math.max(storedFps.count(), 1L)
-          val bf = storedFps.stat.bloomFilter("fp", nStored, bloomFpp)
-          val bcast = spark.sparkContext.broadcast(bf)
-          // map-only probe over the micro-batch: ids that MIGHT be in
-          // the store (batch-sized or smaller, so it broadcasts)
-          val mightIds = canonM
-            .select(col("doc_id"), col("fp"))
-            .as[(Long, String)]
-            .mapPartitions { it =>
-              val f = bcast.value
-              it.collect { case (id, fp) if f.mightContainString(fp) => id }
-            }
-            .toDF("doc_id")
-            .localCheckpoint()
-          val definiteNew = canonM
-            .join(broadcast(mightIds), Seq("doc_id"), "left_anti")
-            .select("doc_id", "source", "toks", "fp")
-          if (mightIds.isEmpty) definiteNew
-          else
-            definiteNew.unionAll(
-              antiJoin(canonM.join(broadcast(mightIds), Seq("doc_id"))))
+          // newest persisted filter (a replayed batch's own earlier
+          // generation is safe — it only adds might-contains, and the
+          // exact join below reads strictly-prior batches), then fold
+          // in any survivor batches it does not cover yet (none in
+          // steady state — one catch-up scan only after a crash
+          // between the survivor and bloom writes, or on first
+          // enablement over a pre-bloom store)
+          val (cover, loaded) = loadBloom(fs, stateDir, batchId + 1)
+          val master = foldBloom(
+            spark,
+            loaded,
+            priorIds.filter(_._1 > cover).map(_._2),
+            bloomExpectedItems,
+            bloomFpp
+          )
+          master match {
+            case None =>
+              // nothing loaded and every folded batch was empty: the
+              // store holds zero fingerprints, the exact join keeps
+              // everything trivially
+              antiJoin(canonM)
+            case Some(bf) =>
+              val bcast = spark.sparkContext.broadcast(bf)
+              // map-only probe over the micro-batch: ids that MIGHT be
+              // in the store (batch-sized or smaller, so it broadcasts)
+              val mightIds = canonM
+                .select(col("doc_id"), col("fp"))
+                .as[(Long, String)]
+                .mapPartitions { it =>
+                  val f = bcast.value
+                  it.collect { case (id, fp) if f.mightContainString(fp) => id }
+                }
+                .toDF("doc_id")
+                .localCheckpoint()
+              val definiteNew = canonM
+                .join(broadcast(mightIds), Seq("doc_id"), "left_anti")
+                .select("doc_id", "source", "toks", "fp")
+              if (mightIds.isEmpty) definiteNew
+              else
+                definiteNew.unionAll(
+                  antiJoin(canonM.join(broadcast(mightIds), Seq("doc_id"))))
+          }
         }
       }
     survivors.write
       .mode("overwrite")
       .parquet(s"$stateDir/survivors/batch=$batchId")
+    if (bloomFpp > 0) {
+      // fold this batch's kept fingerprints into the persisted filter:
+      // load the newest covering generation (<= batchId — a replayed
+      // batch's own earlier filter is safe, inserts are idempotent),
+      // catch up anything it misses, merge the just-written batch,
+      // persist atomically, retire the superseded generation.
+      val (cover, loaded) = loadBloom(fs, stateDir, batchId + 1)
+      val toFold = (priorIds :+
+        (batchId -> s"$stateDir/survivors/batch=$batchId"))
+        .filter(_._1 > cover)
+        .map(_._2)
+      foldBloom(spark, loaded, toFold, bloomExpectedItems, bloomFpp)
+        .foreach(writeBloom(fs, stateDir, batchId, _))
+    }
+  }
+
+  /** Fold batch dirs\' fp columns into an optional master filter.
+    * Every filter here comes from the SAME stat.bloomFilter path with
+    * the same (expectedItems, fpp) — Spark 4\'s aggregate builds a V2
+    * impl whose bit sizing differs from `BloomFilter.create`, so
+    * mixing constructors makes mergeInPlace refuse — and an EMPTY
+    * input yields no filter at all (the aggregate returns null), so
+    * zero-survivor batches are skipped and the result is None iff
+    * nothing was loaded and every folded dir was empty. */
+  private def foldBloom(
+      spark: org.apache.spark.sql.SparkSession,
+      loaded: Option[org.apache.spark.util.sketch.BloomFilter],
+      paths: Seq[String],
+      expectedItems: Long,
+      fpp: Double
+  ): Option[org.apache.spark.util.sketch.BloomFilter] =
+    paths.foldLeft(loaded) { (acc, path) =>
+      val df = spark.read.parquet(path).select("fp")
+      if (df.isEmpty) acc
+      else {
+        val b = df.stat.bloomFilter("fp", expectedItems, fpp)
+        acc match {
+          case Some(m) => m.mergeInPlace(b); acc
+          case None    => Some(b)
+        }
+      }
+    }
+
+  /** Newest persisted bloom generation strictly below `beforeId`:
+    * (covered batch id, filter); (-1, None) when none exists. */
+  private def loadBloom(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String,
+      beforeId: Long
+  ): (Long, Option[org.apache.spark.util.sketch.BloomFilter]) = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/bloom")
+    if (!fs.exists(dir)) return (-1L, None)
+    val cands = fs
+      .listStatus(dir)
+      .toSeq
+      .filter(_.isFile)
+      .flatMap(st =>
+        st.getPath.getName
+          .stripPrefix("batch=")
+          .toLongOption
+          .filter(_ < beforeId)
+          .map(_ -> st.getPath)
+      )
+    if (cands.isEmpty) (-1L, None)
+    else {
+      val (id, p) = cands.maxBy(_._1)
+      val in = fs.open(p)
+      try (id, Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in)))
+      finally in.close()
+    }
+  }
+
+  /** Persist a bloom generation via temp + atomic rename, then retire
+    * superseded generations (best-effort — any survivor is still a
+    * valid, merely staler, filter). */
+  private def writeBloom(
+      fs: org.apache.hadoop.fs.FileSystem,
+      stateDir: String,
+      batchId: Long,
+      bf: org.apache.spark.util.sketch.BloomFilter
+  ): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$stateDir/bloom")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".batch=$batchId.tmp")
+    val out = fs.create(tmp, true)
+    try bf.writeTo(out)
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"batch=$batchId")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"could not commit bloom generation $dst")
+    fs.listStatus(dir)
+      .filter(_.isFile)
+      .foreach(st =>
+        st.getPath.getName
+          .stripPrefix("batch=")
+          .toLongOption
+          .filter(_ < batchId)
+          .foreach(_ => fs.delete(st.getPath, false))
+      )
   }
 
   /** Maintenance compaction for [[pretrainPrefixBatchSink]]'s survivor

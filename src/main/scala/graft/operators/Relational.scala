@@ -75,7 +75,14 @@ object Relational {
   /** TPC-H Q4 shape: EXISTS rewritten as a left-semi join (no
     * row-multiplication, no distinct needed). */
   def q04OrderPriority(lake: Lake): DataFrame = {
-    val late = lake.lineitem.select(col("l_orderkey"))
+    // Explicit distinct BEFORE the semi join: the join alone shuffles
+    // every raw lineitem key (180M at sf30), but l_orderkey is
+    // clustered ~4 rows per key, so the distinct's map-side partial
+    // aggregate compresses the stream ~4x before its exchange — and
+    // the distinct's hash partitioning then feeds the join with no
+    // extra shuffle (measured sf30 7.7 -> 3.2 s; semantics unchanged,
+    // a semi join ignores right-side multiplicity).
+    val late = lake.lineitem.select(col("l_orderkey")).distinct()
     lake.orders
       .filter(
         col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&

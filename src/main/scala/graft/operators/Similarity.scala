@@ -861,7 +861,13 @@ object Similarity {
         val sampled = all
           .filter(pmod(xxhash64(col("vec_id")), lit(trainEvery)) === 0)
           .localCheckpoint()
-        if (sampled.isEmpty) all else sampled
+        // A sample SMALLER than the codebooks it must seed (fewer
+        // rows than nlist coarse centroids or ks codewords per
+        // subspace) silently trains a degenerate quantizer — the
+        // seeds are `cluster < ks` over the training set, so missing
+        // rows mean missing codewords (advisor round 12). Fall back
+        // to full-corpus training, not just on empty.
+        if (sampled.count() < math.max(nlist, ks).toLong) all else sampled
       }
     val cents = kmeans(trainSet, nlist, coarseIters)
     val cells = argmaxCell(all, cents, Seq("v"))

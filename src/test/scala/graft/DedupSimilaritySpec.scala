@@ -655,6 +655,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // instead of an empty codebook
     assert(Similarity.sim14IvfPq(lake, trainEvery = 1000000).count() ==
       rows(1).size.toLong)
+    // a NON-EMPTY sample smaller than max(nlist, ks) seeds fewer
+    // codewords than the codebooks need — it must also fall back to
+    // full training, bit-identically (advisor round 12). Find a
+    // stride whose deterministic hash stripe lands in (0, 16) on this
+    // corpus so the premise is guaranteed, then pin the identity.
+    val stride = (2 to 64).find { st =>
+      val c = lake.embeddings
+        .filter(org.apache.spark.sql.functions.expr(s"pmod(xxhash64(vec_id), $st) = 0"))
+        .count()
+      c > 0 && c < 16
+    }
+    assert(stride.nonEmpty, "no stride yields a small non-empty sample")
+    assert(rows(stride.get) == rows(1),
+      s"small non-empty sample (stride ${stride.get}) did not fall back")
   }
 
   test("persisted IVF index: index-then-search equals train-then-search exactly") {

@@ -277,6 +277,46 @@ class StreamingSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("LSH store compaction: a marked orphan from a DIFFERENT upTo is completed first") {
+    // advisor round 12: a compaction to upTo=0 crashes after its
+    // _SUCCESS marker and after deleting its source (batch=0); a
+    // LATER run with upTo=1 used to ignore the hidden .compact-0
+    // orphan, merge only the surviving batch=1, and delete it — the
+    // rows living only in the already-deleted batch=0 were silently
+    // lost and the orphan leaked forever. The re-run must complete
+    // the orphan's swap FIRST, then fold everything.
+    val docs = lake.documents.select("doc_id", "text")
+    val Seq(b0, b1) = Seq(0, 1).map(k => docs.filter(col("doc_id") % 2 === k))
+    def feed(): String = {
+      val d = java.nio.file.Files.createTempDirectory("lsh_crash2").toString
+      val sink = graft.operators.Dedup.minhashPairsBatchSink(d)
+      sink(b0, 0L); sink(b1, 1L)
+      d
+    }
+    val ref = feed()
+    graft.operators.Dedup.compactBandStore(spark, ref, upTo = 1L)
+    val orphan = feed()
+    Seq("bands", "shingles").foreach { sub =>
+      // the upTo=0 compaction: merged batch=0, marked, deleted its
+      // source, crashed before the rename
+      spark.read.parquet(s"$orphan/$sub/batch=0")
+        .write.parquet(s"$orphan/$sub/.compact-0")
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(s"$orphan/$sub/batch=0"))
+    }
+    graft.operators.Dedup.compactBandStore(spark, orphan, upTo = 1L)
+    Seq("bands", "shingles").foreach { sub =>
+      val dirs = new java.io.File(s"$orphan/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).sorted.toSeq
+      assert(dirs == Seq("batch=1"), s"$sub: $dirs")
+      assert(spark.read.parquet(s"$orphan/$sub").count() ==
+        spark.read.parquet(s"$ref/$sub").count(),
+        s"$sub lost the orphaned batch's rows")
+    }
+    Seq(ref, orphan).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("streaming pretrain prefix: packing the survivor store equals batch pipe01") {
     // pipe01's clean→filter→dedup prefix as a continuously-ingesting
     // foreachBatch sink: after id-ordered drops cover the corpus,
@@ -368,8 +408,47 @@ class StreamingSpec extends AnyFunSuite {
     val loose = feed(0.3)
     assert(fps(tight) == fps(exact), "tight-fpp Bloom path diverged from exact")
     assert(fps(loose) == fps(exact), "loose-fpp Bloom path diverged from exact")
+    // the filter persists incrementally: exactly one generation
+    // survives, named for the newest batch
+    val gens = new java.io.File(s"$tight/bloom").listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map(_.getName).toSeq
+    assert(gens == Seq("batch=2"), s"bloom generations: $gens")
     Seq(exact, tight, loose).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  test("streaming pretrain prefix: bloom catch-up covers a missing or stale generation") {
+    // crash between the survivor write and the bloom write (or
+    // enabling bloomFpp over a pre-bloom store): the next batch folds
+    // the uncovered survivor batches into the loaded filter and the
+    // verdicts stay bit-identical to the exact path
+    val docs = lake.documents.select("doc_id", "source", "text")
+    val n = lake.documents.count()
+    val (cut1, cut2) = (n / 3, 2 * n / 3)
+    val d = java.nio.file.Files.createTempDirectory("pipe01_bloomcu").toString
+    val sink = graft.operators.Pipeline.pretrainPrefixBatchSink(d, 1e-6)
+    sink(docs.filter(col("doc_id") < cut1), 0L)
+    sink(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), 1L)
+    // simulate the crash: the persisted filter disappears entirely
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$d/bloom"))
+    sink(docs.filter(col("doc_id") >= cut2), 2L)
+    val got = spark.read.parquet(s"$d/survivors")
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val e = java.nio.file.Files.createTempDirectory("pipe01_bloomex").toString
+    val exactSink = graft.operators.Pipeline.pretrainPrefixBatchSink(e)
+    exactSink(docs.filter(col("doc_id") < cut1), 0L)
+    exactSink(docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2), 1L)
+    exactSink(docs.filter(col("doc_id") >= cut2), 2L)
+    val want = spark.read.parquet(s"$e/survivors")
+      .select("doc_id", "fp").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == want, "catch-up rebuild diverged from the exact path")
+    // and the rebuilt generation is back on disk
+    assert(new java.io.File(s"$d/bloom/batch=2").isFile)
+    Seq(d, e).foreach(x =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(x)))
   }
 
   test("streaming pretrain prefix: first arrival wins under out-of-order ingestion") {
