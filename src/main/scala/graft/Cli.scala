@@ -99,6 +99,47 @@ object Cli {
       }
   }
 
+  /** Result-page cap for the interactive surfaces — the reference's
+    * MAX_ROWS (app.py:25). */
+  private[graft] val MaxRows = 100
+
+  /** app.py:229-231 parity: inject `LIMIT MaxRows` when the statement
+    * carries no LIMIT of its own, so an unbounded SELECT typed into
+    * the shell (or passed to `query`) can never materialize a
+    * corpus-sized result into the driver's display path. The check
+    * runs over the literal/comment-scrubbed token stream — stricter
+    * than the reference's substring test, which a `'no limit'` string
+    * literal would fool. Returns (sql to run, whether a LIMIT was
+    * injected). */
+  private[graft] def withAutoLimit(sql: String): (String, Boolean) = {
+    val tokens = scrubLiteralsAndComments(sql)
+      .toUpperCase(java.util.Locale.ROOT)
+      .split("[^A-Z_0-9]+")
+      .filter(_.nonEmpty)
+    if (tokens.contains("LIMIT")) (sql, false)
+    else (s"$sql\nLIMIT $MaxRows", true)
+  }
+
+  /** Run a validated read-only statement and render it like the
+    * reference's run_query: auto-LIMIT, page of rows, a truncation
+    * status line when the injected LIMIT filled up, per-query timing. */
+  private def showValidated(
+      spark: org.apache.spark.sql.SparkSession,
+      sql: String,
+      out: java.io.PrintStream
+  ): Unit = {
+    val (runSql, limited) = withAutoLimit(sql)
+    val t0 = System.nanoTime()
+    val df = spark.sql(runSql)
+    Console.withOut(out)(df.show(MaxRows, truncate = false))
+    if (limited && df.count() == MaxRows.toLong)
+      out.println(
+        s"(showing first $MaxRows rows — LIMIT $MaxRows was added; " +
+          "state your own LIMIT for more)"
+      )
+    out.println(f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
+  }
+
   /** Dataset-conversion registry — the datalake_cli.py `convert` /
     * `update` dispatch (reference: scripts/datalake_cli.py:252
     * cmd_convert, :264 cmd_update discover convert_<dataset>.py by
@@ -226,12 +267,8 @@ object Cli {
           validateReadOnly(sql) match {
             case Left(err) => out.println(s"rejected: $err")
             case Right(s) =>
-              try {
-                val t0 = System.nanoTime()
-                val df = spark.sql(s)
-                Console.withOut(out)(df.show(100, truncate = false))
-                out.println(f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
-              } catch {
+              try showValidated(spark, s, out)
+              catch {
                 case e: Exception =>
                   out.println(s"query error: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
               }
@@ -285,7 +322,7 @@ object Cli {
             sys.exit(3)
           case Right(sqlText) =>
             lake.registerViews()
-            spark.sql(sqlText).show(100, truncate = false)
+            showValidated(spark, sqlText, System.out)
         }
       case "sparql" =>
         // The sparql_query.py CLI surface: a SPARQL SELECT string

@@ -242,6 +242,20 @@ final case class Lake(spark: SparkSession, dir: String) {
     derivedViews.foreach { case (n, sql) =>
       spark.sql(s"CREATE OR REPLACE VIEW `$derivedSchema`.`$n` AS $sql")
     }
+    // Backward-compat UNSCHEMA'D aliases (create_unified_db.py:660
+    // create_backward_compat_views — "for backward compatibility with
+    // existing notebooks"): every derived view is also reachable by
+    // its bare name in the default namespace, so a reference-notebook
+    // query saying `FROM unified_entities` runs unmodified. Skipped
+    // on a name conflict with a base table, exactly the reference's
+    // try/except-pass rule (none conflict today; the guard keeps a
+    // future table from being shadowed by an alias).
+    derivedViews.foreach { case (n, _) =>
+      if (!tableNames.contains(n))
+        spark.sql(
+          s"CREATE OR REPLACE TEMP VIEW `$n` AS SELECT * FROM `$derivedSchema`.`$n`"
+        )
+    }
     Lake.lastRegistered.put(spark, (dir, fp))
   }
 }

@@ -288,6 +288,60 @@ class CliSpec extends AnyFunSuite {
     assert(output.contains("customer") && output.contains("supplier"), output)
   }
 
+  test("backward-compat aliases: derived views resolve by BARE name (reference notebooks)") {
+    // create_unified_db.py:660 create_backward_compat_views registers
+    // unschema'd aliases "for backward compatibility with existing
+    // notebooks" — a reference-notebook query shape (`FROM papers
+    // LIMIT 5`) must run unmodified. Graft analog: the xref derived
+    // views by bare name.
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    lake.registerViews(force = true)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(
+      rows(spark.sql("SELECT * FROM unified_entities")) ==
+        rows(spark.sql("SELECT * FROM xref.unified_entities")))
+    assert(spark.sql("SELECT * FROM id_map LIMIT 5").count() == 5)
+    // and through the shell's gate, the notebook shape verbatim
+    val script =
+      """SELECT entity_id, entity_name FROM unified_entities LIMIT 5
+        |SELECT COUNT(*) AS n FROM coverage_by_year
+        |exit
+        |""".stripMargin
+    val in = new java.io.BufferedReader(new java.io.StringReader(script))
+    val buf = new java.io.ByteArrayOutputStream()
+    Cli.runShell(spark, lake, in, new java.io.PrintStream(buf, true, "UTF-8"))
+    val output = buf.toString("UTF-8")
+    assert(!output.contains("rejected") && !output.contains("query error"), output)
+    assert(output.contains("entity_name"), output)
+  }
+
+  test("shell: an unlimited SELECT gets an auto-LIMIT and a truncation line (app.py parity)") {
+    import TestSpark._
+    val lake = graft.catalog.Lake(spark, sfDir)
+    lake.registerViews()
+    // documents has 500 rows: the injected LIMIT 100 fills up -> the
+    // status line; an explicit LIMIT suppresses injection; a 'limit'
+    // inside a string literal does NOT count as a LIMIT clause
+    val script =
+      """SELECT doc_id FROM corpus.documents
+        |SELECT doc_id FROM corpus.documents LIMIT 3
+        |exit
+        |""".stripMargin
+    val in = new java.io.BufferedReader(new java.io.StringReader(script))
+    val buf = new java.io.ByteArrayOutputStream()
+    Cli.runShell(spark, lake, in, new java.io.PrintStream(buf, true, "UTF-8"))
+    val output = buf.toString("UTF-8")
+    assert(output.contains("showing first 100 rows"), output)
+    assert("showing first".r.findAllIn(output).length == 1, output)
+    // the scrubbed-token check: a literal cannot satisfy the LIMIT test
+    val (sql1, injected1) = Cli.withAutoLimit("SELECT 'no limit here' AS s")
+    assert(injected1 && sql1.endsWith("LIMIT 100"), sql1)
+    val (_, injected2) = Cli.withAutoLimit("SELECT 1 LIMIT 7")
+    assert(!injected2)
+  }
+
   test("shell: EOF without exit terminates cleanly") {
     import TestSpark._
     val lake = graft.catalog.Lake(spark, sfDir)
