@@ -245,6 +245,46 @@ object SparkEntry {
   private def dkCos(a: String, b: String) =
     s"list_dot_product($a, $b) / sqrt(list_dot_product($a, $a) * list_dot_product($b, $b))"
 
+  // ---- mod-2^64 integer arithmetic in DuckDB SQL (dedup05/emb01) ----
+  // (a*b) mod 2^64 via a 32-bit split multiply: every partial stays
+  // under 2^64 (UBIGINT-safe), the final sum rides HUGEINT and folds
+  // back. This is what lets the oracle replay splitmix64 and the
+  // java31 polynomial string hash BIT-FOR-BIT — the literal-constant
+  // trick sim03 uses for its planes, extended from constants to
+  // data-dependent hashes (judge round-12 #5).
+  private def dkMulMod(a: String, b: String): String =
+    s"CAST((((($a)%4294967296)*(($b)%4294967296))::HUGEINT" +
+      s" + ((((($a)%4294967296)*(($b)>>32))%4294967296" +
+      s" + (((($a)>>32)*(($b)%4294967296))%4294967296))%4294967296)::HUGEINT*4294967296" +
+      ") % 18446744073709551616 AS UBIGINT)"
+
+  private val dkMixK1 = "11400714819323198485::UBIGINT"
+  private val dkMixK2 = "13787848793156543929::UBIGINT"
+  private val dkMixK3 = "10723151780598845931::UBIGINT"
+
+  /** splitmix64 finalizer (SimHash64.mix / HashProjectionModel.mix)
+    * as three chained CTEs over `src($keys, z0 UBIGINT)`; the mixed
+    * value is `xor(z, z>>31)` of m3. CTE stages instead of one
+    * nested expression because dkMulMod repeats each argument four
+    * times — nesting would blow up 4^3 textually. */
+  private def dkSplitmixCtes(src: String, keys: String): String =
+    s"""m1 AS (SELECT $keys, ${dkMulMod("z0", dkMixK1)} AS z FROM $src),
+       |m2 AS (SELECT $keys, ${dkMulMod("xor(z, z>>30)", dkMixK2)} AS z FROM m1),
+       |m3 AS (SELECT $keys, ${dkMulMod("xor(z, z>>27)", dkMixK3)} AS z FROM m2)""".stripMargin
+
+  /** java31 polynomial hash of `tokcol` (seed 1125899906842597,
+    * h = h*31 + char-code, mod 2^64) — the shared per-token hash of
+    * SimHash64 and HashProjectionModel, replayed as a sequential
+    * list_reduce over the token's characters. */
+  private def dkPolyHash(tokcol: String): String = {
+    val step =
+      s"CAST((${dkMulMod("acc", "31::UBIGINT")}::HUGEINT + x)" +
+        " % 18446744073709551616 AS UBIGINT)"
+    s"list_reduce(list_prepend(1125899906842597::UBIGINT, " +
+      s"list_transform(range(1, length($tokcol)+1), " +
+      s"i -> ord(substr($tokcol, i::INT, 1))::UBIGINT)), (acc, x) -> $step)"
+  }
+
   /** The scorer + verdict replay both learned-scorer evaluations
     * (eval05 calibration, eval07 AUC) share: txt29's hashed
     * classifier to a 4dp q_score and txt20's Gopher verdict, joined
@@ -1512,6 +1552,44 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE $dkJac >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // dedup05: the full SimHash pipeline replayed in SQL — per-token
+    // java31 poly hash (list_reduce over chars), splitmix64 finalizer
+    // (split-multiply CTE chain), 64 sign-vote aggregates, two's-
+    // complement fingerprint assembly (bit 63 contributes -2^63, so
+    // the SUM lands directly on the signed BIGINT Spark emits), then
+    // the same 4x16-bit band join + bit_count hamming verify. Every
+    // step is exact integer arithmetic: the match is bit-for-bit,
+    // not approximate.
+    "dedup05_simhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents
+         |),
+         |ph AS (SELECT doc_id, ${dkPolyHash("tok")} AS z0 FROM tok),
+         |${dkSplitmixCtes("ph", "doc_id")},
+         |th AS (SELECT doc_id, xor(z, z>>31) AS th FROM m3),
+         |votes AS (
+         |  SELECT doc_id, d, SUM(CASE WHEN (th >> d) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM th CROSS JOIN (SELECT UNNEST(range(64)) AS d) dims GROUP BY 1, 2
+         |),
+         |fp AS (
+         |  SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN
+         |      CASE WHEN d = 63 THEN -9223372036854775807 - 1 ELSE (1::BIGINT << d::INT) END
+         |    ELSE 0 END) AS BIGINT) AS simhash
+         |  FROM votes GROUP BY doc_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, simhash, b AS band, (simhash >> (b::INT*16)) & 65535 AS key
+         |  FROM fp CROSS JOIN (SELECT UNNEST(range(4)) AS b) bands
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |    CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+         |  WHERE l.doc_id < r.doc_id
+         |)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup10_containment" ->
       s"""WITH t AS (SELECT doc_id, $dkToks AS w FROM documents),
          |sh AS (SELECT doc_id, $dkShingles3 AS s FROM t WHERE len(w) >= 3)
@@ -1760,6 +1838,48 @@ object SparkEntry {
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ROUND(${dkCos("a.v", "b.v")}, 4) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // emb01: HashProjectionModel replayed end to end — alnum-run
+    // lowercase tokens, the shared java31 poly hash, one splitmix64
+    // mix per (token, dim) off z0 = (h + d) mod 2^64, ±1 sign votes
+    // summed per dim (exact integers, order-free), then the exact
+    // float path: inv = 1.0/sqrt(ss) FIRST, v*inv second (matching
+    // the Scala op order), truncated through FLOAT and back. norm
+    // and checksum fold sequentially in index order via an ordered
+    // LIST, so every double op replays Spark's fold bit-for-bit and
+    // the ROUND is cosmetic. LEFT JOIN keeps token-less docs as the
+    // zero vector the model emits for them.
+    "emb01_hash_embeddings" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id AS vec_id, tok
+         |  FROM (SELECT doc_id,
+         |          UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+         |        FROM documents)
+         |  WHERE tok <> ''
+         |),
+         |ph AS (SELECT vec_id, ${dkPolyHash("tok")} AS h FROM tok),
+         |hd AS (SELECT vec_id, d,
+         |    CAST((h::HUGEINT + d) % 18446744073709551616 AS UBIGINT) AS z0
+         |  FROM ph CROSS JOIN (SELECT UNNEST(range(64)) AS d) dims),
+         |${dkSplitmixCtes("hd", "vec_id, d")},
+         |sg AS (SELECT vec_id, d,
+         |    CASE WHEN (xor(z, z>>31) & 1) = 0 THEN 1 ELSE -1 END AS sign
+         |  FROM m3),
+         |votes AS (SELECT vec_id, d, CAST(SUM(sign) AS DOUBLE) AS v
+         |  FROM sg GROUP BY 1, 2),
+         |nv AS (SELECT vec_id, SUM(v*v) AS ss FROM votes GROUP BY vec_id),
+         |fcomp AS (
+         |  SELECT votes.vec_id, d,
+         |    CAST(CAST(v * (CASE WHEN ss > 0 THEN 1.0/sqrt(ss) ELSE 0.0 END)
+         |      AS FLOAT) AS DOUBLE) AS f
+         |  FROM votes JOIN nv ON votes.vec_id = nv.vec_id
+         |),
+         |vecs AS (SELECT vec_id, LIST(f ORDER BY d) AS lst FROM fcomp GROUP BY vec_id)
+         |SELECT d.doc_id AS vec_id,
+         |  CAST(64 AS BIGINT) AS dim,
+         |  ROUND(COALESCE(sqrt(list_dot_product(lst, lst)), 0.0), 4) AS l2_norm,
+         |  ROUND(COALESCE(list_reduce(lst, (a, b) -> a + b), 0.0), 4) AS checksum
+         |FROM documents d LEFT JOIN vecs ON d.doc_id = vecs.vec_id
+         |ORDER BY vec_id""".stripMargin,
     // emb03: per prefix length, the truncated-cosine brute-force
     // top-k ranked exactly like sim01 (partitioned ROW_NUMBER over
     // raw cosine, vec_id tiebreak), LEFT-joined to full-dim truth,

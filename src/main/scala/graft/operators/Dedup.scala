@@ -342,7 +342,10 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit sign-vote fingerprint, candidate
     * pairs from 16-bit hamming bands, verified hamming <= maxHamming.
-    * [rows-only: bit-mixing isn't expressible in the DuckDB oracle]
+    * Fully oracle-checked since round 13: the fingerprint's per-token
+    * hash is splitmix64(java31(token)) — pure mod-2^64 arithmetic the
+    * DuckDB oracle replays bit-for-bit with split-multiply SQL (see
+    * SparkEntry's dedup05 oracle and graft.plans.SimHash64).
     */
   def dedup05Simhash(lake: Lake, maxHamming: Int = 6): DataFrame = {
     // Single-pass map-only fingerprints (graft.plans.SimHash64) — the

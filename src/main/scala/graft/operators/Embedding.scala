@@ -98,9 +98,13 @@ object Embedding {
     * scalars (no array columns — the driver's canonicalizer cannot
     * hash an array cell, the txt18 lesson). norm must be 1.0 for
     * every non-empty doc; checksum pins the component values without
-    * shipping the vector. [rows-only]: the hash projection is not
-    * SQL-expressible; determinism + normalization + downstream
-    * compatibility are spec-pinned instead (EmbeddingSpec). */
+    * shipping the vector. Fully oracle-checked since round 13: the
+    * projection is java31-poly + splitmix64 sign bits — mod-2^64
+    * arithmetic the DuckDB oracle replays bit-for-bit (split-multiply
+    * SQL), with the float path (inv-first multiply, FLOAT truncation,
+    * sequential index-order folds) replayed operation-for-operation;
+    * determinism + downstream compatibility stay spec-pinned
+    * (EmbeddingSpec). */
   def emb01HashEmbeddings(lake: Lake, dim: Int = 64): DataFrame = {
     val emb = embedDocuments(lake.documents, dim)
     emb
