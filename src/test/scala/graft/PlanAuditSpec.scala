@@ -89,6 +89,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q04/q10: micro-join kernels are sort-free shuffled-hash shapes") {
+    // Round-13 kernels (BASELINE round 13, ProbeMicro at sf30): q04
+    // builds the SMALL date-filtered orders side and probes raw
+    // lineitem keys (inner SHJ BuildLeft + countDistinct — the only
+    // expressible small-side-build semi join; LeftSemi BuildLeft
+    // doesn't exist in Spark 4.1); q10 aggregates by the long custkey
+    // BEFORE the customer attach and joins sort-free. A SortMergeJoin
+    // reappearing in either plan is the regression these pin out —
+    // the round-12 SMJ forms sorted 45M-row sides at sf30.
+    val p4 = plan(Relational.q04OrderPriority(lake))
+    assert(p4.contains("ShuffledHashJoin") && p4.contains("BuildLeft"), p4)
+    assert(!p4.contains("SortMergeJoin"), p4)
+    val p10 = plan(Relational.q10ReturnedItems(lake))
+    assert(!p10.contains("SortMergeJoin"), p10)
+    // the customer-level aggregate must run BEFORE the customer join:
+    // the aggregate's child subtree may not touch the customer scan
+    val agg = Relational
+      .q10ReturnedItems(lake)
+      .queryExecution
+      .optimizedPlan
+      .collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      .get
+    assert(!agg.toString.contains("c_name"), agg.toString)
+  }
+
   test("q14: the part dim joins as broadcast") {
     val p = plan(Relational.q14PromoRevenue(lake))
     assert(p.contains("BroadcastHashJoin"), p)
