@@ -1461,20 +1461,38 @@ object Similarity {
     // S× replication of the (nprobe · n)-row probe frame, and the
     // kernel fans out across nlist × salts tasks. The corpus still
     // only ever meets itself through the (cluster, salt) equi-join.
+    //
+    // ADAPTIVE salt count (round 13): salting exists to fan the key
+    // space out past the core count, so it must SHRINK as nlist
+    // grows — at auto-nlist (⌈√N⌉, 1.4k cells at sf10) the fixed ×32
+    // replication was pure shuffle amplification: 256M wide probe
+    // rows ≈ 140 GB through the exchange, and the suite run's hash
+    // build could not acquire memory (bench_sf10 round-13 failure).
+    // Enough salts for ~4 tasks per core at this nlist, never more
+    // than asked; results are salt-invariant (spec: ANN graph equals
+    // the exact graph at full probe, any salts).
+    val saltsEff = math.max(1, math.min(salts, math.ceil(
+      4.0 * all.sparkSession.sparkContext.defaultParallelism / nlistEff
+    ).toInt))
     val cells = scored
       .filter(col("crank") === 1)
       .select(
         col("vec_id").as("dst"), col("cluster"),
         col("v").as("bv"), col("nrm").as("bnrm"),
-        pmod(col("vec_id"), lit(salts)).cast("int").as("salt"))
+        pmod(col("vec_id"), lit(saltsEff)).cast("int").as("salt"))
     val probed = scored
       .select(col("vec_id").as("src"), col("cluster"),
         col("v").as("av"), col("nrm").as("anrm"))
-      .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("salt", explode(sequence(lit(0), lit(saltsEff - 1))))
     // top-k per src via the native bounded-heap aggregate (sim08's
-    // rewiring rationale — no candidate-stream sort, n·k exchange)
+    // rewiring rationale — no candidate-stream sort, n·k exchange).
+    // Build side = cells (round 13): the home frame is exactly n rows
+    // and (cluster, salt)-partitioned, while the probe frame is the
+    // replicated nprobe·n·salts stream — the round-12 hint built the
+    // REPLICATED side and hit the memory wall above.
     val knn = cells
-      .join(probed.hint("shuffle_hash"), Seq("cluster", "salt"))
+      .hint("shuffle_hash")
+      .join(probed, Seq("cluster", "salt"))
       .filter(col("src") =!= col("dst"))
       .withColumn(
         "cos_raw",
