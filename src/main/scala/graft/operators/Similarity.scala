@@ -1344,8 +1344,15 @@ object Similarity {
     val dsts = all
       .select(col("vec_id").as("dst"), col("v").as("bv"), col("nrm").as("bnrm"))
       .withColumn("chunk", explode(sequence(lit(0), lit(chunks - 1))))
+    // Build side = srcs (round 13, the sim11 lesson): each chunk key
+    // holds n/chunks src rows but ALL n replicated dst rows — the
+    // round-12 hint built the n·chunks replicated frame as the hash
+    // relation, which is the memory wall at volume; the partitioned
+    // src frame builds in n/chunks-row pieces and the replicated
+    // stream probes through without materializing.
     val knn = srcs
-      .join(dsts.hint("shuffle_hash"), Seq("chunk"))
+      .hint("shuffle_hash")
+      .join(dsts, Seq("chunk"))
       .filter(col("src") =!= col("dst"))
       .withColumn(
         "cos_raw",
