@@ -116,6 +116,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!agg.toString.contains("c_name"), agg.toString)
   }
 
+  test("sim08/sim11: chunked kernels build the partitioned frame, not the replicated stream") {
+    // Round-13 defect class (caught by the first sf10 suite run): a
+    // fan-out join whose shuffle-hash hint makes the REPLICATED side
+    // the hash relation fails allocation at volume — the build side
+    // must be the frame that is partitioned by the join key (n/chunks
+    // rows per task), with the replicated stream probing through.
+    // Both kernels hint their left (partitioned) side: BuildRight
+    // reappearing here means the hint moved back to the big side.
+    val p8 = plan(Similarity.sim08KnnGraph(lake))
+    assert(p8.contains("ShuffledHashJoin") && p8.contains("BuildLeft"), p8)
+    assert(!p8.contains("BuildRight"), p8)
+    val p11 = plan(Similarity.sim11KnnGraphAnn(lake))
+    assert(p11.contains("ShuffledHashJoin") && p11.contains("BuildLeft"), p11)
+  }
+
   test("q14: the part dim joins as broadcast") {
     val p = plan(Relational.q14PromoRevenue(lake))
     assert(p.contains("BroadcastHashJoin"), p)
