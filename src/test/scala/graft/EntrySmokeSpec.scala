@@ -14,10 +14,16 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
     // queries with no oracle get only the weaker rows-only gate — keep
     // that set explicit so a forgotten oracle entry fails loudly here
+    // dedup05/emb01 left this set in round 13: their hash pipelines
+    // are splitmix64(java31) — mod-2^64 arithmetic the DuckDB oracle
+    // replays bit-for-bit (BASELINE round 13). The five that remain
+    // hold genuinely engine-private state (ImageIO bytes, HLL/KLL
+    // sketch layouts, Misra-Gries state, learned BPE merges, Bloom
+    // bit layout), each property-tested instead.
     val rowsOnly = Set(
-      "dedup05_simhash", "mm01_binary_meta",
+      "mm01_binary_meta",
       "rel11_approx_stats", "rel14_heavy_hitters",
-      "txt18_bpe_encode", "emb01_hash_embeddings",
+      "txt18_bpe_encode",
       // Bloom filter bit layout is engine-private — no SQL oracle can
       // replay might_contain; spec-pinned against exact dedup07
       "dedup14_bloom_decontaminate"
