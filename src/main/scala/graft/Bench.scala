@@ -60,6 +60,16 @@ object Bench {
     var nRuns = 0
     def runOnce(name: String): Unit = {
       nRuns += 1
+      // Clear session + RDD caches BEFORE each timed run (round-13
+      // review): an operator that persists internally (dedup13's
+      // repartitioned gram stream) would otherwise serve sweep N+1
+      // from sweep N's cache — min-of-sweeps records a cache hit,
+      // not the query — and leaked cache entries from earlier
+      // queries pin storage memory against later ones (one of the
+      // two ingredients in sim11's sf10 allocation failure).
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Spark prune projections

@@ -39,14 +39,15 @@ object BenchOne {
     lake.tableNames.foreach { n =>
       lake.resolve(n).write.mode("overwrite").format("noop").save()
     }
-    // SPARK_GRAFT_CLEAR=1 releases each sweep's caches after the
-    // clock stops. Default OFF to match graft.Bench's methodology
-    // (residual caches across sweeps — the committed per-query maps'
-    // baseline); turn ON for large-scale probes (sf10), where the
-    // accumulated storage from earlier sweeps evicts the current
-    // sweep's blocks and later sweeps measure GC + recompute, not the
-    // query (observed 48 s -> 271 s ASCENDING sweeps on dedup10).
-    val clearPerSweep = sys.env.get("SPARK_GRAFT_CLEAR").contains("1")
+    // Caches are released after each sweep's clock stops — DEFAULT ON
+    // since round 13, matching graft.Bench: an operator that persists
+    // internally (dedup13's repartitioned stream) would otherwise
+    // serve sweep N+1 from sweep N's cache and min-of-sweeps records
+    // a cache hit, not the query; accumulated storage also evicts
+    // later sweeps' blocks at scale (observed 48 s -> 271 s ASCENDING
+    // sweeps on dedup10 at sf10). SPARK_GRAFT_CLEAR=0 opts out for
+    // warm-cache experiments.
+    val clearPerSweep = !sys.env.get("SPARK_GRAFT_CLEAR").contains("0")
     for (name <- args) {
       val fn = SparkEntry.queries(name)
       val times = (1 to sweeps).map { _ =>

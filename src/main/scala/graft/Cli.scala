@@ -128,15 +128,29 @@ object Cli {
       sql: String,
       out: java.io.PrintStream
   ): Unit = {
-    val (runSql, limited) = withAutoLimit(sql)
+    val (_, limited) = withAutoLimit(sql)
     val t0 = System.nanoTime()
-    val df = spark.sql(runSql)
-    Console.withOut(out)(df.show(MaxRows, truncate = false))
-    if (limited && df.count() == MaxRows.toLong)
-      out.println(
-        s"(showing first $MaxRows rows — LIMIT $MaxRows was added; " +
-          "state your own LIMIT for more)"
-      )
+    val base = spark.sql(sql)
+    // ONE execution (round-13 review: show() + count() ran every
+    // statement twice and the "(x s)" line reported the doubled
+    // figure). The page is taken with one probe row beyond the cap,
+    // so "exactly MaxRows rows" and "truncated at MaxRows" are
+    // distinguishable and the status line is never spurious; the
+    // collected page renders through a LocalRelation so show()'s
+    // formatting runs without touching the lake again.
+    val rows = (if (limited) base.limit(MaxRows + 1) else base)
+      .take(MaxRows + 1)
+    val page = spark.createDataFrame(
+      java.util.Arrays.asList(rows.take(MaxRows): _*), base.schema)
+    Console.withOut(out)(page.show(MaxRows, truncate = false))
+    if (rows.length > MaxRows) {
+      if (limited)
+        out.println(
+          s"(showing first $MaxRows rows — LIMIT $MaxRows was added; " +
+            "state your own LIMIT for more)"
+        )
+      else out.println(s"(display capped at $MaxRows rows)")
+    }
     out.println(f"(${(System.nanoTime() - t0) / 1e9}%.2f s)")
   }
 

@@ -1560,9 +1560,19 @@ object SparkEntry {
     // the same 4x16-bit band join + bit_count hamming verify. Every
     // step is exact integer arithmetic: the match is bit-for-bit,
     // not approximate.
+    // Parity scope (round-13 review): trim strips the full Java-regex
+    // \s set (not just spaces — DuckDB's bare trim() is space-only),
+    // so tab/newline-edged documents tokenize identically. Remaining
+    // divergence is deliberate-scope: Java trim also strips sub-space
+    // control chars (\x00-\x1f beyond \s) and java31 folds UTF-16
+    // units while ord() yields code points — both outside the lake's
+    // text contract (BMP text, no control-char edges), noted rather
+    // than replayed.
     "dedup05_simhash" ->
       s"""WITH tok AS (
-         |  SELECT doc_id, UNNEST(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  SELECT doc_id, UNNEST(regexp_split_to_array(
+         |    trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
+         |    '\\s+')) AS tok
          |  FROM documents
          |),
          |ph AS (SELECT doc_id, ${dkPolyHash("tok")} AS z0 FROM tok),
@@ -1848,11 +1858,17 @@ object SparkEntry {
     // LIST, so every double op replays Spark's fold bit-for-bit and
     // the ROUND is cosmetic. LEFT JOIN keeps token-less docs as the
     // zero vector the model emits for them.
+    // Tokenizer parity (round-13 review): [^\pL\pN]+ is RE2's Unicode
+    // letter/digit class — Character.isLetterOrDigit's BMP behavior —
+    // so non-ASCII letters (café) tokenize identically instead of
+    // splitting at the ASCII boundary. Non-BMP text diverges (java31
+    // folds UTF-16 surrogate halves, ord() yields code points) —
+    // outside the lake's BMP text contract, noted not replayed.
     "emb01_hash_embeddings" ->
       s"""WITH tok AS (
          |  SELECT doc_id AS vec_id, tok
          |  FROM (SELECT doc_id,
-         |          UNNEST(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+         |          UNNEST(regexp_split_to_array(lower(text), '[^\\pL\\pN]+')) AS tok
          |        FROM documents)
          |  WHERE tok <> ''
          |),

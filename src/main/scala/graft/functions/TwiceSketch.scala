@@ -43,8 +43,14 @@ final class TwiceSketch(val numBits: Long, val numHashes: Int)
   // matters: an additive scheme lets keys that differ by a multiple of
   // the salt share probe positions wholesale (caught by SketchSpec's
   // structured-key test — 497/500 false positives before this form).
-  @inline private def pos(h1: Long, h2: Long, i: Int): Int =
-    ((h1 + i.toLong * h2) & mask).toInt
+  // The position stays a LONG end to end: at the default 512 MB clamp
+  // numBits = 2^32, so an Int-truncated position goes negative for
+  // half of all probes and indexes out of bounds — exactly when the
+  // clamp the mode exists for engages (round-13 review). Word index
+  // p >>> 6 fits an Int for any numBits the arrays themselves can
+  // represent.
+  @inline private def pos(h1: Long, h2: Long, i: Int): Long =
+    (h1 + i.toLong * h2) & mask
 
   @inline private def contains(bits: Array[Long], h: Long): Boolean = {
     val h1 = remix(h)
@@ -52,7 +58,7 @@ final class TwiceSketch(val numBits: Long, val numHashes: Int)
     var i = 0
     while (i < numHashes) {
       val p = pos(h1, h2, i)
-      if ((bits(p >> 6) & (1L << (p & 63))) == 0L) return false
+      if ((bits((p >>> 6).toInt) & (1L << (p & 63L))) == 0L) return false
       i += 1
     }
     true
@@ -63,7 +69,7 @@ final class TwiceSketch(val numBits: Long, val numHashes: Int)
     var i = 0
     while (i < numHashes) {
       val p = pos(h1, h2, i)
-      bits(p >> 6) |= 1L << (p & 63)
+      bits((p >>> 6).toInt) |= 1L << (p & 63L)
       i += 1
     }
   }

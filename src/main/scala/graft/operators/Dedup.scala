@@ -1354,6 +1354,34 @@ object Dedup {
     * fast with a migration message: move the legacy files into a
     * `batch=-1` subdir (strictly below every real batch id, so they
     * probe as already-ingested corpus) or rebuild the store. */
+  /** A `.compact-N` temp dir carrying `_SUCCESS` means a compaction
+    * crashed mid-swap: its merged rows may exist ONLY there (the swap
+    * deletes source batch dirs after the marker), so a reader that
+    * skips hidden dirs would treat stored rows as absent — duplicates
+    * would probe as new and enter the store permanently (round-13
+    * review). Read paths fail fast and name the fix; only
+    * compactBatchStore proceeds past this state, because its recovery
+    * preamble completes the swap first. An UNMARKED temp dir is
+    * harmless (the write crashed before any delete) and stays
+    * ignored here — the next compaction discards it. */
+  private[operators] def requireNoPendingCompaction(
+      fs: org.apache.hadoop.fs.FileSystem,
+      entries: Seq[org.apache.hadoop.fs.FileStatus],
+      p: org.apache.hadoop.fs.Path
+  ): Unit =
+    entries.foreach { st =>
+      if (st.isDirectory && st.getPath.getName.startsWith(".compact-") &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))) {
+        val upTo = st.getPath.getName.stripPrefix(".compact-")
+        sys.error(
+          s"pending compaction swap at ${st.getPath}: a previous " +
+            "compaction committed its merge but crashed before the " +
+            s"swap completed — run the store's compaction (upTo=$upTo) " +
+            "to finish it before reading or appending to this store"
+        )
+      }
+    }
+
   private[operators] def requireBatchLayout(
       entries: Seq[org.apache.hadoop.fs.FileStatus],
       p: org.apache.hadoop.fs.Path
@@ -1400,6 +1428,7 @@ object Dedup {
       else {
         val entries = fs.listStatus(p).toSeq
         requireBatchLayout(entries, p)
+        requireNoPendingCompaction(fs, entries, p)
         entries
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
           .flatMap(st =>

@@ -101,7 +101,9 @@ object Embedding {
     * shipping the vector. Fully oracle-checked since round 13: the
     * projection is java31-poly + splitmix64 sign bits — mod-2^64
     * arithmetic the DuckDB oracle replays bit-for-bit (split-multiply
-    * SQL), with the float path (inv-first multiply, FLOAT truncation,
+    * SQL; scope: BMP text — java31 folds UTF-16 units, the oracle
+    * folds code points, divergent only past the BMP), with the float
+    * path (inv-first multiply, FLOAT truncation,
     * sequential index-order folds) replayed operation-for-operation;
     * determinism + downstream compatibility stay spec-pinned
     * (EmbeddingSpec). */

@@ -209,6 +209,7 @@ object Pipeline {
       else {
         val entries = fs.listStatus(root).toSeq
         Dedup.requireBatchLayout(entries, root)
+        Dedup.requireNoPendingCompaction(fs, entries, root)
         entries
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
           .flatMap(st =>

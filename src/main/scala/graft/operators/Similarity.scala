@@ -1443,9 +1443,7 @@ object Similarity {
     // Lazy train: the whole Lloyd chain folds into the scoring job
     // below (see kmeans's materialize note) — at nlist=10 the
     // recompute is noise and the saved job floors are not.
-    val nlistEff =
-      if (nlist > 0) nlist
-      else math.ceil(math.sqrt(all.count().toDouble)).toInt.max(1)
+    val nlistEff = resolveNlist(all, nlist)
     val cents = kmeans(all, nlistEff, iters, materialize = false)
     // ONE centroid-scoring pass serves both roles: rank 1 is the home
     // assignment (argmaxCell's tiebreak — best ccos, then lowest

@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * deliberately: every step is mod-2^64 integer arithmetic, so the
   * DuckDB oracle replays fingerprints bit-for-bit in SQL (UBIGINT
   * split-multiply; see SparkEntry's dedup05 oracle) — this moved
-  * dedup05 from [rows-only] to full hash-checked. Mixing quality is
+  * dedup05 from [rows-only] to full hash-checked. Replay scope: BMP
+  * text without control-char edges (java31 folds UTF-16 units and
+  * Java trim strips all chars <= ' '; the oracle folds code points
+  * and trims the \s set) — the lake's text contract. Mixing quality is
   * equivalent for sign-vote purposes: splitmix64 passes the same
   * avalanche tests the xxh64 finalizer does.
   *

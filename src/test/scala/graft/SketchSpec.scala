@@ -203,4 +203,18 @@ class SketchSpec extends AnyFunSuite {
       assert(got == off, s"$label spans differ from the unfiltered form")
     }
   }
+
+  test("probe positions stay in bounds at the 512 MB clamp (numBits = 2^32)") {
+    // Int-truncated positions go NEGATIVE for half of all probes once
+    // mask >= 2^31 — i.e. exactly when the memory clamp the sketch
+    // exists for engages (round-13 review). One full-size sketch
+    // (2 x 512 MB bitmaps) exercises the whole position range.
+    val s = graft.functions.TwiceSketch.create(
+      expectedItems = 2_000_000_000L, bitsPerKey = 4)
+    assert(s.numBits == (1L << 32), s"clamp expected 2^32 bits, got ${s.numBits}")
+    val keys = Array.tabulate(5000)(i => (i.toLong + 1L) * 0x9e3779b97f4a7c15L)
+    keys.foreach(s.add)
+    keys.foreach(s.add)
+    assert(keys.forall(s.mightTwice), "twice-added keys must be twice-positive")
+  }
 }

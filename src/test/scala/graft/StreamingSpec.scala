@@ -1072,4 +1072,27 @@ class StreamingSpec extends AnyFunSuite {
     // equals the batch audit row for row
     assert(lastPsi == batch)
   }
+
+  test("LSH store: a committed-but-unswapped compaction blocks reads until recovered") {
+    // round-13 review: after a compaction crash in the swap window
+    // (merge + _SUCCESS written, sources deleted, rename pending) the
+    // merged rows live ONLY in the hidden temp dir — a sink that
+    // lists batch= dirs would probe them as absent and admit stored
+    // duplicates permanently. The read path must fail fast naming the
+    // fix, and running the compaction must unblock it.
+    val docs = lake.documents.select("doc_id", "text")
+    val stateDir = java.nio.file.Files.createTempDirectory("lsh_orphan").toString
+    val sink = graft.operators.Dedup.minhashPairsBatchSink(stateDir)
+    sink(docs.filter(col("doc_id") % 2 === 0), 0L)
+    val bands = s"$stateDir/bands"
+    spark.read.parquet(s"$bands/batch=0").write.parquet(s"$bands/.compact-0")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$bands/batch=0"))
+    val e = intercept[RuntimeException] {
+      sink(docs.filter(col("doc_id") % 2 === 1), 1L)
+    }
+    assert(e.getMessage.contains("pending compaction swap"), e.getMessage)
+    graft.operators.Dedup.compactBandStore(spark, stateDir, upTo = 0L)
+    sink(docs.filter(col("doc_id") % 2 === 1), 1L) // no throw
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
+  }
 }
