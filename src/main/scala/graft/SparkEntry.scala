@@ -2310,8 +2310,11 @@ object SparkEntry {
          |FROM rr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
     // dedup11: SemDeDup oracle — the 2 Lloyd iterations unroll exactly
-    // as in sim06; the within-cell pair threshold is per-pair exact
-    // arithmetic; and because star-CC's labels are component MINIMA
+    // as in sim06; the within-cell pair threshold uses the 4dp
+    // rounded-admission rule (dedup06/sim02's discipline — the fused
+    // BlockThresholdDots kernel admits by ROUND(cos,4) >= tau, and
+    // raw cosines are bit-identical across engines by the fixed fold
+    // order); and because star-CC's labels are component MINIMA
     // (spec-pinned), the duplicate groups are expressible as a
     // recursive-CTE transitive closure + MIN per node — exact, with no
     // iteration-count dependence.
@@ -2341,7 +2344,7 @@ object SparkEntry {
          |prs AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
          |  FROM cells x JOIN cells y
          |    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
-         |  WHERE ${dkCos("x.v", "y.v")} >= 0.4),
+         |  WHERE ROUND(${dkCos("x.v", "y.v")}, 4) >= 0.4),
          |ed AS (SELECT doc_a AS u, doc_b AS w FROM prs
          |       UNION SELECT doc_b, doc_a FROM prs),
          |reach AS (SELECT u, w FROM ed

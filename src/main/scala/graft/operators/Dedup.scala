@@ -1750,15 +1750,21 @@ object Dedup {
       all0: DataFrame,
       k: Int,
       iters: Int,
-      tau: Double
+      tau: Double,
+      // expected within-cell pairs (n²/k) above which the fused block
+      // kernel replaces the row-level self-join; see the pair-kernel
+      // comment below. Overridable so the mode-identity spec can force
+      // either path at test scale.
+      blockedCutover: Double = 1e8
   ): DataFrame = {
     // One materialization feeds the k-means loop, the assignment pass
     // and the pair join — without it the upstream plan re-executes per
     // consumer (and per Lloyd iteration).
     val all = all0.localCheckpoint()
+    val n = all.count()
     val kEff =
       if (k > 0) k
-      else math.ceil(math.sqrt(all.count().toDouble)).toInt.max(1)
+      else math.ceil(math.sqrt(n.toDouble)).toInt.max(1)
     val cents = Similarity.kmeans(all, kEff, iters)
     // Sort-free per-vector argmax (max_by partial aggregation) — see
     // Similarity.argmaxCell for the shape and tiebreak argument.
@@ -1766,18 +1772,62 @@ object Dedup {
       .argmaxCell(all, cents, Seq("v", "nrm"))
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
       .localCheckpoint()
-    val pairs = assigned
-      .select(col("cluster"), col("vec_id").as("doc_a"), col("v").as("va"), col("nrm").as("na"))
-      .join(
-        assigned.select(col("cluster"), col("vec_id").as("doc_b"), col("v").as("vb"), col("nrm").as("nb")),
-        Seq("cluster")
-      )
-      .filter(col("doc_a") < col("doc_b"))
-      .filter(
-        graft.functions.vectors.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau
-      )
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    // Per-cell all-pairs kernel, chosen by expected pair volume
+    // (round 13). The row-level self-join materializes |cell| joined
+    // rows PER VECTOR, each carrying two full vectors through the
+    // join — 4G wide rows at sf10 (200k vectors, k=10 cells of 20k)
+    // before the cosine filter ever ran; the dedup06/sim02 fused
+    // block kernel (BlockThresholdDots) moves each cell's vectors
+    // ONCE as packed ~1k-vector lists and runs the all-pairs cosine
+    // as one native loop per block pair. But the blocked shape costs
+    // two extra stages (collect_list exchange + the kernel stage),
+    // which is pure floor when cells are small — measured (BenchOne
+    // cleared min-of-3): sf0.1 row 2.46 vs blocked 4.15 (floors
+    // dominate 400k pairs); sf10 row 47.9 vs blocked 31.8 (-34%).
+    // Cutover at ~1e8 expected pairs: below it the row join's single
+    // exchange wins, above it the fused loop does; both admit by the
+    // 4dp rounding rule (the oracle's dedup06 discipline) and the
+    // result is identical either way (mode-identity spec-pinned).
+    val expectedPairs = n.toDouble * (n.toDouble / kEff)
+    val rounded4 = (c: org.apache.spark.sql.Column) => round(c, 4)
+    val pairs = (if (expectedPairs < blockedCutover) {
+      assigned
+        .select(col("cluster"), col("vec_id").as("doc_a"),
+          col("v").as("va"), col("nrm").as("na"))
+        .join(
+          assigned.select(col("cluster"), col("vec_id").as("doc_b"),
+            col("v").as("vb"), col("nrm").as("nb")),
+          Seq("cluster")
+        )
+        .filter(col("doc_a") < col("doc_b"))
+        .filter(
+          rounded4(graft.functions.vectors.dot(col("va"), col("vb")) /
+            (col("na") * col("nb"))) >= tau
+        )
+        .select(col("doc_a"), col("doc_b"))
+    } else {
+      // block count keeps a block ~1k vectors however cells scale;
+      // the a-side replicates ×B for the grid, the unreplicated
+      // b-side builds the hash relation (the sim11 orientation rule)
+      val nBlk = math.max(1, math.ceil(n.toDouble / kEff / 1000.0)).toInt
+      val packed = struct(col("vec_id").as("id"), col("v"), col("nrm"))
+      val blk = assigned
+        .groupBy(col("cluster"), pmod(col("vec_id"), lit(nBlk)).cast("int").as("ab"))
+        .agg(collect_list(packed).as("ablk"))
+      val aSide = blk
+        .withColumn("bb", explode(sequence(lit(0), lit(nBlk - 1))))
+      val bSide = blk
+        .select(col("cluster"), col("ab").as("bb"), col("ablk").as("bblk"))
+      aSide
+        .join(bSide.hint("shuffle_hash"), Seq("cluster", "bb"))
+        .select(
+          explode(
+            graft.plans.BlockThresholdDots(col("ablk"), col("bblk"), tau)
+          ).as("p")
+        )
+        .filter(col("p.a_id") < col("p.b_id"))
+        .select(col("p.a_id").as("doc_a"), col("p.b_id").as("doc_b"))
+    }).localCheckpoint()
     val labels = connectedComponentsStar(pairs)
     assigned
       .join(labels, col("vec_id") === col("u"), "left")

@@ -886,6 +886,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: blocked pair kernel equals the row-join path row for row") {
+    // Round-13: above the pair-volume cutover the per-cell all-pairs
+    // check runs as the fused BlockThresholdDots grid instead of the
+    // row-level self-join. Both admit by round(cos, 4) >= tau, so the
+    // verdict must be IDENTICAL — force each path at test scale.
+    import org.apache.spark.sql.functions.col
+    val base = lake.embeddings
+      .select(col("vec_id"),
+        graft.functions.vectors.toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.vectors.norm(col("v")))
+    def rows(cut: Double) = Dedup
+      .semanticDedup(base, k = 7, iters = 1, tau = 0.4, blockedCutover = cut)
+      .collect()
+      .map(_.toString)
+      .toSeq
+    assert(rows(cut = 0.0) == rows(cut = Double.MaxValue),
+      "blocked and row-join pair kernels disagree")
+  }
+
   test("PQ ANN: code shape, determinism, and a recall floor against brute force") {
     val out = Similarity.sim07PqAnn(lake).collect()
     // shape: 10 queries x top-10, ranks 1..10 per query
