@@ -60,16 +60,6 @@ object Bench {
     var nRuns = 0
     def runOnce(name: String): Unit = {
       nRuns += 1
-      // Clear session + RDD caches BEFORE each timed run (round-13
-      // review): an operator that persists internally (dedup13's
-      // repartitioned gram stream) would otherwise serve sweep N+1
-      // from sweep N's cache — min-of-sweeps records a cache hit,
-      // not the query — and leaked cache entries from earlier
-      // queries pin storage memory against later ones (one of the
-      // two ingredients in sim11's sf10 allocation failure).
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Spark prune projections
@@ -93,6 +83,19 @@ object Bench {
           if (!failedElapsed.contains(name) || dt < failedElapsed(name))
             failedElapsed(name) = dt
       }
+      // Clear session + RDD caches AFTER the clock stops, BLOCKING
+      // (round-13 review, two lessons): an operator that persists
+      // internally (dedup13's repartitioned gram stream) must not
+      // serve sweep N+1 from sweep N's cache — min-of-sweeps would
+      // record a cache hit, not the query — and leaked entries pin
+      // storage against later queries (one ingredient in sim11's
+      // sf10 allocation failure). Clearing BEFORE the run with async
+      // unpersist was measured +23% on the whole sf0.1 suite: the
+      // block-removal work landed inside the next query's timed
+      // window. After + blocking keeps cleanup off the clock.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // Alternate sweeps run in reverse order: this box's background
     // noise arrives in contiguous multi-second windows, so two sweeps

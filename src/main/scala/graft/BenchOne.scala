@@ -55,9 +55,12 @@ object BenchOne {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         val dt = (System.nanoTime() - t0) / 1e9
         if (clearPerSweep) {
+          // blocking: async block removal would land inside the next
+          // sweep's timed window (measured +23% on the sf0.1 suite
+          // when Bench cleared async — same lesson)
           spark.sharedState.cacheManager.clearCache()
           spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+            .foreach(_.unpersist(blocking = true))
         }
         dt
       }

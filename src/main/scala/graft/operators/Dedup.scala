@@ -2031,6 +2031,14 @@ object Dedup {
       // runs this shuffle ONCE and both read its files; neither
       // re-runs scan+hash or pays its own corpus-stream exchange
       .repartition(col("gh"))
+    // Persist lifecycle (round-13 review): the cached blocks live as
+    // long as the returned DataFrame's plan references them — Spark's
+    // normal Dataset.persist contract; the ContextCleaner frees them
+    // once the result is dereferenced. A session running MANY queries
+    // after this one can reclaim earlier with
+    // spark.catalog.clearCache() (graft.Bench does exactly that
+    // before every timed run, so suite sweeps neither reuse nor pin
+    // this stream).
     val gramsM =
       if (materialize) grams.localCheckpoint()
       else grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
