@@ -43,7 +43,8 @@ object Bench {
     // with the same measurement discipline as the sf0.1 suite).
     // Unknown names fail loudly: a typo must not silently shrink the
     // record and read as a speedup.
-    val names = sys.env.get("SPARK_GRAFT_QUERIES") match {
+    val subsetEnv = sys.env.get("SPARK_GRAFT_QUERIES")
+    val names = subsetEnv match {
       case Some(csv) =>
         val asked = csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         val unknown = asked.filterNot(SparkEntry.queries.contains)
@@ -171,10 +172,20 @@ object Bench {
     // repo root, a bare relative path would land the file elsewhere
     // while the stdout summary still advertised the repo-relative one.
     val detailBase = sys.env.getOrElse("SPARK_GRAFT_RUNS_DIR", "tools/runs")
+    // A SPARK_GRAFT_QUERIES subset run must never overwrite the
+    // full-suite record (advisor round 13): subsets get their own
+    // file, and both the detail and summary JSON carry the subset
+    // list so a 33-query "total" can't be read as the suite total
+    // when diffing records.
+    val latestName =
+      if (subsetEnv.isDefined) s"bench_${sfName}_subset_latest.json"
+      else s"bench_${sfName}_latest.json"
+    val subsetJson =
+      subsetEnv.map(s => s""""${esc(s)}"""").getOrElse("null")
     val detailPath =
-      new java.io.File(detailBase, s"bench_${sfName}_latest.json").getAbsolutePath
+      new java.io.File(detailBase, latestName).getAbsolutePath
     val detailJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"runs":$sweepsByQuery,"noisy":$noisyJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","subset":$subsetJson,"sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"runs":$sweepsByQuery,"noisy":$noisyJson,"sf":"$sfDir"}"""
     locally {
       val f = new java.io.File(detailPath)
       Option(f.getParentFile).foreach(_.mkdirs())
@@ -202,7 +213,7 @@ object Bench {
     // `runs` array lengths in the detail file).
     val nExtra = nRuns - sweeps * names.size
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","sweeps":$sweeps,"n_runs":$nRuns,"n_extra":$nExtra,"n_queries":${names.size},"n_failed":${failed.size},"n_noisy":${noisy.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","subset":$subsetJson,"sweeps":$sweeps,"n_runs":$nRuns,"n_extra":$nExtra,"n_queries":${names.size},"n_failed":${failed.size},"n_noisy":${noisy.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
     // The JSON line must be the LAST thing on stdout: silence every
     // logger first (Spark's stop/shutdown hooks log at INFO/WARN and
     // the driver may merge stderr into the captured stream), stop the

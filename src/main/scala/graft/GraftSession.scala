@@ -47,12 +47,11 @@ object GraftSession {
       // groups · ~200 B ≈ 200 MB per task worst case — bounded.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 20).toString)
-      // sketch-reduce patterns (dedup13's TwiceSketch treeReduce)
-      // return ~100 MB partial sketches per reduced partition; the 1g
-      // default kills the job at the final driver-side merge of 3-6
-      // partials. The sketches themselves are byte-clamped, so 4g
-      // bounds the worst case with headroom.
-      .config("spark.driver.maxResultSize", "4g")
+      // spark.driver.maxResultSize stays at its 1g DEFAULT: the
+      // guardrail exists to catch accidental driver-side collects,
+      // and no graft operator needs it raised — dedup13's sketch mode
+      // (the one former exception) now merges its partial bitmaps
+      // executor-side and fetches exactly one sketch (round-13 #9).
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

@@ -178,6 +178,7 @@ object SparkEntry {
     "xref10_upset_overlap" -> q(Linkage.xref10UpsetOverlap),
     "xref11_ontology_reach" -> q(Linkage.xref11OntologyReach(_)),
     "xref12_coverage_by_year" -> q(Linkage.xref12CoverageByYear),
+    "xref13_temporal_flags" -> q(Linkage.xref13TemporalFlags),
     "sim06_ivf_trained" -> q(Similarity.sim06IvfTrained(_)),
     "samp14_cluster_balance" -> q(Similarity.samp14ClusterBalance(_)),
     "sim09_prefix_rerank" -> q(Similarity.sim09PrefixRerank(_)),
@@ -275,14 +276,25 @@ object SparkEntry {
   /** java31 polynomial hash of `tokcol` (seed 1125899906842597,
     * h = h*31 + char-code, mod 2^64) — the shared per-token hash of
     * SimHash64 and HashProjectionModel, replayed as a sequential
-    * list_reduce over the token's characters. */
-  private def dkPolyHash(tokcol: String): String = {
+    * list_reduce over the token's characters. With `lowerPerChar`,
+    * each char lowercases INDIVIDUALLY before hashing — DuckDB's
+    * lower() on a one-char string is the simple (1:1) case mapping
+    * for BMP input (verified: lower('İ') = 'i', length 1), which is
+    * exactly Java's Character.toLowerCase — replaying
+    * HashProjectionModel's tokenize-on-original-case-then-lowercase-
+    * per-char order without the full-string case-mapping divergences
+    * (U+0130 expanding under lower(text) and then splitting on the
+    * combining dot). */
+  private def dkPolyHash(tokcol: String, lowerPerChar: Boolean = false): String = {
     val step =
       s"CAST((${dkMulMod("acc", "31::UBIGINT")}::HUGEINT + x)" +
         " % 18446744073709551616 AS UBIGINT)"
+    val ch =
+      if (lowerPerChar) s"lower(substr($tokcol, i::INT, 1))"
+      else s"substr($tokcol, i::INT, 1)"
     s"list_reduce(list_prepend(1125899906842597::UBIGINT, " +
       s"list_transform(range(1, length($tokcol)+1), " +
-      s"i -> ord(substr($tokcol, i::INT, 1))::UBIGINT)), (acc, x) -> $step)"
+      s"i -> ord($ch)::UBIGINT)), (acc, x) -> $step)"
   }
 
   /** The scorer + verdict replay both learned-scorer evaluations
@@ -976,6 +988,28 @@ object SparkEntry {
         |FROM unified JOIN fy USING (entity_id)
         |GROUP BY 1
         |ORDER BY year""".stripMargin,
+    // xref13: the flags keep three-valued logic on purpose (NULL year
+    // + has_x=true -> NULL flag), matching both the Spark operator and
+    // the reference's paper_temporal_flags DuckDB view text.
+    "xref13_temporal_flags" ->
+      """WITH spine AS (
+        |  SELECT DISTINCT entity_id FROM (
+        |    SELECT CAST(c_custkey AS BIGINT) AS entity_id FROM customer
+        |    UNION ALL SELECT CAST(o_custkey AS BIGINT) FROM orders
+        |    UNION ALL SELECT CAST(user_id AS BIGINT) FROM events) u),
+        |orderagg AS (SELECT CAST(o_custkey AS BIGINT) AS o_id FROM orders GROUP BY 1),
+        |eventagg AS (SELECT CAST(user_id AS BIGINT) AS e_id FROM events GROUP BY 1),
+        |fy AS (SELECT CAST(o_custkey AS BIGINT) AS f_id,
+        |  MIN(CAST(year(o_orderdate) AS BIGINT)) AS year FROM orders GROUP BY 1)
+        |SELECT entity_id, year,
+        |  (year > 1996 AND e_id IS NOT NULL) AS events_metrics_stale,
+        |  (year > 1997 AND o_id IS NOT NULL) AS orders_coverage_incomplete,
+        |  (year IS NULL) AS year_missing
+        |FROM spine
+        |LEFT JOIN orderagg ON entity_id = o_id
+        |LEFT JOIN eventagg ON entity_id = e_id
+        |LEFT JOIN fy ON entity_id = f_id
+        |ORDER BY entity_id""".stripMargin,
     "xref04_priority_dedup" ->
       s"""WITH d AS (
          |  SELECT doc_id, $dkBagFp AS fp, source,
@@ -1562,17 +1596,21 @@ object SparkEntry {
     // not approximate.
     // Parity scope (round-13 review): trim strips the full Java-regex
     // \s set (not just spaces — DuckDB's bare trim() is space-only),
-    // so tab/newline-edged documents tokenize identically. Remaining
-    // divergence is deliberate-scope: Java trim also strips sub-space
-    // control chars (\x00-\x1f beyond \s) and java31 folds UTF-16
-    // units while ord() yields code points — both outside the lake's
-    // text contract (BMP text, no control-char edges), noted rather
-    // than replayed.
+    // so tab/newline-edged documents tokenize identically. The split
+    // is [\s\x0B]+ not \s+ (round-14, fixing a round-13 comment that
+    // claimed the sets were equal): RE2's \s is [\t\n\f\r ] WITHOUT
+    // vertical tab, while Java's \s — SimHash64.isSep — includes
+    // \x0B, so an interior vertical tab must be an explicit separator
+    // here or fingerprints diverge. Remaining divergence is
+    // deliberate-scope: Java trim also strips sub-space control chars
+    // (\x00-\x1f beyond \s) and java31 folds UTF-16 units while ord()
+    // yields code points — both outside the lake's text contract (BMP
+    // text, no control-char edges), noted rather than replayed.
     "dedup05_simhash" ->
       s"""WITH tok AS (
          |  SELECT doc_id, UNNEST(regexp_split_to_array(
          |    trim(text, ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)),
-         |    '\\s+')) AS tok
+         |    '[\\s\\x0B]+')) AS tok
          |  FROM documents
          |),
          |ph AS (SELECT doc_id, ${dkPolyHash("tok")} AS z0 FROM tok),
@@ -1858,21 +1896,28 @@ object SparkEntry {
     // LIST, so every double op replays Spark's fold bit-for-bit and
     // the ROUND is cosmetic. LEFT JOIN keeps token-less docs as the
     // zero vector the model emits for them.
-    // Tokenizer parity (round-13 review): [^\pL\pN]+ is RE2's Unicode
-    // letter/digit class — Character.isLetterOrDigit's BMP behavior —
-    // so non-ASCII letters (café) tokenize identically instead of
-    // splitting at the ASCII boundary. Non-BMP text diverges (java31
-    // folds UTF-16 surrogate halves, ord() yields code points) —
-    // outside the lake's BMP text contract, noted not replayed.
+    // Tokenizer parity (round-14, fixing the round-13 comment which
+    // over-claimed): [^\pL\p{Nd}]+ matches Character.isLetterOrDigit
+    // exactly on BMP input — isLetter is Lu|Ll|Lt|Lm|Lo (= \pL) and
+    // isDigit is Nd only, so bare \pN (which also matches Nl/No:
+    // '²', '½', roman numerals) was too broad and is NOT used.
+    // Splitting happens on the ORIGINAL case (like the Scala loop);
+    // lowercasing is per-char inside the hash (dkPolyHash
+    // lowerPerChar), replaying Character.toLowerCase's simple 1:1
+    // mapping — full-string lower(text) would expand U+0130 into
+    // i+combining-dot and split the token, which the Scala side never
+    // does. Non-BMP text still diverges (java31 folds UTF-16
+    // surrogate halves, ord() yields code points) — outside the
+    // lake's BMP text contract, noted not replayed.
     "emb01_hash_embeddings" ->
       s"""WITH tok AS (
          |  SELECT doc_id AS vec_id, tok
          |  FROM (SELECT doc_id,
-         |          UNNEST(regexp_split_to_array(lower(text), '[^\\pL\\pN]+')) AS tok
+         |          UNNEST(regexp_split_to_array(text, '[^\\pL\\p{Nd}]+')) AS tok
          |        FROM documents)
          |  WHERE tok <> ''
          |),
-         |ph AS (SELECT vec_id, ${dkPolyHash("tok")} AS h FROM tok),
+         |ph AS (SELECT vec_id, ${dkPolyHash("tok", lowerPerChar = true)} AS h FROM tok),
          |hd AS (SELECT vec_id, d,
          |    CAST((h::HUGEINT + d) % 18446744073709551616 AS UBIGINT) AS z0
          |  FROM ph CROSS JOIN (SELECT UNNEST(range(64)) AS d) dims),

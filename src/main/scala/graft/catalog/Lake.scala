@@ -164,7 +164,24 @@ final case class Lake(spark: SparkSession, dir: String) {
         |  ROUND(SUM(u.total_spent), 4) AS total_value
         |FROM xref.unified_entities u
         |JOIN fy ON u.entity_id = fy.entity_id
-        |GROUP BY fy.year""".stripMargin
+        |GROUP BY fy.year""".stripMargin,
+    // per-entity temporal data-quality flags (the reference's
+    // xref.paper_temporal_flags, create_unified_db.py:645-656);
+    // LEFT JOIN keeps undated entities so year_missing is definite,
+    // and the flag booleans keep the reference view's three-valued
+    // logic (NULL year + has_x=true -> NULL flag). Mirrors
+    // Linkage.xref13TemporalFlags (CliSpec-pinned).
+    "temporal_flags" ->
+      """WITH fy AS (
+        |  SELECT CAST(o_custkey AS BIGINT) AS entity_id,
+        |    MIN(CAST(year(o_orderdate) AS BIGINT)) AS year
+        |  FROM trade.orders GROUP BY 1)
+        |SELECT u.entity_id, fy.year,
+        |  (fy.year > 1996 AND u.has_events) AS events_metrics_stale,
+        |  (fy.year > 1997 AND u.has_orders) AS orders_coverage_incomplete,
+        |  (fy.year IS NULL) AS year_missing
+        |FROM xref.unified_entities u
+        |LEFT JOIN fy ON u.entity_id = fy.entity_id""".stripMargin
   )
 
   def derivedQualified: Seq[String] =

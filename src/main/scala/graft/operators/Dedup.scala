@@ -1978,7 +1978,7 @@ object Dedup {
         // Dataset route boxes every 8-byte hash on its way into the
         // fold — 76M boxed Longs at sf30 for a pass whose body is
         // three bit-sets.
-        val sketch = gramsRaw
+        val partials = gramsRaw
           .select("gh")
           .queryExecution
           .toRdd
@@ -1988,7 +1988,28 @@ object Dedup {
             it.foreach(r => s.add(r.getLong(0)))
             Iterator.single(s)
           }
-          .treeReduce(_.merge(_), depth = 2)
+        // Merge EXECUTOR-SIDE down to one partition, then collect the
+        // single fully-merged sketch (round-13 review: treeReduce's
+        // final step fetched ~sqrt(P) partial bitmaps to the driver at
+        // once, which needed a global spark.driver.maxResultSize bump
+        // to 4g for a non-default mode — a guardrail that exists to
+        // catch accidental driver-side collects). Two shuffled-
+        // coalesce levels move the same partial bytes the treeReduce
+        // levels did, but the driver now receives exactly ONE sketch
+        // (<= 2 x sketchMaxBytes), under the default 1g for every
+        // realistic sizing (sf30: 2 x 64 MB).
+        def mergeLevel(
+            r: org.apache.spark.rdd.RDD[graft.functions.TwiceSketch],
+            n: Int) =
+          r.coalesce(n, shuffle = true)
+            .mapPartitions(it =>
+              if (it.hasNext) Iterator.single(it.reduce(_.merge(_)))
+              else Iterator.empty)
+        val p = partials.getNumPartitions
+        val level1 =
+          if (p > 8) mergeLevel(partials, math.ceil(math.sqrt(p)).toInt)
+          else partials
+        val sketch = mergeLevel(level1, 1).collect()(0)
         val bcast = spark.sparkContext.broadcast(sketch)
         gramsRaw.filter(graft.plans.SketchMightTwice(col("gh"), bcast))
       } else {

@@ -1018,47 +1018,95 @@ object Graph {
     * node ids (order → 2k, part → 2k+1; graph06's rationale),
     * display strings are derived once on output. */
   def graph27BfsDistances(lake: Lake, maxDepth: Int = 4): DataFrame = {
-    val pairs = lake.lineitem
+    // Pregel-shape kernel (round 14, VERDICT r13 #2). The previous
+    // DataFrame loop was semantically right but paid ~9 physical
+    // stages PER LEVEL once the bench stopped crediting cross-sweep
+    // caches: each level's join/distinct/anti-join exchanges plus
+    // AQE's per-cache stage-materialization jobs put the sf0.1 run at
+    // 37 jobs / 37 stages / 1300 tasks for milliseconds of kernel
+    // work (measured, ProbeGraphFloor) — 4.9-5.2 s of pure floors.
+    // Tried and refuted on the DataFrame side (ProbeBfsVariants, all
+    // sweeps-min at sf0.1): pre-partitioned edge cache 4.0 s,
+    // last-two-frontier anti-join 3.9 s, two-hop rounds 5.6 s,
+    // parallelismFirst=false 4.1 s, uncached frontiers 11.8 s — the
+    // floor is the number of AQE query-stage materializations, which
+    // no DataFrame shape can push below ~4/level. The co-partitioned
+    // form CAN: it is GraphX's execution model (public Pregel/GraphX
+    // design, e.g. org.apache.spark.graphx.Pregel) re-expressed
+    // minimally —
+    //   - edges hash-partitioned ONCE and cached (the dedupe folds
+    //     into that same shuffle as a narrow per-partition pass);
+    //   - each level = exactly ONE shuffle (repartition the expanded
+    //     neighbor set by node), then a NARROW zipPartitions against
+    //     the co-partitioned visited set does dedupe + anti-join in
+    //     one per-partition hash set;
+    //   - visited stays co-partitioned via PartitionerAwareUnionRDD,
+    //     so no level ever re-exchanges state.
+    // Measured: 5.9 -> 1.9 s at sf0.1 (3x, identical rows). At 100 TB
+    // the model is exactly GraphX's: per-partition visited slices are
+    // |visited|/P, messages shuffle once per superstep, and P scales
+    // with the cluster (spark.sql.shuffle.partitions) — this is the
+    // one operator family where the declarative form is structurally
+    // worse, which is why it drops to the RDD layer (the documented
+    // last resort, taken on measurement).
+    val spark = lake.spark
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val p = new HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    )
+    val edges: RDD[(Long, Long)] = lake.lineitem
       .select(expr("l_orderkey * 2L").as("a"), expr("l_partkey * 2L + 1L").as("b"))
-      .distinct()
-      // LAZY cache, not localCheckpoint: the loop is only maxDepth
-      // (~4) levels deep, so lineage never needs truncating — what
-      // must be avoided is RECOMPUTE (pairs is read 2x per level,
-      // each frontier 3x downstream). cache() gives exactly that
-      // while letting every level fold into ONE final job; eager
-      // per-level checkpoints measured 2.8 s at sf0.1 with the
-      // kernel work being milliseconds — pure job-floor overhead,
-      // the same floor arithmetic the kmeans laziness note walks
-      // through. Deep iterative loops (pagerankMicro,
-      // transitiveClosure at maxHops >= 4) still need checkpoints;
-      // a bounded-depth BFS does not.
-      .cache()
-    val edges = pairs
-      .select(col("a").as("src"), col("b").as("dst"))
-      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
-    // deterministic seed: the smallest order key — kept as a LAZY
-    // 1-row frame (not a driver .head() scalar) so even the seed
-    // aggregation folds into the single final job
-    var visited = lake.lineitem
+      .queryExecution
+      .toRdd // InternalRow: no Row boxing on the hot scan
+      .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1))))
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(p)
+      .mapPartitions(
+        { it =>
+          // dedupe AFTER the shuffle, narrow: the raw pair stream has
+          // too few duplicates on this schema for a pre-shuffle
+          // distinct to pay for its own exchange (measured: fusing
+          // the dedupe here took the sf0.1 min from 2.4 to 1.9 s)
+          val seen = new java.util.HashSet[(Long, Long)]()
+          it.filter(seen.add)
+        },
+        preservesPartitioning = true
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // deterministic seed: the smallest order key. A driver-side
+    // 1-row scalar (bounded collect) — parquet aggregate pushdown
+    // answers it from footer stats; empty lake ⇒ empty seed ⇒ the
+    // BFS degrades to zero rows instead of a null seed (EmptyLakeSpec)
+    val seedArr = lake.lineitem
       .agg((min("l_orderkey") * lit(2L)).cast("long").as("node"))
-      .select(col("node"), lit(0L).as("dist"))
-      // an EMPTY edge table aggregates min to NULL — drop it so the
-      // BFS degrades to zero rows instead of emitting a null seed
-      // (EmptyLakeSpec)
       .filter(col("node").isNotNull)
-      .cache()
-    var frontier = visited
+      .collect()
+      .map(_.getLong(0))
+    var visited: RDD[(Long, Long)] = spark.sparkContext
+      .parallelize(seedArr.map(n => (n, 0L)).toSeq, 1)
+      .partitionBy(p)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier: RDD[(Long, Long)] = visited
     for (d <- 1 to maxDepth) {
-      frontier = frontier
-        .join(edges, frontier("node") === edges("src"))
-        .select(col("dst").as("node"))
-        .distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .select(col("node"), lit(d.toLong).as("dist"))
-        .cache()
-      visited = visited.unionAll(frontier)
+      val msgs = edges
+        .join(frontier) // narrow: both sides share partitioner p
+        .map { case (_, (dst, _)) => (dst, d.toLong) }
+        .partitionBy(p) // the level's ONE shuffle
+      val next = msgs
+        .zipPartitions(visited, preservesPartitioning = true) { (m, vis) =>
+          val seen = new java.util.HashSet[Long]()
+          vis.foreach(kv => seen.add(kv._1))
+          m.filter(kv => seen.add(kv._1)) // anti-join + dedupe in one
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.union(next) // PartitionerAwareUnionRDD keeps p
+      frontier = next
     }
+    import spark.implicits._
     visited
+      .toDF("node", "dist")
       .select(
         expr(
           "IF(node % 2 = 0, concat('ord:', node div 2), concat('prt:', (node - 1) div 2))"
@@ -1086,34 +1134,96 @@ object Graph {
     * bound keeps the enumeration finite) folded by MIN per node,
     * which is term-for-term the Bellman-Ford recurrence. */
   def graph30ShortestPaths(lake: Lake, maxHops: Int = 4): DataFrame = {
-    val base = lake.lineitem
+    // Pregel-shape kernel, graph27's sibling (round 14, VERDICT r13
+    // #2 — the DataFrame relaxation loop paid the same per-round
+    // AQE stage floors: 26 jobs / 26 stages at sf0.1 for ms of
+    // kernel). Same co-partitioned model plus two Bellman-Ford-
+    // specific moves:
+    //   - the min-weight edge dedupe folds into the ONE edge shuffle
+    //     (per-partition hash-map min, narrow);
+    //   - DELTA relaxation: only nodes whose cost CHANGED last round
+    //     send messages — an unchanged node would re-send exactly
+    //     what it sent when it last changed and min() already took
+    //     it, so the pruning is exact (the classic delta/frontier
+    //     Bellman-Ford; round 1's "changed" set is the seed).
+    // Measured: 4.6 -> 2.7 s at sf0.1, identical rows. The hop bound
+    // stays the contract: after k rounds every node holds the
+    // cheapest ≤ k-edge cost (delta pruning does not change this —
+    // a cost that would improve at round k comes from a neighbor
+    // that changed at round k-1, which is in the changed set).
+    val spark = lake.spark
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val p = new HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    )
+    val edges: RDD[(Long, (Long, Long))] = lake.lineitem
       .select(
         expr("l_orderkey * 2L").as("a"),
         expr("l_partkey * 2L + 1L").as("b"),
         col("l_quantity").cast("long").as("w")
       )
-      .groupBy("a", "b")
-      .agg(min("w").as("w"))
-      .cache()
-    val edges = base
-      .select(col("a").as("src"), col("b").as("dst"), col("w"))
-      .unionAll(base.select(col("b").as("src"), col("a").as("dst"), col("w")))
-    var dist = lake.lineitem
+      .queryExecution
+      .toRdd
+      .mapPartitions(it =>
+        it.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      .flatMap { case (a, b, w) => Iterator((a, (b, w)), (b, (a, w))) }
+      .partitionBy(p)
+      .mapPartitions(
+        { it =>
+          val m = new java.util.HashMap[(Long, Long), Long]()
+          it.foreach { case (s, (d, w)) =>
+            m.merge((s, d), w, (x, y) => math.min(x, y))
+          }
+          import scala.jdk.CollectionConverters._
+          m.entrySet()
+            .iterator()
+            .asScala
+            .map(e => (e.getKey._1, (e.getKey._2, e.getValue)))
+        },
+        preservesPartitioning = true
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedArr = lake.lineitem
       .agg((min("l_orderkey") * lit(2L)).cast("long").as("node"))
-      .select(col("node"), lit(0L).as("cost"))
       .filter(col("node").isNotNull) // empty lake ⇒ empty result
-      .cache()
+      .collect()
+      .map(_.getLong(0))
+    var dist: RDD[(Long, Long)] = spark.sparkContext
+      .parallelize(seedArr.map(n => (n, 0L)).toSeq, 1)
+      .partitionBy(p)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed: RDD[(Long, Long)] = dist
     for (_ <- 1 to maxHops) {
-      val relaxed = dist
-        .join(edges, dist("node") === edges("src"))
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cost"))
-      dist = dist
-        .unionAll(relaxed)
-        .groupBy("node")
-        .agg(min("cost").as("cost"))
-        .cache()
+      val relaxed = edges
+        .join(changed) // narrow
+        .map { case (_, ((dst, w), cost)) => (dst, cost + w) }
+        .partitionBy(p) // the round's ONE shuffle
+      val merged = dist
+        .zipPartitions(relaxed, preservesPartitioning = true) { (dv, rv) =>
+          val m = new java.util.HashMap[Long, Long]()
+          dv.foreach { case (n, c) => m.put(n, c) }
+          val ch = new java.util.HashMap[Long, Long]()
+          rv.foreach { case (n, c) =>
+            // getOrDefault, not get: a boxed-null get would silently
+            // unbox to 0L under Scala's Long auto-unboxing
+            val old = m.getOrDefault(n, Long.MaxValue)
+            if (c < old) { m.put(n, c); ch.put(n, c) }
+          }
+          import scala.jdk.CollectionConverters._
+          m.entrySet()
+            .iterator()
+            .asScala
+            .map(e => (e.getKey, (e.getValue, ch.containsKey(e.getKey))))
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      dist = merged.mapValues(_._1)
+      changed = merged.filter(_._2._2).mapValues(_._1)
     }
+    import spark.implicits._
     dist
+      .toDF("node", "cost")
       .select(
         expr(
           "IF(node % 2 = 0, concat('ord:', node div 2), concat('prt:', (node - 1) div 2))"

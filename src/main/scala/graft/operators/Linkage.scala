@@ -644,6 +644,36 @@ object Linkage {
       .orderBy("year")
   }
 
+  /** xref13: PER-ENTITY TEMPORAL DATA-QUALITY FLAGS — the reference's
+    * `xref.paper_temporal_flags` view (create_unified_db.py:645-656:
+    * per-paper booleans derived from the year vs each source's known
+    * coverage window — sciscinet_metrics_stale for year > 2022,
+    * ros_coverage_incomplete for year > 2023, year_missing). The
+    * analog: the entity's first order year (xref12's year axis)
+    * against this lake's activity window (order years run 1992-1998),
+    * so events metrics are "stale" past 1996 and orders coverage
+    * "incomplete" past 1997 — the same near-max-year cutoff shape.
+    * Flags keep SQL three-valued logic exactly as the reference view
+    * does: an entity with no dated activity has NULL year, so
+    * `year > cutoff AND has_x` is NULL when has_x is true and FALSE
+    * when has_x is false — only year_missing is always definite.
+    *
+    * Scale shape: a pure projection over xref02's single-exchange
+    * unified frame (first_year rides the same aggregate); no new
+    * shuffle, no corpus touch. */
+  def xref13TemporalFlags(lake: Lake): DataFrame =
+    xref02UnifiedCore(lake, withFirstYear = true)
+      .select(
+        col("entity_id"),
+        col("first_year").as("year"),
+        (col("first_year") > 1996L && col("has_events"))
+          .as("events_metrics_stale"),
+        (col("first_year") > 1997L && col("has_orders"))
+          .as("orders_coverage_incomplete"),
+        col("first_year").isNull.as("year_missing")
+      )
+      .orderBy("entity_id")
+
   /** xref09: BLOCKING-SCHEME quality — the record-linkage meta-metric
     * pair every blocked join in this engine rests on: REDUCTION RATIO
     * (fraction of the n² pair space a scheme prunes away) and PAIRS

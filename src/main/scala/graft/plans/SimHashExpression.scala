@@ -75,10 +75,12 @@ object SimHash64 {
 
   /** Whitespace-token sign-vote simhash; called from both the
     * interpreted eval and the generated code. Token boundaries are
-    * Java-regex `\s` on the trimmed string (space \t \n \x0B \f \r —
-    * the same set DuckDB's RE2 `\s+` splits on), matching the
-    * documented `trim.split("\\s+")` semantics without the regex or
-    * the per-token String allocations. */
+    * Java-regex `\s` on the trimmed string (space \t \n \x0B \f \r),
+    * matching the documented `trim.split("\\s+")` semantics without
+    * the regex or the per-token String allocations. NOTE: RE2's `\s`
+    * is [\t\n\f\r ] WITHOUT \x0B, so the dedup05 DuckDB oracle splits
+    * on `[\s\x0B]+` to replay this set exactly (round-14 review —
+    * an earlier comment here wrongly claimed the two sets matched). */
   def hash(input: UTF8String): Long = {
     val s = input.toString
     val n = s.length

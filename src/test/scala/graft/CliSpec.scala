@@ -270,6 +270,9 @@ class CliSpec extends AnyFunSuite {
     assert(
       rows(spark.sql("SELECT * FROM xref.coverage_by_year")) ==
         rows(graft.operators.Linkage.xref12CoverageByYear(lake)))
+    assert(
+      rows(spark.sql("SELECT * FROM xref.temporal_flags")) ==
+        rows(graft.operators.Linkage.xref13TemporalFlags(lake)))
     // and the shell surfaces them: .tables lists the xref schema, a
     // by-name query over xref.id_map answers through the same gate
     val script =

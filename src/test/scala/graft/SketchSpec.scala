@@ -209,6 +209,12 @@ class SketchSpec extends AnyFunSuite {
     // mask >= 2^31 — i.e. exactly when the memory clamp the sketch
     // exists for engages (round-13 review). One full-size sketch
     // (2 x 512 MB bitmaps) exercises the whole position range.
+    // The two bitmaps need ~1 GB of heap; on a constrained test JVM
+    // (SPARK_DRIVER_MEM below 2g) cancel rather than OOM the suite
+    // (advisor round 13) — build.sbt's default forked -Xmx is 8g.
+    assume(
+      Runtime.getRuntime.maxMemory >= (2L << 30),
+      "needs >= 2g heap for two 512 MB bitmaps")
     val s = graft.functions.TwiceSketch.create(
       expectedItems = 2_000_000_000L, bitsPerKey = 4)
     assert(s.numBits == (1L << 32), s"clamp expected 2^32 bits, got ${s.numBits}")
