@@ -190,6 +190,86 @@ object ProbeBfsVariants {
       .orderBy("dist", "node")
   }
 
+  /** bfsRdd + a PERSISTENT per-partition adjacency index (GraphX's
+    * EdgePartition idea): the plain co-partitioned join walks the
+    * FULL edge iterator every level (O(|edges|) per superstep — 36M
+    * rows x 4 levels at sf3); indexing each edge partition once into
+    * a hash map makes every later level O(|frontier|) lookups. */
+  def bfsRddIdx(lake: Lake, maxDepth: Int): DataFrame = {
+    val spark = lake.spark
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val p = new HashPartitioner(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val idx: RDD[java.util.HashMap[Long, Array[Long]]] = lake.lineitem
+      .select(expr("l_orderkey * 2L").as("a"), expr("l_partkey * 2L + 1L").as("b"))
+      .queryExecution
+      .toRdd
+      .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1))))
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(p)
+      .mapPartitions(
+        { it =>
+          val tmp = new java.util.HashMap[Long, java.util.HashSet[Long]]()
+          it.foreach { case (s, d) =>
+            tmp.computeIfAbsent(s, _ => new java.util.HashSet[Long]()).add(d)
+          }
+          val m = new java.util.HashMap[Long, Array[Long]](tmp.size())
+          tmp.forEach { (k, v) =>
+            val arr = new Array[Long](v.size())
+            var i = 0
+            val vi = v.iterator()
+            while (vi.hasNext) { arr(i) = vi.next(); i += 1 }
+            m.put(k, arr)
+          }
+          Iterator.single(m)
+        },
+        preservesPartitioning = false
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedArr = lake.lineitem
+      .agg((min("l_orderkey") * lit(2L)).cast("long").as("node"))
+      .filter(col("node").isNotNull)
+      .collect()
+      .map(_.getLong(0))
+    var visited: RDD[(Long, Long)] = spark.sparkContext
+      .parallelize(seedArr.map(n => (n, 0L)).toSeq, 1)
+      .partitionBy(p)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier: RDD[(Long, Long)] = visited
+    for (d <- 1 to maxDepth) {
+      val msgs = frontier
+        .zipPartitions(idx, preservesPartitioning = false) { (fit, iit) =>
+          val m = iit.next()
+          fit.flatMap { case (n, _) =>
+            val nbrs = m.get(n)
+            if (nbrs == null) Iterator.empty
+            else nbrs.iterator.map(x => (x, d.toLong))
+          }
+        }
+        .partitionBy(p) // the level's ONE shuffle
+      val next = msgs
+        .zipPartitions(visited, preservesPartitioning = true) { (m, vis) =>
+          val seen = new java.util.HashSet[Long]()
+          vis.foreach(kv => seen.add(kv._1))
+          m.filter(kv => seen.add(kv._1))
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      visited = visited.union(next)
+      frontier = next
+    }
+    import spark.implicits._
+    visited
+      .toDF("node", "dist")
+      .select(
+        expr(
+          "IF(node % 2 = 0, concat('ord:', node div 2), concat('prt:', (node - 1) div 2))"
+        ).as("node"),
+        col("dist")
+      )
+      .orderBy("dist", "node")
+  }
+
   /** Pregel-shape Bellman-Ford (graph30): weighted edges partitioned
     * once; each round is one shuffle (repartition relaxed costs) and
     * a narrow zipPartitions min-merge against the co-partitioned
@@ -325,6 +405,7 @@ object ProbeBfsVariants {
               cacheLevels = false)
           case "rdd"      => bfsRdd(lake, 4, fuseDedup = false)
           case "rddfuse"  => bfsRdd(lake, 4, fuseDedup = true)
+          case "rddidx"   => bfsRddIdx(lake, 4)
           case "sp-base"  =>
             SparkEntry.queries("graph30_shortest_paths")(spark, sfDir)
           case "sp-rdd"   => spRdd(lake, 4)

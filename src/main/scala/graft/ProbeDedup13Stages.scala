@@ -54,7 +54,11 @@ object ProbeDedup13Stages {
     }
     val expected = math.max(64L, totalChars / 5)
     val sketch = time("c_sketch_build") {
-      gramsRaw
+      // executor-side merge to ONE partition (round 14 — the old
+      // treeReduce here fetched ~sqrt(P) partial bitmaps to the
+      // driver at once and DIED under the default 1g maxResultSize
+      // at sf30, which is exactly why the operator's path changed)
+      val partials = gramsRaw
         .select("gh")
         .queryExecution
         .toRdd
@@ -63,7 +67,18 @@ object ProbeDedup13Stages {
           it.foreach(r => s.add(r.getLong(0)))
           Iterator.single(s)
         }
-        .treeReduce(_.merge(_), depth = 2)
+      def mergeLevel(
+          r: org.apache.spark.rdd.RDD[graft.functions.TwiceSketch],
+          n: Int) =
+        r.coalesce(n, shuffle = true)
+          .mapPartitions(it =>
+            if (it.hasNext) Iterator.single(it.reduce(_.merge(_)))
+            else Iterator.empty)
+      val p = partials.getNumPartitions
+      val level1 =
+        if (p > 8) mergeLevel(partials, math.ceil(math.sqrt(p)).toInt)
+        else partials
+      mergeLevel(level1, 1).collect()(0)
     }
     val bcast = spark.sparkContext.broadcast(sketch)
     time("c2_filter_pass_only") {
@@ -108,6 +123,15 @@ object ProbeDedup13Stages {
     time("e_full_unfiltered") {
       graft.operators.Dedup
         .dedup13ExactSubstring(lake, preFilter = "off")
+        .write.mode("overwrite").format("noop").save()
+    }
+    // end-to-end sketch mode under the DEFAULT driver.maxResultSize
+    // (round 14: the partial bitmaps now merge executor-side and the
+    // driver fetches exactly one sketch — this run is the proof the
+    // 4g global override could go)
+    time("e2_full_sketch_mode") {
+      graft.operators.Dedup
+        .dedup13ExactSubstring(lake, preFilter = "sketch")
         .write.mode("overwrite").format("noop").save()
     }
     spark.stop()

@@ -42,6 +42,34 @@ object ProbeRecall {
       val r = recall(graft.operators.Similarity.sim06IvfTrained(lake, nprobe = np))
       println(f"sim06 nprobe=$np%-2d  recall@$k = $r%.3f (trained cells)")
     }
+    // nlist sweep (VERDICT r13 #5: auto-sqrt(N) nlist measured WORSE
+    // on uniform data — quantify nlist's effect on clustered vs
+    // uniform corpora; SPARK_GRAFT_NLIST=8,64,141 overrides)
+    sys.env.get("SPARK_GRAFT_NLIST").foreach { csv =>
+      for (nl <- csv.split(",").map(_.trim.toInt)) {
+        val t0 = System.nanoTime()
+        val r6 = recall(
+          graft.operators.Similarity
+            .sim06IvfTrained(lake, nlist = nl, nprobe = math.max(2, nl / 8)))
+        val d6 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val r14 = recall(
+          graft.operators.Similarity
+            .sim14IvfPq(lake, nlist = nl, nprobe = math.max(2, nl / 8),
+              trainEvery = 16))
+        val d14 = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        val r15 = recall(
+          graft.operators.Similarity.sim15IvfPqRefine(
+            lake, refine = 32, nlist = nl, nprobe = math.max(2, nl / 8),
+            trainEvery = 16))
+        val d15 = (System.nanoTime() - t2) / 1e9
+        println(
+          f"nlist=$nl%-4d nprobe=${math.max(2, nl / 8)}%-3d sim06=$r6%.3f (${d6}%.0fs) " +
+            f"sim14=$r14%.3f (${d14}%.0fs) sim15r32=$r15%.3f (${d15}%.0fs)"
+        )
+      }
+    }
     for (te <- Seq(1, 16)) {
       val t0 = System.nanoTime()
       val r = recall(graft.operators.Similarity.sim14IvfPq(lake, trainEvery = te))

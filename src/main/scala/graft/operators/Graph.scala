@@ -17,6 +17,127 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Per-partition adjacency index for the long-keyed Pregel kernels
+    * (graph27/graph30) — GraphX's EdgePartition idea re-expressed
+    * minimally: two (three with weights) PRIMITIVE long arrays sorted
+    * by source, looked up by binary search + linear walk. Why not a
+    * HashMap: an RDD join walks the FULL edge iterator every
+    * superstep (O(|edges| x levels) — 144M row visits for 4 levels at
+    * sf3), and a boxed HashMap/HashSet index allocates per-row
+    * objects for |edges|/P rows in 32 concurrent tasks, which is an
+    * allocation failure at sf10 (120M directed edges). Primitive
+    * arrays cost exactly the data's bytes, the one sort is in-place,
+    * and each later level touches only the frontier's rows. */
+  private[operators] final class LongAdj(
+      val srcs: Array[Long],
+      val dsts: Array[Long],
+      val ws: Array[Long] // null when unweighted
+  ) extends Serializable {
+    /** first index holding src `n`, or -1 */
+    @inline def lower(n: Long): Int = {
+      var lo = 0; var hi = srcs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (srcs(mid) < n) lo = mid + 1 else hi = mid
+      }
+      if (lo < srcs.length && srcs(lo) == n) lo else -1
+    }
+  }
+
+  private[operators] object LongAdj {
+    /** In-place dual/triple-array quicksort by `s` (median-of-3,
+      * insertion sort below 16) — no boxing, no permutation array. */
+    private def sort(s: Array[Long], d: Array[Long], w: Array[Long]): Unit = {
+      @inline def swap(i: Int, j: Int): Unit = {
+        val t = s(i); s(i) = s(j); s(j) = t
+        val u = d(i); d(i) = d(j); d(j) = u
+        if (w != null) { val v = w(i); w(i) = w(j); w(j) = v }
+      }
+      def qs(lo0: Int, hi0: Int): Unit = {
+        var lo = lo0; var hi = hi0
+        while (hi - lo > 15) {
+          val mid = (lo + hi) >>> 1
+          // median-of-3 pivot to s(mid)
+          if (s(lo) > s(mid)) swap(lo, mid)
+          if (s(lo) > s(hi)) swap(lo, hi)
+          if (s(mid) > s(hi)) swap(mid, hi)
+          val pivot = s(mid)
+          var i = lo; var j = hi
+          while (i <= j) {
+            while (s(i) < pivot) i += 1
+            while (s(j) > pivot) j -= 1
+            if (i <= j) { swap(i, j); i += 1; j -= 1 }
+          }
+          // recurse into the smaller side, loop on the larger
+          if (j - lo < hi - i) { qs(lo, j); lo = i }
+          else { qs(i, hi); hi = j }
+        }
+        var i = lo + 1
+        while (i <= hi) {
+          var j = i
+          while (j > lo && s(j - 1) > s(j)) { swap(j - 1, j); j -= 1 }
+          i += 1
+        }
+      }
+      if (s.length > 1) qs(0, s.length - 1)
+    }
+
+    def build(
+        it: Iterator[(Long, Long)],
+        weights: Iterator[Long] = null
+    ): LongAdj = {
+      var cap = 1 << 10
+      var n = 0
+      var s = new Array[Long](cap); var d = new Array[Long](cap)
+      var w: Array[Long] = if (weights != null) new Array[Long](cap) else null
+      while (it.hasNext) {
+        if (n == cap) {
+          cap <<= 1
+          s = java.util.Arrays.copyOf(s, cap)
+          d = java.util.Arrays.copyOf(d, cap)
+          if (w != null) w = java.util.Arrays.copyOf(w, cap)
+        }
+        val (a, b) = it.next()
+        s(n) = a; d(n) = b
+        if (w != null) w(n) = weights.next()
+        n += 1
+      }
+      val adj = new LongAdj(
+        java.util.Arrays.copyOf(s, n),
+        java.util.Arrays.copyOf(d, n),
+        if (w != null) java.util.Arrays.copyOf(w, n) else null
+      )
+      sort(adj.srcs, adj.dsts, adj.ws)
+      adj
+    }
+
+    /** build from (src, dst, w) triples */
+    def buildWeighted(it: Iterator[(Long, (Long, Long))]): LongAdj = {
+      var cap = 1 << 10
+      var n = 0
+      var s = new Array[Long](cap); var d = new Array[Long](cap)
+      var w = new Array[Long](cap)
+      while (it.hasNext) {
+        if (n == cap) {
+          cap <<= 1
+          s = java.util.Arrays.copyOf(s, cap)
+          d = java.util.Arrays.copyOf(d, cap)
+          w = java.util.Arrays.copyOf(w, cap)
+        }
+        val (a, (b, c)) = it.next()
+        s(n) = a; d(n) = b; w(n) = c
+        n += 1
+      }
+      val adj = new LongAdj(
+        java.util.Arrays.copyOf(s, n),
+        java.util.Arrays.copyOf(d, n),
+        java.util.Arrays.copyOf(w, n)
+      )
+      sort(adj.srcs, adj.dsts, adj.ws)
+      adj
+    }
+  }
+
   /** Child -> parent -> grandparent rollup with a path label
     * (topic -> subfield -> field style). */
   def graph01HierarchyRollup(lake: Lake): DataFrame =
@@ -35,79 +156,121 @@ object Graph {
       .orderBy("path")
 
   /** Generic hop-bounded transitive closure: (src, dst, min_hops)
-    * pairs reachable in <= maxHops. Each iteration joins the frontier
-    * to the edge list; termination is the hop bound (cycle-safe).
+    * pairs reachable in <= maxHops — FRONTIER form, not path
+    * enumeration: each hop expands only the pairs FIRST reached at
+    * the previous hop, so every (src, dst) pair is expanded exactly
+    * once and carries its min hop count by construction (the
+    * recursive-CTE replay enumerates paths, whose count compounds per
+    * level; BFS per source is what survives big graphs).
+    * Shortest-path prefix optimality makes the visited check exact: a
+    * min-hop path to `next` extends a min-hop path to `dst`.
     *
-    * Lineage control: iterative DataFrame loops grow the logical plan
-    * exponentially (each frontier embeds the previous one twice —
-    * join + union), which stalls the optimizer and, at executor
-    * level, re-runs every prior hop on a task retry. Past a few hops
-    * the frontier is truncated via localCheckpoint, which caps the
-    * plan size and the task-retry recompute cost. Tradeoff:
-    * localCheckpoint blocks are executor-local and unreplicated, so
-    * losing an executor loses the truncated lineage and fails the
-    * job — on a real cluster where executor loss is routine, set
-    * sparkContext.setCheckpointDir to reliable storage and swap in
-    * .checkpoint() for the deep-closure path; local-mode keeps the
-    * cheap variant. */
+    * Pregel-shape kernel (round 14 — graph27's measured lesson
+    * applied to the whole closure family: the DataFrame loop paid ~4
+    * AQE query-stage materializations per hop for milliseconds of
+    * kernel work). Co-partitioned state, two shuffles per hop:
+    *   - edges hash-partitioned ONCE by src and deduped narrowly;
+    *   - the reached-pair set `all` lives partitioned by (src, dst),
+    *     so each hop's candidate pairs shuffle once to the pair
+    *     partitioner and the dedupe + visited check run NARROW via
+    *     zipPartitions (a per-partition hash set over the slice);
+    *   - the next frontier re-keys by dst (the second shuffle) to
+    *     meet the edge partitioner for a narrow join.
+    * At 100 TB this is GraphX's model: per-partition state slices are
+    * |pairs|/P and messages shuffle once per superstep. RDD layer by
+    * measurement, not taste — the same queries' DataFrame form was
+    * measurably slower at sf0.1 with identical rows (BASELINE round
+    * 14 pairs).
+    *
+    * Null edges (never produced by current callers, but the old
+    * DataFrame form tolerated them) pass through as hop-1 rows and
+    * never propagate — SQL equi-join semantics preserved. */
   def transitiveClosure(edges0: DataFrame, maxHops: Int): DataFrame = {
-    // edges: (src: long/string, dst: long/string) — FRONTIER form, not
-    // path enumeration: each hop expands only the pairs FIRST reached
-    // at the previous hop (distinct, then left-anti against everything
-    // already reached), so every (src, dst) pair is expanded exactly
-    // once and carries its min hop count by construction — no terminal
-    // groupBy-min pass, and the per-hop work can't regrow along
-    // multiple paths (the recursive-CTE replay enumerates paths, whose
-    // count compounds per level; BFS per source is what survives big
-    // graphs). Shortest-path prefix optimality makes the anti-join
-    // exact: a min-hop path to `next` extends a min-hop path to `dst`.
-    //
-    // Persistence follows graph27's measured rule: a bounded-depth
-    // loop (all callers use maxHops 3-4) needs RECOMPUTE protection,
-    // not lineage truncation — lazy cache() lets every level fold into
-    // ONE final job (each localCheckpoint is a blocking driver job:
-    // graph27 measured 2.84 -> 1.43 s deleting them); past depth ~6
-    // the join+anti-join lineage doubling would bloat plans, so deep
-    // loops keep the sparse checkpoint cadence.
-    // (A pre-partition-by-src cache of the edge list was measured
-    // SLOWER at sf1 — 1.85 vs 1.20 s on graph08: the up-front
-    // exchange costs more than the per-hop edge shuffles it saves on
-    // these dimension-sized edge lists. Plain cache.)
-    val edges = edges0.select(col("src"), col("dst")).cache()
-    var frontier = edges
+    val spark = edges0.sparkSession
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val sel = edges0.select(col("src"), col("dst"))
+    val clean = sel.filter(col("src").isNotNull && col("dst").isNotNull)
+    val nullRows = sel
+      .filter(col("src").isNull || col("dst").isNull)
       .distinct()
       .withColumn("min_hops", lit(1L))
-      .cache()
-    var all = frontier
-    for (h <- 2 to maxHops) {
-      frontier = frontier
-        .join(
-          edges.select(col("src").as("mid"), col("dst").as("next")),
-          col("dst") === col("mid")
-        )
-        .select(col("src"), col("next").as("dst"))
-        .distinct()
-        .join(all.select("src", "dst"), Seq("src", "dst"), "left_anti")
-        .withColumn("min_hops", lit(h.toLong))
-      frontier =
-        if (maxHops > 6 && h >= 4 && h < maxHops) frontier.localCheckpoint()
-        else frontier.cache()
-      all = all.unionAll(frontier)
+    import spark.implicits._
+    val closed = sel.schema("src").dataType match {
+      case LongType =>
+        closureKernel[Long](
+          clean.queryExecution.toRdd
+            .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1)))),
+          maxHops
+        ).map { case ((s, d), h) => (s, d, h) }
+          .toDF("src", "dst", "min_hops")
+      case StringType =>
+        closureKernel[String](
+          clean.queryExecution.toRdd
+            .mapPartitions(it =>
+              // toString copies out of the scan's reused buffer
+              it.map(r =>
+                (r.getUTF8String(0).toString, r.getUTF8String(1).toString))),
+          maxHops
+        ).map { case ((s, d), h) => (s, d, h) }
+          .toDF("src", "dst", "min_hops")
+      case other =>
+        sys.error(s"transitiveClosure: unsupported key type $other")
     }
-    // Storage hygiene (advisor round-10): the per-level caches pin
-    // executor storage until LRU eviction — deliberately. The
-    // deterministic alternative (eager localCheckpoint of the union +
-    // unpersist every level before returning) was built and MEASURED:
-    // graph08 0.98 -> 1.73 s, graph09 1.20 -> 1.81 s at sf1 min-of-6
-    // (storing + re-scanning the closure costs more than the leak),
-    // so the lazy form stays. Why LRU self-release is acceptable here:
-    // (a) all caches are MEMORY_AND_DISK cache()s — under pressure
-    // Spark evicts them and lineage recomputes, so they can't OOM the
-    // executors; (b) the frames are closure-sized (bounded by the
-    // dimension-table edge lists every caller feeds in), not
-    // corpus-sized; (c) benchmarks that need a clean-storage baseline
-    // have the per-sweep clear knob (BenchOne SPARK_GRAFT_CLEAR=1),
-    // which releases them between sweeps.
+    closed.unionAll(nullRows)
+  }
+
+  /** The typed closure kernel: returns ((src, dst), min_hops), with
+    * the result co-partitioned by pair. Bounded-depth persists per
+    * level (recompute protection; RDD lineage grows LINEARLY here —
+    * union chains, no plan-doubling — so no checkpoint cadence is
+    * needed at the <= 6 hops every caller uses; a deep-loop caller on
+    * a real cluster should swap persist for reliable checkpoints). */
+  private def closureKernel[K](
+      raw: org.apache.spark.rdd.RDD[(K, K)],
+      maxHops: Int
+  )(implicit
+      kt: scala.reflect.ClassTag[K]
+  ): org.apache.spark.rdd.RDD[((K, K), Long)] = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val n = raw.sparkContext.defaultParallelism
+    val nodePart = new HashPartitioner(n)
+    val pairPart = new HashPartitioner(n)
+    val edges: RDD[(K, K)] = raw
+      .partitionBy(nodePart)
+      .mapPartitions(
+        { it =>
+          val seen = new java.util.HashSet[(K, K)]()
+          it.filter(seen.add)
+        },
+        preservesPartitioning = true
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var all: RDD[((K, K), Long)] = edges
+      .map { case (s, d) => ((s, d), 1L) }
+      .partitionBy(pairPart)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // frontier keyed by dst (the node partitioner) for the edge join
+    var frontier: RDD[(K, K)] =
+      all.map { case ((s, d), _) => (d, s) }.partitionBy(nodePart)
+    for (h <- 2 to maxHops) {
+      val msgs = edges
+        .join(frontier) // narrow: both sides on nodePart
+        .map { case (_, (next, src)) => ((src, next), h.toLong) }
+        .partitionBy(pairPart) // hop shuffle 1: candidates to pair space
+      val fresh = msgs
+        .zipPartitions(all, preservesPartitioning = true) { (m, a) =>
+          val seen = new java.util.HashSet[(K, K)]()
+          a.foreach(kv => seen.add(kv._1))
+          m.filter(kv => seen.add(kv._1)) // visited check + dedupe
+        }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      all = all.union(fresh) // PartitionerAwareUnionRDD keeps pairPart
+      frontier = fresh
+        .map { case ((s, d), _) => (d, s) }
+        .partitionBy(nodePart) // hop shuffle 2: frontier to node space
+    }
     all
   }
 
@@ -1034,8 +1197,9 @@ object Graph {
     // form CAN: it is GraphX's execution model (public Pregel/GraphX
     // design, e.g. org.apache.spark.graphx.Pregel) re-expressed
     // minimally —
-    //   - edges hash-partitioned ONCE and cached (the dedupe folds
-    //     into that same shuffle as a narrow per-partition pass);
+    //   - edges hash-partitioned ONCE into a primitive per-partition
+    //     adjacency index (LongAdj — see its scaladoc and the
+    //     no-dedupe note at the build below);
     //   - each level = exactly ONE shuffle (repartition the expanded
     //     neighbor set by node), then a NARROW zipPartitions against
     //     the co-partitioned visited set does dedupe + anti-join in
@@ -1056,24 +1220,23 @@ object Graph {
     val p = new HashPartitioner(
       spark.conf.get("spark.sql.shuffle.partitions").toInt
     )
-    val edges: RDD[(Long, Long)] = lake.lineitem
+    // NO edge dedupe (round-14 sf10 lesson): BFS doesn't need
+    // distinct edges — a duplicate (a,b) only re-sends a message the
+    // per-level seen set absorbs, and this schema's (order, part)
+    // pairs are nearly unique anyway. The SQL distinct costs an extra
+    // exchange (measured 2.4 vs 1.9 s at sf0.1), and a per-partition
+    // HashSet[(Long,Long)] dedupe allocates boxed tuples for
+    // |edges|/P rows x 32 concurrent tasks — an allocation failure at
+    // sf10 (120M directed edges). One shuffle into the primitive
+    // LongAdj index (see its scaladoc), zero per-row allocation.
+    val adj: RDD[LongAdj] = lake.lineitem
       .select(expr("l_orderkey * 2L").as("a"), expr("l_partkey * 2L + 1L").as("b"))
       .queryExecution
       .toRdd // InternalRow: no Row boxing on the hot scan
       .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1))))
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .partitionBy(p)
-      .mapPartitions(
-        { it =>
-          // dedupe AFTER the shuffle, narrow: the raw pair stream has
-          // too few duplicates on this schema for a pre-shuffle
-          // distinct to pay for its own exchange (measured: fusing
-          // the dedupe here took the sf0.1 min from 2.4 to 1.9 s)
-          val seen = new java.util.HashSet[(Long, Long)]()
-          it.filter(seen.add)
-        },
-        preservesPartitioning = true
-      )
+      .mapPartitions(it => Iterator.single(LongAdj.build(it)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // deterministic seed: the smallest order key. A driver-side
     // 1-row scalar (bounded collect) — parquet aggregate pushdown
@@ -1090,9 +1253,22 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var frontier: RDD[(Long, Long)] = visited
     for (d <- 1 to maxDepth) {
-      val msgs = edges
-        .join(frontier) // narrow: both sides share partitioner p
-        .map { case (_, (dst, _)) => (dst, d.toLong) }
+      val msgs = frontier
+        // narrow: frontier and the index share partitioner p, so the
+        // expansion touches ONLY the frontier's adjacency rows
+        // (binary search + walk), not the full edge iterator
+        .zipPartitions(adj, preservesPartitioning = false) { (fit, ait) =>
+          val a = ait.next()
+          fit.flatMap { case (n, _) =>
+            val i0 = a.lower(n)
+            if (i0 < 0) Iterator.empty
+            else new Iterator[(Long, Long)] {
+              private var i = i0
+              def hasNext: Boolean = i < a.srcs.length && a.srcs(i) == n
+              def next(): (Long, Long) = { val r = (a.dsts(i), d.toLong); i += 1; r }
+            }
+          }
+        }
         .partitionBy(p) // the level's ONE shuffle
       val next = msgs
         .zipPartitions(visited, preservesPartitioning = true) { (m, vis) =>
@@ -1139,8 +1315,8 @@ object Graph {
     // AQE stage floors: 26 jobs / 26 stages at sf0.1 for ms of
     // kernel). Same co-partitioned model plus two Bellman-Ford-
     // specific moves:
-    //   - the min-weight edge dedupe folds into the ONE edge shuffle
-    //     (per-partition hash-map min, narrow);
+    //   - raw weighted edges through ONE shuffle into the primitive
+    //     LongAdj index (see the no-dedupe note at the build below);
     //   - DELTA relaxation: only nodes whose cost CHANGED last round
     //     send messages — an unchanged node would re-send exactly
     //     what it sent when it last changed and min() already took
@@ -1158,7 +1334,13 @@ object Graph {
     val p = new HashPartitioner(
       spark.conf.get("spark.sql.shuffle.partitions").toInt
     )
-    val edges: RDD[(Long, (Long, Long))] = lake.lineitem
+    // NO per-partition min-dedupe map (round-14 sf10 lesson, same as
+    // graph27's): duplicate weighted edges only emit duplicate relax
+    // messages that the min-merge absorbs, and a HashMap keyed by
+    // boxed (Long, Long) tuples for |edges|/P rows x 32 concurrent
+    // tasks is an allocation failure at sf10. Raw edges into the
+    // primitive LongAdj index — exact result.
+    val adj: RDD[LongAdj] = lake.lineitem
       .select(
         expr("l_orderkey * 2L").as("a"),
         expr("l_partkey * 2L + 1L").as("b"),
@@ -1170,20 +1352,7 @@ object Graph {
         it.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
       .flatMap { case (a, b, w) => Iterator((a, (b, w)), (b, (a, w))) }
       .partitionBy(p)
-      .mapPartitions(
-        { it =>
-          val m = new java.util.HashMap[(Long, Long), Long]()
-          it.foreach { case (s, (d, w)) =>
-            m.merge((s, d), w, (x, y) => math.min(x, y))
-          }
-          import scala.jdk.CollectionConverters._
-          m.entrySet()
-            .iterator()
-            .asScala
-            .map(e => (e.getKey._1, (e.getKey._2, e.getValue)))
-        },
-        preservesPartitioning = true
-      )
+      .mapPartitions(it => Iterator.single(LongAdj.buildWeighted(it)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seedArr = lake.lineitem
       .agg((min("l_orderkey") * lit(2L)).cast("long").as("node"))
@@ -1196,9 +1365,22 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var changed: RDD[(Long, Long)] = dist
     for (_ <- 1 to maxHops) {
-      val relaxed = edges
-        .join(changed) // narrow
-        .map { case (_, ((dst, w), cost)) => (dst, cost + w) }
+      val relaxed = changed
+        // narrow: only the changed nodes' adjacency rows are touched
+        .zipPartitions(adj, preservesPartitioning = false) { (cit, ait) =>
+          val a = ait.next()
+          cit.flatMap { case (n, cost) =>
+            val i0 = a.lower(n)
+            if (i0 < 0) Iterator.empty
+            else new Iterator[(Long, Long)] {
+              private var i = i0
+              def hasNext: Boolean = i < a.srcs.length && a.srcs(i) == n
+              def next(): (Long, Long) = {
+                val r = (a.dsts(i), cost + a.ws(i)); i += 1; r
+              }
+            }
+          }
+        }
         .partitionBy(p) // the round's ONE shuffle
       val merged = dist
         .zipPartitions(relaxed, preservesPartitioning = true) { (dv, rv) =>

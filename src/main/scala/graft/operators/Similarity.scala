@@ -967,7 +967,20 @@ object Similarity {
     * the index was built on residuals — same space (sim13's rule).
     * The candidate stage runs UNORDERED (topkPerQuery's composed-
     * consumer contract); only the final rerank pays a presentation
-    * sort. */
+    * sort.
+    *
+    * Sizing guidance (round-14 clustered-corpus measurements,
+    * BASELINE "ANN recall on clustered corpora"): size `refine` to
+    * the expected SAME-CLUSTER candidate count — on a clustered
+    * corpus every in-cluster vector is nearly equidistant from the
+    * query, so raw ADC cannot rank them (recall ~0 at any nlist) and
+    * the refine ring must be wide enough to contain the true top-k's
+    * cluster peers (~cluster_size/10 floor; measured: clusters of
+    * ~312 need refine 32 for recall 1.0, clusters of ~1000 need 64+).
+    * `nlist` is a cost knob, not a recall knob, wherever ranking is
+    * exact (sim06 holds recall 1.0 from nlist 10 to 447 while build
+    * time scales with nlist) — keep auto-sqrt(N) for the flat index
+    * and let refine, not nlist, carry PQ recall. */
   def sim15IvfPqRefine(
       lake: Lake,
       k: Int = 10,

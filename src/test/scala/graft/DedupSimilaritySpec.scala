@@ -1225,4 +1225,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val again = Dedup.samp09ClusterBalanced(lake, m = m).collect()
     assert(picks.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("ANN recall on clustered vectors >= recall on uniform at fixed config (r13 #5)") {
+    // Every headline recall number is measured on uniform-random
+    // vectors — PQ's documented worst case (no low-distortion
+    // codebook exists) and k-means' degenerate case. The indexes are
+    // BUILT for clustered corpora; this pins that on a
+    // mixture-of-Gaussians corpus the same fixed config retrieves at
+    // least as well as on a uniform one (GenClusteredEmb measures the
+    // full curve at scale; this is the invariant's unit form).
+    import org.apache.spark.sql.functions.col
+    val n = 600
+    val dim = 64
+    val tmp = java.nio.file.Files.createTempDirectory("recall").toFile
+    def writeLake(sub: String, mk: Long => (Array[Float], Int)): Lake = {
+      import spark.implicits._
+      val rows = (0L until n).map { i =>
+        val (v, label) = mk(i)
+        (i, v, label)
+      }
+      val dir = new java.io.File(tmp, sub).getAbsolutePath
+      rows
+        .toDF("vec_id", "embedding", "label")
+        .select(col("vec_id"), col("embedding").cast("array<float>"),
+          col("label").cast("int"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      Lake(spark, dir)
+    }
+    // clustered: 8 tight Gaussians; uniform: the degenerate sigma-only
+    // mixture with one cluster per vector's own noise (pure noise
+    // around the origin — no structure for the quantizer to exploit)
+    val clustered = writeLake("clustered",
+      i => (GenClusteredEmb.vector(i, (i % 8).toInt, dim, 0.25), (i % 8).toInt))
+    val uniform = writeLake("uniform",
+      i => (GenClusteredEmb.vector(i, 0, dim, 0.0).indices.map { d =>
+        // splitmix-uniform components, independent per (i, d)
+        val z = (i * 131L + d) * 0x9e3779b97f4a7c15L
+        val m1 = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        val m2 = (m1 ^ (m1 >>> 27)) * 0x94d049bb133111ebL
+        (((m2 ^ (m2 >>> 31)) >>> 11).toDouble / (1L << 53) * 2 - 1).toFloat
+      }.toArray, 0))
+    def recall(l: Lake, refined: Boolean): Double = {
+      val k = 10
+      val truth = Similarity.sim01TopKBruteForce(l, k, 10)
+        .select("query_id", "neighbor_id")
+      val pred =
+        (if (refined)
+          Similarity.sim15IvfPqRefine(l, refine = 32, nlist = 8, nprobe = 2)
+        else Similarity.sim14IvfPq(l, k, 10, nlist = 8, nprobe = 2))
+          .select("query_id", "neighbor_id")
+      truth.join(pred, Seq("query_id", "neighbor_id"), "left_semi")
+        .count().toDouble / (k * 10)
+    }
+    // The invariant holds for the REFINED chain (sim15), not raw ADC:
+    // measured here, raw-ADC recall on the clustered corpus (0.24) is
+    // BELOW uniform (0.31) — inside a tight cluster every vector is
+    // nearly equidistant from the query, so PQ's quantization error
+    // exceeds the true top-10's distance margin and ADC ranking is
+    // noise. Cell RETRIEVAL benefits from structure; exact in-cell
+    // RANKING needs the refine pass once intra-cluster spread drops
+    // below quantization resolution. That is precisely why sim15
+    // (IVFPQ+RefineFlat) is the serving config: with refine, the
+    // clustered corpus recovers the true neighbors the cells
+    // captured, and clustered >= uniform holds.
+    val rc = recall(clustered, refined = true)
+    val ru = recall(uniform, refined = true)
+    assert(rc >= ru, s"clustered refined recall $rc < uniform $ru")
+    assert(rc >= 0.8, s"clustered refined recall unusable: $rc")
+  }
 }

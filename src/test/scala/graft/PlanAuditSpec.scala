@@ -306,10 +306,18 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("ShuffledHashJoin"), p)
   }
 
-  test("graph27: every BFS level is an equi-join, expansion and anti-join hashed") {
+  test("graph27: the BFS runs in the Pregel kernel below Catalyst — no SQL joins at all") {
+    // Round 14: the traversal is the co-partitioned RDD kernel; the
+    // SQL plan must be just a scan of its output (ExistingRDD) plus
+    // the display projection/sort — a Join/Exchange chain appearing
+    // here would mean the kernel regressed to the DataFrame loop.
     val p = plan(Graph.graph27BfsDistances(lake, maxDepth = 2))
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("Join"), p)
+    // the kernel's output enters SQL at an object-RDD boundary
+    // (ExternalRDDScan renders as Scan[obj#...] + SerializeFromObject)
+    assert(p.contains("SerializeFromObject"), p)
   }
 
   test("graph06: the rank loop body is equi-join plus aggregate only") {
