@@ -184,8 +184,13 @@ object Bench {
       subsetEnv.map(s => s""""${esc(s)}"""").getOrElse("null")
     val detailPath =
       new java.io.File(detailBase, latestName).getAbsolutePath
+    // heap_gb: records the -Xmx the numbers were measured under — a
+    // record produced at 16g must not be diffed against an 8g one as
+    // if the environment were equal (round 14: the sf10 subset is
+    // memory-marginal at 8g on some data draws)
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
     val detailJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","subset":$subsetJson,"sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"runs":$sweepsByQuery,"noisy":$noisyJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","subset":$subsetJson,"heap_gb":$heapGb,"sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"runs":$sweepsByQuery,"noisy":$noisyJson,"sf":"$sfDir"}"""
     locally {
       val f = new java.io.File(detailPath)
       Option(f.getParentFile).foreach(_.mkdirs())

@@ -1930,7 +1930,14 @@ object Dedup {
       // "set" mode: switch from broadcast semi-join to the Bloom
       // probe above this candidate-set size (16M longs ~= 128 MB raw)
       maxBroadcastKeys: Long = 16L << 20,
-      // "sketch" mode sizing; also caps the "set" mode Bloom fallback
+      // "sketch" mode sizing; also caps the "set" mode Bloom fallback.
+      // Executor sizing note (round 14): during the build EVERY
+      // concurrent task holds one partial (2 x sketchMaxBytes worst
+      // case) — size executors for tasksPerExecutor x 2 x
+      // sketchMaxBytes (local[32] at sf30 needed a 16g heap for 32
+      // concurrent 128 MB partials). The DRIVER needs no special
+      // sizing: partials merge executor-side and exactly one sketch
+      // is fetched (default maxResultSize suffices).
       sketchBitsPerKey: Int = 4,
       sketchMaxBytes: Long = 512L << 20
   ): DataFrame = {

@@ -1078,9 +1078,22 @@ object Graph {
       // instead of OOMing the driver — the q05 scaling-dim discipline.
       // Damping is folded into the aggregate projection so each
       // iteration is exactly one join stage + one aggregate stage.
+      //
+      // repartition-BEFORE-aggregate (round 14 — the xref02/q18
+      // lesson landing here the hard way): fused with the join, the
+      // partial aggregate's per-task hash map sees ~|V|-cardinality
+      // dst keys while sharing the stage's memory with the join
+      // itself, 32 tasks at once — at sf10 (100M contrib rows, 17M
+      // nodes) that stage died AGGREGATE_OUT_OF_MEMORY at 8g and
+      // even 16g, and crawled at 24g (198 s, spill-bound).
+      // Exchanging the RAW (dst, contrib) rows first bounds each
+      // task's aggregate to |V|/P keys (~34 MB): sf10 completes at
+      // 8g in ~80 s. The traded map-side compression was ~2x shuffle
+      // volume — the memory bound is what survives scale.
       ranks = withDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst"), expr("r div outdeg").as("contrib"))
+        .repartition(col("dst"))
         .groupBy("dst")
         .agg(expr(s"$teleport + (85 * sum(contrib)) div 100").as("r"))
         .withColumnRenamed("dst", "node")
@@ -1141,6 +1154,11 @@ object Graph {
         expr("o_custkey * 2L").as("a"),
         expr("l_suppkey * 2L + 1L").as("b")
       )
+      // repartition-before-distinct (round 14, same memory bound as
+      // the rank loop): the distinct's partial aggregate would
+      // otherwise share the fact-join stage's memory with ~unique
+      // (a, b) keys across 32 concurrent tasks
+      .repartition(col("a"), col("b"))
       .distinct()
       // Materialize before bidirecting: the union below references
       // `pairs` twice, and without the checkpoint the fact join +
