@@ -187,10 +187,21 @@ object Bench {
     // heap_gb: records the -Xmx the numbers were measured under — a
     // record produced at 16g must not be diffed against an 8g one as
     // if the environment were equal (round 14: the sf10 subset is
-    // memory-marginal at 8g on some data draws)
-    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    // memory-marginal at 8g on some data draws). ROUNDED, not
+    // truncated: several GCs report maxMemory slightly below -Xmx
+    // (8g -> ~7.97g), and integer division would label identical
+    // environments differently across JVM/GC configs.
+    val heapGb =
+      math.round(Runtime.getRuntime.maxMemory.toDouble / (1L << 30))
+    // noise_pct: this box's documented between-session noise window
+    // (round 14: a same-code driver re-run read +12% on the suite
+    // total with no operator changed — per-query diffs within the
+    // window are weather, not regressions; see memory/BASELINE).
+    // Carried in the record itself so a diff reader doesn't need the
+    // provenance docs to avoid misreading a +12% total.
+    val noisePct = 20
     val detailJson =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","subset":$subsetJson,"heap_gb":$heapGb,"sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"runs":$sweepsByQuery,"noisy":$noisyJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","subset":$subsetJson,"heap_gb":$heapGb,"noise_pct":$noisePct,"sweeps":$sweeps,"n_queries":${names.size},"n_failed":${failed.size},"errors":$errJson,"queries":$qs,"runs":$sweepsByQuery,"noisy":$noisyJson,"sf":"$sfDir"}"""
     locally {
       val f = new java.io.File(detailPath)
       Option(f.getParentFile).foreach(_.mkdirs())
@@ -218,7 +229,7 @@ object Bench {
     // `runs` array lengths in the detail file).
     val nExtra = nRuns - sweeps * names.size
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","subset":$subsetJson,"sweeps":$sweeps,"n_runs":$nRuns,"n_extra":$nExtra,"n_queries":${names.size},"n_failed":${failed.size},"n_noisy":${noisy.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","subset":$subsetJson,"noise_pct":$noisePct,"sweeps":$sweeps,"n_runs":$nRuns,"n_extra":$nExtra,"n_queries":${names.size},"n_failed":${failed.size},"n_noisy":${noisy.size},"errors":$errBrief,"slowest":$slowest,"detail":"$detailPath","sf":"$sfDir"}"""
     // The JSON line must be the LAST thing on stdout: silence every
     // logger first (Spark's stop/shutdown hooks log at INFO/WARN and
     // the driver may merge stderr into the captured stream), stop the

@@ -1530,6 +1530,26 @@ object SparkEntry {
         |GROUP BY CUBE(o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    // rel14: oracle-expressible in the EXACT-DEGENERATION regime the
+    // fixture corpus sits in (31 distinct tokens << capacity 256, at
+    // every SF — the generator's vocabulary is fixed): with distinct
+    // items <= capacity, no Misra-Gries counter ever decrements —
+    // every partial holds <= |vocab| <= capacity entries so the
+    // update overflow branch never fires, and merged sizes stay
+    // <= |vocab| so the merge trim never fires; decr = 0 everywhere,
+    // count_lb = count_ub = the exact count regardless of Spark's
+    // partitioning — so the sketch output replays as plain
+    // GROUP BY + ROW_NUMBER (eval's order: count DESC, item ASC).
+    // The bounded regime (capacity < distinct: engine-private
+    // counter state, deterministic error bounds) stays property-
+    // pinned in SketchSpec, not oracled.
+    "rel14_heavy_hitters" ->
+      s"""WITH tok AS (SELECT UNNEST($dkToks) AS w FROM documents),
+         |c AS (SELECT w AS item, COUNT(*) AS cnt FROM tok GROUP BY w),
+         |r AS (SELECT item, cnt,
+         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, item) AS rank FROM c)
+         |SELECT rank, item, cnt AS count_lb, cnt AS count_ub FROM r
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "rel15_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,

@@ -1936,8 +1936,14 @@ object Dedup {
       // case) — size executors for tasksPerExecutor x 2 x
       // sketchMaxBytes (local[32] at sf30 needed a 16g heap for 32
       // concurrent 128 MB partials). The DRIVER needs no special
-      // sizing: partials merge executor-side and exactly one sketch
-      // is fetched (default maxResultSize suffices).
+      // sizing at the DEFAULT clamp… up to a point: the one fetched
+      // sketch serializes to <= 2 x sketchMaxBytes, so at the 512 MB
+      // default the fetch can reach 1 GiB — exactly the default
+      // spark.driver.maxResultSize — precisely when the byte clamp
+      // engages. Callers raising sketchMaxBytes past ~256 MB must
+      // raise spark.driver.maxResultSize to >= 2 x sketchMaxBytes +
+      // slack (GraftSession keeps Spark's 1g default; the old global
+      // 4g override was removed round 14).
       sketchBitsPerKey: Int = 4,
       sketchMaxBytes: Long = 512L << 20
   ): DataFrame = {

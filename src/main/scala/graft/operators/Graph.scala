@@ -224,7 +224,17 @@ object Graph {
     * level (recompute protection; RDD lineage grows LINEARLY here —
     * union chains, no plan-doubling — so no checkpoint cadence is
     * needed at the <= 6 hops every caller uses; a deep-loop caller on
-    * a real cluster should swap persist for reliable checkpoints). */
+    * a real cluster should swap persist for reliable checkpoints).
+    *
+    * Sizing contract: every caller feeds DIMENSION-SIZED edge sets
+    * (ontology is-a stores, supplier-nation hierarchies — thousands
+    * to low millions of edges), and the per-partition dedupe below
+    * keeps a boxed (K, K) HashSet over |edges|/P rows on that
+    * assumption. A FACT-scale closure (120M+ edges — the allocation
+    * regime that killed graph27's boxed frontier at sf10) does not
+    * belong here: it needs the primitive LongAdj index path the BFS
+    * kernels use (bfsKernel/bellmanFordKernel below), which this
+    * generic-K kernel deliberately does not reimplement. */
   private def closureKernel[K](
       raw: org.apache.spark.rdd.RDD[(K, K)],
       maxHops: Int
