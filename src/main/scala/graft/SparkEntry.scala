@@ -228,7 +228,9 @@ object SparkEntry {
     "eval04_cluster_quality" -> q(Evaluation.eval04ClusterQuality),
     "pipe01_pretrain_corpus" -> q(Pipeline.pipe01PretrainCorpus(_)),
     "pipe02_weighted_corpus" -> q(Pipeline.pipe02WeightedCorpus(_)),
-    "pipe03_eval_suite" -> q(Pipeline.pipe03EvalSuite(_))
+    "pipe03_eval_suite" -> q(Pipeline.pipe03EvalSuite(_)),
+    "txt30_quality_trainer" -> q(TextAnalysis.txt30QualityTrainer(_)),
+    "sim16_ivf_append" -> q(Similarity.sim16IvfAppend(_))
   )
 
   /** DuckDB-side shared SQL fragments for the text oracles. */
@@ -306,20 +308,23 @@ object SparkEntry {
     * rule: DuckDB ROUND carries a tiny negative's sign into -0.0,
     * Spark's BigDecimal round yields +0.0 — numerically equal,
     * bitwise distinct to the value hash (and here a GROUP BY key). */
-  private val dkScorerVerdictCtes: String =
+  /** txt29's lowercased unigram+bigram feature CTEs (tk, f) — shared
+    * by the scorer replay and txt30's trainer replay so the feature
+    * space cannot drift between them (the same one-implementation
+    * argument HashedClassifierScore.foldBuckets makes Spark-side). */
+  private val dkFeatureCtes: String =
     """tk AS (SELECT doc_id,
       |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
       |  FROM documents),
       |f AS (SELECT doc_id, list_concat(ws,
       |    CASE WHEN len(ws) >= 2
       |      THEN list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
-      |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk),
-      |sc AS (SELECT doc_id,
-      |    ROUND(CAST(list_sum(list_transform(feats, f ->
-      |      ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 * 2654435761 % 2001 - 1000))
-      |      AS BIGINT) / 1000.0 / CAST(len(feats) AS BIGINT), 4) + 0.0 AS q_score
-      |  FROM f),
-      |gt AS (SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
+      |      ELSE CAST([] AS VARCHAR[]) END) AS feats FROM tk)""".stripMargin
+
+  /** txt20's Gopher verdict CTEs (gt, ga, gb) — the label side shared
+    * by eval05/eval07's replay and txt30's trainer replay. */
+  private val dkGopherCtes: String =
+    """gt AS (SELECT doc_id, UNNEST(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w FROM documents),
       |ga AS (SELECT doc_id, COUNT(*) AS n_tokens,
       |  CAST(SUM(LENGTH(w)) AS BIGINT) AS sum_len,
       |  COUNT(*) FILTER (WHERE NOT regexp_matches(w, '[A-Za-z0-9]')) AS n_symbol,
@@ -331,7 +336,16 @@ object SparkEntry {
       |   AND ROUND(CAST(sum_len AS DOUBLE) / n_tokens, 4) <= 10
       |   AND ROUND(CAST(n_symbol AS DOUBLE) / n_tokens, 4) < 0.1
       |   AND n_stop_distinct >= 2) AS passes
-      |  FROM ga),
+      |  FROM ga)""".stripMargin
+
+  private val dkScorerVerdictCtes: String =
+    s"""$dkFeatureCtes,
+      |sc AS (SELECT doc_id,
+      |    ROUND(CAST(list_sum(list_transform(feats, f ->
+      |      ('0x' || substr(md5(f), 1, 8))::BIGINT % 4096 * 2654435761 % 2001 - 1000))
+      |      AS BIGINT) / 1000.0 / CAST(len(feats) AS BIGINT), 4) + 0.0 AS q_score
+      |  FROM f),
+      |$dkGopherCtes,
       |j AS (SELECT sc.doc_id, sc.q_score, gb.passes
       |      FROM sc JOIN gb ON sc.doc_id = gb.doc_id)""".stripMargin
 
@@ -2340,6 +2354,55 @@ object SparkEntry {
          |FROM r WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin
     },
+    // sim16: sim06's unrolled Lloyd trained on the BASE subset only
+    // (vec_id % 5 != 4 — the corpus as of the last index build), then
+    // both populations assign to the frozen c3 centroids and the
+    // per-cell maintenance report aggregates (counts + 4dp mean
+    // affinities; AVG-of-cosines follows sim06's centroid-AVG
+    // precedent, drift subtracts the already-rounded means).
+    "sim16_ivf_append" -> {
+      val iter = (1 to 3).map { i =>
+        s"""a$i AS (SELECT b.vec_id, b.v, c.cluster, ROW_NUMBER() OVER (
+           |    PARTITION BY b.vec_id
+           |    ORDER BY ${dkCos("b.v", "c.centroid")} DESC, c.cluster) AS r
+           |  FROM b CROSS JOIN c${i - 1} c),
+           |f$i AS (SELECT cluster, generate_subscripts(v, 1) AS pos, UNNEST(v) AS x
+           |  FROM a$i WHERE r = 1),
+           |c$i AS (SELECT cluster, LIST(c ORDER BY pos) AS centroid FROM (
+           |    SELECT cluster, pos, AVG(x) AS c FROM f$i GROUP BY 1, 2)
+           |  GROUP BY cluster)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v FROM e WHERE vec_id % 5 != 4),
+         |d AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 4),
+         |c0 AS (SELECT rn - 1 AS cluster, v AS centroid FROM (
+         |    SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM b)
+         |  WHERE rn <= 10),
+         |$iter,
+         |ab AS (SELECT cluster, ccos FROM (
+         |    SELECT b.vec_id, c.cluster,
+         |      ${dkCos("b.v", "c.centroid")} AS ccos, ROW_NUMBER() OVER (
+         |      PARTITION BY b.vec_id
+         |      ORDER BY ${dkCos("b.v", "c.centroid")} DESC, c.cluster) AS r
+         |    FROM b CROSS JOIN c3 c) WHERE r = 1),
+         |ad AS (SELECT cluster, ccos FROM (
+         |    SELECT d.vec_id, c.cluster,
+         |      ${dkCos("d.v", "c.centroid")} AS ccos, ROW_NUMBER() OVER (
+         |      PARTITION BY d.vec_id
+         |      ORDER BY ${dkCos("d.v", "c.centroid")} DESC, c.cluster) AS r
+         |    FROM d CROSS JOIN c3 c) WHERE r = 1),
+         |sb AS (SELECT cluster, COUNT(*) AS n_base,
+         |    ROUND(AVG(ccos), 4) AS cos_base FROM ab GROUP BY cluster),
+         |sd AS (SELECT cluster, COUNT(*) AS n_new,
+         |    ROUND(AVG(ccos), 4) AS cos_new FROM ad GROUP BY cluster)
+         |SELECT CAST(COALESCE(sb.cluster, sd.cluster) AS BIGINT) AS cluster,
+         |  CAST(COALESCE(n_base, 0) AS BIGINT) AS n_base,
+         |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+         |  cos_base, cos_new,
+         |  ROUND(cos_base - cos_new, 4) AS drift
+         |FROM sb FULL OUTER JOIN sd ON sb.cluster = sd.cluster
+         |ORDER BY cluster""".stripMargin
+    },
     // sim14: sim06's coarse chain (3 unrolled Lloyd iterations over
     // cosine assignment) → residuals vs the final centroids →
     // sim07's per-subspace chain (2 unrolled iterations over
@@ -3286,6 +3349,32 @@ object SparkEntry {
         |  ROUND(s_milli / 1000.0 / n_feats, 4) AS q_score,
         |  (ROUND(s_milli / 1000.0 / n_feats, 4) > 0) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    // txt30: the trainer replay — the shared feature CTEs explode to
+    // (doc_id, bucket), the shared Gopher CTEs label each doc, counts
+    // group per bucket, and the NB log-odds transform mirrors the
+    // Spark side TERM FOR TERM (ln(a) - ln(b), each of a rational —
+    // per-value math, no cross-row float sum; the one rounding is the
+    // final milli integer, so a 1-ulp ln divergence would need to
+    // land within ~1e-13 of a .5-milli boundary to flake).
+    "txt30_quality_trainer" ->
+      s"""WITH $dkFeatureCtes,
+         |fb AS (SELECT doc_id, UNNEST(list_transform(feats, ft ->
+         |    ('0x' || substr(md5(ft), 1, 8))::BIGINT % 4096)) AS bucket FROM f),
+         |$dkGopherCtes,
+         |lab AS (SELECT fb.bucket, gb.passes
+         |        FROM fb JOIN gb ON fb.doc_id = gb.doc_id),
+         |c AS (SELECT bucket,
+         |    COUNT(*) FILTER (WHERE passes) AS n_keep,
+         |    COUNT(*) FILTER (WHERE NOT passes) AS n_drop
+         |  FROM lab GROUP BY bucket),
+         |t AS (SELECT CAST(SUM(n_keep) AS BIGINT) AS t_keep,
+         |    CAST(SUM(n_drop) AS BIGINT) AS t_drop FROM c)
+         |SELECT bucket, n_keep, n_drop,
+         |  CAST(ROUND(1000.0 * (
+         |    ln(CAST(n_keep + 1 AS DOUBLE) / CAST(t_keep + 4096 AS DOUBLE)) -
+         |    ln(CAST(n_drop + 1 AS DOUBLE) / CAST(t_drop + 4096 AS DOUBLE))
+         |  )) AS BIGINT) AS w_milli
+         |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin,
     // txt27: DuckDB's string_split(text,'') is per code point, as is
     // the CharInfo loop; both sides round the double sum to 4.
     "txt27_char_entropy" ->

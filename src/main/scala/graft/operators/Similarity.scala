@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.catalog.Lake
 import graft.functions.vectors
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -354,7 +354,10 @@ object Similarity {
   private[graft] def argmaxCell(
       all: DataFrame,
       cents: DataFrame,
-      payload: Seq[String]
+      payload: Seq[String],
+      // sim16's drift report needs the winning cosine itself; the
+      // fold already computes it, so keeping it is free
+      keepCos: Boolean = false
   ): DataFrame = {
     // MAP-ONLY argmax: the k centroids fold into one broadcast row and
     // each vector picks its cell in a single transform + array_max
@@ -386,7 +389,11 @@ object Similarity {
           )
         )
       )
-      .select(col("vec_id") +: col("w.cluster").as("cluster") +: payload.map(col): _*)
+      .select(
+        col("vec_id") +: col("w.cluster").as("cluster") +:
+          ((if (keepCos) Seq(col("w.ccos").as("ccos")) else Nil) ++
+            payload.map(col)): _*
+      )
   }
 
   /** `materialize = true` (the default) localCheckpoints every Lloyd
@@ -615,14 +622,103 @@ object Similarity {
       lake: Lake,
       dir: String,
       nlist: Int = 10,
-      iters: Int = 3
+      iters: Int = 3,
+      // index a subset of the corpus (sim16's lifecycle: build over
+      // the current corpus, append later batches with
+      // appendToIvfIndex instead of retraining)
+      subset: Column = lit(true)
   ): Unit = persist.releasingNewRdds(lake.spark) {
-    val all = vecs(lake).localCheckpoint()
+    val all = vecs(lake).filter(subset).localCheckpoint()
     val cents = kmeans(all, nlist, iters)
     cents.write.mode("overwrite").parquet(s"$dir/centroids")
     argmaxCell(all, cents, Seq.empty)
       .select(col("vec_id"), col("cluster"))
       .write.mode("overwrite").parquet(s"$dir/cells")
+  }
+
+  /** Append a DELTA batch to a persisted IVF index WITHOUT retraining
+    * — the index-maintenance verb between writeIvfIndex rebuilds
+    * (FAISS IndexIVF.add on a trained index; the reference rebuilds
+    * its FAISS index on every ingest cadence,
+    * build_embedding_linkage.py:246 — at 100 TB that rebuild is the
+    * anti-pattern and appends amortize it). New vectors are assigned
+    * MAP-SIDE to the EXISTING (frozen) centroids — the same broadcast
+    * argmax fold as the build, no shuffle — and their (vec_id,
+    * cluster) rows append to the cells table; full vectors never move
+    * (ivfAnnFromIndex re-attaches them by id at query time).
+    *
+    * Because assignment is a pure per-row function of the frozen
+    * centroids, append-then-search is EXACTLY rebuild-with-the-same-
+    * centroids-then-search (spec-pinned) — quantizer staleness, not
+    * correctness, is the cost of deferring retrain. The returned
+    * per-cell drift report is the retrain trigger: cos_new = mean
+    * cosine of the appended members to their centroid; when it sags
+    * below the build-time affinity the cells no longer fit the data
+    * and the cadence rebuild is due. */
+  def appendToIvfIndex(
+      lake: Lake,
+      dir: String,
+      delta: Column
+  ): DataFrame = {
+    val spark = lake.spark
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val asg = argmaxCell(vecs(lake).filter(delta), cents, Seq.empty, keepCos = true)
+      .localCheckpoint() // one assignment pass feeds both the write and the report
+    asg
+      .select(col("vec_id"), col("cluster"))
+      .write.mode("append").parquet(s"$dir/cells")
+    asg
+      .groupBy("cluster")
+      .agg(
+        count(lit(1)).as("n_new"),
+        round(avg("ccos"), 4).as("cos_new")
+      )
+      .orderBy("cluster")
+  }
+
+  /** sim16: the incremental-maintenance lifecycle as a self-contained
+    * oracle-checked query — train sim06's deterministic quantizer on
+    * the BASE corpus (vec_id % `mod` != mod-1), assign the DELTA
+    * batch (vec_id % `mod` == mod-1) to the frozen centroids, and
+    * report per cell: member counts and mean centroid affinity of
+    * both populations, plus `drift` = cos_base − cos_new — positive
+    * drift means the appended batch sits farther from the centroids
+    * than the data they were trained on, the retrain-trigger signal.
+    *
+    * Scale shape: the train is kmeans' broadcast fold over the base;
+    * BOTH assignments are the map-only argmax (zero shuffle); the
+    * report aggregates map-side to <= nlist rows per task. The full
+    * outer join is over <= nlist-row frames. Oracle: sim06's unrolled
+    * 3-iteration Lloyd CTE trained on the base subset, then both
+    * assignment replays and the per-cell aggregate in plain SQL
+    * (avg-of-cosines follows sim06's centroid-AVG precedent). */
+  def sim16IvfAppend(
+      lake: Lake,
+      nlist: Int = 10,
+      iters: Int = 3,
+      mod: Int = 5
+  ): DataFrame = {
+    val all = vecs(lake).localCheckpoint()
+    val base = all.filter(col("vec_id") % mod =!= lit(mod - 1L))
+    val delta = all.filter(col("vec_id") % mod === lit(mod - 1L))
+    val cents = kmeans(base, nlist, iters)
+    def cellStats(df: DataFrame, n: String, c: String): DataFrame =
+      argmaxCell(df, cents, Seq.empty, keepCos = true)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as(n), round(avg("ccos"), 4).as(c))
+    cellStats(base, "n_base", "cos_base")
+      .join(cellStats(delta, "n_new", "cos_new"), Seq("cluster"), "full_outer")
+      .select(
+        col("cluster").cast("long").as("cluster"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("cos_base"),
+        col("cos_new"),
+        // difference of the ALREADY-4dp-rounded means: exact at 4dp
+        // on both engines (no fresh float hazard)
+        round(col("cos_base") - col("cos_new"), 4).as("drift")
+      )
+      .orderBy("cluster")
   }
 
   /** IVF ANN over a PERSISTED index (read_index + search): identical

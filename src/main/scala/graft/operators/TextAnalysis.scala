@@ -1787,4 +1787,101 @@ object TextAnalysis {
       )
       .withColumn("keep", col("q_score") > 0)
       .orderBy("doc_id")
+
+  /** txt30: the TRAINER that closes txt29's stub contract — a
+    * deterministic distributed learn of the hashed classifier's
+    * weight vector from txt20's Gopher verdicts as labels (the
+    * standard bootstrap: a rule pipeline labels a corpus, a cheap
+    * linear model distills it — DCLM/CCNet's fastText recipe,
+    * Joulin et al. 2016). Closed-form multinomial Naive Bayes
+    * log-odds per bucket with add-one smoothing:
+    *
+    *   w_j = ln((n_keep_j + 1)/(t_keep + dim))
+    *       − ln((n_drop_j + 1)/(t_drop + dim))
+    *
+    * emitted as INTEGER MILLI-WEIGHTS — exactly the units txt29's
+    * fused scorer sums, so the trained vector is a drop-in for the
+    * stub (WeightedClassifierScore / txt30TrainedScores below).
+    * Closed-form NB (not iterative LR) is what makes the train
+    * CTE-replayable without unrolling: one counting pass, one
+    * per-bucket transform — the oracle replays it exactly (ln is a
+    * per-value function of a rational, no cross-row float-
+    * associativity hazard; the one rounding is the final milli
+    * integer).
+    *
+    * Scale shape: label + features FUSE into one map pass over the
+    * corpus (gopherVerdict's expression verdict rides the same
+    * projection as the HashedFeatureBuckets explode); the groupBy
+    * collapses map-side to <= dim buckets per task, so the exchange
+    * carries <= P·dim narrow rows no matter the corpus size; totals
+    * are a 1-row broadcast. Output <= dim rows (observed buckets
+    * only — unobserved buckets are implicitly weight 0). */
+  def txt30QualityTrainer(lake: Lake, dim: Int = 4096): DataFrame = {
+    val labeled = gopherVerdict(lake.documents, carry = Seq("text"))
+      .select(col("passes"), col("text"))
+    val fb = labeled.select(
+      col("passes"),
+      explode(graft.plans.HashedFeatureBuckets(col("text"), dim)).as("bucket")
+    )
+    val counts = fb
+      .groupBy("bucket")
+      .agg(
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_keep"),
+        sum(when(!col("passes"), 1L).otherwise(0L)).as("n_drop")
+      )
+    val totals = counts.agg(
+      sum("n_keep").as("t_keep"),
+      sum("n_drop").as("t_drop")
+    )
+    counts
+      .crossJoin(broadcast(totals))
+      .select(
+        col("bucket"),
+        col("n_keep"),
+        col("n_drop"),
+        // log(a) - log(b), each of a rational — mirrored term for
+        // term in the oracle so the doubles agree to the ulp before
+        // the single milli rounding
+        round(
+          lit(1000.0) * (
+            log(
+              (col("n_keep") + 1).cast("double") /
+                (col("t_keep") + dim).cast("double")
+            ) - log(
+              (col("n_drop") + 1).cast("double") /
+                (col("t_drop") + dim).cast("double")
+            )
+          )
+        ).cast("long").as("w_milli")
+      )
+      .orderBy("bucket")
+  }
+
+  /** Score the corpus with txt30's TRAINED weights — txt29's exact
+    * output shape (doc_id, n_feats, q_score, keep) with the learned
+    * vector in place of the md5 stub. The weight fetch is a bounded
+    * model learn (<= dim = 4096 rows collected — the txt15/txt23
+    * documented-cap discipline); the dense vector then rides the
+    * fused WeightedClassifierScore fold, so serving stays map-only,
+    * zero shuffle, zero join — the broadcast-map swap txt29's
+    * scaladoc promised. */
+  def txt30TrainedScores(lake: Lake, dim: Int = 4096): DataFrame = {
+    val weights = new Array[Long](dim)
+    txt30QualityTrainer(lake, dim)
+      .select(col("bucket"), col("w_milli"))
+      .collect()
+      .foreach(r => weights(r.getLong(0).toInt) = r.getLong(1))
+    lake.documents
+      .select(
+        col("doc_id"),
+        graft.plans.WeightedClassifierScore(col("text"), dim, weights).as("m")
+      )
+      .select(
+        col("doc_id"),
+        col("m.n_feats").as("n_feats"),
+        round(col("m.s_milli") / 1000.0 / col("m.n_feats"), 4).as("q_score")
+      )
+      .withColumn("keep", col("q_score") > 0)
+      .orderBy("doc_id")
+  }
 }
