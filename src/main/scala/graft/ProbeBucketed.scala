@@ -105,16 +105,85 @@ object ProbeBucketed {
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(20)
     }
+    // round-15 countDistinct-free candidates (VERDICT r14 #3): the
+    // named residual of the kept form is the countDistinct's internal
+    // (priority, orderkey) exchange of the joined stream. Over the
+    // BUCKETED layout both distinct forms should plan exchange-free:
+    //  - prededup: dropDuplicates on lineitem_b's key BEFORE the join
+    //    — the scan is hash-clustered on l_orderkey, so the distinct
+    //    is a partial agg with no exchange, the join stays
+    //    co-partitioned, and the final count is a plain count(*) per
+    //    priority (5-key exchange)
+    //  - postdedup: join first (exchange-free), dropDuplicates on
+    //    (o_orderkey, o_orderpriority) AFTER — HashPartitioning on
+    //    the orderkey satisfies ClusteredDistribution of the superset
+    //    keys, so this distinct should also plan exchange-free
+    def q04PreDedup(orders: DataFrame, lineitem: DataFrame) = {
+      val o = orders.filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      )
+      o.hint("shuffle_hash")
+        .join(
+          lineitem.select(col("l_orderkey")).dropDuplicates("l_orderkey"),
+          col("o_orderkey") === col("l_orderkey")
+        )
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }
+    def q04PostDedup(orders: DataFrame, lineitem: DataFrame) = {
+      val o = orders.filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      )
+      o.hint("shuffle_hash")
+        .join(
+          lineitem.select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey")
+        )
+        .dropDuplicates("o_orderkey", "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }
     val variants: Seq[(String, () => DataFrame)] = Seq(
       "q04_base" -> (() => q04Over(lake.orders, lake.lineitem, hint = true)),
       "q04_bucketed" -> (() => q04Over(ordersB, lineitemB, hint = false)),
       "q04_bucketed_shj" -> (() => q04Over(ordersB, lineitemB, hint = true)),
+      "q04_b_prededup" -> (() => q04PreDedup(ordersB, lineitemB)),
+      "q04_b_postdedup" -> (() => q04PostDedup(ordersB, lineitemB)),
+      // SMJ left-semi over the SORTED buckets: r13 refuted semi joins
+      // on the plain layout because the 180M-key probe stream had to
+      // SORT; bucketBy+sortBy removes both the exchange and the sort,
+      // leaving a pure streaming merge semi — DuckDB's mark-join
+      // shape without the countDistinct de-multiply
+      "q04_b_semi" -> (() => {
+        ordersB
+          .filter(
+            col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+          )
+          .join(
+            lineitemB.select(col("l_orderkey")),
+            col("o_orderkey") === col("l_orderkey"),
+            "left_semi"
+          )
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      }),
       "q10_base" -> (() => q10Over(lake.orders, lake.lineitem, hint = true)),
       "q10_bucketed" -> (() => q10Over(ordersB, lineitemB, hint = false)),
       "q18_base" -> (() => q18Over(lake.orders, lake.lineitem, repart = true)),
       "q18_bucketed" -> (() => q18Over(ordersB, lineitemB, repart = false))
     )
     val expected = collection.mutable.Map[String, Seq[String]]()
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("1")) {
+      for ((name, mk) <- variants) {
+        println(s"===== $name"); mk().explain("formatted")
+      }
+    }
     for ((name, mk) <- variants) {
       val times = (1 to sweeps).map { _ =>
         spark.sharedState.cacheManager.clearCache()
