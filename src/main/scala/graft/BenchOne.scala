@@ -20,8 +20,12 @@ object BenchOne {
     // block manager, per-executor memory), the closest this sandbox
     // gets to cluster execution. local[N] shares one heap and one
     // block manager, so serde-sensitive plan behavior is invisible to
-    // it. Requires SPARK_HOME (worker launch scripts); application
-    // classes reach the executors via extraClassPath (same box).
+    // it. Requires SPARK_HOME (worker launch scripts) AND
+    // SPARK_SCALA_VERSION=2.13 (without it the executor launcher
+    // dies with "Cannot find any build directories" — it probes
+    // $SPARK_HOME/launcher/target, a source-tree layout the binary
+    // distro lacks); application classes reach the executors via
+    // extraClassPath (same box).
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder().master(master)
     if (master.startsWith("local-cluster")) {
