@@ -634,4 +634,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).isEmpty,
       s"corpus re-scanned past the checkpoint:\n$p")
   }
+
+  test("sim16: delta assignment is the map-only broadcast fold — the corpus never shuffles") {
+    // appendToIvfIndex's scale contract: a delta batch assigns to the
+    // FROZEN centroids via the one-row-broadcast argmax fold (samp14's
+    // pinned pattern). A hash/merge join means the n×k scored stream
+    // came back; a hashpartitioning exchange means the corpus is
+    // shuffling for an already-unique key. The only legal exchange is
+    // the SinglePartition fold of the ≤nlist checkpointed centroids.
+    import org.apache.spark.sql.functions.{col, lit}
+    val isDelta = col("vec_id") % 5 === lit(4L)
+    val cents = Similarity.kmeans(Similarity.vecs(lake).filter(!isDelta), 10, 3)
+    val p = plan(Similarity.argmaxCell(
+      Similarity.vecs(lake).filter(isDelta), cents, Seq.empty, keepCos = true))
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus-key exchange in the map-only assignment:\n$p")
+  }
+
+  test("txt30: training is one corpus-key exchange; counting collapses map-side") {
+    // the label+feature pass fuses into the scan projection, the
+    // bucket groupBy collapses map-side (partial HashAggregate BEFORE
+    // the exchange, so the shuffle carries ≤ P·dim narrow rows at any
+    // corpus size), totals ride a one-row broadcast. A second
+    // hashpartitioning exchange or a hash/merge join is the
+    // 100 TB regression.
+    // the totals branch shares the counts subtree — statically the
+    // plan prints the bucket exchange twice; what matters at scale is
+    // the EXECUTED plan, where exchange reuse must collapse it to one
+    // corpus scan. Run it, then audit.
+    val df = TextAnalysis.txt30QualityTrainer(lake)
+    df.collect()
+    // audit the FINAL adaptive plan only (the AQE dump appends the
+    // pre-reuse "Initial Plan", which legitimately shows the subtree
+    // twice)
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("FileScan parquet".r.findAllIn(p).length == 1,
+      s"corpus scanned more than once (exchange reuse lost):\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"totals branch no longer reuses the bucket exchange:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
+      && !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
