@@ -115,7 +115,10 @@ object SparkEntry {
     "graph03_triple_patterns" -> q(Graph.graph03TriplePatterns),
     "graph04_bgp_nation_counts" -> q(Graph.graph04BgpNationCounts),
     "graph05_hierarchy_rollup4" -> q(Graph.graph05HierarchyRollup4),
-    "graph06_pagerank" -> q(Graph.graph06Pagerank(_)),
+    // kernel form (round 15): bit-for-bit equal to the DataFrame loop
+    // (integer mass; GraphSpec pins it), 0.41x at sf10 and alive at
+    // 8g where the SQL loop needed 24g standalone (ProbePagerank)
+    "graph06_pagerank" -> q(Graph.graph06PagerankKernel(_)),
     "graph07_optional_filter" -> q(Graph.graph07OptionalFilter),
     "graph08_ancestor_paths" -> q(Graph.graph08AncestorPaths(_)),
     "graph09_sparql_text" -> q(Graph.graph09SparqlText),

@@ -136,6 +136,86 @@ object Graph {
       sort(adj.srcs, adj.dsts, adj.ws)
       adj
     }
+
+    /** Dual-array quicksort by (s, d) LEXICOGRAPHIC — the
+      * dedupe-ready order buildDistinct needs (the by-s sort above
+      * leaves duplicate (s, d) pairs scattered inside a run). */
+    private def sortPairs(s: Array[Long], d: Array[Long]): Unit = {
+      @inline def lt(i: Int, js: Long, jd: Long): Boolean =
+        s(i) < js || (s(i) == js && d(i) < jd)
+      @inline def gt(i: Int, js: Long, jd: Long): Boolean =
+        s(i) > js || (s(i) == js && d(i) > jd)
+      @inline def swap(i: Int, j: Int): Unit = {
+        val t = s(i); s(i) = s(j); s(j) = t
+        val u = d(i); d(i) = d(j); d(j) = u
+      }
+      def qs(lo0: Int, hi0: Int): Unit = {
+        var lo = lo0; var hi = hi0
+        while (hi - lo > 15) {
+          val mid = (lo + hi) >>> 1
+          if (gt(lo, s(mid), d(mid))) swap(lo, mid)
+          if (gt(lo, s(hi), d(hi))) swap(lo, hi)
+          if (gt(mid, s(hi), d(hi))) swap(mid, hi)
+          val ps = s(mid); val pd = d(mid)
+          var i = lo; var j = hi
+          while (i <= j) {
+            while (lt(i, ps, pd)) i += 1
+            while (gt(j, ps, pd)) j -= 1
+            if (i <= j) { swap(i, j); i += 1; j -= 1 }
+          }
+          if (j - lo < hi - i) { qs(lo, j); lo = i }
+          else { qs(i, hi); hi = j }
+        }
+        var i = lo + 1
+        while (i <= hi) {
+          var j = i
+          while (j > lo && gt(j - 1, s(j), d(j))) { swap(j - 1, j); j -= 1 }
+          i += 1
+        }
+      }
+      if (s.length > 1) qs(0, s.length - 1)
+    }
+
+    /** build + DISTINCT: sort by (src, dst) and drop adjacent
+      * duplicates in place. All copies of a duplicate pair hash to
+      * the same src partition, so the per-partition dedupe is global
+      * — the SQL `repartition(a, b).distinct()` exchange (and its
+      * ~unique-key partial aggregate) lands inside the one index
+      * build shuffle, zero extra exchange, zero per-row allocation.
+      * For callers whose semantics NEED distinct edges (pagerank's
+      * outdeg); the BFS builds stay dedupe-free on purpose (their
+      * seen set absorbs duplicates — see the graph27 note). */
+    def buildDistinct(it: Iterator[(Long, Long)]): LongAdj = {
+      var cap = 1 << 10
+      var n = 0
+      var s = new Array[Long](cap); var d = new Array[Long](cap)
+      while (it.hasNext) {
+        if (n == cap) {
+          cap <<= 1
+          s = java.util.Arrays.copyOf(s, cap)
+          d = java.util.Arrays.copyOf(d, cap)
+        }
+        val (a, b) = it.next()
+        s(n) = a; d(n) = b
+        n += 1
+      }
+      s = java.util.Arrays.copyOf(s, n)
+      d = java.util.Arrays.copyOf(d, n)
+      sortPairs(s, d)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (m == 0 || s(i) != s(m - 1) || d(i) != d(m - 1)) {
+          s(m) = s(i); d(m) = d(i); m += 1
+        }
+        i += 1
+      }
+      new LongAdj(
+        java.util.Arrays.copyOf(s, m),
+        java.util.Arrays.copyOf(d, m),
+        null
+      )
+    }
   }
 
   /** Child -> parent -> grandparent rollup with a path label
@@ -1146,6 +1226,129 @@ object Graph {
     ranks
   }
 
+  /** pagerankMicro's rank recurrence on the co-partitioned primitive
+    * kernel (the bfsKernel pattern applied to the iterative-aggregate
+    * family's last DataFrame loop). SAME FUNCTION as pagerankMicro —
+    * every quantity is integer micro-mass and integer addition is
+    * order-independent, so the kernel reproduces the DataFrame loop
+    * BIT-FOR-BIT whatever the partitioning (spec-pinned equal at two
+    * SFs; contrast the float-sum case, where this rewrite would not
+    * be result-stable). Same SYMMETRIC-edges precondition.
+    *
+    * Why it beats the SQL loop at scale (measured in ProbePagerank):
+    *  - the edge side is ONE shuffle total: raw pairs hash-partition
+    *    by src and become a per-partition (src, dst)-sorted primitive
+    *    index; the caller-side `repartition(a,b).distinct()` exchange
+    *    AND the outdeg window shuffle both collapse into the build
+    *    (duplicates of a pair land in the same src partition, so the
+    *    in-array adjacent dedupe is global; outdeg is the run length,
+    *    free from the same sort).
+    *  - each iteration is exactly ONE shuffle (reduceByKey on dst):
+    *    ranks stay co-partitioned with the index, the contribution
+    *    expansion is a narrow zipPartitions (binary search + run
+    *    walk, zero allocation per row), and the map-side combiner
+    *    both halves the shuffle volume the round-14 repartition fix
+    *    traded away AND bounds task memory by spilling
+    *    (ExternalAppendOnlyMap) instead of dying — the
+    *    AGGREGATE_OUT_OF_MEMORY failure mode of the fused SQL
+    *    aggregate cannot occur here.
+    *  - no per-iteration AQE stage materializations, no broadcast
+    *    builds, no join: the 10-stage SQL loop becomes iters+1
+    *    stages.
+    * Rank generations are each consumed exactly once (by the next
+    * iteration), so none is persisted — every reduceByKey leaves
+    * shuffle files that bound task-retry recompute to one iteration,
+    * exactly the recovery barrier the SQL loop's checkpoint cadence
+    * bought with blocking driver jobs. Only the index persists (it
+    * is read every iteration). Deep-loop callers (20-50 iterations)
+    * inherit linear lineage growth in the PLAN only; the shuffle
+    * barriers keep recovery flat, so no checkpoint cadence is needed
+    * at any iters. */
+  private[operators] def pagerankKernelMicro(
+      spark: org.apache.spark.sql.SparkSession,
+      raw: org.apache.spark.rdd.RDD[(Long, Long)],
+      iters: Int
+  ): DataFrame = {
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.storage.StorageLevel
+    val p = new HashPartitioner(
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    )
+    val adj = raw
+      .partitionBy(p)
+      .mapPartitions(
+        it => Iterator.single(LongAdj.buildDistinct(it)),
+        preservesPartitioning = true
+      )
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // |V| = Σ per-partition distinct srcs (each src lives in exactly
+    // one partition) — one small job, replacing the SQL nodes.count()
+    val n = adj
+      .map { a =>
+        var c = 0L; var i = 0
+        while (i < a.srcs.length) {
+          if (i == 0 || a.srcs(i) != a.srcs(i - 1)) c += 1
+          i += 1
+        }
+        c
+      }
+      .fold(0L)(_ + _)
+    import spark.implicits._
+    if (n == 0)
+      return spark.emptyDataset[(Long, Long)].toDF("node", "r")
+    val totalMass = 1000000000000L
+    val perNode = totalMass / n
+    val teleport = (15L * perNode) / 100L
+    // seed narrowly off the index's own run heads — already
+    // partitioned by p, no separate nodes frame, no extra shuffle
+    var ranks: org.apache.spark.rdd.RDD[(Long, Long)] = adj
+      .mapPartitions(
+        { ait =>
+          val a = ait.next()
+          new Iterator[(Long, Long)] {
+            private var i = 0
+            def hasNext: Boolean = i < a.srcs.length
+            def next(): (Long, Long) = {
+              val r = (a.srcs(i), perNode)
+              val cur = a.srcs(i)
+              while (i < a.srcs.length && a.srcs(i) == cur) i += 1
+              r
+            }
+          }
+        },
+        preservesPartitioning = true
+      )
+    var it = 0
+    while (it < iters) {
+      val msgs = ranks
+        .zipPartitions(adj, preservesPartitioning = false) { (rit, ait) =>
+          val a = ait.next()
+          rit.flatMap { case (node, r) =>
+            val i0 = a.lower(node)
+            if (i0 < 0) Iterator.empty
+            else {
+              var i1 = i0
+              while (i1 < a.srcs.length && a.srcs(i1) == node) i1 += 1
+              val c = r / (i1 - i0) // exact: r div outdeg, run length
+              val end = i1
+              new Iterator[(Long, Long)] {
+                private var k = i0
+                def hasNext: Boolean = k < end
+                def next(): (Long, Long) = {
+                  val t = (a.dsts(k), c); k += 1; t
+                }
+              }
+            }
+          }
+        }
+      ranks = msgs
+        .reduceByKey(p, _ + _) // the iteration's ONE shuffle
+        .mapValues(s => teleport + (85L * s) / 100L)
+      it += 1
+    }
+    spark.createDataFrame(ranks).toDF("node", "r")
+  }
+
   /** graph06: rank customers and suppliers by PageRank on the
     * bidirected trading graph (distinct customer-supplier pairs from
     * lineitem x orders — the citation-graph centrality analog on the
@@ -1178,6 +1381,45 @@ object Graph {
       .select(col("a").as("src"), col("b").as("dst"))
       .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
     pagerankMicro(edges, iters)
+      .select(
+        expr(
+          "IF(node % 2 = 0, concat('c', node div 2), concat('s', (node - 1) div 2))"
+        ).as("node"),
+        col("r")
+      )
+      .orderBy(col("r").desc, col("node"))
+      .limit(topK)
+      .select(col("node"), col("r").as("rank_micro"))
+  }
+
+  /** graph06 on the primitive kernel loop — the SAME function (see
+    * pagerankKernelMicro: integer mass ⇒ bit-for-bit equal results,
+    * spec-pinned), with the SQL distinct, the outdeg window and the
+    * per-iteration join/aggregate stages all gone. The raw bidirected
+    * stream feeds the index UN-deduped: duplicates of a pair land in
+    * the same src partition and die in the build's adjacent dedupe,
+    * and bidirect-then-distinct ≡ distinct-then-bidirect (the two
+    * orientations are distinct elements either way). */
+  def graph06PagerankKernel(
+      lake: Lake,
+      iters: Int = 5,
+      topK: Int = 20
+  ): DataFrame = {
+    val raw = lake.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(
+        lake.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey")
+      )
+      .select(
+        expr("o_custkey * 2L").as("a"),
+        expr("l_suppkey * 2L + 1L").as("b")
+      )
+      .queryExecution
+      .toRdd // InternalRow: no Row boxing on the hot scan
+      .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1))))
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    pagerankKernelMicro(lake.spark, raw, iters)
       .select(
         expr(
           "IF(node % 2 = 0, concat('c', node div 2), concat('s', (node - 1) div 2))"

@@ -164,6 +164,23 @@ class GraphSpec extends AnyFunSuite {
     assert(total <= 1000000000000L && total > 999999990000L, s"mass $total")
   }
 
+  test("graph06 kernel equals the DataFrame loop bit-for-bit (full rank table)") {
+    // the integer-mass argument: every rank quantity is micro-mass
+    // (Long), integer addition is order-independent, so the primitive
+    // kernel and the SQL loop are the SAME function of the edge set —
+    // compared over the FULL rank table (huge topK), not the top-20,
+    // so a low-rank divergence can't hide. The fixture's repeated
+    // customer-supplier pairs also exercise buildDistinct's in-array
+    // dedupe against the SQL repartition().distinct().
+    val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
+    val df = Graph.graph06Pagerank(lake, iters = 5, topK = Int.MaxValue)
+      .collect().map(_.toString).toSeq
+    val k = Graph.graph06PagerankKernel(lake, iters = 5, topK = Int.MaxValue)
+      .collect().map(_.toString).toSeq
+    assert(df.nonEmpty)
+    assert(k == df)
+  }
+
   test("frontier BFS equals a plain Scala BFS; one row per node") {
     val lake = graft.catalog.Lake(TestSpark.spark, TestSpark.sfDir)
     // independent reference: queue BFS over the collected edge list
