@@ -1254,9 +1254,46 @@ object Similarity {
       .localCheckpoint()
     val subv = subvOf(all)
     val subvTrain = if (trainOn == null || (trainOn eq all)) subv else subvOf(trainOn)
-    val assignW = Window
-      .partitionBy("vec_id", "sub_id")
-      .orderBy(col("d2").asc, col("cluster"))
+    // MAP-ONLY subspace argmin (argmaxCell's fold, applied to the PQ
+    // assign): the codebooks fold to ONE row per sub_id carrying all
+    // ks (cluster, centroid) entries, and each subvector row picks
+    // its code via array_min over a transform — lexicographic struct
+    // order (d2 asc, then cluster asc) reproduces the former
+    // row_number-over-(vec_id, sub_id) window's tiebreak exactly
+    // (both rank NaN above any double). The window formulation
+    // exchanged and globally SORTED all n·m·ks scored rows — sv and
+    // centroid payloads included — once per Lloyd iteration and once
+    // more to encode; this shape has NO exchange on the corpus at
+    // all. Measured (ProbePqAssign, interleaved in one JVM, results
+    // checksum-identical, round 15): fold 1.57/1.41 s vs window
+    // 2.04/2.53 s vs a min_by partial-agg middle form 2.01/1.91 s at
+    // sf1 (two windows); at sf0.1 fold 1.19 vs window 1.42. The HOF
+    // lambda evaluates dist2 interpreted and the codebook fold adds a
+    // tiny shuffle inside each broadcast build — both costs measured
+    // SMALLER than the corpus exchange they replace at every SF
+    // tried, and the gap widens with scale exactly as §2.3-§2.4
+    // predict (the exchange is linear in n·m·ks, the fold's overhead
+    // is per-broadcast fixed).
+    def argminCode(frame: DataFrame, cents: DataFrame): DataFrame = {
+      val folded = cents
+        .groupBy("sub_id")
+        .agg(collect_list(struct(col("cluster"), col("centroid"))).as("cs"))
+      frame
+        .join(broadcast(folded), Seq("sub_id"))
+        .withColumn(
+          "w",
+          array_min(
+            transform(
+              col("cs"),
+              c =>
+                struct(
+                  vectors.dist2(col("sv"), c.getField("centroid")).as("d2"),
+                  c.getField("cluster").as("cluster")
+                )
+            )
+          )
+        )
+    }
     // Seeds: the first ks TRAINING vectors' subvectors, per subspace.
     var cents = subvTrain
       .withColumn(
@@ -1268,12 +1305,8 @@ object Similarity {
       .localCheckpoint()
     var i = 0
     while (i < iters) {
-      val assigned = subvTrain
-        .join(broadcast(cents), Seq("sub_id"))
-        .withColumn("d2", vectors.dist2(col("sv"), col("centroid")))
-        .withColumn("r", row_number().over(assignW))
-        .filter(col("r") === 1)
-        .select(col("sub_id"), col("cluster"), col("sv"))
+      val assigned = argminCode(subvTrain, cents)
+        .select(col("sub_id"), col("w.cluster").as("cluster"), col("sv"))
       cents = assigned
         .select(
           col("sub_id"),
@@ -1292,12 +1325,8 @@ object Similarity {
         .localCheckpoint()
       i += 1
     }
-    val codes = subv
-      .join(broadcast(cents), Seq("sub_id"))
-      .withColumn("d2", vectors.dist2(col("sv"), col("centroid")))
-      .withColumn("r", row_number().over(assignW))
-      .filter(col("r") === 1)
-      .select(col("vec_id"), col("sub_id"), col("cluster"))
+    val codes = argminCode(subv, cents)
+      .select(col("vec_id"), col("sub_id"), col("w.cluster").as("cluster"))
     (subv, cents, codes)
   }
 
