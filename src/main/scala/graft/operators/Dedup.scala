@@ -813,11 +813,26 @@ object Dedup {
       pairs: DataFrame,
       maxIters: Int = 30
   ): DataFrame = {
+    // nodes has exactly ONE consumer (the final label join) and pairs
+    // arrives localCheckpointed from every caller, so an EAGER
+    // checkpoint here bought nothing but its own job + pass — the
+    // distinct now folds into the final job (round 15; the same
+    // one-consumer rule as kmeans' materialize flag).
     val nodes = pairs
       .select(col("doc_a").as("u"))
       .unionAll(pairs.select(col("doc_b").as("u")))
       .distinct()
-      .localCheckpoint()
+    // LAZY checkpoint + checksum: localCheckpoint(false) marks the
+    // RDD and the checksum aggregate's job materializes the blocks as
+    // it streams them — ONE job per generation where the eager form
+    // paid two (materialize, then re-scan the blocks to checksum).
+    // Measured structurally (ProbeJobs, round 15 — job count is the
+    // cost model for driver loops on a box with a ~0.1-0.3 s job
+    // floor, and unlike wall clock it is noise-immune): dedup08
+    // 45->40 jobs, samp05 44->39, samp07 47->42, dedup11 63->57,
+    // pipe03 54->49 at sf0.1; oracle hash-PASS unchanged on all six
+    // consumers. At scale the same fusion removes one full pass over
+    // the edge set per round.
     var edges = pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -825,7 +840,7 @@ object Dedup {
       )
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // order-independent, overflow-free edge-set fingerprint (a long
     // SUM of xxhash64 trips ANSI overflow; XOR cannot)
     def checksum(e: DataFrame): (Long, Long) = {
@@ -851,9 +866,12 @@ object Dedup {
     // set (the single-heap pressure the round-12 local-cluster probe
     // exposed on the iterative family). Release ids come from the
     // checkpointed Dataset's own LogicalRDD leaves
-    // (Bridge.checkpointRddIds) — never a global keyset diff.
+    // (Bridge.checkpointRddIds) — never a global keyset diff. The
+    // INITIAL generation is tracked too (round 15: it previously
+    // outlived the whole loop).
     val sc = pairs.sparkSession.sparkContext
-    var prevCkpt: Set[Int] = Set.empty
+    var prevCkpt: Set[Int] =
+      org.apache.spark.sql.graftbridge.Bridge.checkpointRddIds(edges)
     while (cur != prev && iter < maxIters) {
       // large-star: hang every neighbor LARGER than u off
       // m = min(N(u) ∪ {u}) — detaches long tails in one hop
@@ -880,16 +898,19 @@ object Dedup {
         .unionAll(m2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-      edges = small.localCheckpoint()
+      edges = small.localCheckpoint(false)
       // ids read off the checkpointed Dataset itself (LogicalRDD
       // leaves) — a global keyset diff could capture a concurrent
       // job's RDD in a shared session (advisor round 12)
       val added = org.apache.spark.sql.graftbridge.Bridge.checkpointRddIds(edges)
+      prev = cur
+      // the checksum job is what materializes the lazy checkpoint —
+      // it reads the PREVIOUS generation's blocks, so the superseded
+      // generation is released only after it returns
+      cur = checksum(edges)
       prevCkpt.foreach(id =>
         sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       prevCkpt = added
-      prev = cur
-      cur = checksum(edges)
       iter += 1
     }
     nodes
