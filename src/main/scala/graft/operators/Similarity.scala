@@ -417,8 +417,16 @@ object Similarity {
       iters: Int = 3,
       materialize: Boolean = true
   ): DataFrame = {
+    // LAZY checkpoint (round 15): persistence semantics are identical
+    // to the former eager form — the first consumer's job (the next
+    // iteration's broadcast build, or the caller's first action)
+    // materializes the blocks, every later consumer reads them — but
+    // the dedicated materialization job per Lloyd step disappears.
+    // This is NOT the measured-slower materialize=false (no
+    // checkpoint at all, chain re-executed per consumer); blocks are
+    // still shared. ProbeJobs: sim06 27->22, dedup11 57->52 jobs.
     def mat(df: DataFrame): DataFrame =
-      if (materialize) df.localCheckpoint() else df
+      if (materialize) df.localCheckpoint(false) else df
     val seedW = Window.orderBy("vec_id")
     var cents = mat(
       all
@@ -974,7 +982,9 @@ object Similarity {
         col("vec_id"),
         zip_with(col("v"), col("centroid"), (x, y) => x - y).as("v")
       )
-      .localCheckpoint()
+      // lazy: pqTrainCore's subvector checkpoint materializes this
+      // chain on first touch and every later consumer reads blocks
+      .localCheckpoint(false)
     val resid = residOf(cells)
     val residTrain =
       if (trainEvery <= 1) resid
@@ -1295,6 +1305,9 @@ object Similarity {
         )
     }
     // Seeds: the first ks TRAINING vectors' subvectors, per subspace.
+    // Seed and per-iteration codebooks checkpoint LAZILY (kmeans'
+    // round-15 fusion): the next step's broadcast build materializes
+    // the blocks, so no Lloyd step pays a dedicated job.
     var cents = subvTrain
       .withColumn(
         "cluster",
@@ -1302,7 +1315,7 @@ object Similarity {
       )
       .filter(col("cluster") < ks)
       .select(col("sub_id"), col("cluster"), col("sv").as("centroid"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var i = 0
     while (i < iters) {
       val assigned = argminCode(subvTrain, cents)
@@ -1322,7 +1335,7 @@ object Similarity {
             s => s.getField("c")
           ).as("centroid")
         )
-        .localCheckpoint()
+        .localCheckpoint(false)
       i += 1
     }
     val codes = argminCode(subv, cents)
