@@ -17,8 +17,20 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
   */
 final case class Lake(spark: SparkSession, dir: String) {
 
-  def table(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolve with an EXPLICIT schema from the process-wide cache:
+    * a bare `spark.read.parquet` runs a footer-reading Spark job per
+    * call to infer the schema (measured: 1 job per resolve, even for
+    * the same path seconds apart in one session), and the suite
+    * resolves each table once per query invocation — hundreds of
+    * pure-overhead jobs per bench sweep (guide §6: metadata work is
+    * real I/O). The cache is STALENESS-GUARDED by the same per-entry
+    * (name, mtime, length) fingerprint discipline registerViews uses:
+    * a rewritten table re-infers, an unchanged one resolves with zero
+    * jobs. Data is never cached — only the StructType. */
+  def table(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    spark.read.schema(Lake.schemaFor(spark, path)).parquet(path)
+  }
 
   // The driver-generated star schema (TESTDATA.md).
   def region: DataFrame = table("region")
@@ -299,6 +311,44 @@ object Lake {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, (String, String)]()
     )
+
+  /** Process-wide parquet schema cache for [[Lake.table]]: path ->
+    * (content fingerprint, schema). Values are METADATA only (a
+    * StructType) — never data, listings, or results — so a cache hit
+    * changes no query plan semantics, it only skips the
+    * footer-reading inference job. The fingerprint (one driver-side
+    * listStatus of the table dir, same shape as [[dirFingerprint]])
+    * guards the tests'/update-verb's write-then-reread pattern: any
+    * file added, removed, or rewritten re-infers. An unreadable path
+    * fingerprints as "" and always re-infers, surfacing the real
+    * error through the normal reader. */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, org.apache.spark.sql.types.StructType)]
+
+  private[catalog] def schemaFor(
+      spark: SparkSession,
+      path: String
+  ): org.apache.spark.sql.types.StructType = {
+    val fp = tableFingerprint(spark, path)
+    schemaCache.get(path) match {
+      case Some((seen, s)) if fp.nonEmpty && seen == fp => s
+      case _ =>
+        val s = spark.read.parquet(path).schema
+        if (fp.nonEmpty) schemaCache.put(path, (fp, s))
+        s
+    }
+  }
+
+  private def tableFingerprint(spark: SparkSession, path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p)
+        .map(st =>
+          s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
+        .sorted
+        .mkString("|")
+    } catch { case scala.util.control.NonFatal(_) => "" }
 
   /** Cheap content fingerprint of a lake dir: listStatus through the
     * dir's own FileSystem (local, HDFS, S3A alike), folding each
