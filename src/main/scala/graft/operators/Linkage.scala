@@ -68,7 +68,11 @@ object Linkage {
     val labGroups = lab
       .groupBy("label", "is_probe")
       .agg(count(lit(1)).as("cnt"), min("lab_id").as("rep_id"))
-      .localCheckpoint()
+      // lazy (round 15): the first consumer's job materializes the
+      // blocks, the other branches read them — same sharing, one
+      // fewer dedicated job (the blanket rule applied to every
+      // multi-consumer checkpoint this round)
+      .localCheckpoint(false)
     val pads = labGroups
       .select(
         col("label"),
@@ -116,7 +120,7 @@ object Linkage {
           (log((lit(1.0) + col("n_labels")) / (lit(1.0) + col("df"))) + 1.0)
       )
       .select("label", "is_probe", "g", "wt")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nrm = wt
       .groupBy("label", "is_probe")
       .agg(sqrt(sum(col("wt") * col("wt"))).as("nrm"))
@@ -718,7 +722,7 @@ object Linkage {
         "f")
       .filter(col("doc_id") < col("b"))
       .select(col("doc_id").as("a"), col("b"), col("n_chars").as("na"), col("nb"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // scheme 1: content blocking — the df-capped shingle index
     val ix = docs
       .select(
@@ -742,7 +746,7 @@ object Linkage {
         abs(col("n_chars") - col("cb")) <= lenWindow)
       .select(col("doc_id").as("a"), col("b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // scheme 2: attribute blocking — length bands, ANALYTIC. The pair
     // count a band join WOULD produce (each |diff| <= W pair exactly
     // once) from the length histogram: within-length c·(c−1)/2 plus
