@@ -482,7 +482,7 @@ object Dedup {
     val bench = shingled
       .filter(col("doc_id") < nBench && size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("s"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val benchGrams = bench.select("s").distinct()
     // grams of the benchmark that occur ANYWHERE in the corpus: one
     // corpus scan, broadcast probe, output bounded by |bench grams|
@@ -767,7 +767,7 @@ object Dedup {
       .select(col("u"))
       .distinct()
       .select(col("u"), col("u").as("lbl"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // sum over ZERO rows is SQL null: an empty pair list must read as
     // checksum 0, not NPE (the star variant's checksum already does).
     def checksum(df: DataFrame): Long = {
@@ -788,7 +788,7 @@ object Dedup {
           col("u"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")
         )
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = checksum(labels)
       converged = s == prevSum
       prevSum = s
@@ -928,7 +928,7 @@ object Dedup {
     // dominate the cost.
     val pairs = minhashPairs(lake.documents, threshold)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // star CC: round count independent of component diameter (the
     // label-equality contract with plain propagation is spec-pinned)
     val labels = connectedComponentsStar(pairs, maxIters)
@@ -971,7 +971,7 @@ object Dedup {
   ): DataFrame = {
     val pairs = minhashPairs(lake.documents, threshold)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val labels = connectedComponentsStar(pairs, maxIters)
     lake.documents
       .select(col("doc_id"))
@@ -1031,7 +1031,7 @@ object Dedup {
       iters: Int = 2,
       m: Int = 20
   ): DataFrame = {
-    val all = Similarity.vecs(lake).localCheckpoint()
+    val all = Similarity.vecs(lake).localCheckpoint(false)
     val cents = Similarity.kmeans(all, k, iters)
     val assigned = Similarity.argmaxCell(all, cents, Seq.empty)
     val w = Window
@@ -1051,7 +1051,7 @@ object Dedup {
   ): DataFrame = {
     val pairs = minhashPairs(lake.documents, threshold)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val labels = connectedComponentsStar(pairs, maxIters)
     val withCluster = lake.documents
       .select(col("doc_id"))
@@ -1781,7 +1781,7 @@ object Dedup {
     // One materialization feeds the k-means loop, the assignment pass
     // and the pair join — without it the upstream plan re-executes per
     // consumer (and per Lloyd iteration).
-    val all = all0.localCheckpoint()
+    val all = all0.localCheckpoint(false)
     val n = all.count()
     val kEff =
       if (k > 0) k
@@ -1792,7 +1792,7 @@ object Dedup {
     val assigned = Similarity
       .argmaxCell(all, cents, Seq("v", "nrm"))
       .select(col("vec_id"), col("cluster"), col("v"), col("nrm"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // Per-cell all-pairs kernel, chosen by expected pair volume
     // (round 13). The row-level self-join materializes |cell| joined
     // rows PER VECTOR, each carrying two full vectors through the
@@ -1848,7 +1848,7 @@ object Dedup {
         )
         .filter(col("p.a_id") < col("p.b_id"))
         .select(col("p.a_id").as("doc_a"), col("p.b_id").as("doc_b"))
-    }).localCheckpoint()
+    }).localCheckpoint(false)
     val labels = connectedComponentsStar(pairs)
     assigned
       .join(labels, col("vec_id") === col("u"), "left")
@@ -2063,7 +2063,7 @@ object Dedup {
           .agg(count(lit(1)).as("occ"))
           .filter(col("occ") >= minDocs)
           .select("gh")
-          .localCheckpoint()
+          .localCheckpoint(false)
         val nCand = cand.count()
         if (nCand <= maxBroadcastKeys)
           gramsRaw.join(broadcast(cand), Seq("gh"), "left_semi")
@@ -2095,7 +2095,7 @@ object Dedup {
     // before every timed run, so suite sweeps neither reuse nor pin
     // this stream).
     val gramsM =
-      if (materialize) grams.localCheckpoint()
+      if (materialize) grams.localCheckpoint(false)
       else grams.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = gramsM
       .groupBy("gh")

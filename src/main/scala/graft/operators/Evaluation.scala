@@ -522,7 +522,7 @@ object Evaluation {
     * scan). */
   def eval08DistDrift(lake: Lake, eps: Double = 1e-4): DataFrame = {
     val counts = driftCounts(lake.documents)
-      .localCheckpoint() // three bounded consumers, one corpus scan
+      .localCheckpoint(false) // three bounded consumers, one corpus scan
     psiAgainst(counts, referenceMarginal(counts), eps)
   }
 }

@@ -65,7 +65,7 @@ object Pipeline {
   ): DataFrame = {
     // The cleaned frame feeds the verdict, the fingerprint and the
     // chunker — materialize the three-regex chain once.
-    val cleaned = cleanedDocs(lake).localCheckpoint()
+    val cleaned = cleanedDocs(lake).localCheckpoint(false)
     val passing = TextAnalysis
       .gopherVerdict(cleaned)
       .filter(col("passes"))
@@ -444,7 +444,7 @@ object Pipeline {
   ): DataFrame = {
     val cleaned = TextAnalysis.lineDedupedDocs(lake, minDocs)
       .select("doc_id", "source", "lang", "text")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // CCNet scoring over the cleaned corpus — txt15's one-join model
     // shape: the token stream is partitioned by w once and
     // checkpointed (vocabulary aggregation + scoring join share the
@@ -454,7 +454,7 @@ object Pipeline {
     val toks = cleaned
       .select(col("doc_id"), explode(text.tokens(col("text"))).as("w"))
       .repartition(col("w"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
     val total = counts.agg(sum("c").cast("double").as("total"))
     val model = counts
@@ -484,7 +484,7 @@ object Pipeline {
       )
       .filter(col("bucket") =!= "tail")
       .select("doc_id", "source", "bucket", "s")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // soft-dedup mass among the survivors, on the cleaned text
     val pairs = Dedup
       .minhashPairs(
@@ -493,7 +493,7 @@ object Pipeline {
         threshold
       )
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val labels = Dedup.connectedComponentsStar(pairs, maxIters)
     val withCluster = selected
       .join(labels, col("doc_id") === col("u"), "left")

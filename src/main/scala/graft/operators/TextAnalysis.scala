@@ -1221,7 +1221,7 @@ object TextAnalysis {
       .select(explode(graft.plans.TokenCounts(col("text"))).as(Seq("w", "n")))
       .groupBy("w")
       .agg(sum("n").as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val total = cdf.agg(sum("c")).head().getLong(0).toDouble
     val counts = cdf.orderBy(col("c").desc, col("w")).limit(maxModel).collect()
     val model = counts.map { r =>
@@ -1498,7 +1498,7 @@ object TextAnalysis {
       .select(col("pw.prev").as("prev"), col("pw.w").as("w"), col("pw.n").as("n"))
       .groupBy("prev", "w")
       .agg(sum("n").as("c_big"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cprev = cbig
       .filter(col("prev").isNotNull)
       .groupBy("prev")
@@ -1569,7 +1569,7 @@ object TextAnalysis {
         col("doc_id"),
         explode(graft.plans.ShingleHashes(col("text"), 10)).as("h")
       )
-      .localCheckpoint()
+      .localCheckpoint(false)
     val df = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val perDoc = sh
       .join(df, "h")
@@ -1644,7 +1644,7 @@ object TextAnalysis {
         sum("n").as("c_raw"),
         sum(when(col("is_tgt"), col("n")).otherwise(0L)).as("c_tgt")
       )
-      .localCheckpoint()
+      .localCheckpoint(false)
     val tot = cdf
       .agg(sum("c_raw"), sum("c_tgt"), count(lit(1)))
       .head()
@@ -1721,7 +1721,7 @@ object TextAnalysis {
         explode(graft.plans.ShingleHashSeq(col("text"), k)).as("gh")
       )
       .repartition(col("gh"))
-    val grams = if (materialize) gramsRaw.localCheckpoint() else gramsRaw
+    val grams = if (materialize) gramsRaw.localCheckpoint(false) else gramsRaw
     val firstSeen = grams
       .groupBy("gh")
       .agg(min("doc_id").as("first_doc"))
