@@ -691,33 +691,82 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .cache()
     val index = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = index
-      .groupBy("s")
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-      .select("s")
-    val capped = index.join(rare, "s")
-    val candidates = capped
-      .join(capped.select(col("doc_id").as("doc_b"), col("s")), "s")
-      .filter(col("doc_id") < col("doc_b"))
-      .select(col("doc_id").as("doc_a"), col("doc_b"))
-      .distinct()
-    val withSets = candidates
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-    val ic = graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b"))
-    withSets
-      .withColumn(
-        "containment",
-        round(
-          ic.cast("double") /
-            least(size(col("sh_a")), size(col("sh_b"))).cast("double"),
-          4
-        )
+    val dfs = index.groupBy("s").agg(count(lit(1)).as("df"))
+    // Size-adaptive plan choice (dedup03's guard, round 15 — dedup10
+    // never got it): when NO shingle exceeds the cap, the capped
+    // candidate set IS the full candidate set AND counting
+    // co-occurrences in the self-join already yields the exact
+    // intersection — the cap join, the candidate distinct, and both
+    // verify re-joins of the shingle arrays are pure overhead on a
+    // clean corpus. One max() over the df frame decides; any
+    // boilerplate-frequent shingle flips to the capped + exact-verify
+    // plan, the only shape that survives 100 TB. Measured (round 15):
+    // ProbeJobs 18 -> 9 jobs; BenchOne min-of-5 2.25 -> 1.97 s at
+    // sf0.1 across windows (suite point 2.92); oracle hash-PASS
+    // unchanged on both branches (the capped branch stays spec-pinned
+    // by the boilerplate-flood test).
+    val maxObserved = dfs.agg(max("df")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0)
+    }
+    if (maxObserved <= maxDf) {
+      val sized = docs.select(
+        col("doc_id"),
+        size(col("sh")).as("nsh"),
+        explode(col("sh")).as("s")
       )
-      .filter(col("containment") >= threshold)
-      .select("doc_a", "doc_b", "containment")
-      .orderBy("doc_a", "doc_b")
+      sized
+        .join(
+          sized.select(
+            col("doc_id").as("doc_b"),
+            col("nsh").as("nsh_b"),
+            col("s")
+          ),
+          Seq("s")
+        )
+        .filter(col("doc_id") < col("doc_b"))
+        .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+        .agg(
+          count(lit(1)).as("ic"),
+          first(col("nsh")).as("na"),
+          first(col("nsh_b")).as("nb")
+        )
+        .withColumn(
+          "containment",
+          round(
+            col("ic").cast("double") /
+              least(col("na"), col("nb")).cast("double"),
+            4
+          )
+        )
+        .filter(col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    } else {
+      val rare = dfs.filter(col("df") <= maxDf).select("s")
+      val capped = index.join(rare, "s")
+      val candidates = capped
+        .join(capped.select(col("doc_id").as("doc_b"), col("s")), "s")
+        .filter(col("doc_id") < col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b"))
+        .distinct()
+      val withSets = candidates
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      val ic = graft.plans.SortedIntersectCount(col("sh_a"), col("sh_b"))
+      withSets
+        .withColumn(
+          "containment",
+          round(
+            ic.cast("double") /
+              least(size(col("sh_a")), size(col("sh_b"))).cast("double"),
+            4
+          )
+        )
+        .filter(col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+        .orderBy("doc_a", "doc_b")
+    }
   }
 
   /** Cross-source duplicate overlap matrix — per (source_a, source_b)
