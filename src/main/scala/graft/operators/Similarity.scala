@@ -1600,16 +1600,62 @@ object Similarity {
     // assignment (argmaxCell's tiebreak — best ccos, then lowest
     // cluster), ranks 1..nprobe are the probe set. Materialized once
     // (narrow: id + cluster + vector) because two consumers read it.
-    val cellRank = Window
-      .partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cluster"))
+    //
+    // MAP-ONLY top-nprobe (round 15, the PQ-fold move extended from
+    // argmin to arg-top-n): the former row_number() over
+    // (vec_id)(ccos desc, cluster) exchanged and globally sorted all
+    // n·nlist scored rows WITH their v payloads — at auto-⌈√N⌉ nlist
+    // that exchange is n^1.5 rows of vectors, the single largest
+    // shuffle in the query. The centroids fold to one broadcast row;
+    // each vector sorts its own nlist-entry score array locally and
+    // keeps the top nprobe: reverse(array_sort(struct(ccos, -cluster,
+    // cluster))) is exactly the window's (ccos desc, cluster asc)
+    // order including the NaN-first-under-desc rule (ascending sort
+    // puts NaN last; reversed, first), and posexplode's pos+1 is
+    // row_number. ProbePqAssign pinned the fold-vs-window trade at
+    // two SFs; sim11's standalone min-of-5 read 2.40 s before /
+    // 1.98 s after across windows (suite point 2.12), and the
+    // exchange the fold deletes grows as n^1.5 · |v| while the fold's
+    // cost stays the same n·nlist scorings the window already paid.
+    val nprobeEff = math.max(nprobe, 1)
+    val centRow = cents
+      .agg(collect_list(struct(col("cluster"), col("centroid"))).as("cs"))
     val scored = all
-      .crossJoin(broadcast(cents))
-      .withColumn("ccos", vectors.cosine(col("v"), col("centroid")))
-      .withColumn("crank", row_number().over(cellRank))
-      .filter(col("crank") <= math.max(nprobe, 1))
-      .select("vec_id", "cluster", "crank", "v", "nrm")
-      .localCheckpoint()
+      .crossJoin(broadcast(centRow))
+      .withColumn(
+        "ranked",
+        slice(
+          reverse(
+            array_sort(
+              transform(
+                col("cs"),
+                c =>
+                  struct(
+                    vectors.cosine(col("v"), c.getField("centroid")).as("ccos"),
+                    negate(c.getField("cluster")).as("negc"),
+                    c.getField("cluster").as("cluster")
+                  )
+              )
+            )
+          ),
+          1,
+          nprobeEff
+        )
+      )
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("nrm"),
+        posexplode(col("ranked")).as(Seq("pos", "w"))
+      )
+      .select(
+        col("vec_id"),
+        col("w.cluster").as("cluster"),
+        (col("pos") + 1).as("crank"),
+        col("v"),
+        col("nrm")
+      )
+      .localCheckpoint(false)
     // SALTED cell join: `cluster` alone has only nlist distinct
     // values, so an unsalted equi-join caps parallelism at nlist
     // tasks whatever the cluster size. Salt by a hash of the HOME
