@@ -259,24 +259,41 @@ object Dedup {
     * dedup04 1.75 → 2.29 s, pipe02 4.87 → 5.62 s — the stats join
     * it adds to every clean run costs more than the guard job it
     * deletes. */
-  private[graft] def minhashPairs(
-      docsText: DataFrame,
-      threshold: Double = 0.5,
-      numPerm: Int = 128,
-      bands: Int = 64,
-      maxBucket: Int = 1000
-  ): DataFrame = {
-    val rows = numPerm / bands
-    // Cache the per-doc shingle sets and band rows: both feed two
-    // branches of a self-join, and without persistence Spark would
-    // recompute the full shingle+signature pipeline once per branch.
-    val docs = docsText
+  /** The cached (doc_id, sh) shingle-set frame minhashPairs and the
+    * decontamination kernel both start from — factored out (round 15)
+    * so a composition running BOTH over the same corpus (pipe03)
+    * parses and shingles the text once instead of once per stage. */
+  private[graft] def shingledDocs(docsText: DataFrame): DataFrame =
+    docsText
       .select(
         col("doc_id"),
         graft.plans.ShingleHashes(col("text"), 3).as("sh")
       )
       .filter(size(col("sh")) > 0)
       .cache()
+
+  private[graft] def minhashPairs(
+      docsText: DataFrame,
+      threshold: Double = 0.5,
+      numPerm: Int = 128,
+      bands: Int = 64,
+      maxBucket: Int = 1000
+  ): DataFrame =
+    minhashPairsOfShingled(shingledDocs(docsText), threshold, numPerm, bands, maxBucket)
+
+  /** minhashPairs over a pre-shingled (doc_id, sh) frame — `docs`
+    * must be the shingledDocs shape (non-empty sets, cached). */
+  private[graft] def minhashPairsOfShingled(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      numPerm: Int = 128,
+      bands: Int = 64,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    val rows = numPerm / bands
+    // The shingle sets and band rows are cached: both feed two
+    // branches of a self-join, and without persistence Spark would
+    // recompute the full shingle+signature pipeline once per branch.
     val sigs = docs.select(
       col("doc_id"),
       hashing.minhashSignature(col("sh"), numPerm).as("sig")
@@ -446,6 +463,33 @@ object Dedup {
       minOverlap: Int = 5
   ): DataFrame =
     decontaminated(lake, nBench, minOverlap).orderBy("doc_id")
+
+  /** The decontamination kernel over a pre-shingled (doc_id, sh)
+    * frame (shingledDocs shape) — pipe03 composes this with the
+    * leakage-split pair generation over ONE shared shingle cache, so
+    * the corpus text is parsed once for the whole funnel (round 15).
+    * The standalone `decontaminated` keeps its two-map-scan shape:
+    * for a single consumer at 100 TB two pruned scans beat writing a
+    * corpus-sized cache. Results are identical: empty shingle sets
+    * (the only rows the shared frame filters out) contribute no
+    * exploded rows on either branch. */
+  private[graft] def decontaminatedOfShingled(
+      docs: DataFrame,
+      nBench: Int = 10,
+      minOverlap: Int = 5
+  ): DataFrame = {
+    val benchShingles = docs
+      .filter(col("doc_id") < nBench)
+      .select(explode(col("sh")).as("s"))
+      .distinct()
+    docs
+      .filter(col("doc_id") >= nBench)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(broadcast(benchShingles), "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
 
   /** dedup15: CONTAMINATION REPORT — dedup07's probe REVERSED, the
     * benchmark-side statistic an eval owner reads before trusting a
@@ -1016,9 +1060,15 @@ object Dedup {
   private[graft] def leakageSplits(
       lake: Lake,
       threshold: Double = 0.5,
-      maxIters: Int = 20
+      maxIters: Int = 20,
+      // pre-shingled (doc_id, sh) frame to share the shingle cache
+      // with a sibling stage (pipe03); null = shingle here
+      shingled: DataFrame = null
   ): DataFrame = {
-    val pairs = minhashPairs(lake.documents, threshold)
+    val pairs = (
+      if (shingled == null) minhashPairs(lake.documents, threshold)
+      else minhashPairsOfShingled(shingled, threshold)
+    )
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint(false)
     val labels = connectedComponentsStar(pairs, maxIters)

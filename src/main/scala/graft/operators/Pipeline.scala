@@ -559,9 +559,16 @@ object Pipeline {
       quota: Int = 20,
       seed: Int = 7
   ): DataFrame = {
+    // ONE shared shingle cache feeds both the decontamination kernel
+    // and the leakage-split pair generation (round 15): the funnel
+    // previously parsed + shingled the corpus text once per stage —
+    // three ShingleHashes passes; now one (guide §1.2: don't compute
+    // things twice).
+    val docsSh = Dedup.shingledDocs(lake.documents)
     val contaminated =
-      Dedup.decontaminated(lake, nBench, minOverlap).select("doc_id")
-    val splits = Dedup.leakageSplits(lake).select("doc_id", "split")
+      Dedup.decontaminatedOfShingled(docsSh, nBench, minOverlap).select("doc_id")
+    val splits =
+      Dedup.leakageSplits(lake, shingled = docsSh).select("doc_id", "split")
     val clean = lake.documents
       .select(col("doc_id"), col("lang"))
       .filter(col("doc_id") >= nBench)
