@@ -246,24 +246,60 @@ final case class Lake(spark: SparkSession, dir: String) {
     (schemaOf.values.toSeq.distinct :+ derivedSchema).sorted.foreach { db =>
       spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$whBase/$db.db'")
     }
+    // Base tables register as EXTERNAL TABLES with the cached explicit
+    // schema, not `parquet.`path`` views (round 16, guide §6 metadata):
+    // a path relation in a view body re-ran a footer-inference Spark
+    // job EVERY time the view text was analyzed — at registration
+    // (each derived view's analysis cascades through the base views it
+    // references) and again per spark.sql query — ~58 pure-metadata
+    // jobs on a fresh session (ProbeViewJobs). A catalog table stores
+    // the StructType, so analysis is a catalog lookup: zero jobs. The
+    // schema comes from [[Lake.schemaFor]] (fingerprint-guarded, so a
+    // rewritten table re-infers); `LOCATION` makes the table EXTERNAL —
+    // DROP never touches the parquet files (CatalogSpec pins this).
+    // Trade-off, documented: Spark caches a catalog table's resolved
+    // relation (file listing included) per session, so an EXTERNAL
+    // rewrite is visible to `spark.sql` only after the next
+    // registerViews() (whose dir fingerprint trips and re-registers,
+    // invalidating the cache) — exactly the update verb's
+    // force-re-register contract; the previous view form re-listed per
+    // query and hid that requirement.
+    def registerTable(qn: String, path: String,
+        schema: org.apache.spark.sql.types.StructType): Unit = {
+      // CREATE TABLE has no OR REPLACE in the v1 path, and the name
+      // may be held by an old-style view (pre-table registration in
+      // the same session) — drop whichever object type holds it.
+      try spark.sql(s"DROP VIEW IF EXISTS $qn")
+      catch { case scala.util.control.NonFatal(_) => () }
+      try spark.sql(s"DROP TABLE IF EXISTS $qn")
+      catch { case scala.util.control.NonFatal(_) => () }
+      spark.sql(
+        s"CREATE TABLE $qn (${schema.toDDL}) USING parquet LOCATION '$path'")
+    }
     tableNames.foreach { n =>
       val path = s"$dir/$n.parquet"
-      val sel =
-        if (n == "events") {
-          // Same per-layout normalization as `events`, baked into the
-          // permanent-view text (a permanent view may not reference a
-          // temp view, so the conversion must be inline SQL).
-          val tsExpr = table("events").schema("ts").dataType match {
-            case LongType         => "timestamp_micros(ts div 1000) AS ts"
-            case TimestampNTZType => "CAST(ts AS TIMESTAMP) AS ts"
-            case _                => "ts"
-          }
-          val cols = table("events").schema.fieldNames
-            .map { case "ts" => tsExpr; case c => s"`$c`" }
-            .mkString(", ")
-          s"SELECT $cols FROM parquet.`$path`"
-        } else s"SELECT * FROM parquet.`$path`"
-      spark.sql(s"CREATE OR REPLACE VIEW ${qualified(n)} AS $sel")
+      if (n == "events") {
+        // events needs the per-layout ts normalization, which a table
+        // cannot express: register the RAW file as a sibling table and
+        // keep `activity.events` a thin view over it (a permanent view
+        // may reference a permanent table — analysis is still
+        // job-free). The raw schema rides the same schemaFor cache.
+        val raw = Lake.schemaFor(spark, path)
+        registerTable(s"`${schemaOf(n)}`.`events_src`", path, raw)
+        val tsExpr = raw("ts").dataType match {
+          case LongType         => "timestamp_micros(ts div 1000) AS ts"
+          case TimestampNTZType => "CAST(ts AS TIMESTAMP) AS ts"
+          case _                => "ts"
+        }
+        val cols = raw.fieldNames
+          .map { case "ts" => tsExpr; case c => s"`$c`" }
+          .mkString(", ")
+        try spark.sql(s"DROP TABLE IF EXISTS ${qualified(n)}")
+        catch { case scala.util.control.NonFatal(_) => () }
+        spark.sql(
+          s"CREATE OR REPLACE VIEW ${qualified(n)} AS SELECT $cols " +
+            s"FROM `${schemaOf(n)}`.`events_src`")
+      } else registerTable(qualified(n), path, Lake.schemaFor(spark, path))
     }
     // Derived xref views LAST: their SQL references the base schema
     // views just created. Still definitions-only — a permanent view
@@ -339,13 +375,33 @@ object Lake {
     }
   }
 
+  /** Same two-level walk discipline as [[dirFingerprint]] (ADVICE
+    * round 15): a table that is a DIRECTORY of part files may nest one
+    * level (e.g. a partitioned layout), and object-store synthetic
+    * directory entries carry no meaningful mtime/length — a flat
+    * listing would serve a stale cached schema after an in-place
+    * rewrite of nested part files. Layouts deeper than two levels are
+    * NOT walked (dirFingerprint's documented caveat applies here too:
+    * such a rewrite needs an explicit re-infer, e.g. the update verb's
+    * force path). */
   private def tableFingerprint(spark: SparkSession, path: String): String =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(p)
-        .map(st =>
-          s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}")
+        .flatMap { st =>
+          val self =
+            s"${st.getPath.getName}:${st.getModificationTime}:${st.getLen}"
+          if (!st.isDirectory) Seq(self)
+          else
+            self +: fs
+              .listStatus(st.getPath)
+              .map(c =>
+                s"${st.getPath.getName}/${c.getPath.getName}:" +
+                  s"${c.getModificationTime}:${c.getLen}"
+              )
+              .toSeq
+        }
         .sorted
         .mkString("|")
     } catch { case scala.util.control.NonFatal(_) => "" }

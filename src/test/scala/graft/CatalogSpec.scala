@@ -51,6 +51,30 @@ class CatalogSpec extends AnyFunSuite {
         |ON n.n_regionkey = r.r_regionkey""".stripMargin).head().getLong(0) == 25)
   }
 
+  test("registered base tables are EXTERNAL: DROP TABLE never touches the parquet files") {
+    // Round 16 moved the base names from `parquet.`path`` views to
+    // catalog TABLES (schema analysis without footer jobs). The
+    // LOCATION clause makes them EXTERNAL — this pins the property
+    // that protects the lake: dropping the catalog object must leave
+    // the data untouched.
+    lake.registerViews()
+    val path = new java.io.File(s"$sfDir/nation.parquet")
+    assert(path.exists())
+    // the table may be a single parquet file or a directory of parts
+    def footprint(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(footprint).sum).getOrElse(0L)
+    val before = footprint(path)
+    assert(before > 0)
+    spark.sql("DROP TABLE trade.nation")
+    assert(path.exists() && footprint(path) == before,
+      "DROP TABLE deleted external parquet data")
+    // restore the catalog for later tests (drop tripped nothing on disk,
+    // so a forced re-register rebuilds the exact same objects)
+    lake.registerViews(force = true)
+    assert(spark.sql("SELECT COUNT(*) FROM trade.nation").head().getLong(0) == 25)
+  }
+
   test("registerViews re-registers when the dir's contents change under the same path") {
     // Build a private lake dir (region + nation suffice for the flat
     // temp-view surface under test), register, then REWRITE a table
@@ -68,6 +92,7 @@ class CatalogSpec extends AnyFunSuite {
       val l = Lake(spark, tmp)
       l.registerViews()
       assert(spark.table("region").count() == 5)
+      assert(spark.sql("SELECT COUNT(*) FROM trade.region").head().getLong(0) == 5)
       // rewrite region with fewer rows (different part files on disk)
       l0.resolve("region").limit(3)
         .write.mode("overwrite").parquet(s"$tmp/region.parquet")
@@ -75,6 +100,15 @@ class CatalogSpec extends AnyFunSuite {
       assert(
         spark.table("region").count() == 3,
         "non-forced registerViews served a stale catalog after a rewrite"
+      )
+      // The SCHEMA-QUALIFIED path now resolves through a catalog TABLE
+      // whose relation (schema + file listing) Spark caches per
+      // session — the re-registration must invalidate that cache too,
+      // or spark.sql serves the pre-rewrite listing (the documented
+      // trade-off at the registerTable site).
+      assert(
+        spark.sql("SELECT COUNT(*) FROM trade.region").head().getLong(0) == 3,
+        "catalog-table relation cache served stale data after re-register"
       )
     } finally {
       // leave the session catalog pointing at the shared test lake
