@@ -966,27 +966,46 @@ object Dedup {
     var prevCkpt: Set[Int] =
       org.apache.spark.sql.graftbridge.Bridge.checkpointRddIds(edges)
     while (cur != prev && iter < maxIters) {
+      // ONE explicit exchange per star (round 16, guide §2.4 — two
+      // operations keyed the same way share one exchange): after
+      // repartition(u), HashPartitioning(u) satisfies the clustering
+      // requirement of groupBy(u), of the u-keyed join, AND of a
+      // (u, v) dedup — so each star's aggregate + join + dedup all
+      // run exchange-free in the repartition's stage. The old form
+      // let every groupBy / join / distinct plan its own Exchange
+      // (4-6 per round). shuffle_hash on the min frames: strictly
+      // one build row per key (a min per node), so the hash build
+      // can't blow per-partition memory, and it drops the SMJ sorts.
+      // Skew note for 100 TB: the hot key (a giant component's min
+      // node) is a SINGLE key — AQE skew-split cannot divide one key
+      // in either formulation, so fusing the join into the exchange's
+      // stage gives up nothing on that axis.
+      // Measured (ProbeStarCC, interleaved same-JVM, sf0.1, label
+      // checksums identical): 26 -> 22 jobs per CC run, wall
+      // 1.011 -> 0.823 s (min of 3 alternating sweeps).
+      //
       // large-star: hang every neighbor LARGER than u off
-      // m = min(N(u) ∪ {u}) — detaches long tails in one hop
-      val sym =
-        edges.unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+      // m = min(N(u) ∪ {u}) — detaches long tails in one hop.
+      val sym = edges
+        .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u"))
       val m1 = sym.groupBy("u").agg(min("v").as("mn"))
+      // The emission (v, m) has m <= u < v, so it is already oriented
+      // larger->smaller and self-loop free; its duplicates ride to
+      // small-star's partition-local dropDuplicates instead of paying
+      // a standalone distinct Exchange here.
       val large = sym
-        .join(m1, "u")
+        .join(m1.hint("shuffle_hash"), "u")
         .withColumn("m", least(col("u"), col("mn")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v"))
-        .distinct()
-      // small-star: orient (larger -> smaller), repoint u and all its
-      // smaller neighbors at the minimum
-      val oriented = large.select(
-        greatest(col("u"), col("v")).as("u"),
-        least(col("u"), col("v")).as("v")
-      )
-      val m2 = oriented.groupBy("u").agg(min("v").as("m"))
-      val small = oriented
-        .join(m2, "u")
+        .repartition(col("u"))
+      // small-star: repoint u and all its smaller neighbors at the
+      // minimum
+      val dis = large.dropDuplicates("u", "v")
+      val m2 = dis.groupBy("u").agg(min("v").as("m"))
+      val small = dis
+        .join(m2.hint("shuffle_hash"), "u")
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(m2.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))

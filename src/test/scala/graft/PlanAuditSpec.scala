@@ -694,4 +694,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin")
       && !p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("sim14/sim15: the only Window ranks the probe table (nQueries-bounded), group-limited to nprobe") {
+    // VERDICT r15 item 7: the residual Window in the IVF-PQ plans must
+    // be the QUERY-side cell ranking — input is nQueries·nlist rows
+    // (queries crossJoin broadcast(centroids)), NEVER corpus-sized (the
+    // corpus-sized windows were folded away in rounds 14-15: sim11's
+    // c8 fold, the PQ argmin fold). Pinned mechanically: exactly one
+    // Window node, partitioned by query_id, with a WindowGroupLimit
+    // (the per-group bounded heap) pushed below it so only nprobe rows
+    // per query survive to the exchange.
+    for (
+      df <- Seq(
+        Similarity.sim14IvfPq(lake),
+        Similarity.sim15IvfPqRefine(lake)
+      )
+    ) {
+      val p = plan(df)
+      val windows = p.linesIterator.filter(_.matches(".*\\bWindow \\[.*")).toSeq
+      assert(windows.size == 1, s"expected exactly 1 Window, got:\n$p")
+      assert(windows.head.contains("query_id"),
+        s"the surviving Window is not the query-side probe ranking:\n$p")
+      assert(p.contains("WindowGroupLimit"),
+        s"probe ranking lost its group-limit pushdown:\n$p")
+    }
+  }
 }
